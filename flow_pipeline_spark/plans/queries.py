@@ -1,0 +1,446 @@
+"""The SURVEY.md §2 operator inventory as (Spark builder, DuckDB oracle) pairs.
+
+Each entry maps one operator class of the reference pipeline onto the
+driver's test warehouse (TESTDATA.md): the ``events`` table plays the role
+of the flow stream (user_id ~ AS/IP key, value ~ Bytes, event_type ~
+EType/port), ``lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region`` plays the
+enrichment-join class, ``documents``/``embeddings`` carry the dedup /
+text-QC / similarity tier.
+
+Conventions (driver contract):
+- every computed column aliased identically in Spark and SQL;
+- double aggregates rounded (4dp) in BOTH engines so value-hashes are
+  bitwise-stable despite summation-order differences;
+- every result totally ordered by explicit keys (hash compare is
+  order-insensitive, but ORDER BY + LIMIT top-k needs deterministic ties —
+  every LIMIT is preceded by a full tie-breaking sort).
+
+Scale notes are attached per query: what the plan must look like at 100 TB
+(broadcast vs shuffle, pushdown, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.tables import load_table
+from ..functions.timeutil import to_start_of_five_minute, to_start_of_minute
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One checkable operator: Spark builder + equivalent DuckDB SQL.
+
+    ``oracle`` is None for ops not expressible in ANSI SQL (the driver then
+    records a rows-only check)."""
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _q(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, doc=doc)
+        return fn
+    return wrap
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+# ---------------------------------------------------------------------------
+# Flow-dashboard analogs over `events`  (viz-ch.json / viz.json query family)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "instant_traffic_1m",
+    """
+    SELECT date_trunc('minute', ts) AS t,
+           round(sum(value), 4)    AS sum_value,
+           count(*)                AS n
+    FROM events GROUP BY t ORDER BY t
+    """,
+    doc="A1/A6/O1 — 'Instant traffic' (viz-ch.json:74): toStartOfMinute + "
+        "sum(expr) GROUP BY t ORDER BY t. Scale: partial agg map-side, one "
+        "shuffle on the minute bucket; scan prunes to (ts, value).",
+)
+def instant_traffic_1m(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(to_start_of_minute(F.col("ts")).alias("t"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count("*").alias("n"))
+        .orderBy("t")
+    )
+
+
+@_q(
+    "rate_30s",
+    """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 30) * 30 AS bucket,
+           round(sum(value) * 8 / 30, 4)          AS bits_per_sec
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+    doc="A2/A6 — PG dashboard rate query (viz.json:62): 30-s buckets via "
+        "epoch integer division, sum*8/30 normalized rate.",
+)
+def rate_30s(spark, sf_dir):
+    bucket = ((F.unix_timestamp("ts") / 30).cast("long") * 30).alias("bucket")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(bucket)
+        .agg(F.round(F.sum("value") * 8 / 30, 4).alias("bits_per_sec"))
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "top_talkers",
+    """
+    SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n
+    FROM events GROUP BY user_id
+    ORDER BY sum_value DESC, user_id ASC LIMIT 10
+    """,
+    doc="A5/O2 — top-N table panels (viz-ch.json:233,479): group by talker "
+        "key, ORDER BY agg DESC LIMIT k. Scale: TakeOrderedAndProject — "
+        "per-partition top-k then driver merge of k*P rows, no global sort.",
+)
+def top_talkers(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count("*").alias("n"))
+        .orderBy(F.desc("sum_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@_q(
+    "top_event_types",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type ASC LIMIT 10
+    """,
+    doc="A3/A5/O2 — 'top ports' panel analog (viz-ch.json:358): count() by "
+        "small-cardinality key.",
+)
+def top_event_types(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+@_q(
+    "rollup_5m",
+    """
+    SELECT CAST(ts AS DATE)                                       AS date,
+           make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300) * 1000000) AS timeslot,
+           user_id, event_type,
+           round(sum(value), 4) AS sum_value, count(*) AS n
+    FROM events
+    GROUP BY date, timeslot, user_id, event_type
+    ORDER BY date, timeslot, user_id, event_type
+    """,
+    doc="A4/A6/A7/W4 — the flows_5m rollup as a batch groupBy (clickhouse "
+        "create.sh:92-110): 5-min tumbling slot + multi-key group. Scale: "
+        "this IS the pre-aggregation that answers dashboard queries without "
+        "touching raw — see operators/rollup.py for the stored variant.",
+)
+def rollup_5m(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("date"),
+            to_start_of_five_minute(F.col("ts")).alias("timeslot"),
+            "user_id", "event_type",
+        )
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count("*").alias("n"))
+        .orderBy("date", "timeslot", "user_id", "event_type")
+    )
+
+
+@_q(
+    "pair_matrix",
+    """
+    SELECT user_id, event_type, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY sum_value DESC, user_id ASC, event_type ASC
+    LIMIT 20
+    """,
+    doc="A4/A5/O2 — (SrcAS,DstAS)-pair top-k analog (README.md:174-183).",
+)
+def pair_matrix(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.desc("sum_value"), F.asc("user_id"), F.asc("event_type"))
+        .limit(20)
+    )
+
+
+@_q(
+    "time_filtered_scan",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE ts >= (SELECT min(ts) FROM events) + INTERVAL 1 HOUR
+      AND event_type = 'click'
+    ORDER BY event_id
+    LIMIT 100
+    """,
+    doc="P2/P5/P6/O1 — $timeFilter + equality predicate + projection "
+        "(viz-ch.json:75, README.md:174-178). Scale: both predicates push "
+        "to the parquet scan; Date-partition pruning when partitioned.",
+)
+def time_filtered_scan(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    lo = e.agg((F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("lo"))
+    # scalar-subquery via broadcast cross join: stays distributed, no collect
+    return (
+        e.crossJoin(F.broadcast(lo))
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("event_type") == "click"))
+        .select("event_id", "user_id", "event_type",
+                F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@_q(
+    "conditional_class",
+    """
+    SELECT CASE WHEN value >= 500 THEN 'high'
+                WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS cls,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY cls ORDER BY cls
+    """,
+    doc="P7 — if(EType = 0x800, ..., ...) conditional expression "
+        "(viz-ch.json:233) as CASE/when-otherwise.",
+)
+def conditional_class(spark, sf_dir):
+    cls = (
+        F.when(F.col("value") >= 500, "high")
+        .when(F.col("value") >= 100, "mid")
+        .otherwise("low")
+        .alias("cls")
+    )
+    return (
+        _events(spark, sf_dir)
+        .groupBy(cls)
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("cls")
+    )
+
+
+@_q(
+    "ipv4_render",
+    """
+    SELECT event_id,
+           (user_id * 2654435761) % 4294967296 AS ipnum,
+           CAST(((user_id * 2654435761) % 4294967296) // 16777216 % 256 AS VARCHAR)
+           || '.' ||
+           CAST(((user_id * 2654435761) % 4294967296) // 65536 % 256 AS VARCHAR)
+           || '.' ||
+           CAST(((user_id * 2654435761) % 4294967296) // 256 % 256 AS VARCHAR)
+           || '.' ||
+           CAST(((user_id * 2654435761) % 4294967296) % 256 AS VARCHAR) AS ip
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    doc="P8/P9/P12 — IPv4NumToString semantics (viz-ch.json:233) as pure "
+        "JVM expressions; u32 derived deterministically (Knuth hash) from "
+        "user_id since the warehouse has no IP column. The binary-addr "
+        "variants are unit-tested in tests/test_ip_functions.py.",
+)
+def ipv4_render(spark, sf_dir):
+    from ..functions.ip import ipv4_num_to_string
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < 100)
+        .withColumn("ipnum", (F.col("user_id") * 2654435761) % 4294967296)
+        .select("event_id", "ipnum",
+                ipv4_num_to_string(F.col("ipnum")).alias("ip"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join / set-op / window classes  (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "enrichment_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY region, nation
+    ORDER BY region, nation
+    """,
+    doc="J1 — the described-but-unshipped enrichment join (README.md:44-51; "
+        "SrcCountry/DstCountry columns pb.go:140-143): fact joined to dim "
+        "chain. Scale: nation/region broadcast (no shuffle); orders⋈customer "
+        "shuffles on custkey once.",
+)
+def enrichment_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy("region", "nation")
+    )
+
+
+@_q(
+    "revenue_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+    """,
+    doc="J1/A1/O2 — fact-fact join + top-k (TPC-H Q-3/Q-10 shape). Scale: "
+        "lineitem⋈orders shuffles on orderkey; AQE handles skew; top-k is "
+        "TakeOrderedAndProject.",
+)
+def revenue_top_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "set_ops",
+    """
+    SELECT n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    ) t ORDER BY n_nationkey
+    """,
+    doc="J2 — set operations (unionByName/intersect/except available; the "
+        "reference never needed them, SURVEY §2.5).",
+)
+def set_ops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")).distinct()
+    return c.intersect(s).orderBy("n_nationkey")
+
+
+@_q(
+    "window_latest_event",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1 AND user_id < 50
+    ORDER BY user_id
+    """,
+    doc="J3 — window function (rank/lag class; PromQL-rate parity needs "
+        "these, SURVEY §2.5-§2.6 W7). Scale: one shuffle on user_id; "
+        "filter user_id<50 pushes below the window via predicate pushdown "
+        "on the partition key.",
+)
+def window_latest_event(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="A1-A4/P5/P12 — the canonical pricing-summary aggregate (TPC-H Q1 "
+        "shape) proving expression-arg aggregation at scale; the flow "
+        "equivalent is sum(Bytes*SamplingRate) (viz-ch.json:74).",
+)
+def tpch_q1(spark, sf_dir):
+    l = _li(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
