@@ -1,0 +1,107 @@
+"""Flow-dashboard query builders — bit-parity with the reference's Grafana
+SQL, operating on a ``flows_raw`` DataFrame (see sources.mocker.flows_raw).
+
+Sources: compose/grafana/dashboards/viz-ch.json (ClickHouse variant, panels
+at lines 74, 233, 358, 479, 604), viz.json (Postgres variant, 30-s buckets),
+README.md:144-183 (CLI session queries).
+
+All builders take the flows_raw DataFrame (TimeReceived/TimeFlowStart as
+timestamps, Date column present) and return DataFrames with the dashboard's
+column names. Ordering: the dashboards rely on Grafana UI sorting for ties —
+we append explicit tie-break keys so results are deterministic (FIXTURES.md
+F6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ip import flow_addr_to_string
+from ..functions.timeutil import (
+    to_start_of_five_minute,
+    to_start_of_interval,
+    to_start_of_minute,
+)
+
+def instant_traffic(flows_raw: DataFrame) -> DataFrame:
+    """viz-ch.json:74 — 'Instant traffic':
+    ``SELECT toUInt64(toStartOfMinute(ts))*1000 AS t,
+    sum(Bytes*SamplingRate) AS sumbytes GROUP BY t ORDER BY t``."""
+    t = (F.unix_timestamp(to_start_of_minute(F.col("TimeReceived"))) * 1000)
+    return (
+        flows_raw.groupBy(t.alias("t"))
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("sumbytes"))
+        .orderBy("t")
+    )
+
+
+def _top_by_traffic(flows_raw: DataFrame, key: Column, key_name: str,
+                    k: int | None) -> DataFrame:
+    out = (
+        flows_raw.groupBy(key.alias(key_name))
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("sumbytes"))
+        .orderBy(F.desc("sumbytes"), F.asc(key_name))
+    )
+    return out.limit(k) if k else out
+
+
+def top_src_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
+    """viz-ch.json:233 — 'Top source IPs': group by the dual-rendered
+    address string (IPv4 decode when EType=0x800, IPv6 otherwise)."""
+    return _top_by_traffic(
+        flows_raw, flow_addr_to_string(F.col("SrcAddr"), F.col("Etype")),
+        "srcip", k)
+
+
+def top_dst_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
+    """viz-ch.json:479 — 'Top destination IPs'."""
+    return _top_by_traffic(
+        flows_raw, flow_addr_to_string(F.col("DstAddr"), F.col("Etype")),
+        "dstip", k)
+
+
+def top_src_ports(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
+    """viz-ch.json:358 — 'Top source ports'."""
+    return _top_by_traffic(flows_raw, F.col("SrcPort"), "port", k)
+
+
+def top_dst_ports(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
+    """viz-ch.json:604 — 'Top destination ports'."""
+    return _top_by_traffic(flows_raw, F.col("DstPort"), "port", k)
+
+
+def rate_30s_bits(flows_raw: DataFrame) -> DataFrame:
+    """viz.json:62 (Postgres dashboard) — 30-s buckets,
+    ``sum(bytes*sampling_rate*8)/30`` bits/sec."""
+    t = to_start_of_interval(F.col("TimeReceived"), 30)
+    return (
+        flows_raw.groupBy(t.alias("t"))
+        .agg((F.sum(F.col("Bytes") * F.col("SamplingRate") * 8) / 30)
+             .alias("bits_per_sec"))
+        .orderBy("t")
+    )
+
+
+def as_pair_traffic(flows_raw: DataFrame) -> DataFrame:
+    """README.md:174-183 — per-(SrcAS, DstAS) traffic."""
+    return (
+        flows_raw.groupBy("SrcAS", "DstAS")
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("sumbytes"),
+             F.count("*").alias("n"))
+        .orderBy("SrcAS", "DstAS")
+    )
+
+
+def sample_scan(flows_raw: DataFrame, limit: int = 20) -> DataFrame:
+    """README.md:144-161 — projection + dual IP render + time order."""
+    return (
+        flows_raw.select(
+            "TimeReceived",
+            flow_addr_to_string(F.col("SrcAddr"), F.col("Etype")).alias("SrcIP"),
+            flow_addr_to_string(F.col("DstAddr"), F.col("Etype")).alias("DstIP"),
+            "SrcPort", "DstPort", "Bytes", "Packets",
+        )
+        .orderBy("TimeReceived", "SrcPort")
+        .limit(limit)
+    )

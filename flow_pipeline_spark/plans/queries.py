@@ -405,6 +405,146 @@ def window_latest_event(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Derived-flows parity: map `events` onto the flow schema IN BOTH DIALECTS,
+# then run the exact dashboard aggregates (integer sums — no float rounding).
+# ---------------------------------------------------------------------------
+
+_DERIVED_FLOWS_SQL = """
+      SELECT ts                                   AS TimeReceived,
+             CAST(floor(value * 100) AS BIGINT)   AS Bytes,
+             CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 1
+                  WHEN 1 THEN 100 ELSE 1000 END   AS SamplingRate,
+             CAST(65000 + user_id % 3 AS INTEGER) AS SrcAS,
+             CAST(65000 + event_id % 3 AS INTEGER) AS DstAS,
+             CAST(event_id % 65536 AS INTEGER)    AS SrcPort
+      FROM events
+"""
+
+
+def _derived_flows(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    sampling = (
+        F.when(F.col("user_id") % 3 == 0, 1)
+        .when(F.col("user_id") % 3 == 1, 100)
+        .otherwise(1000)
+    )
+    return e.select(
+        F.col("ts").alias("TimeReceived"),
+        F.floor(F.col("value") * 100).cast("long").alias("Bytes"),
+        sampling.alias("SamplingRate"),
+        (65000 + F.col("user_id") % 3).cast("int").alias("SrcAS"),
+        (65000 + F.col("event_id") % 3).cast("int").alias("DstAS"),
+        (F.col("event_id") % 65536).cast("int").alias("SrcPort"),
+    )
+
+
+@_q(
+    "flows_instant_traffic",
+    f"""
+    SELECT CAST(floor(epoch(date_trunc('minute', TimeReceived))) AS BIGINT) * 1000 AS t,
+           sum(Bytes * SamplingRate) AS sumbytes
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY t ORDER BY t
+    """,
+    doc="A1/A6/O1 — the exact 'Instant traffic' panel (viz-ch.json:74): "
+        "toUInt64(toStartOfMinute(ts))*1000 + sum(Bytes*SamplingRate), on "
+        "flow-shaped rows derived from events identically in both engines. "
+        "Integer arithmetic end-to-end: exact hash parity.",
+)
+def flows_instant_traffic(spark, sf_dir):
+    from .flow_queries import instant_traffic
+    return instant_traffic(_derived_flows(spark, sf_dir))
+
+
+@_q(
+    "flows_top_ports",
+    f"""
+    SELECT SrcPort AS port, sum(Bytes * SamplingRate) AS sumbytes
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY port ORDER BY sumbytes DESC, port ASC LIMIT 10
+    """,
+    doc="A5/O2 — 'Top source ports' panel (viz-ch.json:358).",
+)
+def flows_top_ports(spark, sf_dir):
+    from .flow_queries import top_src_ports
+    return top_src_ports(_derived_flows(spark, sf_dir), k=10)
+
+
+@_q(
+    "flows_as_matrix",
+    f"""
+    SELECT SrcAS, DstAS, sum(Bytes * SamplingRate) AS sumbytes, count(*) AS n
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY SrcAS, DstAS ORDER BY SrcAS, DstAS
+    """,
+    doc="A4 — per-(SrcAS,DstAS) traffic matrix (README.md:174-183).",
+)
+def flows_as_matrix(spark, sf_dir):
+    f = _derived_flows(spark, sf_dir)
+    return (
+        f.groupBy("SrcAS", "DstAS")
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("sumbytes"),
+             F.count("*").alias("n"))
+        .orderBy("SrcAS", "DstAS")
+    )
+
+
+@_q(
+    "flows_rollup_5m",
+    f"""
+    SELECT CAST(TimeReceived AS DATE) AS Date,
+           make_timestamp(((CAST(floor(epoch(TimeReceived)) AS BIGINT) // 300) * 300) * 1000000) AS Timeslot,
+           SrcAS, DstAS,
+           sum(Bytes) AS Bytes, count(*) AS Count
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY Date, Timeslot, SrcAS, DstAS
+    ORDER BY Date, Timeslot, SrcAS, DstAS
+    """,
+    doc="A4/A7/W4 — the flows_5m rollup group key (create.sh:92-110) on "
+        "derived flows; stored-rollup variant exercised in "
+        "tests/test_flow_pipeline.py (SummingMergeTree invariant).",
+)
+def flows_rollup_5m(spark, sf_dir):
+    from ..functions.timeutil import to_start_of_five_minute
+    f = _derived_flows(spark, sf_dir)
+    return (
+        f.groupBy(
+            F.to_date("TimeReceived").alias("Date"),
+            to_start_of_five_minute(F.col("TimeReceived")).alias("Timeslot"),
+            "SrcAS", "DstAS")
+        .agg(F.sum("Bytes").alias("Bytes"), F.count("*").alias("Count"))
+        .orderBy("Date", "Timeslot", "SrcAS", "DstAS")
+    )
+
+
+@_q(
+    "flows_top_src_ips",
+    None,  # IP rendering (RFC-5952 ::-compression) is not DuckDB-expressible
+    doc="P8/P9/A5/O2 — 'Top source IPs' (viz-ch.json:233) on the synthetic "
+        "flow generator: dual IPv4/IPv6 render + traffic top-k. Rows-only "
+        "driver check; exact render parity is unit-tested against "
+        "README.md:192-215 vectors in tests/test_ip_functions.py.",
+)
+def flows_top_src_ips(spark, sf_dir):
+    from ..sources.mocker import flows_raw, synthetic_flows
+    from .flow_queries import top_src_ips
+    return top_src_ips(flows_raw(synthetic_flows(spark, 20_000)), k=20)
+
+
+@_q(
+    "flows_rollup_nested",
+    None,  # array<struct> reconstruction — rows-only check
+    doc="A8 — the ETypeMap Nested parallel-array reconstruction "
+        "(create.sh:78-83,100-103) as sorted array<struct<EType,Bytes,"
+        "Packets,Count>>; invariant-tested in tests/test_flow_pipeline.py.",
+)
+def flows_rollup_nested(spark, sf_dir):
+    from ..operators.rollup import build_rollup_5m
+    from ..sources.mocker import flows_raw, synthetic_flows
+    return build_rollup_5m(flows_raw(synthetic_flows(spark, 20_000)))
+
+
 @_q(
     "tpch_q1",
     """

