@@ -44,9 +44,19 @@ def synthetic_flows(spark: SparkSession, n_rows: int = 10_000, *,
     window scan (a running cumulative sum would force a global sort;
     deterministic jitter ≡ same marginal distribution).
     """
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
 
     ms = F.col("id") * 250 + (_h(seed, 1) % 300)  # mean step 250ms ≈ 100+U[0,300)
+    ts = (F.lit(base_epoch) + (ms / 1000).cast("long"))
+    return _flow_columns(df, ts, seed=seed, ipv4_fraction=ipv4_fraction)
+
+
+def _flow_columns(df: DataFrame, ts: "F.Column", *, seed: int,
+                  ipv4_fraction: float) -> DataFrame:
+    """Project a frame having an ``id`` column into the mocker's flow record
+    (shared by the batch generator and the streaming rate source)."""
     is_v4 = (_h(seed, 2) % 1_000_000) < int(ipv4_fraction * 1_000_000)
 
     # v6: 2001:db8:0:1:: | random last byte   (mocker.go:64-71)
@@ -65,7 +75,6 @@ def synthetic_flows(spark: SparkSession, n_rows: int = 10_000, *,
             F.lit(b"\x00" * 12),
         )
 
-    ts = (F.lit(base_epoch) + (ms / 1000).cast("long"))
     sampler = F.concat(F.lit(b"\x0a\x00\x00"),
                        F.unhex(F.lpad(F.hex(_h(seed, 20) % 3 + 1), 2, "0")),
                        F.lit(b"\x00" * 12))
@@ -92,6 +101,29 @@ def synthetic_flows(spark: SparkSession, n_rows: int = 10_000, *,
         (65000 + _h(seed, 11) % 3).cast("int").alias("SrcAS"),  # mocker.go:61
         (65000 + _h(seed, 12) % 3).cast("int").alias("DstAS"),
     )
+
+
+def mocker_stream(spark: SparkSession, *, rows_per_second: int = 4,
+                  seed: int = 42, ipv4_fraction: float = 0.25) -> DataFrame:
+    """S5 — the mocker as a streaming source (mocker/mocker.go:54-107).
+
+    ``rate`` source (micro-batch) supplies (timestamp, value); value becomes
+    the monotonically-increasing SequenceNum (mocker.go:89-91) and the flow
+    columns are derived exactly as in the batch generator. The reference's
+    default cadence ≈4 flows/s (BASELINE.md); crank rows_per_second for load
+    tests — the rate source scales linearly across partitions.
+    """
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(F.col("value").alias("id"), F.col("timestamp"))
+    )
+    ts = F.unix_timestamp("timestamp")  # wall-clock, as the mocker does
+    return _flow_columns(src, ts, seed=seed,
+                         ipv4_fraction=ipv4_fraction).drop("timestamp")
 
 
 def flows_raw(flows: DataFrame) -> DataFrame:

@@ -1,0 +1,218 @@
+"""FlowMessage protobuf wire codec + Spark column functions.
+
+The reference moves flow records as protobuf (pb-ext/flow.proto:7-65):
+ClickHouse decodes with ``kafka_format='Protobuf', kafka_schema=
+'flow.proto:FlowMessage'`` (compose/clickhouse/create.sh:33-34); the Go
+inserter uses ``proto.Unmarshal`` (inserter/inserter.go:122-128); the mocker
+encodes with ``proto.Marshal`` or length-delimited ``buf.EncodeMessage``
+behind ``-proto.fixedlen`` (mocker/mocker.go:96-102; framing required by
+ClickHouse per README.md:104).
+
+Preferred Spark path is ``from_protobuf``/``to_protobuf`` (pyspark.sql.
+protobuf) with a compiled descriptor set — but that needs the external
+spark-protobuf jar. Since FlowMessage uses only varint and bytes wire types,
+we also ship a self-contained codec implementing the public protobuf wire
+format (varint tags: ``(field_number << 3) | wire_type``; wire 0 = varint,
+wire 2 = length-delimited), exposed as Arrow pandas UDFs. This keeps the
+Kafka⇄protobuf edge testable with zero external deps; on a real cluster the
+jar-based path is a config flip (``use_native=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# field number -> (name, kind); kind: 'varint' | 'bytes'
+# exactly pb-ext/flow.proto:16-64
+FLOW_FIELDS: dict[int, tuple[str, str]] = {
+    1: ("Type", "varint"),
+    2: ("TimeReceived", "varint"),
+    4: ("SequenceNum", "varint"),
+    3: ("SamplingRate", "varint"),
+    42: ("FlowDirection", "varint"),
+    11: ("SamplerAddress", "bytes"),
+    38: ("TimeFlowStart", "varint"),
+    5: ("TimeFlowEnd", "varint"),
+    9: ("Bytes", "varint"),
+    10: ("Packets", "varint"),
+    6: ("SrcAddr", "bytes"),
+    7: ("DstAddr", "bytes"),
+    30: ("Etype", "varint"),
+    20: ("Proto", "varint"),
+    21: ("SrcPort", "varint"),
+    22: ("DstPort", "varint"),
+    18: ("InIf", "varint"),
+    19: ("OutIf", "varint"),
+    23: ("IPTos", "varint"),
+    24: ("ForwardingStatus", "varint"),
+    25: ("IPTTL", "varint"),
+    26: ("TCPFlags", "varint"),
+    31: ("IcmpType", "varint"),
+    32: ("IcmpCode", "varint"),
+    37: ("IPv6FlowLabel", "varint"),
+    14: ("SrcAS", "varint"),
+    15: ("DstAS", "varint"),
+}
+_NAME_TO_NUM = {name: num for num, (name, _) in FLOW_FIELDS.items()}
+
+# 64-bit fields keep LongType; the rest (u32/enums) IntegerType
+_LONG_FIELDS = {"TimeReceived", "SamplingRate", "TimeFlowStart", "TimeFlowEnd",
+                "Bytes", "Packets"}
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField(name,
+                  T.BinaryType() if kind == "bytes"
+                  else (T.LongType() if name in _LONG_FIELDS
+                        else T.IntegerType()),
+                  True)
+    for _, (name, kind) in sorted(FLOW_FIELDS.items(),
+                                  key=lambda kv: kv[1][0])
+])
+
+
+# --- wire-level primitives (public protobuf encoding) ----------------------
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def encode_flow_message(rec: dict) -> bytes:
+    """proto3 serialization of one FlowMessage dict (defaults omitted, as
+    proto3 does — parity with proto.Marshal at mocker.go:97)."""
+    out = bytearray()
+    for num in sorted(FLOW_FIELDS):
+        name, kind = FLOW_FIELDS[num]
+        v = rec.get(name)
+        if v is None:
+            continue
+        if kind == "varint":
+            v = int(v)
+            if v == 0:
+                continue
+            _write_varint(out, (num << 3) | 0)
+            _write_varint(out, v)
+        else:
+            v = bytes(v)
+            if not v:
+                continue
+            _write_varint(out, (num << 3) | 2)
+            _write_varint(out, len(v))
+            out += v
+    return bytes(out)
+
+
+def decode_flow_message(buf: bytes) -> dict:
+    """Wire-format parse; unknown fields skipped (proto3 semantics)."""
+    rec: dict = {}
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        num, wire = tag >> 3, tag & 0x07
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            v = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        elif wire == 1:
+            v = int.from_bytes(buf[pos:pos + 8], "little")
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        if num in FLOW_FIELDS:
+            rec[FLOW_FIELDS[num][0]] = v
+    return rec
+
+
+def frame_length_delimited(msg: bytes) -> bytes:
+    """varint-length prefix (mocker.go ``buf.EncodeMessage`` under
+    -proto.fixedlen; ClickHouse expects this framing, README.md:104)."""
+    out = bytearray()
+    _write_varint(out, len(msg))
+    return bytes(out) + msg
+
+
+def unframe_length_delimited(buf: bytes) -> bytes:
+    ln, pos = _read_varint(buf, 0)
+    return buf[pos:pos + ln]
+
+
+# --- Spark column functions -------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def _encode_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    for pdf in it:
+        yield pdf.apply(lambda r: encode_flow_message(r.to_dict()), axis=1)
+
+
+def to_flow_protobuf(df: DataFrame, *, fixed_length: bool = False) -> DataFrame:
+    """DataFrame of flow columns → single binary column ``value``
+    (S4: encode + optional length-delimited framing)."""
+    cols = [c for c in df.columns if c in _NAME_TO_NUM]
+
+    @pandas_udf(T.BinaryType())
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            msgs = pdf.apply(lambda r: encode_flow_message(r.to_dict()), axis=1)
+            if fixed_length:
+                msgs = msgs.map(frame_length_delimited)
+            yield msgs
+
+    return df.select(enc(F.struct(*cols)).alias("value"))
+
+
+def from_flow_protobuf(df: DataFrame, value_col: str = "value", *,
+                       fixed_length: bool = False) -> DataFrame:
+    """Binary column → typed flow columns (S3: the ClickHouse/inserter
+    decode step). Missing proto3 fields surface as 0/empty defaults."""
+
+    @pandas_udf(DECODED_SCHEMA)
+    def dec(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in DECODED_SCHEMA.fields]
+        kinds = {name: kind for _, (name, kind) in FLOW_FIELDS.items()}
+        for s in it:
+            rows = []
+            for buf in s:
+                b = bytes(buf)
+                if fixed_length:
+                    b = unframe_length_delimited(b)
+                rec = decode_flow_message(b)
+                rows.append([
+                    rec.get(n, b"" if kinds[n] == "bytes" else 0)
+                    for n in names])
+            yield pd.DataFrame(rows, columns=names)
+
+    out = df.select(dec(F.col(value_col)).alias("flow")).select("flow.*")
+    # proto3 default semantics: absent varint == 0, absent bytes == empty
+    return out

@@ -29,6 +29,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-configure on whatever session the caller (e.g. the verify driver)
     # passes in: events.parquet carries TIMESTAMP(NANOS) which Spark rejects
     # unless read as long, and time-bucketing semantics assume UTC.
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)

@@ -1,0 +1,165 @@
+"""Structured-streaming jobs mirroring the reference's MV cascade.
+
+Reference topology (SURVEY §3.1): Kafka `flows` topic → ClickHouse Kafka
+engine → MV into `flows_raw` (MergeTree, PARTITION BY Date) → MV into
+`flows_5m` (SummingMergeTree partial sums, merged by background compaction /
+OPTIMIZE). The Go path (inserter/inserter.go:90-196) micro-batches INSERTs
+into Postgres at 100 rows / 5 s.
+
+Spark mapping:
+- each MV = one Structured Streaming query with its own checkpoint
+  (exactly-once file-sink semantics — strictly better than the reference's
+  mark-before-flush "roughly once", inserter.go:176-196 / SURVEY W2);
+- `flows_raw` = Date-partitioned parquet append (S8). Partitioning by Date
+  reproduces ClickHouse PARTITION BY (create.sh:61) and gives partition
+  pruning to every dashboard query that emits a Date conjunct;
+- `flows_5m` = per-micro-batch partial aggregates appended to a parquet
+  rollup dir — the literal SummingMergeTree model (partials now, merge
+  later). `run_compaction` is OPTIMIZE TABLE (README.md:164-173). Readers
+  always re-aggregate (compact_rollup) so un-merged partials are invisible,
+  exactly like ClickHouse's `GROUP BY` over SummingMergeTree.
+  This design needs NO watermark: late rows just create new partial rows for
+  old slots, merged at next compaction — unbounded lateness, eventually
+  consistent (SURVEY W5), with bounded state (no streaming agg state at all).
+- the JDBC inserter = foreachBatch batch-JDBC append with a 5-s
+  processing-time trigger (flush.dur parity; Spark has no count trigger —
+  SURVEY W1).
+
+At scale: raw persist is shuffle-free (source partitions → files); the
+rollup's foreachBatch aggregation shuffles only each micro-batch (tiny), and
+compaction shuffles only the rollup (≪ raw).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.rollup import compact_rollup, rollup_flat
+
+
+def start_raw_persist(flows_stream: DataFrame, out_dir: str,
+                      checkpoint_dir: str, *,
+                      trigger: dict | None = None) -> StreamingQuery:
+    """S8/P1/P3 — flows (epoch-seconds stream) → Date-partitioned parquet.
+
+    The projection is the flows_raw MV (create.sh:64-68): epoch→timestamp
+    casts + Date column.
+    """
+    from ..sources.mocker import flows_raw
+    out = flows_raw(flows_stream)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("Date")
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
+                        checkpoint_dir: str, *,
+                        trigger: dict | None = None) -> StreamingQuery:
+    """S9/A7/W4/W5 — per-micro-batch partial 5-min rollup, appended.
+
+    foreachBatch aggregates ONLY the current micro-batch (partial sums per
+    rollup key) and appends — stateless streaming, the SummingMergeTree
+    insert path (create.sh:92-110). Merge happens at read/compaction.
+    """
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        (rollup_flat(batch_df)
+         .write.mode("append")
+         .partitionBy("Date")
+         .parquet(rollup_dir))
+
+    writer = (
+        flows_raw_stream.writeStream
+        .foreachBatch(write_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
+    """D3 — OPTIMIZE TABLE equivalent (README.md:164-173): rewrite the
+    rollup with partials merged. Idempotent; safe under repeated runs.
+
+    Writes to a sibling tmp dir then atomically swaps, so concurrent readers
+    never see partial state. Per-Date parallel; no cross-partition shuffle
+    (Date is in the group key)."""
+    compacted = compact_rollup(spark.read.parquet(rollup_dir))
+    tmp = rollup_dir.rstrip("/") + "._compact_tmp"
+    (compacted.write.mode("overwrite").partitionBy("Date").parquet(tmp))
+    old = rollup_dir.rstrip("/") + "._compact_old"
+    os.rename(rollup_dir, old)
+    os.rename(tmp, rollup_dir)
+    import shutil
+    shutil.rmtree(old)
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Reader view of the rollup: always re-aggregates, so stored partials
+    are indistinguishable from merged rows (ClickHouse readers must do the
+    same, README.md:164-173)."""
+    return compact_rollup(spark.read.parquet(rollup_dir))
+
+
+def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
+                        checkpoint_dir: str, *,
+                        properties: dict | None = None,
+                        trigger: dict | None = None) -> StreamingQuery:
+    """S7/W1/W2 — the Go inserter (inserter/inserter.go:90-196) as
+    foreachBatch JDBC append: 14-column projection (inserter.go:51-66,
+    142-157), Go-style IP text render, 5-s trigger ≈ flush.dur.
+
+    Exactly-once-per-batch via checkpointed batch ids (an improvement over
+    the reference's mark-before-flush tail loss). Requires a JDBC driver on
+    the classpath; the projection itself is unit-tested without one.
+    """
+    projected = inserter_projection(flows_stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("append")
+         .jdbc(jdbc_url, table, properties=properties or {}))
+
+    writer = (
+        projected.writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def inserter_projection(flows: DataFrame) -> DataFrame:
+    """The inserter's 14-field tuple (inserter.go:142-157): epoch→timestamp,
+    Go net.IP.String() rendering with nil→"0.0.0.0" (inserter.go:131-140),
+    NOW() as a real current_timestamp (the reference binds the string
+    "NOW()" as a parameter — SURVEY §3.2 notes we fix that)."""
+    from ..functions.ip import go_ip_to_string
+
+    return flows.select(
+        F.current_timestamp().alias("date_inserted"),
+        F.timestamp_seconds("TimeFlowStart").alias("time_flow"),
+        F.col("Type").alias("type"),
+        F.col("SamplingRate").cast("int").alias("sampling_rate"),
+        F.coalesce(go_ip_to_string(F.col("SrcAddr")), F.lit("0.0.0.0")).alias("src_ip"),
+        F.coalesce(go_ip_to_string(F.col("DstAddr")), F.lit("0.0.0.0")).alias("dst_ip"),
+        F.col("Bytes").alias("bytes"),
+        F.col("Packets").alias("packets"),
+        F.col("SrcPort").alias("src_port"),
+        F.col("DstPort").alias("dst_port"),
+        F.col("Etype").alias("etype"),
+        F.col("Proto").alias("proto"),
+        F.col("SrcAS").cast("long").alias("src_as"),
+        F.col("DstAS").cast("long").alias("dst_as"),
+    )
