@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from flow_pipeline_spark.plans.queries import QUERIES  # noqa: E402
+from flow_pipeline_spark.plans import QUERIES  # noqa: E402
 from flow_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

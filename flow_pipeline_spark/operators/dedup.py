@@ -1,0 +1,210 @@
+"""Deduplication operators — the scale-path workhorses of a training-data
+pipeline: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB:
+- exact dedup = one hash-shuffle on a 32-byte digest (not the document) —
+  group key is md5(normalized text), so the shuffle moves hashes + ids only;
+- MinHash/LSH: signatures are computed scan-side (explode → min-agg is a
+  partial-aggregating shuffle on doc_id); candidate generation shuffles on
+  *band keys* (bounded width), never all-pairs. Only candidates are
+  verified. All-pairs Jaccard exists for oracle-checking at small SF;
+- SimHash: pure column expressions (16 conditional sums), zero UDF;
+- embedding near-dup: exact variant is a self-join (small SF / oracle);
+  the scale path buckets by random-hyperplane signs first (see
+  similarity.py) so the join is per-bucket.
+
+Cross-engine determinism: every hash is md5-hex; min/aggregations over hex
+strings are lexicographic in both Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, shingles, tokens
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Group docs by content hash; keep_id = min id per group (the
+    deterministic survivor). Returns (content_hash, n_copies, keep_id)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Filtered survivors: one row per distinct content."""
+    groups = exact_dedup_groups(df, text_col, id_col)
+    return df.join(
+        groups.select(F.col("keep_id").alias(id_col)), id_col, "inner")
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 8, k: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature over word-k-shingles.
+
+    hash_j(s) = md5(j || ':' || s); the signature component is the
+    lexicographic min — a valid permutation-min over the shingle set and
+    bit-identical across engines. One explode + one partial-agg shuffle."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
+                  .alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+        .alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                           k: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band hash become candidate
+    pairs. Shuffle is on (band_idx, band_hash) — bounded by band
+    cardinality, never all-pairs. Returns distinct (id_a < id_b) pairs."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, k, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bh")
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, [F.col(f"a.band") == F.col("b.band"),
+                    F.col(f"a.bh") == F.col("b.bh"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity.
+
+    Without ``candidates``: all-pairs via shingle-inverted-index join
+    (|pairs sharing ≥1 shingle| — still far below n², but quadratic worst
+    case: oracle/small-SF use). With ``candidates`` (e.g. from LSH): verify
+    only those pairs — the scale path.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
+                  .alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, [F.col("a.shingle") == F.col("b.shingle"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash, pure expressions, portable.
+
+    Token t contributes +1 to bit b if hex digit b of md5(t) ≥ 8, else −1;
+    bit b of the hash = 1 iff the sum is > 0. (Standard SimHash with the
+    per-token fingerprint bits taken from the md5 hex expansion.)"""
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    out = F.lit(0)
+    for b in range(16):
+        contrib = F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.substring(F.md5(t), b + 1, 1).isin(*HEX_HIGH), 1
+            ).otherwise(-1))
+        out = out + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation: the 16-bit hash splits into ``bands`` bit-bands;
+    pairs sharing any band are candidates (pigeonhole: any pair with
+    hamming ≤ bands−1 shares at least one untouched band, so for
+    max_hamming ≤ bands−1 this is EXACT, not approximate). The join
+    shuffles on (band_idx, band_value) — never all-pairs. Exact popcount
+    (bit_count(xor)) filters candidates.
+    """
+    assert max_hamming <= bands - 1, "exactness needs max_hamming <= bands-1"
+    s = simhash_table(df, text_col, id_col)
+    width = 16 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask)
+            .alias("bv"))
+        for i in range(bands)
+    ]
+    buckets = s.select(
+        id_col, "simhash",
+        F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.bv")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, [F.col("a.band") == F.col("b.band"),
+                   F.col("a.bv") == F.col("b.bv"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

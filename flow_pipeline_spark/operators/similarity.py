@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_knn``: exact cosine top-k — broadcast the (small) query set
+  against the corpus, dot products via zip_with/aggregate (JVM
+  higher-order functions, no Python). The baseline and the oracle-checked
+  path.
+- ``lsh_knn``: random-hyperplane LSH — deterministic pseudo-random
+  hyperplanes derived from xxhash64(dim, plane), signature = sign-bit
+  string, candidates share a signature prefix bucket; exact rerank inside
+  buckets. The 100 TB path: the corpus shuffles once on bucket id; each
+  query probes its own bucket (plus multi-probe neighbors), turning
+  all-pairs into per-bucket work.
+- ``cosine_near_dup_pairs``: pairs above a cosine threshold (embedding
+  near-duplicate detection), same kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self).
+
+    Scale shape: queries broadcast (top-k search sets are small); the
+    corpus scan is embarrassingly parallel; per-partition top-k via the
+    rank window runs after a shuffle on q — bounded by |queries|·k rows.
+    Determinism: rank on (round(cos,4) DESC, neighbor id ASC)."""
+    q = queries.select(F.col(id_col).alias("q"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("n"),
+                      F.col(vec_col).alias("nv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n") != F.col("q"))
+        .select("q", "n",
+                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
+    )
+    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 8, dim: int = 64, *,
+                         table: int = 0) -> Column:
+    """Deterministic random-hyperplane signature (SRP-LSH).
+
+    Plane p's component d ∈ {−1,+1} derived from xxhash64(table, p, d) — no
+    RNG state, any executor can materialize any plane. sig bit p =
+    sign(Σ_d vec[d]·h(p,d))."""
+    bits = []
+    for p in range(n_planes):
+        acc = F.lit(0.0)
+        # xxhash64 over (table, plane, dim) literals folds to a constant
+        # vector at plan time — JVM-side, loop-unrolled by codegen.
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[
+                    F.when(F.xxhash64(F.lit(table), F.lit(p), F.lit(d)) % 2 == 0,
+                           F.lit(1.0)).otherwise(F.lit(-1.0))
+                    for d in range(dim)]),
+                lambda x, h: x.cast("double") * h),
+            acc, lambda a, v: a + v)
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def _multi_table_sig(vec: Column, n_planes: int, dim: int,
+                     n_tables: int) -> Column:
+    """array of (table, signature) structs — the standard L-table OR
+    construction: a pair is a candidate if ANY table's buckets collide,
+    trading one extra explode for exponentially better recall."""
+    return F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 hyperplane_signature(vec, n_planes, dim, table=t)
+                 .alias("sig"))
+        for t in range(n_tables)])
+
+
+def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+            n_planes: int = 8, n_tables: int = 6, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates collide in ≥1 of ``n_tables`` SRP
+    bucket tables; exact cosine rerank within candidates.
+
+    Scale: the corpus explodes ×n_tables and shuffles on (table, sig) —
+    bounded-width keys; per-bucket work replaces all-pairs. Recall vs
+    brute_knn asserted in tests/test_training_ops.py."""
+    def sig(df, name):
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"{name}v"),
+            F.explode(_multi_table_sig(F.col(vec_col), n_planes, dim,
+                                       n_tables)).alias("bk")
+        ).select(name, f"{name}v", "bk.tbl", "bk.sig")
+
+    c = sig(corpus, "n")
+    q = sig(queries, "q")
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "sig"])
+        .filter(F.col("n") != F.col("q"))
+        .select("q", "n", "qv", "nv").dropDuplicates(["q", "n"])
+        .select("q", "n",
+                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
+    )
+    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bucketed: bool = False, n_planes: int = 8,
+                          dim: int = 64) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold).
+
+    bucketed=True routes through the SRP signature first (near-identical
+    vectors collide with high probability) — the scale path; False is the
+    exact all-pairs form for small SF / oracle checks."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bucketed:
+        a = a.withColumn("sig", hyperplane_signature(F.col("va"), n_planes, dim))
+        b = b.withColumn("sig", hyperplane_signature(F.col("vb"), n_planes, dim))
+        joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,432 @@
+"""Training-data pipeline operators as oracle-checked queries.
+
+Dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search, and text analysis over the ``documents`` /
+``embeddings`` tables.
+
+Cross-engine determinism rules:
+- all hashes are md5 lowercase-hex (identical in Spark and DuckDB);
+- the corpus has no natural duplicates (all 500 sf0.01 texts distinct, max
+  pairwise embedding cosine ≈0.51), so dedup queries PLANT duplicates
+  deterministically — the same UNION ALL in both dialects — and must
+  recover exactly the planted groups;
+- doubles rounded to 4dp before any threshold/rank comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..sources.tables import load_table
+from .queries import _q
+
+# --- shared SQL fragments ---------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = (f"list_transform(range(1, len({_TOKS})-1), "
+             f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _with_exact_copies(df, n: int = 50):
+    """Planted exact duplicates: doc_id<n re-inserted as doc_id+100000."""
+    copies = (df.filter(F.col("doc_id") < n)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    return df.unionByName(copies)
+
+
+_EXACT_COPIES_SQL = """
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 50
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+@_q(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len({_TOKS}) AS n_tokens,
+             round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                   / greatest(len({_TOKS}), 1), 4) AS avg_token_len,
+             list_aggregate(list_transform({_TOKS},
+                   x -> CAST(ceil(length(x) / 4) AS INTEGER)), 'sum') AS bpe_tokens,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / greatest(length(text), 1), 4) AS punct_ratio,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / greatest(length(text), 1), 4) AS digit_ratio,
+             round(len(list_filter({_TOKS}, x -> lower(x) IN
+                   ('the','a','an','of','and','in','to','is')))
+                   / greatest(len({_TOKS}), 1), 4) AS stop_ratio
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, bpe_tokens,
+           punct_ratio, digit_ratio, stop_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+                 + least(stop_ratio * 4, 1.0) * 0.2, 4) AS quality
+    FROM base ORDER BY doc_id
+    """,
+    doc="Text QC: char/token/BPE-ish counts, punctuation/digit/stopword "
+        "ratios, composite quality score — all JVM expressions, one scan, "
+        "no UDFs (operators/text.py).",
+)
+def text_quality(spark, sf_dir):
+    t = F.col("text")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.length(t).alias("n_chars_calc"),
+            TX.token_count(t).alias("n_tokens"),
+            F.round(F.aggregate(TX.tokens(t), F.lit(0),
+                                lambda a, x: a + F.length(x))
+                    / F.greatest(TX.token_count(t), F.lit(1)), 4)
+            .alias("avg_token_len"),
+            TX.bpe_ish_token_count(t).alias("bpe_tokens"),
+            TX.punct_ratio(t).alias("punct_ratio"),
+            TX.digit_ratio(t).alias("digit_ratio"),
+            TX.stopword_ratio(t).alias("stop_ratio"),
+            TX.quality_score(t).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _marker_count_sql(m: str) -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    return (f"CAST((length({pad}) - length(replace({pad}, '{m}', '')))"
+            f" / {len(m)} AS INTEGER)")
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_marker_count_sql(m) for m in TX.LANG_MARKERS[lang])
+
+
+@_q(
+    "lang_id",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents)
+    SELECT lang,
+           CASE WHEN s_zh > greatest(s_en, s_es, s_de) THEN 'zh'
+                WHEN s_de > greatest(s_en, s_es) THEN 'de'
+                WHEN s_es > s_en THEN 'es'
+                ELSE 'en' END AS pred_lang,
+           count(*) AS n
+    FROM scored GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    doc="n-gram/stopword-profile language ID (argmax of marker-occurrence "
+        "scores, deterministic tie order) — confusion matrix vs the label.",
+)
+def lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", TX.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' appended tail marker'
+      FROM documents WHERE doc_id < 50),
+    fps AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOKS}[1:8], ' ')) AS fp
+      FROM corpus)
+    SELECT fp, count(*) AS n, min(doc_id) AS keep_id
+    FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY keep_id
+    """,
+    doc="Document fingerprinting (first-8-token prefix hash): planted "
+        "tail-perturbed copies collide with their originals; 50 groups.",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (d.filter(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" appended tail marker")).alias("text")))
+    corpus = d.unionByName(copies)
+    return (
+        corpus.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n") > 1)
+        .orderBy("keep_id")
+    )
+
+
+# --- dedup ------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_EXACT_COPIES_SQL}),
+    groups AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+             count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM corpus GROUP BY content_hash)
+    SELECT content_hash, n_copies, keep_id
+    FROM groups WHERE n_copies > 1 ORDER BY keep_id
+    """,
+    doc="Exact dedup via content-hash groupBy (md5 of normalized text): "
+        "the shuffle moves 32-byte digests, not documents. Recovers the 50 "
+        "planted copies exactly.",
+)
+def dedup_exact(spark, sf_dir):
+    corpus = _with_exact_copies(_docs(spark, sf_dir))
+    return (
+        D.exact_dedup_groups(corpus)
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           min(md5('0:' || shingle)) AS mh0,
+           min(md5('1:' || shingle)) AS mh1,
+           min(md5('2:' || shingle)) AS mh2,
+           min(md5('3:' || shingle)) AS mh3
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures over word-3-shingles: hash_j = md5(j:shingle), "
+        "signature = lexicographic min per hash — one explode + one "
+        "partial-agg shuffle (operators/dedup.py).",
+)
+def minhash_signatures(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return D.minhash_signatures(d, n_hashes=4, k=3).orderBy("doc_id")
+
+
+_HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_sql_bits() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(tk), {b + 1}, 1) IN {_HEX_HIGH_SQL} "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16))
+    packed = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return sums, packed
+
+
+_SIMS, _SIMPACK = _simhash_sql_bits()
+
+
+@_q(
+    "simhash",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS tk
+      FROM documents WHERE doc_id < 200),
+    bits AS (SELECT doc_id, {_SIMS} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {_SIMPACK} AS simhash FROM bits ORDER BY doc_id
+    """,
+    doc="16-bit SimHash: per-token md5-hex bits, majority vote per bit, "
+        "packed — pure conditional-sum expressions, no UDF "
+        "(operators/dedup.py simhash16).",
+)
+def simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return D.simhash_table(d).orderBy("doc_id")
+
+
+@_q(
+    "ngram_jaccard_dups",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz extra tail'
+      FROM documents WHERE doc_id < 40),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via shingle inverted-index "
+        "join; planted tail-perturbed copies score ≈0.9 vs originals.",
+)
+def ngram_jaccard_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"))
+    corpus = d.unionByName(copies)
+    return D.jaccard_pairs(corpus, k=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# --- similarity search ------------------------------------------------------
+
+_EMB_EXPLODED = """
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM {src}
+"""
+
+
+@_q(
+    "knn_cosine",
+    f"""
+    WITH e AS ({_EMB_EXPLODED.format(src='embeddings')}),
+    scored AS (
+      SELECT qe.vec_id AS q, ce.vec_id AS n,
+             round(sum(qe.v * ce.v) /
+                   (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))), 4) AS cos
+      FROM e qe JOIN e ce ON qe.i = ce.i AND qe.vec_id < 10
+                         AND ce.vec_id != qe.vec_id
+      GROUP BY qe.vec_id, ce.vec_id),
+    ranked AS (
+      SELECT q, n, cos,
+             row_number() OVER (PARTITION BY q ORDER BY cos DESC, n ASC) AS rank
+      FROM scored)
+    SELECT q, n, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q, rank
+    """,
+    doc="Brute-force cosine top-5 per query (vec_id<10): the exact ANN "
+        "baseline. Spark path broadcasts queries, zip_with/aggregate dot "
+        "products (JVM higher-order fns), rank window on (round(cos,4), "
+        "id). LSH variant = ann_lsh_knn (operators/similarity.py).",
+)
+def knn_cosine(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (
+        S.brute_knn(e, e.filter(F.col("vec_id") < 10), k=5)
+        .orderBy("q", "rank")
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
+    e AS ({_EMB_EXPLODED.format(src='corpus')}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(sum(a.v * b.v) /
+                   (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999 ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.999): recovers "
+        "exactly the 20 planted identical vectors. Scale path buckets by "
+        "SRP signature first (cosine_near_dup_pairs(bucketed=True)).",
+)
+def embedding_near_dup(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = (e.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = e.unionByName(copies)
+    return (S.cosine_near_dup_pairs(corpus, threshold=0.999)
+            .orderBy("id_a", "id_b"))
+
+
+# --- Spark-only scale paths (rows-only driver check) ------------------------
+
+@_q(
+    "minhash_lsh_dedup",
+    None,
+    doc="MinHash+LSH banding dedup at scale: shuffle on band keys only, "
+        "exact-Jaccard verification restricted to LSH candidates. "
+        "Recall vs all-pairs asserted in tests/test_training_ops.py.",
+)
+def minhash_lsh_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"))
+    corpus = d.unionByName(copies)
+    cands = D.minhash_lsh_candidates(corpus, n_hashes=8, bands=4, k=3)
+    return (D.jaccard_pairs(corpus, k=3, threshold=0.5, candidates=cands)
+            .orderBy("id_a", "id_b"))
+
+
+@_q(
+    "simhash_near_dup",
+    None,
+    doc="SimHash Hamming-distance near-dup: half-band candidate join + "
+        "bit_count popcount filter (operators/dedup.py).",
+)
+def simhash_near_dup(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" qq")).alias("text"))
+    return (D.simhash_near_pairs(d.unionByName(copies), max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+@_q(
+    "ann_lsh_knn",
+    None,
+    doc="Approximate NN via random-hyperplane LSH buckets + in-bucket "
+        "exact rerank; recall vs brute force asserted in tests.",
+)
+def ann_lsh_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (S.lsh_knn(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=6)
+            .orderBy("q", "rank"))
+
+
+@_q(
+    "multimodal_features",
+    None,
+    doc="Multimodal plumbing: opaque binary payloads + typed metadata → "
+        "Arrow mapInPandas decode/feature/resize kernels (decode stubbed "
+        "deterministically — no codecs in container; operators/"
+        "multimodal.py). Returns per-kind feature stats.",
+)
+def multimodal_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synthetic_media
+    media = synthetic_media(spark, 600)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+             F.round(F.avg("n_bytes"), 2).alias("avg_bytes"))
+        .orderBy("kind")
+    )

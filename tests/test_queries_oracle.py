@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from flow_pipeline_spark.plans.queries import QUERIES
+from flow_pipeline_spark.plans import QUERIES
 
 from .conftest import SF_DIR
 from .oracle_utils import compare, run_oracle

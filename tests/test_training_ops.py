@@ -1,0 +1,110 @@
+"""Training-data operator invariants: LSH recall vs exact, planted-dup
+recovery, multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flow_pipeline_spark.operators import dedup as D
+from flow_pipeline_spark.operators import similarity as S
+from flow_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from flow_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(docs):
+    copies = (docs.filter(F.col("doc_id") < 30)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz extra tail")).alias("text")))
+    return docs.filter(F.col("doc_id") < 100).unionByName(copies).cache()
+
+
+def test_exact_dedup_survivors(spark, docs):
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    kept = D.exact_dedup(corpus)
+    assert kept.count() == docs.count()          # copies dropped
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_recall(planted):
+    """LSH candidates must contain every truly-similar pair (jaccard≥0.5
+    here ⇒ sig agreement high ⇒ banding catches them)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in D.jaccard_pairs(planted, k=3, threshold=0.5).collect()}
+    cands = {(r["id_a"], r["id_b"])
+             for r in D.minhash_lsh_candidates(
+                 planted, n_hashes=8, bands=4, k=3).collect()}
+    assert exact, "planted dups must produce similar pairs"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} pairs)"
+    # verification keeps exactly the exact-threshold pairs found in cands
+    verified = {(r["id_a"], r["id_b"])
+                for r in D.jaccard_pairs(planted, k=3, threshold=0.5,
+                                         candidates=D.minhash_lsh_candidates(
+                                             planted, 8, 4, 3)).collect()}
+    assert verified <= exact
+
+
+def test_simhash_planted_pairs(planted):
+    pairs = D.simhash_near_pairs(planted, max_hamming=3, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # each planted copy should be within small hamming of its original
+    want = {(i, i + 100000) for i in range(30)}
+    hit = len(got & want) / len(want)
+    assert hit == 1.0, f"simhash near-dup hit-rate {hit} (banding is exact for hamming<=bands-1)"
+
+
+def test_lsh_knn_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    approx = {(r["q"], r["n"])
+              for r in S.lsh_knn(emb, queries, k=5, n_planes=4, n_tables=6).collect()}
+    recall = len(brute & approx) / len(brute)
+    # 4 planes / 16 buckets over ~100 vecs: recall is approximate by design
+    assert recall >= 0.5, f"LSH-ANN recall {recall}"
+    assert all(q < 20 for q, _ in approx)
+
+
+def test_near_dup_bucketed_catches_identical(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"))
+    corpus = corpus.select("vec_id", "embedding")
+    got = S.cosine_near_dup_pairs(corpus, 0.999, bucketed=True).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(i, i + 100000) for i in range(10)}
+
+
+def test_multimodal_pipeline(spark):
+    media = synthetic_media(spark, 300)
+    feats = extract_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == 300
+    assert set(pdf["kind"]) == {"image", "audio", "video"}
+    # image/video features are 16-dim pooled grids; audio 16-bin histograms
+    assert pdf["feature"].map(len).eq(16).all()
+    # deterministic: same ids → same features
+    pdf2 = extract_features(media).toPandas()
+    a = pdf.sort_values("media_id", ignore_index=True)["feature"]
+    b = pdf2.sort_values("media_id", ignore_index=True)["feature"]
+    assert all(list(x) == list(y) for x, y in zip(a, b))
+    # frame sampling fan-out honors metadata
+    fs = frame_sample(media, every_n=50).toPandas()
+    assert (fs["frame_idx"] % 50 == 0).all()
