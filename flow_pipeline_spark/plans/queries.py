@@ -405,6 +405,117 @@ def window_latest_event(spark, sf_dir):
     )
 
 
+@_q(
+    "distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="A9 — distinct aggregation (the reference never needed DISTINCT; "
+        "SURVEY §2.3 notes it as a gap we close). Scale: two-phase "
+        "partial-distinct shuffle; approx_count_distinct available for the "
+        "sketch path.",
+)
+def distinct_users(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="W7 (quantile summaries) — exact interpolated percentiles "
+        "(Prometheus-quantile analog, perfs.json panels). Spark "
+        "`percentile` ≡ DuckDB quantile_cont. Scale: exact percentiles "
+        "need a per-group sort; percentile_approx (t-digest) is the "
+        "100 TB path, same call shape.",
+)
+def value_percentiles(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+             F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "sliding_rate_5m",
+    """
+    WITH buckets AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 30) * 30 AS t,
+             sum(value) AS v
+      FROM events WHERE user_id < 20 GROUP BY user_id, t),
+    rated AS (
+      SELECT user_id, t,
+             round(sum(v) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   / 300.0, 4) AS rate_5m
+      FROM buckets)
+    SELECT user_id, t, rate_5m FROM rated ORDER BY user_id, t
+    """,
+    doc="W7 — PromQL rate(m[5m]) parity (perfs.json:97,258,...): 30-s "
+        "scrape buckets, sliding 10-bucket (5-min) window sum / 300 s. "
+        "One shuffle on user_id serves both the groupBy and the window "
+        "(same partitioning, Catalyst reuses the exchange).",
+)
+def sliding_rate_5m(spark, sf_dir):
+    bucket = ((F.unix_timestamp("ts") / 30).cast("long") * 30).alias("t")
+    buckets = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", bucket)
+        .agg(F.sum("value").alias("v"))
+    )
+    w = (W.partitionBy("user_id").orderBy("t").rowsBetween(-9, 0))
+    return (
+        buckets
+        .withColumn("rate_5m", F.round(F.sum("v").over(w) / 300.0, 4))
+        .select("user_id", "t", "rate_5m")
+        .orderBy("user_id", "t")
+    )
+
+
+@_q(
+    "traffic_cube",
+    """
+    SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+           round(sum(value), 4) AS sum_value, count(*) AS n
+    FROM events
+    GROUP BY CUBE(event_type, cohort)
+    ORDER BY event_type NULLS FIRST, cohort NULLS FIRST
+    """,
+    doc="Grouping sets / CUBE — multi-level rollup reporting in one pass "
+        "(Spark expands to a single shuffle with grouping-id).",
+)
+def traffic_cube(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long"))
+    return (
+        e.cube("event_type", "cohort")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("event_type"),
+                 F.asc_nulls_first("cohort"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived-flows parity: map `events` onto the flow schema IN BOTH DIALECTS,
 # then run the exact dashboard aggregates (integer sums — no float rounding).
