@@ -40,6 +40,42 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _ingest_throughput(spark) -> dict[str, float]:
+    """Flow-ingest parity metrics vs BASELINE.md: the reference's dev setup
+    does 'a few thousands rows per second', production >100k flows/s
+    (decode + insert). Measured here as rows/s through (a) the JVM path:
+    generate → flows_raw MV projection → Date-partitioned parquet, and
+    (b) the protobuf path: wire-decode → persist (Arrow UDF edge)."""
+    import shutil
+    import tempfile
+
+    from flow_pipeline_spark.sources.mocker import flows_raw, synthetic_flows
+    from flow_pipeline_spark.sources.protobuf import (
+        from_flow_protobuf, to_flow_protobuf)
+
+    out = {}
+    d = tempfile.mkdtemp(prefix="fps_ingest_")
+    try:
+        n = 2_000_000
+        t0 = time.perf_counter()
+        (flows_raw(synthetic_flows(spark, n))
+         .write.mode("overwrite").partitionBy("Date").parquet(f"{d}/raw"))
+        out["ingest_rows_per_sec"] = round(n / (time.perf_counter() - t0))
+
+        n2 = 200_000
+        enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
+        enc.write.mode("overwrite").parquet(f"{d}/wire")
+        wire = spark.read.parquet(f"{d}/wire")
+        t0 = time.perf_counter()
+        (flows_raw(from_flow_protobuf(wire, fixed_length=True))
+         .write.mode("overwrite").partitionBy("Date").parquet(f"{d}/decoded"))
+        out["protobuf_decode_rows_per_sec"] = round(
+            n2 / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("flow-pipeline-bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -64,6 +100,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest": _ingest_throughput(spark),
     }))
 
 

@@ -406,6 +406,36 @@ def window_latest_event(spark, sf_dir):
 
 
 @_q(
+    "range_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0),
+             ('high', 500.0, 1e18))
+    SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band ORDER BY band
+    """,
+    doc="J1 (range-join class) — interval containment join, the same shape "
+        "as longest-prefix IP→ASN enrichment (operators/enrich.py does the "
+        "IP variant with coarse-bucket equi-join + broadcast; here the "
+        "band dim broadcasts and Catalyst nest-loops 3 rows — free).",
+)
+def range_band_join(spark, sf_dir):
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e18)],
+        "band string, lo double, hi double")
+    e = _events(spark, sf_dir)
+    return (
+        e.join(F.broadcast(bands),
+               (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("band")
+    )
+
+
+@_q(
     "distinct_users",
     """
     SELECT event_type,
