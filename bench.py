@@ -62,10 +62,13 @@ def _ingest_throughput(spark) -> dict[str, float]:
          .write.mode("overwrite").partitionBy("Date").parquet(f"{d}/raw"))
         out["ingest_rows_per_sec"] = round(n / (time.perf_counter() - t0))
 
-        n2 = 200_000
+        n2 = 1_000_000
         enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
         enc.write.mode("overwrite").parquet(f"{d}/wire")
-        wire = spark.read.parquet(f"{d}/wire")
+        # a real Kafka topic gives one task per topic-partition; a tiny
+        # parquet file gives 1-2 splits — repartition to model that fan-out
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        wire = spark.read.parquet(f"{d}/wire").repartition(cpus)
         t0 = time.perf_counter()
         (flows_raw(from_flow_protobuf(wire, fixed_length=True))
          .write.mode("overwrite").partitionBy("Date").parquet(f"{d}/decoded"))

@@ -584,7 +584,7 @@ def _derived_flows(spark, sf_dir):
     "flows_instant_traffic",
     f"""
     SELECT CAST(floor(epoch(date_trunc('minute', TimeReceived))) AS BIGINT) * 1000 AS t,
-           sum(Bytes * SamplingRate) AS sumbytes
+           CAST(sum(Bytes * SamplingRate) AS BIGINT) AS sumbytes
     FROM ({_DERIVED_FLOWS_SQL}) flows
     GROUP BY t ORDER BY t
     """,
@@ -601,7 +601,7 @@ def flows_instant_traffic(spark, sf_dir):
 @_q(
     "flows_top_ports",
     f"""
-    SELECT SrcPort AS port, sum(Bytes * SamplingRate) AS sumbytes
+    SELECT SrcPort AS port, CAST(sum(Bytes * SamplingRate) AS BIGINT) AS sumbytes
     FROM ({_DERIVED_FLOWS_SQL}) flows
     GROUP BY port ORDER BY sumbytes DESC, port ASC LIMIT 10
     """,
@@ -615,7 +615,7 @@ def flows_top_ports(spark, sf_dir):
 @_q(
     "flows_as_matrix",
     f"""
-    SELECT SrcAS, DstAS, sum(Bytes * SamplingRate) AS sumbytes, count(*) AS n
+    SELECT SrcAS, DstAS, CAST(sum(Bytes * SamplingRate) AS BIGINT) AS sumbytes, count(*) AS n
     FROM ({_DERIVED_FLOWS_SQL}) flows
     GROUP BY SrcAS, DstAS ORDER BY SrcAS, DstAS
     """,
@@ -637,7 +637,7 @@ def flows_as_matrix(spark, sf_dir):
     SELECT CAST(TimeReceived AS DATE) AS Date,
            make_timestamp(((CAST(floor(epoch(TimeReceived)) AS BIGINT) // 300) * 300) * 1000000) AS Timeslot,
            SrcAS, DstAS,
-           sum(Bytes) AS Bytes, count(*) AS Count
+           CAST(sum(Bytes) AS BIGINT) AS Bytes, count(*) AS Count
     FROM ({_DERIVED_FLOWS_SQL}) flows
     GROUP BY Date, Timeslot, SrcAS, DstAS
     ORDER BY Date, Timeslot, SrcAS, DstAS

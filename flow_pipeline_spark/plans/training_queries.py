@@ -64,8 +64,9 @@ _EXACT_COPIES_SQL = """
              len({_TOKS}) AS n_tokens,
              round(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
                    / greatest(len({_TOKS}), 1), 4) AS avg_token_len,
-             list_aggregate(list_transform({_TOKS},
-                   x -> CAST(ceil(length(x) / 4) AS INTEGER)), 'sum') AS bpe_tokens,
+             CAST(list_aggregate(list_transform({_TOKS},
+                   x -> CAST(ceil(length(x) / 4) AS INTEGER)), 'sum')
+                  AS BIGINT) AS bpe_tokens,
              round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                    / greatest(length(text), 1), 4) AS punct_ratio,
              round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
