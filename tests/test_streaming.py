@@ -147,3 +147,73 @@ def test_mocker_stream_domains(spark, tmpdir):
     assert pdf["SrcAS"].between(65000, 65002).all()
     assert pdf["SequenceNum"].is_unique
     assert any(p["num_input_rows"] for p in listener.progress)
+
+
+def test_stateful_count_flush(spark, tmpdir):
+    """W1 — count-triggered flush: with flush_count=500 over a finite
+    stream, every emitted batch crossed the threshold by exactly the rows
+    the micro-batch delivered; totals reconcile with the source minus the
+    un-flushed per-key tail left in state."""
+    from flow_pipeline_spark.streaming.stateful import count_or_time_flush
+
+    src = f"{tmpdir}/stateful_src"
+    flows = synthetic_flows(spark, N, seed=7)
+    flows.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    out = count_or_time_flush(stream, flush_count=500, flush_ms=60_000)
+    q = (out.writeStream.format("memory").queryName("flush_batches")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM flush_batches").toPandas()
+    assert len(got) > 0
+    # count-flushes always carry >= threshold rows; a slow run may also
+    # fire the (60s) timer for a key's sub-threshold tail — always < 500
+    assert (got["flushed_by"].isin(["count", "timer"])).all()
+    assert "count" in set(got["flushed_by"])
+    by_count = got[got["flushed_by"] == "count"]
+    assert (by_count["n_rows"] >= 500).all()
+    assert (got.loc[got["flushed_by"] == "timer", "n_rows"] < 500).all()
+
+    # reconciliation: flushed + in-state tail == source totals per key
+    src_totals = (flows.groupBy("SrcAS")
+                  .agg(F.count("*").alias("n"), F.sum("Bytes").alias("b"))
+                  .toPandas().set_index("SrcAS"))
+    flushed = got.groupby("SrcAS")[["n_rows", "sum_bytes"]].sum()
+    for k, row in flushed.iterrows():
+        assert row["n_rows"] <= src_totals.loc[k, "n"]
+        tail = src_totals.loc[k, "n"] - row["n_rows"]
+        assert 0 <= tail < 500  # tail never reached the threshold
+
+
+def test_stateful_timer_flush(spark, tmpdir):
+    """W1 — time-triggered flush: a short flush_ms emits the buffered tail
+    via the processing-time timeout even though the count threshold is
+    never reached (the inserter's 5-s flush.dur path)."""
+    import time
+
+    from flow_pipeline_spark.streaming.stateful import count_or_time_flush
+
+    src = f"{tmpdir}/timer_src"
+    synthetic_flows(spark, 200, seed=9).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = count_or_time_flush(stream, flush_count=10_000, flush_ms=1500)
+    q = (out.writeStream.format("memory").queryName("timer_batches")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM timer_batches").toPandas()
+            if len(got) and (got["flushed_by"] == "timer").any():
+                break
+            time.sleep(1)
+        got = spark.sql("SELECT * FROM timer_batches").toPandas()
+    finally:
+        q.stop()
+    assert (got["flushed_by"] == "timer").any()
+    assert int(got["n_rows"].sum()) == 200
