@@ -156,3 +156,69 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
                 F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Coarse-quantize the corpus into ``n_cells`` inverted lists.
+
+    Centroids are a deterministic hash-strided sample of corpus vectors (the
+    kmeans-free coarse quantizer; swapping in sampled kmeans centroids keeps
+    the identical assignment plan). Returns (centroids, assigned) where
+    assigned carries a ``cell`` column.
+
+    Scale: centroid set is tiny and broadcast; assignment is one
+    narrow-dependency pass over the corpus (no shuffle) — each row scores
+    n_cells dot products map-side. The assigned table is what you persist,
+    partitioned by cell, so queries read only probed cells (partition
+    pruning = the inverted-list seek).
+    """
+    cent = (corpus
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+            .limit(n_cells))
+    scored = (corpus.crossJoin(F.broadcast(cent))
+              .select(F.col(id_col), F.col(vec_col),
+                      F.col("cid"),
+                      cosine(F.col(vec_col), F.col("cv")).alias("c_cos")))
+    w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cid"))
+    assigned = (scored.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1)
+                .select(id_col, vec_col, F.col("cid").alias("cell")))
+    return cent, assigned
+
+
+def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+            n_cells: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via inverted lists: probe the ``nprobe`` cells whose
+    centroids are nearest each query; exact cosine rerank inside them.
+
+    Scale: the corpus is scored only against queries probing its cell — an
+    equi-join on ``cell`` with the (|queries|·nprobe)-row probe map
+    broadcast, so the 100 TB side never shuffles; work drops from
+    |corpus|·|queries| to ~|corpus|·|queries|·nprobe/n_cells.
+    """
+    cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
+                                vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv"))
+    qc = (q.crossJoin(F.broadcast(cent))
+          .select("q", "qv", "cid",
+                  cosine(F.col("qv"), F.col("cv")).alias("c_cos")))
+    wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (qc.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("q", "qv", F.col("cid").alias("cell")))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("q"))
+        .select("q", F.col(id_col).alias("n"),
+                F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
+    )
+    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))

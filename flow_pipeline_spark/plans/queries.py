@@ -660,6 +660,29 @@ def flows_rollup_5m(spark, sf_dir):
 
 
 @_q(
+    "flows_pg_port_panel",
+    f"""
+    SELECT SrcPort AS src_port, count(*) AS n,
+           CAST(sum(Bytes) AS BIGINT) AS sumbytes
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY src_port ORDER BY src_port
+    """,
+    doc="A3/A5 — the Postgres dashboard panels (viz.json:206,311,416,521): "
+        "SELECT key, count(*), sum(bytes) GROUP BY key — raw bytes, no "
+        "sampling multiplier, no limit (Grafana sorts client-side; we order "
+        "by key for determinism). Scale: partial count+sum map-side, one "
+        "shuffle of (port -> 2 longs).",
+)
+def flows_pg_port_panel(spark, sf_dir):
+    f = _derived_flows(spark, sf_dir)
+    return (
+        f.groupBy(F.col("SrcPort").alias("src_port"))
+        .agg(F.count("*").alias("n"), F.sum("Bytes").alias("sumbytes"))
+        .orderBy("src_port")
+    )
+
+
+@_q(
     "flows_top_src_ips",
     None,  # IP rendering (RFC-5952 ::-compression) is not DuckDB-expressible
     doc="P8/P9/A5/O2 — 'Top source IPs' (viz-ch.json:233) on the synthetic "

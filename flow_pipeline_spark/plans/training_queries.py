@@ -413,6 +413,41 @@ def ann_lsh_knn(spark, sf_dir):
 
 
 @_q(
+    "ann_ivf_knn",
+    None,
+    doc="Approximate NN via IVF inverted lists: hash-sampled centroids "
+        "(broadcast), shuffle-free cell assignment, nprobe-cell probe join "
+        "with the probe map broadcast — the corpus side never shuffles. "
+        "Recall vs brute force asserted in tests.",
+)
+def ann_ivf_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (S.ivf_knn(e, e.filter(F.col("vec_id") < 10), k=5,
+                      n_cells=16, nprobe=6)
+            .orderBy("q", "rank"))
+
+
+@_q(
+    "approx_distinct_users",
+    None,  # HLL implementations differ across engines — rows-only; the
+    # ≤2% relative-error bound vs exact is asserted in tests.
+    doc="A9 sketch path — approx_count_distinct (HyperLogLog++): mergeable "
+        "per-partition sketches, one narrow shuffle of fixed-size state "
+        "regardless of cardinality; the 100 TB substitute for exact "
+        "count(DISTINCT) (distinct_users).",
+)
+def approx_distinct_users(spark, sf_dir):
+    from ..sources.tables import load_table
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "multimodal_features",
     None,
     doc="Multimodal plumbing: opaque binary payloads + typed metadata → "

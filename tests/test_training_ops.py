@@ -108,3 +108,42 @@ def test_multimodal_pipeline(spark):
     # frame sampling fan-out honors metadata
     fs = frame_sample(media, every_n=50).toPandas()
     assert (fs["frame_idx"] % 50 == 0).all()
+
+
+def test_ivf_knn_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    approx = {(r["q"], r["n"])
+              for r in S.ivf_knn(emb, queries, k=5, n_cells=8,
+                                 nprobe=4).collect()}
+    recall = len(brute & approx) / len(brute)
+    # probing half the cells: most true neighbors fall in a probed cell
+    assert recall >= 0.6, f"IVF-ANN recall {recall}"
+    assert all(q < 20 for q, _ in approx)
+
+
+def test_ivf_assignment_is_total_and_unique(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent, assigned = S.ivf_assign(emb, n_cells=8)
+    assert cent.count() == 8
+    n = emb.count()
+    assert assigned.count() == n                      # every vector placed
+    assert assigned.select("vec_id").distinct().count() == n  # exactly once
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    cent_ids = {r["cid"] for r in cent.collect()}
+    assert cells <= cent_ids
+
+
+def test_approx_distinct_error_bound(spark):
+    from flow_pipeline_spark.plans import QUERIES
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in QUERIES["approx_distinct_users"]
+              .spark(spark, SF_DIR).collect()}
+    exact = {r["event_type"]: r["n_users"]
+             for r in QUERIES["distinct_users"].spark(spark, SF_DIR).collect()}
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel <= 0.05, (k, approx[k], exact[k])
