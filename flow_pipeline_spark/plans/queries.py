@@ -523,6 +523,63 @@ def sliding_rate_5m(spark, sf_dir):
 
 
 @_q(
+    "user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id
+      FROM events WHERE user_id < 50),
+    flagged AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN t - lag(t) OVER w > 1800
+                       OR lag(t) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    sessions AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="W8 — sessionization (30-min inactivity gap) as lag + running sum "
+        "of session starts, identical in both dialects so boundaries "
+        "hash-match exactly (Spark's native session_window has the same "
+        "semantics but no cross-engine oracle). Scale: one shuffle on "
+        "user_id serves the lag window, the cumulative sum, and the final "
+        "group-by — Catalyst reuses the exchange; state per task is one "
+        "row of look-back, not the session contents.",
+)
+def user_sessions(spark, sf_dir):
+    t = F.unix_timestamp("ts").alias("t")
+    ordered = (_events(spark, sf_dir)
+               .filter(F.col("user_id") < 50)
+               .select("user_id", t, "event_id"))
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ordered.withColumn(
+        "new_session",
+        F.when(F.col("t") - F.lag("t").over(w) > 1800, 1)
+         .when(F.lag("t").over(w).isNull(), 1)
+         .otherwise(0))
+    wc = (W.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wc).cast("long"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             (F.max("t") - F.min("t")).cast("long").alias("duration_s"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_q(
     "traffic_cube",
     """
     SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,

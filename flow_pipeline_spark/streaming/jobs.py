@@ -97,7 +97,12 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     (Date is in the group key)."""
     compacted = compact_rollup(spark.read.parquet(rollup_dir))
     tmp = rollup_dir.rstrip("/") + "._compact_tmp"
-    (compacted.write.mode("overwrite").partitionBy("Date").parquet(tmp))
+    # O3 — the table's physical clustering order (create.sh:90 composite
+    # sort key): sortWithinPartitions writes each file in key order, so
+    # parquet row-group min/max stats give the range-scan behavior of the
+    # MergeTree primary key with zero extra shuffle (sort is per-task).
+    (compacted.sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
+     .write.mode("overwrite").partitionBy("Date").parquet(tmp))
     old = rollup_dir.rstrip("/") + "._compact_old"
     os.rename(rollup_dir, old)
     os.rename(tmp, rollup_dir)
