@@ -79,6 +79,42 @@ def _ingest_throughput(spark) -> dict[str, float]:
     return out
 
 
+def _rollup_routing(spark) -> dict[str, float]:
+    """The pre-aggregation story (clickhouse create.sh:70-110 / SURVEY §4):
+    the same 5-min traffic query answered from raw vs from the stored
+    flows_5m rollup via route_traffic_query — at 100 TB the rollup is the
+    only affordable path for dashboard-latency queries."""
+    import shutil
+    import tempfile
+
+    from flow_pipeline_spark.operators.rollup import (
+        route_traffic_query, rollup_flat)
+    from flow_pipeline_spark.sources.mocker import flows_raw, synthetic_flows
+
+    out = {}
+    d = tempfile.mkdtemp(prefix="fps_route_")
+    try:
+        n = 4_000_000
+        (flows_raw(synthetic_flows(spark, n))
+         .write.mode("overwrite").partitionBy("Date").parquet(f"{d}/raw"))
+        raw = spark.read.parquet(f"{d}/raw")
+        rollup_flat(raw).write.mode("overwrite").parquet(f"{d}/rollup")
+        rollup = spark.read.parquet(f"{d}/rollup")
+
+        t0 = time.perf_counter()
+        _force(route_traffic_query(raw, None, ["SrcAS"]))
+        t_raw = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(route_traffic_query(raw, rollup, ["SrcAS"]))
+        t_rollup = time.perf_counter() - t0
+        out["traffic_query_raw_sec"] = round(t_raw, 3)
+        out["traffic_query_rollup_sec"] = round(t_rollup, 3)
+        out["rollup_speedup"] = round(t_raw / max(t_rollup, 1e-9), 1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("flow-pipeline-bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -104,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": _ingest_throughput(spark),
+        "rollup_routing": _rollup_routing(spark),
     }))
 
 

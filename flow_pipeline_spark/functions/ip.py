@@ -142,3 +142,47 @@ def _go_ip_render(addr: pd.Series) -> pd.Series:
 
 def go_ip_to_string(addr: Column) -> Column:
     return _go_ip_render(addr)
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the IP library to Spark SQL (SURVEY §2.7): the dashboards'
+    `IPv4NumToString(...)` idioms become callable from `spark.sql(...)`.
+
+    Column-expression functions (the codegen-friendly hot path) cannot be
+    registered by name, so SQL gets thin UDF wrappers with identical
+    semantics; DataFrame callers should keep using the expression forms.
+    """
+    import ipaddress as _ip
+
+    def _v4_num_to_string(n):
+        return None if n is None else str(_ip.IPv4Address(int(n) & 0xFFFFFFFF))
+
+    def _v4_string_to_num(s):
+        return None if s is None else int(_ip.IPv4Address(s))
+
+    def _v6_num_to_string(b):
+        if b is None or len(b) == 0:
+            return None
+        b = bytes(b).ljust(16, b"\x00")[:16]
+        return str(_ip.IPv6Address(b))
+
+    def _v6_string_to_num(s):
+        return None if s is None else _ip.IPv6Address(s).packed
+
+    def _flow_addr_to_string(b, etype):
+        if b is None or len(b) == 0:
+            return None
+        b = bytes(b).ljust(16, b"\x00")[:16]
+        if etype == 0x800:
+            return str(_ip.IPv4Address(b[:4]))
+        return str(_ip.IPv6Address(b))
+
+    from pyspark.sql.types import BinaryType as _B
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StringType as _S
+
+    spark.udf.register("ipv4_num_to_string", _v4_num_to_string, _S())
+    spark.udf.register("ipv4_string_to_num", _v4_string_to_num, _L())
+    spark.udf.register("ipv6_num_to_string", _v6_num_to_string, _S())
+    spark.udf.register("ipv6_string_to_num", _v6_string_to_num, _B())
+    spark.udf.register("flow_addr_to_string", _flow_addr_to_string, _S())

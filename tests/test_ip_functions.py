@@ -78,3 +78,22 @@ def test_go_ip_render(spark):
     got = [r["ip"] for r in df.select(
         go_ip_to_string(F.col("addr")).alias("ip")).collect()]
     assert got == ["0.0.0.0", "0.0.0.0", "10.0.0.1", "10.0.0.1", "c0a8:101::"]
+
+
+def test_sql_registered_functions(spark):
+    """SURVEY §2.7 — the IP library callable from spark.sql, matching the
+    expression forms and the README golden vectors."""
+    from flow_pipeline_spark.functions.ip import register_sql_functions
+    register_sql_functions(spark)
+    row = spark.sql("""
+        SELECT ipv4_num_to_string(3232235777L)          AS v4s,
+               ipv4_string_to_num('192.168.1.1')        AS v4n,
+               ipv6_num_to_string(ipv6_string_to_num('101:a8c0::')) AS v6rt,
+               flow_addr_to_string(
+                 ipv6_string_to_num('101:a8c0::'), 2048) AS dual
+    """).collect()[0]
+    assert row["v4s"] == "192.168.1.1"
+    assert row["v4n"] == 3232235777
+    assert row["v6rt"] == "101:a8c0::"
+    # EType=0x800: first 4 bytes big-endian = 01 01 a8 c0 = 1.1.168.192
+    assert row["dual"] == "1.1.168.192"
