@@ -523,6 +523,42 @@ def sliding_rate_5m(spark, sf_dir):
 
 
 @_q(
+    "asof_enrichment",
+    """
+    WITH dim AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             round(max(value), 4) AS dim_rate
+      FROM events WHERE event_id % 97 = 0 GROUP BY user_id, t),
+    ev AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE user_id < 30)
+    SELECT ev.event_id, ev.user_id, ev.t, dim.dim_rate
+    FROM ev ASOF LEFT JOIN dim
+      ON ev.user_id = dim.user_id AND ev.t >= dim.t
+    ORDER BY ev.event_id
+    """,
+    doc="As-of (point-in-time) join — slowly-changing-dimension enrichment "
+        "(the temporal form of README.md:44-51's processor). Spark has no "
+        "ASOF builtin: implemented as union + last(ignorenulls) window "
+        "(operators/temporal.py — one shuffle on the key, O(1) look-back "
+        "state). Oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent "
+        "implementation, not a transliteration.",
+)
+def asof_enrichment(spark, sf_dir):
+    from ..operators.temporal import asof_join
+    e = _events(spark, sf_dir)
+    t = F.unix_timestamp("ts").cast("long")
+    dim = (e.filter(F.col("event_id") % 97 == 0)
+           .groupBy("user_id", t.alias("t"))
+           .agg(F.round(F.max("value"), 4).alias("dim_rate")))
+    ev = (e.filter(F.col("user_id") < 30)
+          .select("event_id", "user_id", t.alias("t")))
+    return (asof_join(ev, dim, "user_id", payload=["dim_rate"])
+            .select("event_id", "user_id", "t", "dim_rate")
+            .orderBy("event_id"))
+
+
+@_q(
     "user_sessions",
     """
     WITH ordered AS (

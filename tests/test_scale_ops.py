@@ -88,3 +88,23 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built vectors: inclusive tie (dim at t==event t matches),
+    latest-wins, NULL before any dim row, key isolation."""
+    from flow_pipeline_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 10), (3, "a", 20), (4, "b", 10), (5, "c", 9)],
+        "event_id INT, k STRING, t LONG")
+    dim = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 11, 3.0), ("c", 1, 4.0)],
+        "k STRING, t LONG, rate DOUBLE")
+    got = {r["event_id"]: r["rate"]
+           for r in asof_join(ev, dim, "k", payload=["rate"]).collect()}
+    assert got[1] is None          # before any dim row
+    assert got[2] == 1.0           # inclusive: dim.t == event.t
+    assert got[3] == 2.0           # latest at-or-before wins
+    assert got[4] is None          # b's dim row is later than the event
+    assert got[5] == 4.0           # keys isolated
