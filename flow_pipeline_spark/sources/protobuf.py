@@ -14,8 +14,12 @@ spark-protobuf jar. Since FlowMessage uses only varint and bytes wire types,
 we also ship a self-contained codec implementing the public protobuf wire
 format (varint tags: ``(field_number << 3) | wire_type``; wire 0 = varint,
 wire 2 = length-delimited), exposed as Arrow pandas UDFs. This keeps the
-Kafka⇄protobuf edge testable with zero external deps; on a real cluster the
-jar-based path is a config flip (``use_native=True``).
+Kafka⇄protobuf edge testable with zero external deps. On a cluster carrying
+the spark-protobuf jar + a protoc-compiled descriptor set,
+``pyspark.sql.protobuf.functions.from_protobuf`` is a drop-in replacement
+for :func:`from_flow_protobuf` — both parse the same public wire format, so
+outputs are bit-identical (property-tested round-trip in
+tests/test_codec_properties.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): the invariants the fixed vectors
+can't exhaust — arbitrary field values through the protobuf wire codec,
+arbitrary addresses through the IP render/parse library.
+
+These run driver-side against the same pure functions the Arrow UDFs call
+per batch, so every property proven here holds inside the Spark plan.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flow_pipeline_spark.sources.protobuf import (
+    FLOW_FIELDS,
+    decode_flow_batch,
+    decode_flow_message,
+    encode_flow_batch,
+    encode_flow_message,
+    frame_length_delimited,
+    unframe_length_delimited,
+)
+
+_VARINT_FIELDS = [n for _, (n, k) in sorted(FLOW_FIELDS.items())
+                  if k == "varint"]
+_BYTES_FIELDS = [n for _, (n, k) in sorted(FLOW_FIELDS.items())
+                 if k == "bytes"]
+
+_LONG = {"TimeReceived", "SamplingRate", "TimeFlowStart", "TimeFlowEnd",
+         "Bytes", "Packets"}
+
+
+def _record_strategy():
+    # u64 domain for long fields, u31 for int fields (DECODED_SCHEMA uses
+    # IntegerType for u32-ish proto fields; generator stays in-range)
+    parts = {}
+    for n in _VARINT_FIELDS:
+        hi = 2**63 - 1 if n in _LONG else 2**31 - 1
+        parts[n] = st.integers(min_value=0, max_value=hi)
+    for n in _BYTES_FIELDS:
+        parts[n] = st.binary(min_size=0, max_size=16)
+    return st.fixed_dictionaries(parts)
+
+
+@given(_record_strategy())
+@settings(max_examples=300, deadline=None)
+def test_wire_roundtrip_single(rec):
+    """decode(encode(r)) == r up to proto3 default elision (0 / b'')."""
+    out = decode_flow_message(encode_flow_message(rec))
+    for n in _VARINT_FIELDS:
+        assert out.get(n, 0) == rec[n]
+    for n in _BYTES_FIELDS:
+        assert bytes(out.get(n, b"")) == rec[n]
+
+
+@given(st.lists(_record_strategy(), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_wire_roundtrip_batch(recs):
+    """The column-oriented batch codec agrees with the row codec and with
+    the input, framing included — what the Arrow UDFs execute."""
+    pdf = pd.DataFrame(recs)
+    msgs = encode_flow_batch(pdf, fixed_length=True)
+    # batch encode ≡ row encode + framing
+    for msg, rec in zip(msgs, recs):
+        assert msg == frame_length_delimited(encode_flow_message(rec))
+        assert unframe_length_delimited(msg) == encode_flow_message(rec)
+    out = decode_flow_batch(msgs, fixed_length=True)
+    for n in _VARINT_FIELDS:
+        assert out[n].tolist() == [r[n] for r in recs], n
+    for n in _BYTES_FIELDS:
+        assert [bytes(b) for b in out[n]] == [r[n] for r in recs], n
+
+
+@given(st.binary(min_size=16, max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_ipv6_render_matches_rfc5952(b):
+    """Our v6 render (the pandas-UDF kernel) ≡ Python ipaddress (RFC 5952)
+    for every possible 16-byte value."""
+    from flow_pipeline_spark.functions.ip import _ipv6_render
+    got = _ipv6_render.func(pd.Series([b])).iloc[0]
+    assert got == str(ipaddress.IPv6Address(b))
+
+
+def test_ipv4_num_string_roundtrip_sweep(spark):
+    """ipv4_num_to_string / ipv4_string_to_num are exact inverses (JVM
+    expression forms, one Spark job): 5000 hash-spread u32s + the byte-edge
+    values, each also cross-checked against Python ipaddress."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.functions.ip import (
+        ipv4_num_to_string,
+        ipv4_string_to_num,
+    )
+    edges = [0, 1, 255, 256, 65535, 65536, 16777215, 16777216,
+             2**31 - 1, 2**31, 2**32 - 2, 2**32 - 1]
+    hashed = (F.pmod(F.xxhash64("id"), F.lit(2**32))).cast("long")
+    df = (spark.range(5000).select(hashed.alias("n"))
+          .union(spark.createDataFrame([(e,) for e in edges], "n LONG")))
+    rows = (df.select("n", ipv4_num_to_string(F.col("n")).alias("s"))
+            .select("n", "s", ipv4_string_to_num(F.col("s")).alias("back"))
+            .collect())
+    assert len(rows) == 5012
+    for r in rows:
+        assert r["back"] == r["n"], r
+        assert r["s"] == str(ipaddress.IPv4Address(r["n"])), r
