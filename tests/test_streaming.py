@@ -217,3 +217,82 @@ def test_stateful_timer_flush(spark, tmpdir):
         q.stop()
     assert (got["flushed_by"] == "timer").any()
     assert int(got["n_rows"].sum()) == 200
+
+
+def test_watermarked_rollup_stream(spark, tmpdir):
+    """W4/W5 alternative design: watermarked append-mode windowed agg.
+    Every emitted (finalized) window row must equal the batch rollup of the
+    same data exactly; only windows still open at end-of-stream may be
+    missing."""
+    from flow_pipeline_spark.streaming.jobs import (
+        start_rollup_stream_watermarked)
+
+    src = f"{tmpdir}/wm_src"
+    flows = synthetic_flows(spark, N, seed=11)
+    # one file = one in-order micro-batch: no row is ever behind the
+    # watermark (multi-file reads arrive time-unordered, and append-mode
+    # correctly DROPS late rows — that path is exercised separately below)
+    flows.repartition(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = flows_raw(spark.readStream.schema(schema).parquet(src))
+
+    out_dir = f"{tmpdir}/wm_rollup"
+    q = start_rollup_stream_watermarked(
+        stream, out_dir, f"{tmpdir}/wm_ckpt",
+        lateness="10 minutes", trigger={"availableNow": True})
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    want = rollup_flat(flows_raw(spark.read.parquet(src)))
+    assert got.count() > 0
+    # emitted rows are final — exact equality per key with the batch rollup
+    joined = got.join(want.withColumnRenamed("Bytes", "wB")
+                      .withColumnRenamed("Packets", "wP")
+                      .withColumnRenamed("Count", "wC"),
+                      ["Date", "Timeslot", "SrcAS", "DstAS", "EType"],
+                      "left")
+    bad = joined.filter((F.col("Bytes") != F.col("wB"))
+                        | (F.col("Packets") != F.col("wP"))
+                        | (F.col("Count") != F.col("wC"))
+                        | F.col("wB").isNull())
+    assert bad.count() == 0
+    # and nothing but open windows is missing
+    assert got.count() <= want.count()
+
+
+def test_watermarked_rollup_drops_late(spark, tmpdir):
+    """The watermark contract itself: after a run whose data ends at T, a
+    second run delivering rows a day older than T (far beyond the 10-min
+    lateness bound) must contribute nothing — the checkpointed watermark
+    drops them. This is the designed trade-off vs the stateless-partials
+    rollup, which would have absorbed them at the next compaction."""
+    from flow_pipeline_spark.sources.mocker import BASE_EPOCH
+    from flow_pipeline_spark.streaming.jobs import (
+        start_rollup_stream_watermarked)
+
+    src = f"{tmpdir}/late_src"
+    out_dir, ckpt = f"{tmpdir}/late_rollup", f"{tmpdir}/late_ckpt"
+    recent = synthetic_flows(spark, 6000, seed=13)
+    recent.repartition(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = flows_raw(spark.readStream.schema(schema).parquet(src))
+        q = start_rollup_stream_watermarked(
+            stream, out_dir, ckpt,
+            lateness="2 minutes", trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run_once()
+    n_after_first = spark.read.parquet(out_dir).count()
+    assert n_after_first > 0
+
+    # day-old rows arrive in a later run
+    late = synthetic_flows(spark, 6000, seed=14,
+                           base_epoch=BASE_EPOCH - 86400)
+    late.repartition(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    late_cutoff = F.to_timestamp(F.lit("2020-03-22 00:00:00"))
+    assert got.filter(F.col("Timeslot") < late_cutoff).count() == 0
