@@ -151,3 +151,22 @@ def test_rollup_routing_equivalence(flows):
     a = via_rollup.orderBy("t", "SrcAS").toPandas()
     b = via_raw.orderBy("t", "SrcAS").toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_batch_demo_end_to_end(spark, tmp_path):
+    """The demo wiring: generate → persist → rollup → compact → panels all
+    produce consistent results from one call."""
+    from flow_pipeline_spark.demo import run_batch_demo
+
+    panels = run_batch_demo(spark, str(tmp_path / "demo"), rows=5000)
+    counts = {k: df.count() for k, df in panels.items()}
+    assert counts["top_src_ips"] == 10
+    assert counts["top_src_ports"] == 10
+    assert counts["instant_traffic"] > 0
+    assert counts["rollup"] > 0
+    # rollup total bytes == raw total bytes (compaction preserved mass)
+    from pyspark.sql import functions as F
+    raw_bytes = (spark.read.parquet(str(tmp_path / "demo/flows_raw"))
+                 .agg(F.sum("Bytes")).collect()[0][0])
+    rollup_bytes = panels["rollup"].agg(F.sum("Bytes")).collect()[0][0]
+    assert raw_bytes == rollup_bytes
