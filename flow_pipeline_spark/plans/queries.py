@@ -523,6 +523,46 @@ def sliding_rate_5m(spark, sf_dir):
 
 
 @_q(
+    "ipv6_render",
+    """
+    WITH base AS (
+      SELECT event_id, (event_id * 2654435761) % 4294967296 AS n
+      FROM events WHERE event_id < 2000),
+    g AS (
+      SELECT event_id, n,
+             ((n % 256) * 256 + ((n // 256) % 256))                    AS g1,
+             (((n // 65536) % 256) * 256 + ((n // 16777216) % 256))    AS g2
+      FROM base)
+    SELECT event_id, CAST(n AS BIGINT) AS n,
+           CASE WHEN g1 = 0 AND g2 = 0 THEN '::'
+                WHEN g2 = 0 THEN format('{:x}', g1) || '::'
+                WHEN g1 = 0 THEN '0:' || format('{:x}', g2) || '::'
+                ELSE format('{:x}', g1) || ':' || format('{:x}', g2) || '::'
+           END AS v6
+    FROM g ORDER BY event_id
+    """,
+    doc="P9/P13 — RFC-5952 IPv6 render with a cross-engine oracle: both "
+        "engines derive the same u32 per row; Spark lays it out as the "
+        "reference's FixedString(16) demo layout (little-endian u32, "
+        "zero-padded — README.md:192-215, e.g. 3232235777 → '101:a8c0::') "
+        "and renders via the pandas-UDF kernel; DuckDB computes the "
+        "expected compressed string arithmetically — an independent "
+        "derivation, so ::-compression rules are genuinely cross-checked.",
+)
+def ipv6_render(spark, sf_dir):
+    from ..functions.ip import ipv6_num_to_string, reinterpret_u32_as_bytes16
+    n = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", n.cast("long").alias("n"))
+        .withColumn("v6", ipv6_num_to_string(
+            reinterpret_u32_as_bytes16(F.col("n"))))
+        .orderBy("event_id")
+    )
+
+
+@_q(
     "asof_enrichment",
     """
     WITH dim AS (
