@@ -656,6 +656,29 @@ def user_sessions(spark, sf_dir):
 
 
 @_q(
+    "approx_percentiles",
+    None,  # approx sketches differ across engines — rows-only; the error
+    # bound vs exact percentiles is asserted in tests.
+    doc="W7 sketch path — percentile_approx (KLL-style mergeable sketch): "
+        "fixed-size per-partition state, one narrow shuffle regardless of "
+        "row count; the 100 TB substitute for exact quantiles "
+        "(value_percentiles). accuracy=10000 ⇒ ~0.01% rank error.",
+)
+def approx_percentiles(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+             .alias("p"))
+        .select("event_type",
+                F.round(F.col("p")[0], 4).alias("p50"),
+                F.round(F.col("p")[1], 4).alias("p95"),
+                F.round(F.col("p")[2], 4).alias("p99"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "traffic_cube",
     """
     SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,

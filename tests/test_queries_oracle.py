@@ -26,3 +26,26 @@ def test_all_queries_return_rows(spark):
     for name, qd in QUERIES.items():
         df = qd.spark(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_approx_percentiles_error_bound(spark):
+    """percentile_approx guarantees RANK error (returns a real element near
+    the target rank), not value error — so assert the empirical rank of
+    each sketch output is within ±2% of its target quantile."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.plans import QUERIES
+    from flow_pipeline_spark.sources.tables import load_table
+
+    approx = {r["event_type"]: r for r in
+              QUERIES["approx_percentiles"].spark(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    for k, row in approx.items():
+        vals = [r["value"] for r in
+                e.filter(F.col("event_type") == k).collect()]
+        vals.sort()
+        n = len(vals)
+        for name, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+            a = row[name]
+            rank = sum(1 for v in vals if v <= a) / n
+            assert q - 0.02 <= rank <= q + 0.02, (k, name, a, rank)
