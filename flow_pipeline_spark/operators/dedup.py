@@ -208,3 +208,61 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# --- transitive duplicate clusters ------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 12) -> DataFrame:
+    """Connected components over near-dup pair edges → (id, cluster_id).
+
+    Pairwise candidates (MinHash-LSH, SimHash, cosine) under-specify dedup:
+    if A~B and B~C, all three are one duplicate group even when (A,C) never
+    collided. Resolution = connected components, computed as min-label
+    propagation: every node starts labeled with itself; each round, every
+    node takes the min label in its neighborhood; converged when no label
+    changes. Rounds needed ≈ graph diameter (near-dup clusters are shallow;
+    ``max_iter`` is a safety bound, and non-convergence raises).
+
+    Scale: each round is one join on id + one groupBy-min — both shuffle
+    only the EDGE set, never documents. Driver sees one scalar (the changed
+    count) per round. For web-scale graphs swap in the large-star/small-star
+    algorithm; the per-round plan shape is identical.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst")
+                       .withColumnRenamed("cluster_id", "nbr_label"), "dst")
+            .groupBy("src").agg(F.min("nbr_label").alias("nbr_min")))
+        new_labels = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"),
+                        "id", "left")
+            .select("id", F.least("cluster_id",
+                                  F.coalesce("nbr_min", "cluster_id"))
+                    .alias("cluster_id")))
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+
+
+def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level near-dup resolution: drop every doc that belongs to a
+    duplicate cluster but is not its min-id canonical representative."""
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -413,6 +413,25 @@ def ann_lsh_knn(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    None,  # iterative fixpoint (connected components) — rows-only; the
+    # transitive-closure contract is pytest-verified on planted chains.
+    doc="Corpus-level dedup resolution: MinHash-LSH candidate pairs → "
+        "connected components via min-label propagation (per round: one "
+        "edge join + groupBy-min, shuffles edges only; diameter-bounded "
+        "iterations) → (id, cluster_id). Pairs alone under-specify dedup "
+        "(A~B, B~C must collapse together); this closes that gap "
+        "(operators/dedup.py:duplicate_clusters).",
+)
+def dedup_clusters(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    planted = _with_exact_copies(d)
+    pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4)
+    return (D.duplicate_clusters(pairs)
+            .orderBy("cluster_id", "id"))
+
+
+@_q(
     "ann_ivf_knn",
     None,
     doc="Approximate NN via IVF inverted lists: hash-sampled centroids "

@@ -147,3 +147,40 @@ def test_approx_distinct_error_bound(spark):
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel <= 0.05, (k, approx[k], exact[k])
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, D~E: components {A,B,C} and {D,E} despite no (A,C) edge;
+    chain of length 6 converges too."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11),
+         (20, 21), (21, 22), (22, 23), (23, 24), (24, 25)],
+        "id_a LONG, id_b LONG")
+    got = {r["id"]: r["cluster_id"]
+           for r in D.duplicate_clusters(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 20 for i in range(20, 26))
+
+
+def test_dedup_by_clusters_end_to_end(planted, spark):
+    """LSH pairs on the planted corpus → clusters → corpus keeps exactly
+    one representative per duplicate group (the original, min doc_id)."""
+    pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4)
+    deduped = D.dedup_by_clusters(planted, pairs)
+    ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    # every planted copy (doc_id+100000) that collided with anything is
+    # gone (copies always have a lower-id partner: their original)
+    caught = {r["id_a"] for r in pairs.collect()} | \
+             {r["id_b"] for r in pairs.collect()}
+    for i in range(50):
+        if i + 100000 in caught:
+            assert i + 100000 not in ids
+    # survivors are exactly the cluster canonicals plus unclustered docs
+    clusters_df = D.duplicate_clusters(pairs)
+    canon = {r["id"] for r in
+             clusters_df.filter(F.col("id") == F.col("cluster_id")).collect()}
+    clustered = {r["id"] for r in clusters_df.collect()}
+    all_ids = {r["doc_id"] for r in planted.select("doc_id").collect()}
+    assert ids == (all_ids - clustered) | canon
+
