@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "tpch_q1",               # wide aggregate with expression args
     "revenue_top_customers", # 3-way fact join + top-k
     "enrichment_join",       # dim-chain broadcast join
+    "text_quality",          # training tier: expression-only text QC
+    "minhash_lsh_dedup",     # training tier: shingle→minhash→band→join
+    "knn_cosine",            # training tier: brute-force cosine top-k
+    "asof_enrichment",       # point-in-time join (union + window)
 ]
 
 
@@ -127,6 +131,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
+        # steady-state timing: first run pays one-time whole-stage-codegen
+        # compilation (seconds for wide expression trees — amortized to
+        # zero at scale), second run measures the engine
+        _force(QUERIES[name].spark(spark, SF_DIR))
         t0 = time.perf_counter()
         _force(QUERIES[name].spark(spark, SF_DIR))
         dt = round(time.perf_counter() - t0, 3)

@@ -87,26 +87,44 @@ _EXACT_COPIES_SQL = """
         "no UDFs (operators/text.py).",
 )
 def text_quality(spark, sf_dir):
+    # staged projection: tokenize ONCE and derive every metric from the
+    # materialized array — the naive form re-splits the text per metric
+    # (9 split() nodes), which bloats codegen compile time and multiplies
+    # per-row work at scale
     t = F.col("text")
-    return (
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    staged = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text", TX.tokens(t).alias("toks"))
         .select(
             "doc_id",
             F.length(t).alias("n_chars_calc"),
-            TX.token_count(t).alias("n_tokens"),
-            F.round(F.aggregate(TX.tokens(t), F.lit(0),
+            n_tokens.alias("n_tokens"),
+            F.round(F.aggregate(toks, F.lit(0),
                                 lambda a, x: a + F.length(x))
-                    / F.greatest(TX.token_count(t), F.lit(1)), 4)
+                    / F.greatest(n_tokens, F.lit(1)), 4)
             .alias("avg_token_len"),
-            TX.bpe_ish_token_count(t).alias("bpe_tokens"),
+            F.aggregate(toks, F.lit(0),
+                        lambda acc, x: acc + F.ceil(F.length(x) / 4)
+                        .cast("int")).alias("bpe_tokens"),
             TX.punct_ratio(t).alias("punct_ratio"),
             TX.digit_ratio(t).alias("digit_ratio"),
-            TX.stopword_ratio(t).alias("stop_ratio"),
-            TX.quality_score(t).alias("quality"),
+            F.round(F.size(F.filter(toks,
+                                    lambda x: F.lower(x).isin(TX.STOPWORDS)))
+                    / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
         )
-        .orderBy("doc_id")
     )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5) * 0.3
+        + F.least(F.col("stop_ratio") * 4, F.lit(1.0)) * 0.2, 4)
+    return (staged
+            .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+                    "bpe_tokens", "punct_ratio", "digit_ratio", "stop_ratio",
+                    quality.alias("quality"))
+            .orderBy("doc_id"))
 
 
 def _marker_count_sql(m: str) -> str:
