@@ -431,6 +431,43 @@ def ann_lsh_knn(spark, sf_dir):
 
 
 @_q(
+    "train_val_split",
+    """
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                 1, 2) < 'd3'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val split — reproducible hash partitioning of "
+        "a corpus (md5(doc_id||salt) hex prefix threshold, ~82.4% train). "
+        "Identical assignment in any engine, any run, any cluster size — "
+        "the property a training pipeline needs so splits never drift "
+        "between preprocessing runs. Scale: pure map-side tag + one "
+        "grouped count; no shuffle of documents.",
+)
+def train_val_split(spark, sf_dir):
+    split = F.when(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 2) < "d3",
+        "train").otherwise("val")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("split")
+    )
+
+
+@_q(
     "dedup_clusters",
     None,  # iterative fixpoint (connected components) — rows-only; the
     # transitive-closure contract is pytest-verified on planted chains.
