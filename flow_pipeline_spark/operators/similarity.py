@@ -52,10 +52,19 @@ def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n") != F.col("q"))
         .select("q", "n",
-                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
+                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"),
+                F.spark_partition_id().alias("pid"))
     )
-    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    # two-phase top-k: a single window on q would funnel |corpus|·|queries|
+    # rows into |queries| reducers (skew cliff at scale). Phase 1 takes the
+    # local top-k per (q, input partition) — shuffle keys spread over
+    # |partitions|·|queries|; phase 2 merges the surviving
+    # |partitions|·|queries|·k rows. Same total order both phases ⇒ exact.
+    w1 = W.partitionBy("q", "pid").orderBy(F.desc("cos"), F.asc("n"))
+    local = (scored.withColumn("r", F.row_number().over(w1))
+             .filter(F.col("r") <= k))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (local.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("q", "n", "cos", "rank"))
 
@@ -170,9 +179,11 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
     the identical assignment plan). Returns (centroids, assigned) where
     assigned carries a ``cell`` column.
 
-    Scale: centroid set is tiny and broadcast; assignment is one
-    narrow-dependency pass over the corpus (no shuffle) — each row scores
-    n_cells dot products map-side. The assigned table is what you persist,
+    Scale: centroid set is tiny and broadcast; each row scores n_cells dot
+    products map-side, then ``max_by`` picks its cell with map-side partial
+    aggregation — the shuffle carries ONE combined row per vector, never
+    the ×n_cells scored expansion (a row_number window here would shuffle
+    and sort n_cells× the corpus). The assigned table is what you persist,
     partitioned by cell, so queries read only probed cells (partition
     pruning = the inverted-list seek).
     """
@@ -184,10 +195,11 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
               .select(F.col(id_col), F.col(vec_col),
                       F.col("cid"),
                       cosine(F.col(vec_col), F.col("cv")).alias("c_cos")))
-    w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cid"))
-    assigned = (scored.withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1)
-                .select(id_col, vec_col, F.col("cid").alias("cell")))
+    # max cosine, ties to the smallest cid: max_by on (c_cos, -cid)
+    assigned = (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max_by("cid", F.struct(F.col("c_cos"), -F.col("cid")))
+             .alias("cell")))
     return cent, assigned
 
 
