@@ -61,6 +61,61 @@ def expand_prefix_dim(prefix_dim: DataFrame, bucket_bytes: int = 1) -> DataFrame
     )
 
 
+def flatten_prefix_dim(prefix_dim: DataFrame) -> DataFrame:
+    """Resolve longest-prefix-match AT DIM BUILD TIME: decompose the
+    (possibly nested/overlapping) prefix ranges into DISJOINT atomic
+    intervals, each owned by its longest covering prefix.
+
+    Sweep construction, all on the (small) dim: the distinct boundary
+    points p1<…<pm cut the space into point intervals [p,p] and open gaps
+    (p_i, p_{i+1}); no prefix boundary falls inside an atomic interval, so
+    a prefix covers an interval iff start ≤ lo and end ≥ hi — a small×small
+    containment join, then max_by(prefix_len) per interval. Output columns:
+    lo, hi (BINARY), lo_open, hi_open, prefix_len, asn, country.
+
+    Why: any address matches AT MOST ONE disjoint interval, so the fact
+    join needs no post-join longest-prefix reduction — a row_number/group
+    reduction there would shuffle the whole fact table.
+    """
+    starts = prefix_dim.select(F.col("ip_start").alias("p"))
+    ends = prefix_dim.select(F.col("ip_end").alias("p"))
+    points = starts.unionByName(ends).distinct()
+    w = W.orderBy("p")
+    pts = points.select("p", F.lead("p").over(w).alias("p_next"))
+
+    point_iv = pts.select(
+        F.col("p").alias("lo"), F.col("p").alias("hi"),
+        F.lit(False).alias("lo_open"), F.lit(False).alias("hi_open"))
+    gap_iv = (pts.filter(F.col("p_next").isNotNull())
+              .select(F.col("p").alias("lo"), F.col("p_next").alias("hi"),
+                      F.lit(True).alias("lo_open"),
+                      F.lit(True).alias("hi_open")))
+    atoms = point_iv.unionByName(gap_iv)
+
+    owned = (
+        atoms.join(
+            prefix_dim,
+            (prefix_dim["ip_start"] <= atoms["lo"])
+            & (prefix_dim["ip_end"] >= atoms["hi"]), "inner")
+        .groupBy("lo", "hi", "lo_open", "hi_open")
+        .agg(F.max_by(
+            F.struct("prefix_len", "asn", "country"),
+            F.struct("prefix_len", "asn")).alias("own"))
+        .select("lo", "hi", "lo_open", "hi_open",
+                F.col("own.prefix_len").alias("prefix_len"),
+                F.col("own.asn").alias("asn"),
+                F.col("own.country").alias("country"))
+    )
+    return owned
+
+
+def _expand_interval_buckets(intervals: DataFrame,
+                             bucket_bytes: int = 1) -> DataFrame:
+    lo_b = F.conv(F.hex(F.substring("lo", 1, bucket_bytes)), 16, 10).cast("long")
+    hi_b = F.conv(F.hex(F.substring("hi", 1, bucket_bytes)), 16, 10).cast("long")
+    return intervals.withColumn("bucket", F.explode(F.sequence(lo_b, hi_b)))
+
+
 def enrich_by_prefix(flows: DataFrame, prefix_dim: DataFrame, *,
                      addr_col: str = "SrcAddr", bucket_bytes: int = 1,
                      out_prefix: str = "Src") -> DataFrame:
@@ -69,28 +124,27 @@ def enrich_by_prefix(flows: DataFrame, prefix_dim: DataFrame, *,
     prefix_dim columns: ip_start BINARY(16), ip_end BINARY(16),
     prefix_len INT, asn INT, country STRING (FIXTURES.md F4).
 
-    Plan shape: equi-join on the coarse bucket (hash join, broadcast dim) +
-    range predicate within bucket + longest-prefix row_number. The fact
-    table never shuffles (broadcast side carries the buckets)."""
-    dim = expand_prefix_dim(prefix_dim, bucket_bytes)
+    Plan shape: the dim is flattened into disjoint longest-prefix-owned
+    intervals (flatten_prefix_dim, dim-side, once), bucket-expanded, and
+    broadcast; the fact side is ONE equi-join on the coarse bucket plus
+    range predicates — at most one match per row by construction, so there
+    is NO post-join window/group reduction and the fact table never
+    shuffles. (The previous design row_numbered per fact row, which
+    shuffled the entire joined fact — the exact cliff this avoids.)"""
+    dim = F.broadcast(_expand_interval_buckets(flatten_prefix_dim(prefix_dim),
+                                               bucket_bytes))
     fact_bucket = F.conv(
         F.hex(F.substring(F.col(addr_col), 1, bucket_bytes)), 16, 10).cast("long")
-    f = flows.withColumn("__bucket", fact_bucket).withColumn(
-        "__row_id", F.monotonically_increasing_id())
-    joined = (
-        f.join(F.broadcast(dim),
-               (f["__bucket"] == dim["bucket"])
-               & (F.col(addr_col) >= dim["ip_start"])
-               & (F.col(addr_col) <= dim["ip_end"]),
-               "left")
-    )
-    # longest prefix wins; ties impossible in well-formed dims
-    w = W.partitionBy("__row_id").orderBy(F.desc_nulls_last("prefix_len"))
+    f = flows.withColumn("__bucket", fact_bucket)
+    addr = F.col(addr_col)
+    in_lo = (addr > F.col("lo")) | ((addr == F.col("lo")) & ~F.col("lo_open"))
+    in_hi = (addr < F.col("hi")) | ((addr == F.col("hi")) & ~F.col("hi_open"))
+    joined = f.join(dim, (f["__bucket"] == dim["bucket"]) & in_lo & in_hi,
+                    "left")
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        joined
         .withColumn(f"{out_prefix}Country", F.col("country"))
         .withColumn(f"{out_prefix}ASDB", F.col("asn"))
-        .drop("bucket", "ip_start", "ip_end", "prefix_len", "asn", "country",
-              "as_name", "__bucket", "__rn", "__row_id")
+        .drop("bucket", "lo", "hi", "lo_open", "hi_open", "prefix_len",
+              "asn", "country", "__bucket")
     )
