@@ -36,6 +36,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_per_query(scored, k: int):
+    """Two-phase per-query top-k on a (q, n, cos) frame.
+
+    A single window on q funnels every scored row into |queries| reducers —
+    a skew cliff when the scored set grows with the corpus. Phase 1 takes
+    the local top-k per (q, input partition) — shuffle keys spread over
+    |partitions|·|queries|; phase 2 merges the surviving
+    |partitions|·|queries|·k rows. Same total order both phases ⇒ exact."""
+    scored = scored.withColumn("pid", F.spark_partition_id())
+    w1 = W.partitionBy("q", "pid").orderBy(F.desc("cos"), F.asc("n"))
+    local = (scored.withColumn("r", F.row_number().over(w1))
+             .filter(F.col("r") <= k))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
 def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
@@ -52,21 +70,9 @@ def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n") != F.col("q"))
         .select("q", "n",
-                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"),
-                F.spark_partition_id().alias("pid"))
+                F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
     )
-    # two-phase top-k: a single window on q would funnel |corpus|·|queries|
-    # rows into |queries| reducers (skew cliff at scale). Phase 1 takes the
-    # local top-k per (q, input partition) — shuffle keys spread over
-    # |partitions|·|queries|; phase 2 merges the surviving
-    # |partitions|·|queries|·k rows. Same total order both phases ⇒ exact.
-    w1 = W.partitionBy("q", "pid").orderBy(F.desc("cos"), F.asc("n"))
-    local = (scored.withColumn("r", F.row_number().over(w1))
-             .filter(F.col("r") <= k))
-    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (local.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("q", "n", "cos", "rank"))
+    return _topk_per_query(scored, k)
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 8, dim: int = 64, *,
@@ -135,10 +141,7 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         .select("q", "n",
                 F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
     )
-    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q", "n", "cos", "rank"))
+    return _topk_per_query(scored, k)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
@@ -230,7 +233,4 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         .select("q", F.col(id_col).alias("n"),
                 F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
     )
-    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q", "n", "cos", "rank"))
+    return _topk_per_query(scored, k)
