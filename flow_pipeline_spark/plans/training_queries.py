@@ -385,30 +385,90 @@ def embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-# --- Spark-only scale paths (rows-only driver check) ------------------------
+# --- LSH / banding paths (md5 family → cross-engine oracle) -----------------
+
+def _minhash_band_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    """SQL fragment: sig + bands CTE bodies mirroring
+    operators/dedup.py minhash_lsh_candidates(hash_fn='md5')."""
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(n_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig".format(
+            b=b, parts=" || '|' || ".join(
+                f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return (f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),\n"
+            f"    bands AS ({band_rows}),\n"
+            "    cand AS (\n"
+            "      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            "      FROM bands a JOIN bands b\n"
+            "        ON a.band = b.band AND a.bh = b.bh\n"
+            "       AND a.doc_id < b.doc_id)")
+
 
 @_q(
     "minhash_lsh_dedup",
-    None,
-    doc="MinHash+LSH banding dedup at scale: shuffle on band keys only, "
-        "exact-Jaccard verification restricted to LSH candidates. "
-        "Recall vs all-pairs asserted in tests/test_training_ops.py.",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz extra tail'
+      FROM documents WHERE doc_id < 200),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    {_minhash_band_sql(8, 4)},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+    ORDER BY i.id_a, i.id_b
+    """,
+    doc="MinHash+LSH banding dedup: shuffle on band keys only, exact-Jaccard "
+        "verification restricted to LSH candidates. md5 hash family here "
+        "for the cross-engine oracle; hash_fn='xxhash64' (JVM intrinsic, "
+        "~3x cheaper) is the production option, recall vs all-pairs "
+        "asserted in tests/test_training_ops.py.",
 )
 def minhash_lsh_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
     copies = d.select((F.col("doc_id") + 100000).alias("doc_id"),
                       F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"))
     corpus = d.unionByName(copies)
-    cands = D.minhash_lsh_candidates(corpus, n_hashes=8, bands=4, k=3)
+    cands = D.minhash_lsh_candidates(corpus, n_hashes=8, bands=4, k=3,
+                                     hash_fn="md5")
     return (D.jaccard_pairs(corpus, k=3, threshold=0.5, candidates=cands)
             .orderBy("id_a", "id_b"))
 
 
 @_q(
     "simhash_near_dup",
-    None,
-    doc="SimHash Hamming-distance near-dup: half-band candidate join + "
-        "bit_count popcount filter (operators/dedup.py).",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000, text || ' qq'
+      FROM documents WHERE doc_id < 150),
+    tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tk FROM corpus),
+    bits AS (SELECT doc_id, {_SIMS} FROM tok GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMPACK} AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash Hamming-distance near-dup: band candidate join + bit_count "
+        "popcount filter (operators/dedup.py). Pigeonhole: max_hamming=2 < "
+        "bands=4, so banding is EXACT and the all-pairs SQL oracle matches "
+        "the banded Spark plan result-for-result.",
 )
 def simhash_near_dup(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id", "text")
@@ -469,19 +529,37 @@ def train_val_split(spark, sf_dir):
 
 @_q(
     "dedup_clusters",
-    None,  # iterative fixpoint (connected components) — rows-only; the
-    # transitive-closure contract is pytest-verified on planted chains.
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    {_minhash_band_sql(8, 4)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b, id_a FROM cand),
+    comp(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, c.lbl FROM edges e JOIN comp c ON c.id = e.dst)
+    SELECT id, min(lbl) AS cluster_id FROM comp
+    GROUP BY id ORDER BY cluster_id, id
+    """,
     doc="Corpus-level dedup resolution: MinHash-LSH candidate pairs → "
         "connected components via min-label propagation (per round: one "
         "edge join + groupBy-min, shuffles edges only; diameter-bounded "
         "iterations) → (id, cluster_id). Pairs alone under-specify dedup "
         "(A~B, B~C must collapse together); this closes that gap "
-        "(operators/dedup.py:duplicate_clusters).",
+        "(operators/dedup.py:duplicate_clusters). Oracle: the same md5 "
+        "LSH edges + transitive closure as a recursive CTE.",
 )
 def dedup_clusters(spark, sf_dir):
     d = _docs(spark, sf_dir)
     planted = _with_exact_copies(d)
-    pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4)
+    pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4,
+                                     hash_fn="md5")
     return (D.duplicate_clusters(pairs)
             .orderBy("cluster_id", "id"))
 
