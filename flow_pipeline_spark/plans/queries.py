@@ -840,29 +840,119 @@ def flows_pg_port_panel(spark, sf_dir):
 
 @_q(
     "flows_top_src_ips",
-    None,  # IP rendering (RFC-5952 ::-compression) is not DuckDB-expressible
-    doc="P8/P9/A5/O2 — 'Top source IPs' (viz-ch.json:233) on the synthetic "
-        "flow generator: dual IPv4/IPv6 render + traffic top-k. Rows-only "
-        "driver check; exact render parity is unit-tested against "
-        "README.md:192-215 vectors in tests/test_ip_functions.py.",
+    """
+    WITH base AS (
+      SELECT (event_id * 2654435761) % 4294967296 AS n,
+             event_id % 2 = 0 AS is_v4,
+             CAST(floor(value * 100) AS BIGINT) AS bytes,
+             CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 1
+                  WHEN 1 THEN 100 ELSE 1000 END AS sampling
+      FROM events),
+    g AS (
+      SELECT *,
+             ((n % 256) * 256 + ((n // 256) % 256))                 AS g1,
+             (((n // 65536) % 256) * 256 + ((n // 16777216) % 256)) AS g2
+      FROM base),
+    r AS (
+      SELECT CASE WHEN is_v4 THEN
+               CAST(n % 256 AS VARCHAR) || '.' ||
+               CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 16777216) % 256 AS VARCHAR)
+             ELSE CASE WHEN g1 = 0 AND g2 = 0 THEN '::'
+                       WHEN g2 = 0 THEN format('{:x}', g1) || '::'
+                       WHEN g1 = 0 THEN '0:' || format('{:x}', g2) || '::'
+                       ELSE format('{:x}', g1) || ':' ||
+                            format('{:x}', g2) || '::'
+                  END
+             END AS srcip,
+             bytes * sampling AS sb
+      FROM g)
+    SELECT srcip, CAST(sum(sb) AS BIGINT) AS sumbytes
+    FROM r GROUP BY srcip
+    ORDER BY sumbytes DESC, srcip LIMIT 20
+    """,
+    doc="P8/P9/A5/O2 — 'Top source IPs' (viz-ch.json:233): dual IPv4/IPv6 "
+        "render + traffic top-k, on flows derived from events identically "
+        "in both engines. Spark stores each u32 in the reference's "
+        "FixedString(16) layout (little-endian first-4-bytes, README.md:"
+        "192-215) and runs the production top_src_ips plan (conv/hex "
+        "big-endian decode for the v4 arm, RFC-5952 pandas-UDF render for "
+        "the v6 arm); DuckDB re-derives both renders arithmetically — an "
+        "independent derivation, so layout, byte order, and ::-compression "
+        "are all cross-checked. Mocker-sourced variant stays covered in "
+        "tests/test_flow_pipeline.py.",
 )
 def flows_top_src_ips(spark, sf_dir):
-    from ..sources.mocker import flows_raw, synthetic_flows
+    from ..functions.ip import reinterpret_u32_as_bytes16
     from .flow_queries import top_src_ips
-    return top_src_ips(flows_raw(synthetic_flows(spark, 20_000)), k=20)
+    e = _events(spark, sf_dir)
+    n = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    sampling = (
+        F.when(F.col("user_id") % 3 == 0, 1)
+        .when(F.col("user_id") % 3 == 1, 100)
+        .otherwise(1000)
+    )
+    flows = e.select(
+        reinterpret_u32_as_bytes16(n.cast("long")).alias("SrcAddr"),
+        F.when(F.col("event_id") % 2 == 0, 0x800)
+         .otherwise(0x86DD).cast("int").alias("Etype"),
+        F.floor(F.col("value") * 100).cast("long").alias("Bytes"),
+        sampling.cast("long").alias("SamplingRate"),
+    )
+    return top_src_ips(flows, k=20)
 
 
 @_q(
     "flows_rollup_nested",
-    None,  # array<struct> reconstruction — rows-only check
+    f"""
+    WITH flows AS (
+      SELECT CAST(TimeReceived AS DATE) AS Date,
+             make_timestamp(((CAST(floor(epoch(TimeReceived)) AS BIGINT)
+                              // 300) * 300) * 1000000) AS Timeslot,
+             SrcAS, DstAS,
+             CASE WHEN SrcPort % 2 = 0 THEN 2048 ELSE 34525 END AS EType,
+             Bytes,
+             CAST(SrcPort % 7 + 1 AS BIGINT) AS Packets
+      FROM ({_DERIVED_FLOWS_SQL}) f),
+    per AS (
+      SELECT Date, Timeslot, SrcAS, DstAS, EType,
+             CAST(sum(Bytes) AS BIGINT)   AS Bytes,
+             CAST(sum(Packets) AS BIGINT) AS Packets,
+             count(*)                     AS Count
+      FROM flows GROUP BY Date, Timeslot, SrcAS, DstAS, EType)
+    SELECT Date, Timeslot, SrcAS, DstAS,
+           to_json(list_sort(list(struct_pack(
+             EType := EType, Bytes := Bytes,
+             Packets := Packets, Count := Count)))) AS ETypeMap,
+           CAST(sum(Bytes) AS BIGINT)   AS Bytes,
+           CAST(sum(Packets) AS BIGINT) AS Packets,
+           CAST(sum(Count) AS BIGINT)   AS Count
+    FROM per GROUP BY Date, Timeslot, SrcAS, DstAS
+    ORDER BY Date, Timeslot, SrcAS, DstAS
+    """,
     doc="A8 — the ETypeMap Nested parallel-array reconstruction "
         "(create.sh:78-83,100-103) as sorted array<struct<EType,Bytes,"
-        "Packets,Count>>; invariant-tested in tests/test_flow_pipeline.py.",
+        "Packets,Count>> via the production build_rollup_5m operator, on "
+        "events-derived flows. The nested column is serialized with "
+        "to_json in BOTH engines so the driver's value-hash compares the "
+        "full per-EType sub-aggregation (struct field order and list sort "
+        "are lexicographic in both). Mocker-sourced invariant "
+        "(rollup ≡ re-agg of raw) stays in tests/test_flow_pipeline.py.",
 )
 def flows_rollup_nested(spark, sf_dir):
-    from ..operators.rollup import build_rollup_5m
-    from ..sources.mocker import flows_raw, synthetic_flows
-    return build_rollup_5m(flows_raw(synthetic_flows(spark, 20_000)))
+    from ..operators.rollup import ROLLUP_KEY, build_rollup_5m
+    f = _derived_flows(spark, sf_dir).select(
+        F.to_date("TimeReceived").alias("Date"),
+        "TimeReceived", "SrcAS", "DstAS",
+        F.when(F.col("SrcPort") % 2 == 0, 2048)
+         .otherwise(34525).cast("int").alias("Etype"),
+        "Bytes",
+        (F.col("SrcPort") % 7 + 1).cast("long").alias("Packets"),
+    )
+    return (build_rollup_5m(f)
+            .withColumn("ETypeMap", F.to_json("ETypeMap"))
+            .orderBy(*ROLLUP_KEY))
 
 
 @_q(
