@@ -112,17 +112,43 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     """Exact n-gram Jaccard similarity.
 
     Without ``candidates``: all-pairs via shingle-inverted-index join
-    (|pairs sharing ≥1 shingle| — still far below n², but quadratic worst
-    case: oracle/small-SF use). With ``candidates`` (e.g. from LSH): verify
-    only those pairs — the scale path.
+    (|pairs sharing ≥1 shingle| — still far below n², but quadratic in
+    per-shingle doc frequency: oracle/small-SF use). With ``candidates``
+    (e.g. from LSH): the scale path — per-doc shingle *sets* are joined to
+    the candidate pairs only (2 hash joins on doc id, one row per pair,
+    ``array_intersect`` for the overlap), so verification work is
+    O(|candidates| · doc length) and never touches the inverted index,
+    whose hot shingles explode quadratically at corpus scale.
     """
     sh = (
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
                   .alias("shingle"))
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    jaccard = F.round(
+        F.col("n_inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4)
 
+    if candidates is not None:
+        doc_sets = sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("shs"),
+            F.count("*").alias("sz"))
+        return (
+            candidates
+            .join(doc_sets.select(F.col(id_col).alias("id_a"),
+                                  F.col("shs").alias("shs_a"),
+                                  F.col("sz").alias("sz_a")), "id_a")
+            .join(doc_sets.select(F.col(id_col).alias("id_b"),
+                                  F.col("shs").alias("shs_b"),
+                                  F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("shs_a", "shs_b")))
+            .withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -132,22 +158,16 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
-    out = (
+    return (
         inter
         .join(sizes.select(F.col(id_col).alias("id_a"),
                            F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"),
                            F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash16(text: Column) -> Column:
