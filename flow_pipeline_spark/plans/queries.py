@@ -904,6 +904,81 @@ def flows_top_src_ips(spark, sf_dir):
 
 
 @_q(
+    "flows_top_dst_ips",
+    """
+    WITH base AS (
+      SELECT ((event_id + 7919) * 2654435761) % 4294967296 AS n,
+             user_id % 2 = 0 AS is_v4,
+             CAST(floor(value * 100) AS BIGINT) AS bytes,
+             CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 1
+                  WHEN 1 THEN 100 ELSE 1000 END AS sampling
+      FROM events),
+    g AS (
+      SELECT *,
+             ((n % 256) * 256 + ((n // 256) % 256))                 AS g1,
+             (((n // 65536) % 256) * 256 + ((n // 16777216) % 256)) AS g2
+      FROM base),
+    r AS (
+      SELECT CASE WHEN is_v4 THEN
+               CAST(n % 256 AS VARCHAR) || '.' ||
+               CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 16777216) % 256 AS VARCHAR)
+             ELSE CASE WHEN g1 = 0 AND g2 = 0 THEN '::'
+                       WHEN g2 = 0 THEN format('{:x}', g1) || '::'
+                       WHEN g1 = 0 THEN '0:' || format('{:x}', g2) || '::'
+                       ELSE format('{:x}', g1) || ':' ||
+                            format('{:x}', g2) || '::'
+                  END
+             END AS dstip,
+             bytes * sampling AS sb
+      FROM g)
+    SELECT dstip, CAST(sum(sb) AS BIGINT) AS sumbytes
+    FROM r GROUP BY dstip
+    ORDER BY sumbytes DESC, dstip LIMIT 20
+    """,
+    doc="P8/P9/A5/O2 — 'Top destination IPs' (viz-ch.json:479): the DstAddr "
+        "twin of flows_top_src_ips, distinct address derivation and "
+        "EType split so the two panels exercise different v4/v6 mixes.",
+)
+def flows_top_dst_ips(spark, sf_dir):
+    from ..functions.ip import reinterpret_u32_as_bytes16
+    from .flow_queries import top_dst_ips
+    e = _events(spark, sf_dir)
+    n = ((F.col("event_id") + 7919) * F.lit(2654435761)) % F.lit(4294967296)
+    sampling = (
+        F.when(F.col("user_id") % 3 == 0, 1)
+        .when(F.col("user_id") % 3 == 1, 100)
+        .otherwise(1000)
+    )
+    flows = e.select(
+        reinterpret_u32_as_bytes16(n.cast("long")).alias("DstAddr"),
+        F.when(F.col("user_id") % 2 == 0, 0x800)
+         .otherwise(0x86DD).cast("int").alias("Etype"),
+        F.floor(F.col("value") * 100).cast("long").alias("Bytes"),
+        sampling.cast("long").alias("SamplingRate"),
+    )
+    return top_dst_ips(flows, k=20)
+
+
+@_q(
+    "flows_top_dst_ports",
+    f"""
+    SELECT CAST((SrcPort + 13) % 65536 AS INTEGER) AS port,
+           CAST(sum(Bytes * SamplingRate) AS BIGINT) AS sumbytes
+    FROM ({_DERIVED_FLOWS_SQL}) flows
+    GROUP BY port ORDER BY sumbytes DESC, port ASC LIMIT 10
+    """,
+    doc="A5/O2 — 'Top destination ports' panel (viz-ch.json:604).",
+)
+def flows_top_dst_ports(spark, sf_dir):
+    from .flow_queries import top_dst_ports
+    f = _derived_flows(spark, sf_dir).withColumn(
+        "DstPort", ((F.col("SrcPort") + 13) % 65536).cast("int"))
+    return top_dst_ports(f, k=10)
+
+
+@_q(
     "flows_rollup_nested",
     f"""
     WITH flows AS (
