@@ -55,21 +55,29 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, k: int = 3,
     """Per-doc MinHash signature over word-k-shingles.
 
     hash_j(s) = hash(j || ':' || s); the signature component is the min —
-    a valid permutation-min over the shingle set. One explode + one
-    partial-agg shuffle. ``hash_fn='md5'`` is bit-identical across engines
-    (the DuckDB-oracle form); ``'xxhash64'`` is the JVM-intrinsic fast
-    family (~3× cheaper) for production LSH where cross-engine parity is
+    a valid permutation-min over the shingle set. One explode feeding a
+    partial-aggregating groupBy: min is computed MAP-SIDE (codegen hash
+    aggregate), so the shuffle carries one row of n_hashes digests per
+    doc, never the shingles themselves. No pre-``distinct``: min over
+    duplicates equals min over the set, and deduplicating first would
+    cost a full shingle-width shuffle for nothing. (A zero-shuffle
+    array_min(transform(...)) formulation was measured slower: Spark
+    evaluates higher-order functions interpreted, outside whole-stage
+    codegen, and projection collapse re-inlines the shingle array per
+    hash column.) ``hash_fn='md5'`` is bit-identical across engines (the
+    DuckDB-oracle form; min over lowercase-hex strings is lexicographic
+    in both); ``'xxhash64'`` is the JVM-intrinsic fast family (~3×
+    cheaper) for production LSH where cross-engine parity is
     irrelevant."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
-                  .alias("shingle"))
-        .distinct()
-    )
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
+                   .alias("shingle"))
+
     def h(j):
         tagged = F.concat(F.lit(f"{j}:"), F.col("shingle"))
         if hash_fn == "md5":
             return F.md5(tagged)
         return F.xxhash64(tagged)
+
     aggs = [F.min(h(j)).alias(f"mh{j}") for j in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -120,19 +128,20 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     O(|candidates| · doc length) and never touches the inverted index,
     whose hot shingles explode quadratically at corpus scale.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
-                  .alias("shingle"))
-        .distinct()
-    )
     jaccard = F.round(
         F.col("n_inter")
         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4)
 
     if candidates is not None:
-        doc_sets = sh.groupBy(id_col).agg(
-            F.collect_set("shingle").alias("shs"),
-            F.count("*").alias("sz"))
+        # collect_set dedups in-aggregate (partially map-side), so no
+        # pre-distinct shuffle; sz comes free from the set
+        doc_sets = (
+            df.select(F.col(id_col),
+                      F.explode(shingles(F.col(text_col), k))
+                      .alias("shingle"))
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("shs"))
+            .withColumn("sz", F.size("shs")))
         return (
             candidates
             .join(doc_sets.select(F.col(id_col).alias("id_a"),
@@ -148,6 +157,11 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
             .select("id_a", "id_b", "jaccard")
         )
 
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
+                  .alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -261,6 +275,11 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                  pairs.select(F.col(id_b).alias("src"),
                               F.col(id_a).alias("dst")))
              .distinct())
+    # materialize the edge set once: it is re-read twice per round (the
+    # neighbor join + the convergence count), and without a lineage cut the
+    # whole upstream candidate pipeline (LSH banding over the corpus) would
+    # be re-executed every iteration
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster_id", F.col("id")))
     for _ in range(max_iter):

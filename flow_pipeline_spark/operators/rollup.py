@@ -126,10 +126,12 @@ def route_traffic_query(flows_raw: DataFrame, rollup: DataFrame | None,
         and set(group_cols) <= {"Date", "SrcAS", "DstAS", SUB_KEY}
     )
     if eligible:
-        src = compact_rollup(rollup)
+        # sum is associative, so partials need no compaction pass first:
+        # grouping the stored partial rows straight into the requested
+        # bucket is one shuffle instead of two, same result
         bucket = to_start_of_interval(F.col("Timeslot"), interval_s)
         return (
-            src.groupBy(bucket.alias("t"), *group_cols)
+            rollup.groupBy(bucket.alias("t"), *group_cols)
             .agg(F.sum("Bytes").alias("Bytes"),
                  F.sum("Packets").alias("Packets"),
                  F.sum("Count").alias("Count"))

@@ -119,14 +119,25 @@ def fingerprint(text: Column, n_tokens: int = 8) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (dedup primitive). Empty array for docs
-    shorter than k tokens."""
+    shorter than k tokens.
+
+    Built by zip_with-ing the token array against its own shifted slices
+    (k-1 zips), NOT by indexing ``element_at(toks, i)`` inside a
+    ``transform`` lambda: expressions referenced inside a lambda body are
+    re-evaluated per element, so the indexed form re-runs the whole
+    normalize+split chain 3× per shingle (~30× slower per row at k=3,
+    doc≈50 tokens)."""
     toks = tokens(normalize_text(text))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]))
-    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+    arr = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        # tail entries beyond n-(k-1) lose their right-hand part (concat_ws
+        # skips the null pad) but the final slice cuts them off
+        arr = F.zip_with(arr, shifted,
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k, F.slice(arr, 1, n - (k - 1))) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
