@@ -194,11 +194,106 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     )
 
 
+# --- k-means (Lloyd) — trained coarse quantizer ------------------------------
+
+def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> list[list[float]]:
+    """Spherical k-means via Lloyd iterations; returns centroid vectors
+    (unit-normalized, ordered by cell index).
+
+    Seeds are the deterministic hash-strided sample (same as
+    ``ivf_assign``'s kmeans-free quantizer), so results are reproducible.
+    Each iteration:
+      1. assign: nearest-centroid by cosine, computed MAP-SIDE — centroids
+         ship as one broadcast literal; ``max_by`` keeps the argmax without
+         materializing the ×k scored expansion through a shuffle;
+      2. update: per-dimension sums via posexplode + groupBy(cell, pos).
+         Partial aggregation reduces map-side, so the shuffle carries
+         ~|partitions|·k·dim rows regardless of corpus size; the driver
+         sees only k·dim sums per round (the classic Lloyd-on-MapReduce
+         shape), then rebuilds the next round's broadcast literal.
+    Per-round driver state is k·dim floats; lineage does not grow across
+    rounds because each round's centroids re-enter the plan as literals.
+    """
+    cent_rows = (corpus
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cv"))
+                 .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                 .limit(n_cells)
+                 .collect())
+    import math
+
+    def normalize(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    centroids = [normalize([float(x) for x in r["cv"]]) for r in cent_rows]
+
+    vecs = corpus.select(F.col(vec_col).alias("v"),
+                         _norm(F.col(vec_col)).alias("vn"))
+    for _ in range(n_iter):
+        assigned = vecs.select(
+            "v", _assign_cell(F.col("v"), F.col("vn"), centroids).alias("cell"))
+        sums = (assigned
+                .select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum(F.col("x").cast("double")).alias("s"))
+                .collect())
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+        # empty cells keep their previous centroid
+        centroids = [normalize(acc.get(i, centroids[i]))
+                     for i in range(len(centroids))]
+    return centroids
+
+
+def _assign_cell(vec: Column, vnrm: Column,
+                 centroids: list[list[float]]) -> Column:
+    """Nearest-centroid index by cosine, ties to the lowest index — one
+    map-side expression (centroids are folded literals, no join)."""
+    best_idx, best_cos = F.lit(0), _dot(vec, F.lit(centroids[0])) / vnrm
+    for i, c in enumerate(centroids[1:], start=1):
+        cos_i = _dot(vec, F.lit(c)) / vnrm
+        cond = cos_i > best_cos
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_cos = F.when(cond, cos_i).otherwise(best_cos)
+    return best_idx
+
+
+def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64) -> DataFrame:
+    """Cluster-profile query: per-cell population and mean cosine to the
+    trained centroid (the clustering-quality summary a corpus-curation
+    pipeline reports)."""
+    centroids = kmeans_fit(corpus, n_cells, n_iter, id_col=id_col,
+                           vec_col=vec_col, dim=dim)
+    v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("vn"))
+    assigned = v.select(
+        id_col, "v", "vn",
+        _assign_cell(F.col("v"), F.col("vn"), centroids).alias("cell"))
+    cos_to_cent = None
+    for i, c in enumerate(centroids):
+        cos_i = _dot(F.col("v"), F.lit(c)) / F.col("vn")
+        cos_to_cent = cos_i if cos_to_cent is None else (
+            F.when(F.col("cell") == i, cos_i).otherwise(cos_to_cent))
+    return (assigned
+            .withColumn("cos_c", cos_to_cent)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("cos_c"), 4).alias("avg_cos"))
+            .orderBy("cell"))
+
+
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
 def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None
+               ) -> tuple[DataFrame, DataFrame]:
     """Coarse-quantize the corpus into ``n_cells`` inverted lists.
 
     Centroids are a deterministic hash-strided sample of corpus vectors (the
@@ -214,11 +309,19 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
     partitioned by cell, so queries read only probed cells (partition
     pruning = the inverted-list seek).
     """
-    cent = (corpus
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-                    _norm(F.col(vec_col)).alias("cnrm"))
-            .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
-            .limit(n_cells))
+    if centroids is not None:
+        # trained quantizer (kmeans_fit): same assignment plan, the cell
+        # centroids just arrive as literals instead of sampled rows
+        cent = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            f"cid int, cv array<double>",
+        ).withColumn("cnrm", _norm(F.col("cv")))
+    else:
+        cent = (corpus
+                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                        _norm(F.col(vec_col)).alias("cnrm"))
+                .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                .limit(n_cells))
     scored = (corpus
               .select(F.col(id_col), F.col(vec_col),
                       _norm(F.col(vec_col)).alias("vnrm"))
@@ -239,7 +342,8 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
 
 def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             n_cells: int = 16, nprobe: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroids: list[list[float]] | None = None) -> DataFrame:
     """Approximate top-k via inverted lists: probe the ``nprobe`` cells whose
     centroids are nearest each query; exact cosine rerank inside them.
 
@@ -249,7 +353,7 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     |corpus|·|queries| to ~|corpus|·|queries|·nprobe/n_cells.
     """
     cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
-                                vec_col=vec_col)
+                                vec_col=vec_col, centroids=centroids)
     q = queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv"),
                        _norm(F.col(vec_col)).alias("qnrm"))
     qc = (q.crossJoin(F.broadcast(cent))

@@ -1031,6 +1031,61 @@ def flows_rollup_nested(spark, sf_dir):
 
 
 @_q(
+    "customers_no_orders",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey LIMIT 50
+    """,
+    doc="Anti join (TPC-H Q22 shape) — NOT EXISTS as left_anti: the probe "
+        "side streams through a hash join that emits only non-matching "
+        "rows, never materializing matches. Scale: orders side reduces to "
+        "distinct custkeys before the join (Catalyst pushes the distinct "
+        "into the join build); no row multiplication, one shuffle.",
+)
+def customers_no_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+@_q(
+    "nations_with_big_orders",
+    """
+    SELECT n.n_nationkey, n.n_name
+    FROM nation n
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey AND o.o_totalprice > 300000)
+    ORDER BY n.n_nationkey
+    """,
+    doc="Semi join — EXISTS as left_semi: emits each nation at most once, "
+        "no duplicate-row blowup from the many-orders side. Scale: the "
+        "filtered orders⋈customer side shrinks first (predicate pushdown), "
+        "then the 25-row nation side broadcasts.",
+)
+def nations_with_big_orders(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000)
+    big_nations = o.join(c, o.o_custkey == c.c_custkey).select("c_nationkey")
+    return (
+        n.join(big_nations, n.n_nationkey == big_nations.c_nationkey,
+               "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@_q(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,

@@ -580,6 +580,23 @@ def ann_ivf_knn(spark, sf_dir):
 
 
 @_q(
+    "kmeans_cells",
+    None,  # iterative float means drift across engines — rows-only; the
+    # Lloyd invariants (argmax assignment, objective monotonicity) are
+    # asserted in tests/test_training_ops.py.
+    doc="Distributed spherical k-means (Lloyd): assignment is map-side "
+        "against broadcast centroid literals; the update shuffles only "
+        "partially-aggregated per-(cell, dim) sums (~|partitions|·k·dim "
+        "rows), so a 100 TB corpus streams through each round without the "
+        "corpus ever shuffling. Trained centroids drop into ivf_knn as "
+        "the coarse quantizer (operators/similarity.py:kmeans_fit).",
+)
+def kmeans_cells(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return S.kmeans_cells(e, n_cells=8, n_iter=3)
+
+
+@_q(
     "approx_distinct_users",
     None,  # HLL implementations differ across engines — rows-only; the
     # ≤2% relative-error bound vs exact is asserted in tests.

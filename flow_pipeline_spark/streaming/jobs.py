@@ -170,6 +170,43 @@ def inserter_projection(flows: DataFrame) -> DataFrame:
     )
 
 
+def start_dedup_stream(flows_raw_stream: DataFrame, out_dir: str,
+                       checkpoint_dir: str, *,
+                       key_cols: list[str] | None = None,
+                       lateness: str = "10 minutes",
+                       trigger: dict | None = None) -> StreamingQuery:
+    """Streaming exact dedup — duplicate flow-export suppression.
+
+    Routers resend NetFlow/IPFIX export packets on timeout, and collector
+    restarts can replay deliveries; the reference pipeline inserts such
+    duplicates verbatim (its Kafka→ClickHouse path has no dedup stage).
+    This job drops re-deliveries keyed on
+    ``(SamplerAddress, SequenceNum)`` — the exporter's own uniqueness key —
+    using ``dropDuplicatesWithinWatermark``: state holds only keys newer
+    than the event-time watermark, so memory is bounded by (key rate ×
+    lateness), not stream age. A duplicate arriving later than ``lateness``
+    passes through (at-least-once dedup; exact within the horizon).
+
+    Scale: state is hashed across executors by key — no hot spots unless
+    one exporter dominates; RocksDB state store for large key spaces.
+    """
+    keys = key_cols or ["SamplerAddress", "SequenceNum"]
+    deduped = (
+        flows_raw_stream
+        .withWatermark("TimeReceived", lateness)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("Date")
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
 def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
                                     rollup_dir: str, checkpoint_dir: str, *,
                                     lateness: str = "1 hour",

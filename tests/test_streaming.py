@@ -296,3 +296,30 @@ def test_watermarked_rollup_drops_late(spark, tmpdir):
     got = spark.read.parquet(out_dir)
     late_cutoff = F.to_timestamp(F.lit("2020-03-22 00:00:00"))
     assert got.filter(F.col("Timeslot") < late_cutoff).count() == 0
+
+
+def test_dedup_stream_suppresses_redelivery(spark, tmpdir):
+    """start_dedup_stream drops replayed (SamplerAddress, SequenceNum)
+    pairs across micro-batches within the watermark horizon."""
+    from flow_pipeline_spark.streaming.jobs import start_dedup_stream
+
+    src = f"{tmpdir}/dedup_src"
+    out_dir, ckpt = f"{tmpdir}/dedup_out", f"{tmpdir}/dedup_ckpt"
+    base = flows_raw(synthetic_flows(spark, 4000, seed=21))
+    base.repartition(1).write.parquet(src)
+    # replay a slice of the same export packets (identical key cols)
+    replay = base.filter(F.col("SequenceNum") < 500)
+    replay.repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_dedup_stream(stream, out_dir, ckpt,
+                           trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 4000
+    dup_keys = (got.groupBy("SamplerAddress", "SequenceNum")
+                .count().filter(F.col("count") > 1).count())
+    assert dup_keys == 0

@@ -184,3 +184,48 @@ def test_dedup_by_clusters_end_to_end(planted, spark):
     all_ids = {r["doc_id"] for r in planted.select("doc_id").collect()}
     assert ids == (all_ids - clustered) | canon
 
+
+
+def test_kmeans_invariants(spark):
+    """Lloyd invariants: every vector lands on its argmax-cosine centroid,
+    and the clustering objective (mean cos to assigned centroid) does not
+    degrade with more iterations."""
+    import math
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = S.kmeans_fit(emb, n_cells=6, n_iter=3)
+    assert len(cents) == 6
+    for c in cents:  # spherical: unit-normalized centroids
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+
+    assigned = emb.select(
+        "vec_id", F.col("embedding").alias("v"),
+        S._assign_cell(F.col("embedding"), S._norm(F.col("embedding")),
+                       cents).alias("cell")).collect()
+    for r in assigned[:50]:
+        v = [float(x) for x in r["v"]]
+        nv = math.sqrt(sum(x * x for x in v))
+        cos = [sum(a * b for a, b in zip(v, c)) / nv for c in cents]
+        assert r["cell"] == cos.index(max(cos))
+
+    def objective(n_iter):
+        cs = S.kmeans_fit(emb, n_cells=6, n_iter=n_iter)
+        prof = S.kmeans_cells(emb, n_cells=6, n_iter=n_iter).collect()
+        total = sum(r["n"] * r["avg_cos"] for r in prof)
+        n = sum(r["n"] for r in prof)
+        return total / n
+
+    assert objective(3) >= objective(1) - 1e-6
+
+
+def test_ivf_with_trained_centroids_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    cents = S.kmeans_fit(emb, n_cells=8, n_iter=3)
+    approx = {(r["q"], r["n"])
+              for r in S.ivf_knn(emb, queries, k=5, n_cells=8, nprobe=4,
+                                 centroids=cents).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, f"trained-IVF recall {recall}"
