@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "enrichment_join",       # dim-chain broadcast join
     "text_quality",          # training tier: expression-only text QC
     "minhash_lsh_dedup",     # training tier: shingle→minhash→band→join
+    "corpus_curation",       # training tier: gate→dedup→split pipeline
     "knn_cosine",            # training tier: brute-force cosine top-k
     "asof_enrichment",       # point-in-time join (union + window)
 ]

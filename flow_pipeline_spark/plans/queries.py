@@ -338,19 +338,32 @@ def enrichment_join(spark, sf_dir):
     ORDER BY revenue DESC, c_custkey ASC LIMIT 10
     """,
     doc="J1/A1/O2 — fact-fact join + top-k (TPC-H Q-3/Q-10 shape). Scale: "
-        "lineitem⋈orders shuffles on orderkey; AQE handles skew; top-k is "
-        "TakeOrderedAndProject.",
+        "lineitem pre-aggregates to one revenue row per orderkey BEFORE "
+        "joining (partial-agg pushdown Catalyst won't do itself): the "
+        "orderkey shuffle then carries |orders| rows instead of |lineitem| "
+        "(~4× smaller, and the join build side shrinks the same way). "
+        "Per-custkey partials reduce again before the customer join; AQE "
+        "handles skew; top-k is TakeOrderedAndProject.",
 )
 def revenue_top_customers(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("rev"))
+    )
+    per_cust = (
+        per_order.join(o.select("o_orderkey", "o_custkey"),
+                       per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )

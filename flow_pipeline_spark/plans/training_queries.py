@@ -580,6 +580,67 @@ def ann_ivf_knn(spark, sf_dir):
 
 
 @_q(
+    "corpus_curation",
+    f"""
+    WITH corpus AS ({_EXACT_COPIES_SQL}),
+    gated AS (
+      SELECT doc_id, text, len({_TOKS}) AS n_tokens
+      FROM corpus WHERE len({_TOKS}) >= 10),
+    hashed AS (
+      SELECT doc_id, n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM gated),
+    survivors AS (
+      SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    kept AS (
+      SELECT s.doc_id, t.n_tokens FROM survivors s
+      JOIN hashed t ON t.doc_id = s.doc_id),
+    tagged AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                 1, 2) < 'd3'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM kept)
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    doc="End-to-end curation pipeline — the composition a training-data "
+        "run executes: length gate → exact dedup (content-hash survivor) → "
+        "deterministic train/val tag → per-split stats. One linear plan: "
+        "the only wide ops are the 32-byte-digest dedup shuffle and the "
+        "final 2-group aggregate; the quality gate prunes before any "
+        "shuffle, and every stage reuses the operators checked "
+        "individually (text.py tokens, dedup.py exact groups, md5 split).",
+)
+def corpus_curation(spark, sf_dir):
+    from ..operators.text import normalize_text, token_count
+    corpus = _with_exact_copies(_docs(spark, sf_dir))
+    gated = (corpus
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter(F.col("n_tokens") >= 10))
+    hashed = gated.select(
+        "doc_id", "n_tokens",
+        F.md5(normalize_text(F.col("text"))).alias("h"))
+    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = survivors.select("doc_id").join(
+        hashed.select("doc_id", "n_tokens"), "doc_id")
+    split = F.when(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 2) < "d3",
+        "train").otherwise("val")
+    return (kept
+            .select("doc_id", "n_tokens", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("split"))
+
+
+@_q(
     "kmeans_cells",
     None,  # iterative float means drift across engines — rows-only; the
     # Lloyd invariants (argmax assignment, objective monotonicity) are
