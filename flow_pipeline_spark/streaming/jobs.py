@@ -207,6 +207,45 @@ def start_dedup_stream(flows_raw_stream: DataFrame, out_dir: str,
     return writer.start()
 
 
+def start_session_stream(events_stream: DataFrame, out_dir: str,
+                         checkpoint_dir: str, *,
+                         gap: str = "30 minutes",
+                         lateness: str = "1 hour",
+                         ts_col: str = "ts", key_col: str = "user_id",
+                         trigger: dict | None = None) -> StreamingQuery:
+    """W8 — streaming sessionization via Spark-native ``session_window``.
+
+    The batch form (plans/queries.py:user_sessions — lag + cumulative sum)
+    needs the whole history per key; this is the unbounded-stream version:
+    state per key is only the OPEN session (merged start/end + running
+    aggregates), emitted once when the watermark passes ``gap`` past its
+    last event. Two events join one session iff their gap-extended windows
+    overlap (next.ts − prev.ts < gap).
+
+    Scale: one shuffle on the session key per micro-batch; state size is
+    |active keys|, independent of stream age or session length.
+    """
+    sessions = (
+        events_stream
+        .withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(key_col,
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events")
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
 def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
                                     rollup_dir: str, checkpoint_dir: str, *,
                                     lateness: str = "1 hour",

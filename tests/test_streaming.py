@@ -323,3 +323,55 @@ def test_dedup_stream_suppresses_redelivery(spark, tmpdir):
     dup_keys = (got.groupBy("SamplerAddress", "SequenceNum")
                 .count().filter(F.col("count") > 1).count())
     assert dup_keys == 0
+
+
+def test_session_stream_matches_batch(spark, tmpdir):
+    """Streaming session_window sessions ≡ batch session_window over the
+    same rows (availableNow drains everything; max event ts is far past
+    every watermark, so all sessions close and emit)."""
+    from flow_pipeline_spark.streaming.jobs import start_session_stream
+
+    src = f"{tmpdir}/sess_src"
+    out_dir, ckpt = f"{tmpdir}/sess_out", f"{tmpdir}/sess_ckpt"
+    events = (
+        spark.range(3000)
+        .select((F.col("id") % 40).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000)
+                    + (F.col("id") * 37) % 100_000).alias("ts"))
+    )
+    # a far-future row per user pushes the watermark past every session;
+    # written as a separate LATER file — the file source replays in
+    # mod-time order, so the watermark only jumps after all events
+    events.repartition(3).write.parquet(src)
+    closer = (events.groupBy("user_id")
+              .agg(F.timestamp_seconds(F.lit(1_600_500_000)).alias("ts")))
+    import time as _time
+    _time.sleep(1.1)
+    closer.repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # lateness must cover cross-file disorder (files replay in any order,
+    # and the far-future closer may arrive first) while staying small
+    # enough that the final watermark (max_ts - lateness) passes every
+    # session end: 500_000s ahead - 2 days ≫ last session end
+    q = start_session_stream(stream, out_dir, ckpt, gap="10 minutes",
+                             lateness="2 days",
+                             trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(out_dir)
+           .filter(F.col("session_start") < F.to_timestamp(
+               F.lit("2020-09-19 00:00:00"))))
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .filter(F.col("session_start") < F.to_timestamp(
+            F.lit("2020-09-19 00:00:00")))
+    )
+    assert got.count() > 0
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
