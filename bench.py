@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",     # training tier: shingle→minhash→band→join
     "corpus_curation",       # training tier: gate→dedup→split pipeline
     "knn_cosine",            # training tier: brute-force cosine top-k
+    "ann_brute_vectorized",  # same search, Arrow+numpy GEMM path
     "asof_enrichment",       # point-in-time join (union + window)
 ]
 

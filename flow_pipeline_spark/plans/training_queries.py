@@ -491,6 +491,22 @@ def ann_lsh_knn(spark, sf_dir):
 
 
 @_q(
+    "ann_brute_vectorized",
+    None,  # result set is pytest-asserted equal to knn_cosine (which IS
+    # oracled); kept rows-only because the numpy fold order makes 4dp
+    # rounding theoretically engine-sensitive at exact boundaries.
+    doc="Throughput form of exact kNN: Arrow batches → one numpy GEMM per "
+        "batch inside mapInPandas, local top-k per batch, exact global "
+        "merge of |partitions|·|Q|·k rows. The corpus never shuffles "
+        "(operators/similarity.py:brute_knn_vectorized).",
+)
+def ann_brute_vectorized(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (S.brute_knn_vectorized(e, e.filter(F.col("vec_id") < 10), k=5)
+            .orderBy("q", "rank"))
+
+
+@_q(
     "train_val_split",
     """
     WITH tagged AS (

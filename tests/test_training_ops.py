@@ -229,3 +229,15 @@ def test_ivf_with_trained_centroids_recall(spark):
                                  centroids=cents).collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.6, f"trained-IVF recall {recall}"
+
+
+def test_brute_knn_vectorized_matches_hof(spark):
+    """The numpy GEMM path returns the same neighbors (and 4dp cosines)
+    as the expression-based brute_knn."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 15)
+    a = {(r["q"], r["n"], r["cos"])
+         for r in S.brute_knn(emb, queries, k=5).collect()}
+    b = {(r["q"], r["n"], r["cos"])
+         for r in S.brute_knn_vectorized(emb, queries, k=5).collect()}
+    assert a == b
