@@ -308,17 +308,33 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
     return centroids
 
 
+def _argmax_cell(vec: Column, vnrm: Column,
+                 cells: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id by cosine over UNIT-normalized centroid vectors,
+    ties to the smallest id — one map-side expression, no join, no shuffle.
+
+    Plan-size discipline learned by measurement: (a) a chained
+    when/otherwise argmax embeds the running best twice per step — 2^k
+    expression blowup; (b) k separate per-centroid literal dot chains stay
+    linear but bloat the plan to k·dim inline literals, costing ~30 s of
+    whole-stage-codegen compile on the first run. This form ships ONE 2-D
+    array literal and one zip_with/array_max tree: plan size O(1) in k·dim
+    (the literal is data, not code), ties resolved by struct comparison on
+    (cos, -id)."""
+    cvs = F.lit([cv for _, cv in cells])
+    negids = F.lit([float(-cid) for cid, _ in cells])
+    pairs = F.zip_with(
+        cvs, negids,
+        lambda cv, nc: F.struct((_dot(vec, cv) / vnrm).alias("cos"),
+                                nc.alias("negid")))
+    return (-F.array_max(pairs)["negid"]).cast("long")
+
+
 def _assign_cell(vec: Column, vnrm: Column,
                  centroids: list[list[float]]) -> Column:
-    """Nearest-centroid index by cosine, ties to the lowest index — one
-    map-side expression (centroids are folded literals, no join)."""
-    best_idx, best_cos = F.lit(0), _dot(vec, F.lit(centroids[0])) / vnrm
-    for i, c in enumerate(centroids[1:], start=1):
-        cos_i = _dot(vec, F.lit(c)) / vnrm
-        cond = cos_i > best_cos
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_cos = F.when(cond, cos_i).otherwise(best_cos)
-    return best_idx
+    """Nearest-centroid index (0-based) for unit centroids — see
+    :func:`_argmax_cell`."""
+    return _argmax_cell(vec, vnrm, list(enumerate(centroids))).cast("int")
 
 
 def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
@@ -360,42 +376,48 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
     the identical assignment plan). Returns (centroids, assigned) where
     assigned carries a ``cell`` column.
 
-    Scale: centroid set is tiny and broadcast; each row scores n_cells dot
-    products map-side, then ``max_by`` picks its cell with map-side partial
-    aggregation — the shuffle carries ONE combined row per vector, never
-    the ×n_cells scored expansion (a row_number window here would shuffle
-    and sort n_cells× the corpus). The assigned table is what you persist,
-    partitioned by cell, so queries read only probed cells (partition
-    pruning = the inverted-list seek).
+    Scale: the centroid set is k tiny rows, collected once and folded into
+    the plan as literals; each corpus row then scores n_cells dot products
+    and picks its argmax entirely MAP-SIDE — the corpus never shuffles at
+    all (the earlier crossJoin + max_by design still shuffled one combined
+    row per vector). The assigned table is what you persist, partitioned
+    by cell, so queries read only probed cells (partition pruning = the
+    inverted-list seek).
     """
+    import math
+
     if centroids is not None:
-        # trained quantizer (kmeans_fit): same assignment plan, the cell
-        # centroids just arrive as literals instead of sampled rows
-        cent = corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            f"cid int, cv array<double>",
-        ).withColumn("cnrm", _norm(F.col("cv")))
+        # trained quantizer (kmeans_fit): cells are the list indices
+        py_cents = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     else:
-        cent = (corpus
-                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-                        _norm(F.col(vec_col)).alias("cnrm"))
+        # the sample is k tiny rows — collecting it costs one job and lets
+        # the assignment below run as a map-side argmax over literals
+        # instead of a crossJoin + full-corpus max_by shuffle
+        rows = (corpus
+                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
                 .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
-                .limit(n_cells))
-    scored = (corpus
-              .select(F.col(id_col), F.col(vec_col),
-                      _norm(F.col(vec_col)).alias("vnrm"))
-              .crossJoin(F.broadcast(cent))
-              .select(F.col(id_col), F.col(vec_col), F.col("vnrm"),
-                      F.col("cid"),
-                      _cos_pre(F.col(vec_col), F.col("cv"),
-                               F.col("vnrm"), F.col("cnrm")).alias("c_cos")))
-    # max cosine, ties to the smallest cid: max_by on (c_cos, -cid);
-    # vnrm is a pure function of the vector, so keeping it in the group key
-    # adds no groups and rides along for rerank reuse
-    assigned = (
-        scored.groupBy(id_col, vec_col, "vnrm")
-        .agg(F.max_by("cid", F.struct(F.col("c_cos"), -F.col("cid")))
-             .alias("cell")))
+                .limit(n_cells)
+                .collect())
+        # ascending cid order so strict-> argmax ties resolve to the
+        # smallest cid (the previous max_by(c_cos, -cid) tie rule)
+        py_cents = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                          for r in rows)
+
+    cent = corpus.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in py_cents], "cid long, cv array<double>",
+    ).withColumn("cnrm", _norm(F.col("cv")))
+
+    def _unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    unit_cells = [(cid, _unit(cv)) for cid, cv in py_cents]
+    assigned = (corpus
+                .select(F.col(id_col), F.col(vec_col),
+                        _norm(F.col(vec_col)).alias("_vnrm"))
+                .withColumn("cell", _argmax_cell(F.col(vec_col),
+                                                 F.col("_vnrm"), unit_cells))
+                .withColumnRenamed("_vnrm", "vnrm"))
     return cent, assigned
 
 
