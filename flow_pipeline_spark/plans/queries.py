@@ -1099,6 +1099,45 @@ def nations_with_big_orders(spark, sf_dir):
 
 
 @_q(
+    "flows_routed_traffic",
+    f"""
+    WITH flows AS (
+      SELECT TimeReceived, SrcAS, Bytes,
+             CAST(SrcPort % 7 + 1 AS BIGINT) AS Packets
+      FROM ({_DERIVED_FLOWS_SQL}) f)
+    SELECT make_timestamp(((CAST(floor(epoch(TimeReceived)) AS BIGINT)
+                            // 600) * 600) * 1000000) AS t,
+           SrcAS,
+           CAST(sum(Bytes) AS BIGINT)   AS Bytes,
+           CAST(sum(Packets) AS BIGINT) AS Packets,
+           count(*)                     AS Count
+    FROM flows GROUP BY t, SrcAS ORDER BY t, SrcAS
+    """,
+    doc="§4 pre-aggregation routing, oracled end-to-end: the Spark side "
+        "builds the stored flows_5m rollup (partial sums) from derived "
+        "flows and answers a 10-minute/SrcAS traffic query FROM THE "
+        "ROLLUP via route_traffic_query; DuckDB aggregates the raw rows "
+        "directly. Hash-equality proves the SummingMergeTree-style "
+        "rollup tier is lossless for every eligible dashboard query — "
+        "the property that lets 100 TB dashboards run at ~1e-4 of raw "
+        "cost (integer sums, so bit-exact).",
+)
+def flows_routed_traffic(spark, sf_dir):
+    from ..operators.rollup import route_traffic_query, rollup_flat
+    f = _derived_flows(spark, sf_dir).select(
+        F.to_date("TimeReceived").alias("Date"),
+        "TimeReceived", "SrcAS", "DstAS",
+        F.when(F.col("SrcPort") % 2 == 0, 2048)
+         .otherwise(34525).cast("int").alias("Etype"),
+        "Bytes",
+        (F.col("SrcPort") % 7 + 1).cast("long").alias("Packets"),
+    )
+    rollup = rollup_flat(f)
+    return (route_traffic_query(f, rollup, ["SrcAS"], interval_s=600)
+            .orderBy("t", "SrcAS"))
+
+
+@_q(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
