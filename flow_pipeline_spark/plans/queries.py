@@ -1138,6 +1138,36 @@ def flows_routed_traffic(spark, sf_dir):
 
 
 @_q(
+    "part_type_revenue",
+    """
+    SELECT p.p_type,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    ORDER BY revenue DESC, p_type ASC LIMIT 15
+    """,
+    doc="J1/A1/O2 — fact⋈product-dimension revenue rollup (TPC-H Q-14 "
+        "family). Scale: part is a classic broadcast dimension "
+        "(|part| ≪ |lineitem|); with it broadcast the lineitem side never "
+        "shuffles before aggregation — partials reduce map-side and the "
+        "exchange carries one row per p_type.",
+)
+def part_type_revenue(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("p_type"))
+        .limit(15)
+    )
+
+
+@_q(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,

@@ -124,3 +124,24 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     p = _executed_plan(QUERIES["knn_cosine"].spark(spark, SF_DIR))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_analyst_sql_surface(spark):
+    """SURVEY §3.3 — the interactive surface: register the warehouse as
+    views and answer a dashboard query via spark.sql, identical to the
+    DataFrame builder's result."""
+    from flow_pipeline_spark.plans import QUERIES
+    from flow_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    sql_out = spark.sql("""
+        SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n
+        FROM events GROUP BY user_id
+        ORDER BY sum_value DESC, user_id ASC LIMIT 10
+    """)
+    df_out = QUERIES["top_talkers"].spark(spark, SF_DIR)
+    assert [r.asDict() for r in sql_out.collect()] == \
+           [r.asDict() for r in df_out.collect()]
+    # DESCRIBE works over the registered views (D2)
+    cols = {r["col_name"] for r in spark.sql("DESCRIBE events").collect()}
+    assert {"ts", "user_id", "value"} <= cols
