@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 from flow_pipeline_spark.sources.protobuf import (
     FLOW_FIELDS,
     decode_flow_batch,
+    decode_flow_batch_vectorized,
     decode_flow_message,
     encode_flow_batch,
     encode_flow_message,
@@ -72,6 +73,13 @@ def test_wire_roundtrip_batch(recs):
         assert out[n].tolist() == [r[n] for r in recs], n
     for n in _BYTES_FIELDS:
         assert [bytes(b) for b in out[n]] == [r[n] for r in recs], n
+    # the lockstep-vectorized decoder (the Arrow-UDF hot path) must agree
+    # bit-for-bit with the scalar reference on every generated batch
+    vec = decode_flow_batch_vectorized(msgs, fixed_length=True)
+    for n in _VARINT_FIELDS:
+        assert vec[n].tolist() == out[n].tolist(), n
+    for n in _BYTES_FIELDS:
+        assert [bytes(b) for b in vec[n]] == [bytes(b) for b in out[n]], n
 
 
 @given(st.binary(min_size=16, max_size=16))
@@ -106,3 +114,28 @@ def test_ipv4_num_string_roundtrip_sweep(spark):
     for r in rows:
         assert r["back"] == r["n"], r
         assert r["s"] == str(ipaddress.IPv4Address(r["n"])), r
+
+
+def test_vectorized_decoder_falls_back_on_exotic_wire_types():
+    """Messages with wire types the lockstep path doesn't vectorize
+    (fixed32/fixed64) are routed to the scalar decoder — results match."""
+    # field 9 (Bytes) as fixed64 (wire 1), field 21 (SrcPort) as fixed32
+    # (wire 5), plus a normal varint field
+    # tags are varints: field 21 wire 5 → tag 173 → b"\xad\x01";
+    # field 14 wire 0 → tag 112 (1 byte); field 9 wire 1 → tag 73 (1 byte)
+    exotic = (bytes([(9 << 3) | 1]) + (1234567).to_bytes(8, "little")
+              + b"\xad\x01" + (443).to_bytes(4, "little")
+              + bytes([(14 << 3) | 0, 0x88, 0xFC, 0x03]))  # SrcAS = 65032
+    normal = encode_flow_message({"Bytes": 10, "SrcAS": 65001,
+                                  "SrcAddr": bytes(range(16))})
+    msgs = [exotic, normal, exotic]
+    a = decode_flow_batch(msgs)
+    b = decode_flow_batch_vectorized(msgs)
+    for c in a.columns:
+        if a[c].dtype == object:
+            assert [bytes(x) for x in a[c]] == [bytes(x) for x in b[c]], c
+        else:
+            assert a[c].tolist() == b[c].tolist(), c
+    assert b["Bytes"].tolist() == [1234567, 10, 1234567]
+    assert b["SrcPort"].tolist() == [443, 0, 443]
+    assert b["SrcAS"].tolist() == [65032, 65001, 65032]
