@@ -320,6 +320,130 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
     return pd.DataFrame(data)
 
 
+def encode_flow_batch_vectorized(pdf: pd.DataFrame, *,
+                                 fixed_length: bool = False) -> list:
+    """Column-vectorized wire encode: the numpy twin of
+    :func:`decode_flow_batch_vectorized`.
+
+    Per field: presence mask, varint byte matrix ((v >> 7k) & 0x7f with
+    continuation bits), and per-row field width — all vectorized; one
+    running per-row offset threads the fields together, and each field
+    writes its tag/varint/payload bytes with ≤ a dozen masked scatters.
+    The only O(rows) Python work is the final buffer→list-of-bytes split
+    (and a b"".join over payload columns). Batches outside the common
+    shape (negative values, payloads ≥ 128 bytes) fall back to the scalar
+    encoder; equivalence is property-tested."""
+    import numpy as np
+
+    n = len(pdf)
+    if n == 0:
+        return []
+    cols = {}
+    for num, (name, kind) in _SORTED_FIELDS:
+        if name not in pdf.columns:
+            continue
+        if kind == "varint":
+            v = pdf[name].to_numpy()
+            v = np.where(pd.isna(v), 0, v).astype(np.int64)
+            if (v < 0).any():
+                return encode_flow_batch(pdf, fixed_length=fixed_length)
+            cols[num] = ("varint", v)
+        else:
+            payloads = [b"" if p is None else bytes(p) for p in pdf[name]]
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
+            if (lens >= 128).any():
+                return encode_flow_batch(pdf, fixed_length=fixed_length)
+            cols[num] = ("bytes", (payloads, lens))
+
+    def tag_bytes(num: int, wire: int) -> bytes:
+        out = bytearray()
+        _write_varint(out, (num << 3) | wire)
+        return bytes(out)
+
+    # pass 1: per-field widths and varint byte matrices
+    plans = []   # (tag, present, width, payload-spec)
+    widths = np.zeros(n, dtype=np.int64)
+    for num in sorted(cols):
+        kind, data = cols[num]
+        if kind == "varint":
+            v = data
+            present = v != 0
+            nb = np.ones(n, dtype=np.int64)
+            for k in range(1, 10):
+                nb[v >= (1 << (7 * k))] = k + 1
+            bm = np.zeros((n, 10), dtype=np.uint8)
+            for k in range(10):
+                chunk = (v >> (7 * k)) & 0x7F
+                bm[:, k] = np.where(k + 1 < nb, chunk | 0x80, chunk)
+            tb = tag_bytes(num, 0)
+            w = present * (len(tb) + nb)
+            plans.append((tb, present, ("varint", nb, bm)))
+        else:
+            payloads, lens = data
+            present = lens > 0
+            tb = tag_bytes(num, 2)
+            w = present * (len(tb) + 1 + lens)
+            plans.append((tb, present, ("bytes", payloads, lens)))
+        widths += w
+
+    if fixed_length:
+        plen = np.ones(n, dtype=np.int64)
+        for k in range(1, 10):
+            plen[widths >= (1 << (7 * k))] = k + 1
+        total_w = widths + plen
+    else:
+        total_w = widths
+
+    row_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(total_w[:-1], out=row_start[1:])
+    out = np.zeros(int(total_w.sum()), dtype=np.uint8)
+
+    off = row_start.copy()
+    if fixed_length:
+        for k in range(10):
+            m = plen > k
+            chunk = (widths >> (7 * k)) & 0x7F
+            out[(off + k)[m]] = np.where(k + 1 < plen, chunk | 0x80,
+                                         chunk)[m]
+        off = off + plen
+
+    for tb, present, spec in plans:
+        pos = off[present]
+        for i, b in enumerate(tb):
+            out[pos + i] = b
+        if spec[0] == "varint":
+            _, nb, bm = spec
+            nb_p = nb[present]
+            bm_p = bm[present]          # hoisted: masked copy once, not per k
+            vpos = pos + len(tb)
+            kmax = int(nb_p.max()) if nb_p.size else 0
+            for k in range(kmax):
+                m = nb_p > k
+                out[(vpos + k)[m]] = bm_p[m, k]
+            off = off + present * (len(tb) + nb)
+        else:
+            _, payloads, lens = spec
+            lens_p = lens[present]
+            out[pos + len(tb)] = lens_p          # length byte (< 128)
+            joined = b"".join(payloads)
+            pstart = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=pstart[1:])
+            maxlen = int(lens.max()) if n else 0
+            if maxlen:
+                pbuf = np.frombuffer(joined + b"\x00" * maxlen,
+                                     dtype=np.uint8)
+                ppos = pos + len(tb) + 1
+                pst = pstart[present]
+                for k in range(maxlen):
+                    m = lens_p > k
+                    out[(ppos + k)[m]] = pbuf[(pst + k)[m]]
+            off = off + present * (len(tb) + 1 + lens)
+
+    raw = out.tobytes()
+    ends = row_start + total_w
+    return [raw[s:e] for s, e in zip(row_start.tolist(), ends.tolist())]
+
+
 def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
                                  ) -> pd.DataFrame:
     """Lockstep-vectorized wire decode: ~10× :func:`decode_flow_batch`.
@@ -481,8 +605,9 @@ def to_flow_protobuf(df: DataFrame, *, fixed_length: bool = False) -> DataFrame:
     @pandas_udf(T.BinaryType())
     def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
         for pdf in it:
-            yield pd.Series(encode_flow_batch(pdf, fixed_length=fixed_length),
-                            dtype=object)
+            yield pd.Series(
+                encode_flow_batch_vectorized(pdf, fixed_length=fixed_length),
+                dtype=object)
 
     return df.select(enc(F.struct(*cols)).alias("value"))
 

@@ -19,6 +19,7 @@ from flow_pipeline_spark.sources.protobuf import (
     decode_flow_batch,
     decode_flow_batch_vectorized,
     decode_flow_message,
+    encode_flow_batch_vectorized,
     encode_flow_batch,
     encode_flow_message,
     frame_length_delimited,
@@ -64,6 +65,9 @@ def test_wire_roundtrip_batch(recs):
     the input, framing included — what the Arrow UDFs execute."""
     pdf = pd.DataFrame(recs)
     msgs = encode_flow_batch(pdf, fixed_length=True)
+    # the column-vectorized encoder (the Arrow-UDF hot path) is identical
+    assert encode_flow_batch_vectorized(pdf, fixed_length=True) == msgs
+    assert encode_flow_batch_vectorized(pdf) == encode_flow_batch(pdf)
     # batch encode ≡ row encode + framing
     for msg, rec in zip(msgs, recs):
         assert msg == frame_length_delimited(encode_flow_message(rec))
