@@ -27,6 +27,9 @@ NOTES = {
   "user_sessions": "one user_id exchange reused by lag window, cumulative sum, and final group-by",
   "corpus_curation": "only wide ops: 32-byte-digest dedup shuffle + 2-group aggregate",
   "tpch_q1": "ship-date filter pushed to scan; 8 aggregates in one partial+final pass",
+  "part_type_revenue": "part dimension broadcast; lineitem never shuffles before aggregation",
+  "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
+  "flows_routed_traffic": "dashboard aggregate answered from the stored rollup, not raw",
 }
 
 
