@@ -263,17 +263,15 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
 
     Seeds are the deterministic hash-strided sample (same as
     ``ivf_assign``'s kmeans-free quantizer), so results are reproducible.
-    Each iteration:
-      1. assign: nearest-centroid by cosine, computed MAP-SIDE — centroids
-         ship as one broadcast literal; ``max_by`` keeps the argmax without
-         materializing the ×k scored expansion through a shuffle;
-      2. update: per-dimension sums via posexplode + groupBy(cell, pos).
-         Partial aggregation reduces map-side, so the shuffle carries
-         ~|partitions|·k·dim rows regardless of corpus size; the driver
-         sees only k·dim sums per round (the classic Lloyd-on-MapReduce
-         shape), then rebuilds the next round's broadcast literal.
-    Per-round driver state is k·dim floats; lineage does not grow across
-    rounds because each round's centroids re-enter the plan as literals.
+    Each iteration is ONE ``mapInPandas`` pass: per Arrow batch, a numpy
+    GEMM against the (k × dim) centroid matrix assigns cells (cosine
+    argmax, ties to the lowest index) and accumulates per-cell vector sums
+    + counts, so each batch emits only k·dim partial rows — the corpus
+    never shuffles, and the groupBy that follows merges
+    ~|batches|·k·dim tiny rows (the classic Lloyd-on-MapReduce shape).
+    The driver sees k·dim sums per round and rebuilds the next round's
+    centroid matrix; lineage does not grow across rounds because
+    centroids re-enter the plan as plain data.
     """
     cent_rows = (corpus
                  .select(F.col(id_col).alias("cid"),
@@ -289,22 +287,53 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
 
     centroids = [normalize([float(x) for x in r["cv"]]) for r in cent_rows]
 
-    vecs = corpus.select(F.col(vec_col).alias("v"),
-                         _norm(F.col(vec_col)).alias("vn"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k = len(centroids)
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    part_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ])
     for _ in range(n_iter):
-        assigned = vecs.select(
-            "v", _assign_cell(F.col("v"), F.col("vn"), centroids).alias("cell"))
-        sums = (assigned
-                .select("cell", F.posexplode("v").alias("pos", "x"))
+        C = np.array(centroids, dtype="float64")     # (k, d), unit rows
+
+        def partials(batches, C=C):
+            # one GEMM per Arrow batch: assign by cosine argmax (ties →
+            # lowest index, matching _argmax_cell), accumulate per-cell
+            # vector sums + counts; each batch emits only k·d partial rows
+            for pdf in batches:
+                X = np.array(list(pdf["v"]), dtype="float64")
+                nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                 1e-300)
+                cell = np.argmax((X / nrm) @ C.T, axis=1)
+                sums = np.zeros((C.shape[0], X.shape[1]))
+                np.add.at(sums, cell, X)
+                cnt = np.bincount(cell, minlength=C.shape[0])
+                kk, d = sums.shape
+                yield pd.DataFrame({
+                    "cell": np.repeat(np.arange(kk, dtype="int32"), d),
+                    "pos": np.tile(np.arange(d, dtype="int32"), kk),
+                    "s": sums.ravel(),
+                    "cnt": np.repeat(cnt.astype("int64"), d),
+                })
+
+        rows = (vecs.mapInPandas(partials, part_schema)
                 .groupBy("cell", "pos")
-                .agg(F.sum(F.col("x").cast("double")).alias("s"))
+                .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
                 .collect())
-        acc: dict[int, list[float]] = {}
-        for r in sums:
-            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+        acc = {i: [0.0] * dim for i in range(k)}
+        counts = [0] * k
+        for r in rows:
+            acc[r["cell"]][r["pos"]] = r["s"]
+            counts[r["cell"]] = r["cnt"]
         # empty cells keep their previous centroid
-        centroids = [normalize(acc.get(i, centroids[i]))
-                     for i in range(len(centroids))]
+        centroids = [normalize(acc[i]) if counts[i] else centroids[i]
+                     for i in range(k)]
     return centroids
 
 
@@ -321,13 +350,20 @@ def _argmax_cell(vec: Column, vnrm: Column,
     array literal and one zip_with/array_max tree: plan size O(1) in k·dim
     (the literal is data, not code), ties resolved by struct comparison on
     (cos, -id)."""
+    return (-_argmax_struct(vec, vnrm, cells)["negid"]).cast("long")
+
+
+def _argmax_struct(vec: Column, vnrm: Column,
+                   cells: list[tuple[int, list[float]]]) -> Column:
+    """struct<cos, negid> of the best (max-cosine) cell — callers read
+    ``cos`` (similarity to the assigned centroid) and/or ``-negid``."""
     cvs = F.lit([cv for _, cv in cells])
     negids = F.lit([float(-cid) for cid, _ in cells])
     pairs = F.zip_with(
         cvs, negids,
         lambda cv, nc: F.struct((_dot(vec, cv) / vnrm).alias("cos"),
                                 nc.alias("negid")))
-    return (-F.array_max(pairs)["negid"]).cast("long")
+    return F.array_max(pairs)
 
 
 def _assign_cell(vec: Column, vnrm: Column,
@@ -347,16 +383,14 @@ def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
                            vec_col=vec_col, dim=dim)
     v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
                       _norm(F.col(vec_col)).alias("vn"))
-    assigned = v.select(
-        id_col, "v", "vn",
-        _assign_cell(F.col("v"), F.col("vn"), centroids).alias("cell"))
-    cos_to_cent = None
-    for i, c in enumerate(centroids):
-        cos_i = _dot(F.col("v"), F.lit(c)) / F.col("vn")
-        cos_to_cent = cos_i if cos_to_cent is None else (
-            F.when(F.col("cell") == i, cos_i).otherwise(cos_to_cent))
+    # cos-to-assigned-centroid IS the argmax cosine: one struct serves both
+    best = _argmax_struct(F.col("v"), F.col("vn"),
+                          list(enumerate(centroids)))
+    assigned = v.withColumn("b", best).select(
+        id_col,
+        (-F.col("b.negid")).cast("int").alias("cell"),
+        F.col("b.cos").alias("cos_c"))
     return (assigned
-            .withColumn("cos_c", cos_to_cent)
             .groupBy("cell")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("cos_c"), 4).alias("avg_cos"))
