@@ -125,12 +125,26 @@ def _multi_table_sig(vec: Column, n_planes: int, dim: int,
                      n_tables: int) -> Column:
     """array of (table, signature) structs — the standard L-table OR
     construction: a pair is a candidate if ANY table's buckets collide,
-    trading one extra explode for exponentially better recall."""
-    return F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 hyperplane_signature(vec, n_planes, dim, table=t)
-                 .alias("sig"))
-        for t in range(n_tables)])
+    trading one extra explode for exponentially better recall.
+
+    All tables' planes ship as ONE 3-D literal (tables × planes × dim) and
+    the signatures come from nested transform/zip_with — same values as
+    building n_tables·n_planes separate literal dot chains, at a fraction
+    of the plan size (literals are data, not code)."""
+    planes3d = F.lit([[_plane(t, p, dim) for p in range(n_planes)]
+                      for t in range(n_tables)])
+    powers = F.lit([1 << p for p in range(n_planes)])
+    sig_arr = F.transform(
+        planes3d,
+        lambda planes: F.aggregate(
+            F.zip_with(planes, powers,
+                       lambda pl, pw: F.when(_dot(vec, pl) > 0, pw)
+                       .otherwise(F.lit(0))),
+            F.lit(0), lambda a, x: a + x))
+    return F.zip_with(
+        sig_arr, F.lit(list(range(n_tables))),
+        lambda s, t: F.struct(t.cast("int").alias("tbl"),
+                              s.cast("int").alias("sig")))
 
 
 def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
