@@ -307,21 +307,26 @@ def ipv4_render(spark, sf_dir):
     """,
     doc="J1 — the described-but-unshipped enrichment join (README.md:44-51; "
         "SrcCountry/DstCountry columns pb.go:140-143): fact joined to dim "
-        "chain. Scale: nation/region broadcast (no shuffle); orders⋈customer "
-        "shuffles on custkey once.",
+        "chain. Scale: orders pre-aggregates to one (sum, count) row per "
+        "custkey BEFORE the join, so the custkey shuffle carries "
+        "|customers| rows instead of |orders|; nation/region broadcast "
+        "(no shuffle).",
 )
 def enrichment_join(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum("o_totalprice").alias("rev"),
+                     F.count("*").alias("cnt")))
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-             F.count("*").alias("n_orders"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"),
+             F.sum("cnt").alias("n_orders"))
         .orderBy("region", "nation")
     )
 
