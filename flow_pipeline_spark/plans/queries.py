@@ -1143,6 +1143,102 @@ def flows_routed_traffic(spark, sf_dir):
 
 
 @_q(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Scalar (ungrouped) aggregation — TPC-H Q6: every predicate pushes "
+        "to the parquet scan, partials combine map-side, and the 'shuffle' "
+        "is one row per task to a single reducer. The cheapest query shape "
+        "there is at any scale.",
+)
+def tpch_q6(spark, sf_dir):
+    l = _li(spark, sf_dir)
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "priority_linecount",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Conditional aggregation — TPC-H Q12 shape on this warehouse's "
+        "columns: sum(CASE WHEN ...) pivots a predicate into two counters "
+        "in ONE pass (the dashboard idiom for v4-vs-v6 or high-vs-low "
+        "traffic splits without two scans). Ship-date filter prunes "
+        "lineitem before the orderkey join.",
+)
+def priority_linecount(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    l = (_li(spark, sf_dir)
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+         .select("l_orderkey", "l_returnflag"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "range_window_sum",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+             round(value, 4) AS value
+      FROM events WHERE user_id < 10)
+    SELECT user_id, t, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS sum_5m
+    FROM ev ORDER BY user_id, t, event_id
+    """,
+    doc="RANGE-framed window — per event, total traffic from the SAME key "
+        "in the trailing 5 minutes (event-time frame, unlike the "
+        "row-count frames of sliding_rate_5m): burst detection over "
+        "irregular event spacing. One shuffle on user_id; frame state is "
+        "the 300-second look-back, independent of row density.",
+)
+def range_window_sum(spark, sf_dir):
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("user_id") < 10)
+          .select("user_id", F.unix_timestamp("ts").alias("t"), "event_id",
+                  F.round("value", 4).alias("value")))
+    w = (W.partitionBy("user_id").orderBy("t").rangeBetween(-300, 0))
+    return (ev.withColumn("sum_5m", F.round(F.sum("value").over(w), 4))
+            .select("user_id", "t", "event_id", "sum_5m")
+            .orderBy("user_id", "t", "event_id"))
+
+
+@_q(
     "part_type_revenue",
     """
     SELECT p.p_type,
