@@ -1143,6 +1143,32 @@ def flows_routed_traffic(spark, sf_dir):
 
 
 @_q(
+    "event_type_pivot",
+    """
+    SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 4)    AS click,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 4)     AS view
+    FROM events GROUP BY cohort ORDER BY cohort
+    """,
+    doc="Pivot — groupBy().pivot(values).sum(): long→wide reshape in one "
+        "pass (per-protocol / per-EType traffic columns). Pinning the "
+        "pivot values keeps it a single-pass plan; unpinned, Spark first "
+        "runs a distinct scan to discover columns. Same shuffle shape as "
+        "any multi-aggregate group-by.",
+)
+def event_type_pivot(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 8).cast("long"))
+    return (
+        e.groupBy("cohort")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("cohort")
+    )
+
+
+@_q(
     "tpch_q6",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
