@@ -1143,6 +1143,54 @@ def flows_routed_traffic(spark, sf_dir):
 
 
 @_q(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY nation ORDER BY revenue DESC, nation ASC
+    """,
+    doc="J1 (deepest topology) — TPC-H Q5 shape: 6-table join with the "
+        "customer-and-supplier-same-nation condition. Scale: region filter "
+        "prunes nation (broadcast) which prunes supplier (broadcast, "
+        "~|suppliers|/|nations| rows); lineitem⋈orders⋈customer shuffle "
+        "on orderkey/custkey; the co-nation equality rides the supplier "
+        "broadcast join as a residual condition — no extra shuffle.",
+)
+def local_supplier_volume(spark, sf_dir):
+    l = _li(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dim),
+              (l.l_suppkey == dim.s_suppkey)
+              & (c.c_nationkey == dim.s_nationkey))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@_q(
     "event_type_pivot",
     """
     SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
