@@ -30,6 +30,7 @@ NOTES = {
   "part_type_revenue": "part dimension broadcast; lineitem never shuffles before aggregation",
   "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
   "flows_routed_traffic": "dashboard aggregate answered from the stored rollup, not raw",
+  "local_supplier_volume": "6-table Q5 topology: broadcast supplier dim chain, co-nation residual, one orderkey/custkey shuffle spine",
 }
 
 
