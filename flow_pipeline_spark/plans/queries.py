@@ -1143,6 +1143,42 @@ def flows_routed_traffic(spark, sf_dir):
 
 
 @_q(
+    "late_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape — EXISTS as a left_semi join feeding an aggregate: "
+        "orders with at least one line shipped >60 days after order date, "
+        "counted by priority. The correlated predicate becomes a join "
+        "condition (l_shipdate > o_orderdate + 60d) on the semi join; the "
+        "date window prunes orders at the scan; no row multiplication "
+        "from multi-line orders.",
+)
+def late_order_priority(spark, sf_dir):
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                 & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))))
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    cond = ((o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.date_add(o.o_orderdate, 60)))
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,
