@@ -39,11 +39,23 @@ BENCH_QUERIES = [
     "knn_cosine",            # training tier: brute-force cosine top-k
     "ann_brute_vectorized",  # same search, Arrow+numpy GEMM path
     "asof_enrichment",       # point-in-time join (union + window)
+    # round-2 scale-path re-registrations (VERDICT r01 'weak' items):
+    "embedding_near_dup",    # SRP-bucketed near-dup (was all-pairs crossJoin)
+    "ngram_jaccard_dups",    # LSH-candidates verify (was inverted-index)
+    "flows_top_src_ips",     # render-after-aggregate IP panel (UDF off scan)
 ]
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _median(run, runs: int = 3) -> float:
+    """Median of `runs` post-warmup measurements — the steady-state figure
+    (max-of-N is a peak and overstates it; median resists one-off GC or
+    scheduler hiccups in either direction)."""
+    import statistics
+    return statistics.median(run() for _ in range(runs))
 
 
 def _steady(build, runs: int = 2) -> float:
@@ -86,9 +98,10 @@ def _ingest_throughput(spark) -> dict[str, float]:
 
         # steady-state like the headline loop (the reference's published
         # rates are steady-state production figures): first run pays
-        # codegen + Python-worker spin-up
+        # codegen + Python-worker spin-up, then MEDIAN of 3 measured runs
+        # (median, not max — best-of-N overstates steady state)
         run_ingest()
-        out["ingest_rows_per_sec"] = round(max(run_ingest(), run_ingest()))
+        out["ingest_rows_per_sec"] = round(_median(run_ingest, 3))
 
         n2 = 1_000_000
         enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
@@ -106,8 +119,7 @@ def _ingest_throughput(spark) -> dict[str, float]:
             return n2 / (time.perf_counter() - t0)
 
         run_decode()
-        out["protobuf_decode_rows_per_sec"] = round(
-            max(run_decode(), run_decode()))
+        out["protobuf_decode_rows_per_sec"] = round(_median(run_decode, 3))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

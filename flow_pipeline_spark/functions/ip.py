@@ -111,6 +111,21 @@ def _byte(v: Column) -> Column:
     return F.unhex(F.lpad(F.hex(v.cast("long")), 2, "0"))
 
 
+def u32_to_v4mapped_bytes16(num: Column) -> Column:
+    """IPv4-mapped IPv6 bytes (::ffff:a.b.c.d) from a u32, big-endian v4
+    tail — the layout Go's ``net.IP.To4()`` recognizes and renders as a
+    dotted quad (inserter/inserter.go:131-140 path for 16-byte v4-mapped
+    addresses)."""
+    n = num.cast("long")
+    return F.concat(
+        F.lit(b"\x00" * 10 + b"\xff\xff"),
+        _byte((n / 16777216).cast("long") % 256),
+        _byte((n / 65536).cast("long") % 256),
+        _byte((n / 256).cast("long") % 256),
+        _byte(n % 256),
+    )
+
+
 def flow_addr_to_string(addr: Column, etype: Column) -> Column:
     """The dashboard's dual render (viz-ch.json:233,479; README.md:219-221):
     ``if(EType = 0x800, IPv4NumToString(<first-4-bytes-BE>),

@@ -210,7 +210,12 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     each re-evaluating the tokenizer per row; exploding once and letting a
     codegen hash aggregate compute the 16 conditional sums (md5 computed
     once per token via subexpression elimination) is ~4× faster and
-    partial-aggregates map-side, so the shuffle is one 16-int row per doc."""
+    partial-aggregates map-side, so the shuffle is one 16-int row per doc.
+
+    Token-less docs (explode of an empty array emits no rows) are joined
+    back with simhash 0 — the value :func:`simhash16` assigns them (every
+    bit sum is 0, no bit set), so the two formulations agree on EVERY doc,
+    including empty/punctuation-only ones."""
     toks = (
         df.select(F.col(id_col),
                   F.explode(F.array_distinct(
@@ -225,8 +230,12 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     for b in range(16):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return (toks.groupBy(id_col).agg(*sums)
-            .select(F.col(id_col), packed.alias("simhash")))
+    hashed = (toks.groupBy(id_col).agg(*sums)
+              .select(F.col(id_col), packed.alias("simhash")))
+    return (df.select(id_col)
+            .join(hashed, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,

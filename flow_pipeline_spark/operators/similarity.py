@@ -270,8 +270,8 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 # --- k-means (Lloyd) — trained coarse quantizer ------------------------------
 
 def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64) -> list[list[float]]:
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
     """Spherical k-means via Lloyd iterations; returns centroid vectors
     (unit-normalized, ordered by cell index).
 
@@ -300,6 +300,10 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
         return [x / n for x in v]
 
     centroids = [normalize([float(x) for x in r["cv"]]) for r in cent_rows]
+    # embedding width comes from the data itself (the seed vectors), never
+    # from a parameter — a width mismatch would silently zero-pad or
+    # IndexError the accumulator below
+    dim = len(centroids[0])
 
     import numpy as np
     import pandas as pd
@@ -388,13 +392,13 @@ def _assign_cell(vec: Column, vnrm: Column,
 
 
 def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64) -> DataFrame:
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
     """Cluster-profile query: per-cell population and mean cosine to the
     trained centroid (the clustering-quality summary a corpus-curation
     pipeline reports)."""
     centroids = kmeans_fit(corpus, n_cells, n_iter, id_col=id_col,
-                           vec_col=vec_col, dim=dim)
+                           vec_col=vec_col)
     v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
                       _norm(F.col(vec_col)).alias("vn"))
     # cos-to-assigned-centroid IS the argmax cosine: one struct serves both

@@ -46,19 +46,44 @@ def _top_by_traffic(flows_raw: DataFrame, key: Column, key_name: str,
     return out.limit(k) if k else out
 
 
+def _top_by_addr_traffic(flows_raw: DataFrame, addr_col: str, key_name: str,
+                         k: int | None) -> DataFrame:
+    """Render-AFTER-aggregate form of the IP panels.
+
+    The dashboard groups by the rendered string, whose IPv6 arm is a pandas
+    UDF (functions/ip.py) — putting that render in the group-by key would
+    push every raw row across the Arrow boundary at scale. Instead:
+    (1) aggregate natively on the raw ``(addr, Etype)`` bytes (codegen hash
+    aggregate, map-side partials), (2) render the surviving |distinct addrs|
+    rows — the UDF input shrinks from |rows| to |keys|, (3) re-aggregate by
+    the rendered string (distinct (addr, etype) pairs can collide post-
+    render, e.g. a v4-mapped render equal to another addr's dotted quad), so
+    results stay bit-identical to the render-first form. The second shuffle
+    carries only pre-aggregated key rows.
+    """
+    pre = (
+        flows_raw.groupBy(F.col(addr_col).alias("_addr"),
+                          F.col("Etype").alias("_etype"))
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("_sb"))
+    )
+    out = (
+        pre.groupBy(flow_addr_to_string(F.col("_addr"), F.col("_etype"))
+                    .alias(key_name))
+        .agg(F.sum("_sb").alias("sumbytes"))
+        .orderBy(F.desc("sumbytes"), F.asc(key_name))
+    )
+    return out.limit(k) if k else out
+
+
 def top_src_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
     """viz-ch.json:233 — 'Top source IPs': group by the dual-rendered
     address string (IPv4 decode when EType=0x800, IPv6 otherwise)."""
-    return _top_by_traffic(
-        flows_raw, flow_addr_to_string(F.col("SrcAddr"), F.col("Etype")),
-        "srcip", k)
+    return _top_by_addr_traffic(flows_raw, "SrcAddr", "srcip", k)
 
 
 def top_dst_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:
     """viz-ch.json:479 — 'Top destination IPs'."""
-    return _top_by_traffic(
-        flows_raw, flow_addr_to_string(F.col("DstAddr"), F.col("Etype")),
-        "dstip", k)
+    return _top_by_addr_traffic(flows_raw, "DstAddr", "dstip", k)
 
 
 def top_src_ports(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:

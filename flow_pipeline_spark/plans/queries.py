@@ -541,6 +541,66 @@ def sliding_rate_5m(spark, sf_dir):
 
 
 @_q(
+    "metrics_rate_sum_by",
+    """
+    WITH inc AS (
+      SELECT event_type, CAST(user_id % 3 AS INTEGER) AS instance,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 30) * 30 AS b,
+             sum(CAST(floor(value * 10) AS BIGINT)) AS inc
+      FROM events GROUP BY event_type, instance, b),
+    ctr AS (
+      SELECT event_type, instance, b,
+             CAST(sum(inc) OVER (PARTITION BY event_type, instance
+                                 ORDER BY b) % 50000 AS BIGINT) AS counter
+      FROM inc),
+    delta AS (
+      SELECT event_type, instance, b, counter,
+             counter - lag(counter) OVER (PARTITION BY event_type, instance
+                                          ORDER BY b) AS d
+      FROM ctr),
+    adj AS (
+      SELECT event_type, instance, b,
+             CASE WHEN d IS NULL THEN NULL
+                  WHEN d < 0 THEN counter ELSE d END AS d
+      FROM delta),
+    rated AS (
+      SELECT event_type, instance, b AS t,
+             round(sum(d) OVER (PARTITION BY event_type, instance ORDER BY b
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   / 300.0, 4) AS rate
+      FROM adj)
+    SELECT event_type, t, round(sum(rate), 4) AS rate
+    FROM rated GROUP BY event_type, t ORDER BY event_type, t
+    """,
+    doc="W7/S10 — full PromQL observability parity (perfs.json:97,258,464: "
+        "sum by (label)(rate(counter[5m]))): cumulative per-series counters "
+        "WITH planted resets (modulo wrap), reset-adjusted rate() — a "
+        "decrease means restart, post-reset value is the delta — then "
+        "sum-by-label across instances (operators/promql.py; the same "
+        "counter_rate/sum_by run over MetricsListener output in "
+        "tests/test_streaming.py). Scale: one shuffle on the series key "
+        "serves lag + bucket agg + sliding frame; sum-by re-aggregates "
+        "|series×buckets| tiny rows.",
+)
+def metrics_rate_sum_by(spark, sf_dir):
+    from ..operators.promql import counter_rate, sum_by
+    e = _events(spark, sf_dir)
+    b = ((F.unix_timestamp("ts") / 30).cast("long") * 30)
+    inc = (
+        e.groupBy("event_type",
+                  (F.col("user_id") % 3).cast("int").alias("instance"),
+                  b.alias("b"))
+        .agg(F.sum(F.floor(F.col("value") * 10)).alias("inc"))
+    )
+    wc = W.partitionBy("event_type", "instance").orderBy("b")
+    ctr = (inc.withColumn("counter", F.sum("inc").over(wc) % 50000)
+           .withColumn("ts", F.timestamp_seconds("b")))
+    rates = counter_rate(ctr, series_cols=["event_type", "instance"],
+                         ts_col="ts", value_col="counter")
+    return sum_by(rates, ["event_type"]).orderBy("event_type", "t")
+
+
+@_q(
     "ipv6_render",
     """
     WITH base AS (
@@ -675,18 +735,28 @@ def user_sessions(spark, sf_dir):
 
 @_q(
     "approx_percentiles",
-    None,  # approx sketches differ across engines — rows-only; the error
-    # bound vs exact percentiles is asserted in tests.
-    doc="W7 sketch path — percentile_approx (KLL-style mergeable sketch): "
-        "fixed-size per-partition state, one narrow shuffle regardless of "
-        "row count; the 100 TB substitute for exact quantiles "
-        "(value_percentiles). accuracy=10000 ⇒ ~0.01% rank error.",
+    """
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 4)  AS p50,
+           round(quantile_disc(value, 0.95), 4) AS p95,
+           round(quantile_disc(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="W7 sketch path — percentile_approx (Greenwald-Khanna mergeable "
+        "sketch): fixed-size per-partition state, one narrow shuffle "
+        "regardless of row count; the 100 TB substitute for exact quantiles "
+        "(value_percentiles). The sketch always returns an ACTUAL data "
+        "element; with accuracy ≥ per-group row count the rank error is "
+        "< 1, so at oracle SF (≤1e6 rows/group) the result is exactly the "
+        "discrete quantile DuckDB's quantile_disc picks — a deterministic "
+        "hash-checkable oracle. At larger accuracy<N scales the same plan "
+        "degrades gracefully to ±N/accuracy rank error (pytest bound).",
 )
 def approx_percentiles(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
         e.groupBy("event_type")
-        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 1_000_000)
              .alias("p"))
         .select("event_type",
                 F.round(F.col("p")[0], 4).alias("p50"),
@@ -853,6 +923,135 @@ def flows_pg_port_panel(spark, sf_dir):
         f.groupBy(F.col("SrcPort").alias("src_port"))
         .agg(F.count("*").alias("n"), F.sum("Bytes").alias("sumbytes"))
         .orderBy("src_port")
+    )
+
+
+_PG_IP_CASE_V6 = """CASE WHEN g1 = 0 AND g2 = 0 THEN '::'
+                       WHEN g2 = 0 THEN format('{:x}', g1) || '::'
+                       WHEN g1 = 0 THEN '0:' || format('{:x}', g2) || '::'
+                       ELSE format('{:x}', g1) || ':' ||
+                            format('{:x}', g2) || '::'
+                  END"""
+
+_PG_IP_QUAD_BE = """
+               CAST((n // 16777216) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(n % 256 AS VARCHAR)"""
+
+
+@_q(
+    "flows_pg_src_ip_panel",
+    f"""
+    WITH base AS (
+      SELECT (event_id * 2654435761) % 4294967296 AS n,
+             CAST(event_id % 3 AS INTEGER) AS layout,
+             CAST(floor(value * 100) AS BIGINT) AS bytes
+      FROM events),
+    g AS (
+      SELECT *,
+             ((n % 256) * 256 + ((n // 256) % 256))                 AS g1,
+             (((n // 65536) % 256) * 256 + ((n // 16777216) % 256)) AS g2
+      FROM base),
+    r AS (
+      SELECT CASE
+               WHEN layout = 2 THEN '0.0.0.0'
+               WHEN layout = 0 THEN {_PG_IP_QUAD_BE}
+               ELSE {_PG_IP_CASE_V6}
+             END AS src_ip,
+             bytes
+      FROM g)
+    SELECT src_ip, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS sumbytes
+    FROM r GROUP BY src_ip ORDER BY src_ip
+    """,
+    doc="P10/A3/A5 — the Postgres dashboard 'Top source IPs' panel "
+        "(viz.json:206: SELECT src_ip, count(*), sum(bytes) GROUP BY "
+        "src_ip) where src_ip is the GO-rendered string the inserter "
+        "stored (net.IP.String(), nil→'0.0.0.0'; inserter.go:131-140). "
+        "Three layouts exercised: IPv4-mapped 16-byte (Go To4() dotted "
+        "quad), plain 16-byte (RFC-5952 v6), and nil (the '0.0.0.0' "
+        "substitute). Spark renders AFTER aggregating on raw bytes "
+        "(pandas-UDF input = |distinct addrs|, not |rows|); DuckDB "
+        "re-derives every render arithmetically — independent derivation "
+        "cross-checks the Go semantics.",
+)
+def flows_pg_src_ip_panel(spark, sf_dir):
+    from ..functions.ip import (
+        go_ip_to_string,
+        reinterpret_u32_as_bytes16,
+        u32_to_v4mapped_bytes16,
+    )
+    e = _events(spark, sf_dir)
+    n = ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("long")
+    layout = (F.col("event_id") % 3).cast("int")
+    addr = (
+        F.when(layout == 2, F.lit(None).cast("binary"))
+        .when(layout == 0, u32_to_v4mapped_bytes16(n))
+        .otherwise(reinterpret_u32_as_bytes16(n))
+    )
+    flows = e.select(addr.alias("SrcAddr"),
+                     F.floor(F.col("value") * 100).cast("long").alias("Bytes"))
+    pre = (flows.groupBy("SrcAddr")
+           .agg(F.count("*").alias("_n"), F.sum("Bytes").alias("_sb")))
+    return (
+        pre.groupBy(go_ip_to_string(F.col("SrcAddr")).alias("src_ip"))
+        .agg(F.sum("_n").alias("n"), F.sum("_sb").alias("sumbytes"))
+        .orderBy("src_ip")
+    )
+
+
+@_q(
+    "flows_pg_dst_ip_panel",
+    f"""
+    WITH base AS (
+      SELECT ((event_id + 7919) * 2654435761) % 4294967296 AS n,
+             CAST(user_id % 3 AS INTEGER) AS layout,
+             CAST(floor(value * 100) AS BIGINT) AS bytes
+      FROM events),
+    g AS (
+      SELECT *,
+             ((n % 256) * 256 + ((n // 256) % 256))                 AS g1,
+             (((n // 65536) % 256) * 256 + ((n // 16777216) % 256)) AS g2
+      FROM base),
+    r AS (
+      SELECT CASE
+               WHEN layout = 0 THEN '0.0.0.0'
+               WHEN layout = 1 THEN {_PG_IP_QUAD_BE}
+               ELSE {_PG_IP_CASE_V6}
+             END AS dst_ip,
+             bytes
+      FROM g)
+    SELECT dst_ip, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS sumbytes
+    FROM r GROUP BY dst_ip ORDER BY dst_ip
+    """,
+    doc="P10/A3/A5 — the Postgres dashboard 'Top destination IPs' panel "
+        "(viz.json:416), dst twin of flows_pg_src_ip_panel with a distinct "
+        "address derivation and a different layout mix (keyed on user_id) "
+        "so the two panels cover different render-path distributions.",
+)
+def flows_pg_dst_ip_panel(spark, sf_dir):
+    from ..functions.ip import (
+        go_ip_to_string,
+        reinterpret_u32_as_bytes16,
+        u32_to_v4mapped_bytes16,
+    )
+    e = _events(spark, sf_dir)
+    n = (((F.col("event_id") + 7919) * F.lit(2654435761))
+         % F.lit(4294967296)).cast("long")
+    layout = (F.col("user_id") % 3).cast("int")
+    addr = (
+        F.when(layout == 0, F.lit(None).cast("binary"))
+        .when(layout == 1, u32_to_v4mapped_bytes16(n))
+        .otherwise(reinterpret_u32_as_bytes16(n))
+    )
+    flows = e.select(addr.alias("DstAddr"),
+                     F.floor(F.col("value") * 100).cast("long").alias("Bytes"))
+    pre = (flows.groupBy("DstAddr")
+           .agg(F.count("*").alias("_n"), F.sum("Bytes").alias("_sb")))
+    return (
+        pre.groupBy(go_ip_to_string(F.col("DstAddr")).alias("dst_ip"))
+        .agg(F.sum("_n").alias("n"), F.sum("_sb").alias("sumbytes"))
+        .orderBy("dst_ip")
     )
 
 

@@ -15,13 +15,15 @@ Cross-engine determinism rules:
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
 from ..sources.tables import load_table
-from .queries import _q
+from .queries import QUERIES, _q
 
 # --- shared SQL fragments ---------------------------------------------------
 
@@ -269,15 +271,21 @@ _SIMS, _SIMPACK = _simhash_sql_bits()
 @_q(
     "simhash",
     f"""
-    WITH tok AS (
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    tok AS (
       SELECT DISTINCT doc_id, unnest({_TOKS}) AS tk
       FROM documents WHERE doc_id < 200),
-    bits AS (SELECT doc_id, {_SIMS} FROM tok GROUP BY doc_id)
-    SELECT doc_id, {_SIMPACK} AS simhash FROM bits ORDER BY doc_id
+    bits AS (SELECT doc_id, {_SIMS} FROM tok GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMPACK} AS simhash FROM bits)
+    SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+    FROM docs d LEFT JOIN sh ON sh.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """,
     doc="16-bit SimHash: per-token md5-hex bits, majority vote per bit, "
         "packed — pure conditional-sum expressions, no UDF "
-        "(operators/dedup.py simhash16).",
+        "(operators/dedup.py simhash16). Token-less docs keep simhash 0 "
+        "(left join + coalesce in BOTH engines), so empty/punctuation-only "
+        "docs are never silently dropped.",
 )
 def simhash(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -286,35 +294,28 @@ def simhash(spark, sf_dir):
 
 @_q(
     "ngram_jaccard_dups",
-    f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 40
-      UNION ALL
-      SELECT doc_id + 100000, text || ' zz extra tail'
-      FROM documents WHERE doc_id < 40),
-    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY id_a, id_b)
-    SELECT id_a, id_b,
-           round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
-    ORDER BY id_a, id_b
-    """,
-    doc="Exact n-gram Jaccard near-dup pairs via shingle inverted-index "
-        "join; planted tail-perturbed copies score ≈0.9 vs originals.",
+    None,  # oracle defined below (needs _minhash_band_sql, declared later
+    # in this module) and patched in via _set_oracle at import end.
+    doc="Exact n-gram Jaccard verification on the LSH-candidates scale "
+        "path: MinHash banding (8 hashes × 8 single-row bands, md5 family) "
+        "proposes candidate pairs — shuffles on bounded band keys — and "
+        "exact Jaccard runs ONLY on candidates via per-doc shingle sets + "
+        "array_intersect (dedup.py jaccard_pairs(candidates=...)). The "
+        "shingle inverted-index self-join (quadratic in hot-shingle doc "
+        "frequency, the 100 TB killer) never appears in the plan "
+        "(asserted in tests/test_plans.py). The DuckDB oracle mirrors the "
+        "deterministic md5 banding, so results hash-match exactly; "
+        "planted tail-perturbed copies score ≈0.9 vs originals.",
 )
 def ngram_jaccard_dups(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select("doc_id", "text")
     copies = d.select((F.col("doc_id") + 100000).alias("doc_id"),
                       F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"))
     corpus = d.unionByName(copies)
-    return D.jaccard_pairs(corpus, k=3, threshold=0.5).orderBy("id_a", "id_b")
+    cands = D.minhash_lsh_candidates(corpus, n_hashes=8, bands=8, k=3,
+                                     hash_fn="md5")
+    return (D.jaccard_pairs(corpus, k=3, threshold=0.5, candidates=cands)
+            .orderBy("id_a", "id_b"))
 
 
 # --- similarity search ------------------------------------------------------
@@ -372,16 +373,22 @@ def knn_cosine(spark, sf_dir):
       GROUP BY id_a, id_b)
     SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999 ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.999): recovers "
-        "exactly the 20 planted identical vectors. Scale path buckets by "
-        "SRP signature first (cosine_near_dup_pairs(bucketed=True)).",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.999) on the "
+        "SRP-bucketed scale path (cosine_near_dup_pairs(bucketed=True)): "
+        "vectors bucket by their random-hyperplane sign signature, the "
+        "pair join runs per-bucket — never an all-pairs crossJoin "
+        "(asserted in tests/test_plans.py). Identical vectors collide "
+        "with probability 1 (same signs), so the 20 planted duplicates "
+        "are recovered exactly and the all-pairs SQL oracle matches: at "
+        "threshold 0.999 the only qualifying pairs in this corpus are "
+        "the planted identical copies (max organic cosine ≈0.51).",
 )
 def embedding_near_dup(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     copies = (e.filter(F.col("vec_id") < 20)
               .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
     corpus = e.unionByName(copies)
-    return (S.cosine_near_dup_pairs(corpus, threshold=0.999)
+    return (S.cosine_near_dup_pairs(corpus, threshold=0.999, bucketed=True)
             .orderBy("id_a", "id_b"))
 
 
@@ -405,6 +412,36 @@ def _minhash_band_sql(n_hashes: int = 8, bands: int = 4) -> str:
             "      FROM bands a JOIN bands b\n"
             "        ON a.band = b.band AND a.bh = b.bh\n"
             "       AND a.doc_id < b.doc_id)")
+
+
+# Patch in the ngram_jaccard_dups oracle now that _minhash_band_sql exists:
+# it mirrors the Spark plan's deterministic md5 banding (8 hashes, 8 bands
+# of 1 row), restricting exact-Jaccard verification to LSH candidates.
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz extra tail'
+      FROM documents WHERE doc_id < 40),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    {_minhash_band_sql(8, 8)},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+    ORDER BY i.id_a, i.id_b
+"""
+
+QUERIES["ngram_jaccard_dups"] = _dc.replace(
+    QUERIES["ngram_jaccard_dups"], oracle=_NGRAM_JACCARD_ORACLE)
 
 
 @_q(
@@ -458,7 +495,11 @@ def minhash_lsh_dedup(spark, sf_dir):
       FROM documents WHERE doc_id < 150),
     tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tk FROM corpus),
     bits AS (SELECT doc_id, {_SIMS} FROM tok GROUP BY doc_id),
-    sh AS (SELECT doc_id, {_SIMPACK} AS simhash FROM bits)
+    sh0 AS (SELECT doc_id, {_SIMPACK} AS simhash FROM bits),
+    sh AS (
+      SELECT c.doc_id, coalesce(sh0.simhash, 0) AS simhash
+      FROM (SELECT DISTINCT doc_id FROM corpus) c
+      LEFT JOIN sh0 ON sh0.doc_id = c.doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id

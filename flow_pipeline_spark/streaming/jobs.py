@@ -180,17 +180,26 @@ def start_dedup_stream(flows_raw_stream: DataFrame, out_dir: str,
     Routers resend NetFlow/IPFIX export packets on timeout, and collector
     restarts can replay deliveries; the reference pipeline inserts such
     duplicates verbatim (its Kafka→ClickHouse path has no dedup stage).
-    This job drops re-deliveries keyed on
-    ``(SamplerAddress, SequenceNum)`` — the exporter's own uniqueness key —
-    using ``dropDuplicatesWithinWatermark``: state holds only keys newer
-    than the event-time watermark, so memory is bounded by (key rate ×
-    lateness), not stream age. A duplicate arriving later than ``lateness``
-    passes through (at-least-once dedup; exact within the horizon).
+    This job drops re-deliveries using ``dropDuplicatesWithinWatermark``:
+    state holds only keys newer than the event-time watermark, so memory
+    is bounded by (key rate × lateness), not stream age. A duplicate
+    arriving later than ``lateness`` passes through (at-least-once dedup;
+    exact within the horizon).
+
+    Key choice: in real NetFlow/IPFIX, ``SequenceNum`` identifies the
+    EXPORT PACKET, which carries many flow records — keying on
+    ``(SamplerAddress, SequenceNum)`` alone would silently collapse every
+    record of a packet into one. The default therefore adds the record's
+    own identity (``TimeReceived`` + the 5-tuple) so only true
+    re-deliveries of the same record collide; pass ``key_cols`` explicitly
+    for exporters known to emit one record per sequence (e.g. the
+    reference mocker, mocker.go:89-91, where SequenceNum is a row id).
 
     Scale: state is hashed across executors by key — no hot spots unless
     one exporter dominates; RocksDB state store for large key spaces.
     """
-    keys = key_cols or ["SamplerAddress", "SequenceNum"]
+    keys = key_cols or ["SamplerAddress", "SequenceNum", "TimeReceived",
+                        "SrcAddr", "DstAddr", "SrcPort", "DstPort", "Proto"]
     deduped = (
         flows_raw_stream
         .withWatermark("TimeReceived", lateness)

@@ -126,6 +126,47 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_embedding_near_dup_is_bucketed_not_all_pairs(plans):
+    """The registered embedding near-dup query must run the SRP-bucketed
+    path: an equi-join on the signature bucket — an all-pairs crossJoin
+    (CartesianProduct / BroadcastNestedLoopJoin) is a scale-killer at
+    corpus size (|corpus|² pair evaluations)."""
+    p = plans("embedding_near_dup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the bucket equi-join must exist
+    assert "Join" in p and "sig" in p
+
+
+def test_ngram_jaccard_runs_on_candidates_not_inverted_index(plans):
+    """The registered n-gram Jaccard query must verify LSH candidates only:
+    a shingle-inverted-index self-join shuffles on the shingle key and is
+    quadratic in hot-shingle document frequency — one stop-shingle at
+    corpus scale explodes the join. No Exchange may partition on shingle."""
+    p = plans("ngram_jaccard_dups")
+    assert "hashpartitioning(shingle" not in p
+
+
+@pytest.mark.parametrize("name", ["flows_top_src_ips", "flows_top_dst_ips",
+                                  "flows_pg_src_ip_panel",
+                                  "flows_pg_dst_ip_panel"])
+def test_ip_panels_render_after_aggregate(plans, name):
+    """The IP panels' IPv6/Go render is a pandas UDF; it must sit ABOVE the
+    first (raw-key) HashAggregate so its input is |distinct addrs|, not
+    |rows| — a UDF in the scan-side group key sends every raw row across
+    the Arrow boundary at 100× scale."""
+    p = plans(name)
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, p
+    udf_pos = p.find("ArrowEvalPython")
+    if udf_pos < 0:
+        udf_pos = p.find("BatchEvalPython")
+    # plan prints top-down: a HashAggregate BELOW (after) the UDF node is
+    # the raw-key pre-aggregation feeding it
+    assert "HashAggregate" in p[udf_pos:], p
+    # and the two-level shape: raw-key partial+final, string-key partial+final
+    assert p.count("HashAggregate") >= 4, p
+
+
 def test_analyst_sql_surface(spark):
     """SURVEY §3.3 — the interactive surface: register the warehouse as
     views and answer a dashboard query via spark.sql, identical to the

@@ -148,6 +148,23 @@ def test_mocker_stream_domains(spark, tmpdir):
     assert pdf["SequenceNum"].is_unique
     assert any(p["num_input_rows"] for p in listener.progress)
 
+    # S10/W7 — the observability query layer over the listener's output:
+    # rows_total is a proper cumulative counter per query, and the PromQL
+    # rate()/sum-by pipeline (operators/promql.py, same code as the
+    # metrics_rate_sum_by oracle query) runs over it end to end
+    from flow_pipeline_spark.operators.promql import (
+        counter_rate, metrics_table, sum_by)
+    mt = metrics_table(spark, listener)
+    mpdf = (mt.orderBy("name", "batch_id")
+            .select("name", "rows_total").toPandas())
+    assert mpdf.groupby("name")["rows_total"].apply(
+        lambda s: s.is_monotonic_increasing).all()
+    rates = counter_rate(mt, series_cols=["name"], ts_col="ts",
+                         value_col="rows_total", bucket_s=1, window_s=10)
+    summed = sum_by(rates, ["name"]).collect()
+    assert summed, "rate pipeline produced no buckets"
+    assert all(r["rate"] is None or r["rate"] >= 0 for r in summed)
+
 
 def test_stateful_count_flush(spark, tmpdir):
     """W1 — count-triggered flush: with flush_count=500 over a finite
