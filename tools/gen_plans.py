@@ -31,6 +31,11 @@ NOTES = {
   "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
   "flows_routed_traffic": "dashboard aggregate answered from the stored rollup, not raw",
   "local_supplier_volume": "6-table Q5 topology: broadcast supplier dim chain, co-nation residual, one orderkey/custkey shuffle spine",
+  "embedding_near_dup": "SRP-bucketed pair join on the signature key — no CartesianProduct / all-pairs",
+  "ngram_jaccard_dups": "LSH candidates verified with array_intersect on doc-id joins; no shuffle ever partitions on the shingle",
+  "flows_top_src_ips": "render-AFTER-aggregate: ArrowEvalPython sits above the raw (addr,Etype) HashAggregate, UDF input = |distinct addrs|",
+  "flows_pg_src_ip_panel": "Go-render panel, same two-level agg: raw-bytes partials below the Arrow boundary",
+  "metrics_rate_sum_by": "one series-key exchange reused by lag, bucket agg, and sliding frame; sum-by re-aggregates tiny rows",
 }
 
 
