@@ -98,22 +98,36 @@ def _plane(table: int, p: int, dim: int) -> list[float]:
         for d in range(dim)]
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 8, dim: int = 64, *,
+def hyperplane_signature(vec: Column | str, n_planes: int = 8, dim: int = 64, *,
                          table: int = 0) -> Column:
     """Deterministic random-hyperplane signature (SRP-LSH).
 
-    sig bit p = sign(Σ_d vec[d]·plane[p][d]). Planes are computed
-    driver-side in Python and shipped as ONE array literal each — building
-    them as per-component hash expressions costs thousands of py4j round
-    trips per plan construction (measured: ~23 s of driver time for a
-    6-table × 4-plane × 64-dim signature before this; ~0.1 s after), while
-    the executed plan is identical: a constant array the JVM folds."""
+    sig bit p = sign(Σ_d vec[d]·plane[p][d]). Two construction paths with
+    IDENTICAL doubles (±1 coefficients make each term an exact sign flip,
+    and both forms fold left-to-right from 0.0):
+
+    - ``vec`` as a COLUMN NAME: each plane's projection is ONE parsed
+      expression chain (``0.0 + v[0] - v[1] + ...``) that whole-stage
+      codegen compiles flat — the hot path; interpreted higher-order
+      functions evaluate a lambda per element per row.
+    - ``vec`` as a Column: generic HOF form (zip_with/aggregate against the
+      plane literal). Planes always ship as literals/parsed strings, never
+      per-component py4j expression builds (measured: ~23 s of driver time
+      for a 6-table × 4-plane × 64-dim signature built term-by-term over
+      py4j; ~0.1 s for literal/parse forms)."""
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.lit(_plane(table, p, dim)),
-                       lambda x, h: x.cast("double") * h),
-            F.lit(0.0), lambda a, v: a + v)
+        plane = _plane(table, p, dim)
+        if isinstance(vec, str):
+            terms = "".join(
+                f" {'+' if h > 0 else '-'} CAST({vec}[{d}] AS DOUBLE)"
+                for d, h in enumerate(plane))
+            proj = F.expr(f"CAST(0.0 AS DOUBLE){terms}")
+        else:
+            proj = F.aggregate(
+                F.zip_with(vec, F.lit(plane),
+                           lambda x, h: x.cast("double") * h),
+                F.lit(0.0), lambda a, v: a + v)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
@@ -195,8 +209,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   _norm(F.col(vec_col)).alias("nb"))
     if bucketed:
-        a = a.withColumn("sig", hyperplane_signature(F.col("va"), n_planes, dim))
-        b = b.withColumn("sig", hyperplane_signature(F.col("vb"), n_planes, dim))
+        # column-name form → codegen'd flat projection chains (see
+        # hyperplane_signature), not interpreted HOF folds per row
+        a = a.withColumn("sig", hyperplane_signature("va", n_planes, dim))
+        b = b.withColumn("sig", hyperplane_signature("vb", n_planes, dim))
         joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
