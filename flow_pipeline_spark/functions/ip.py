@@ -196,8 +196,21 @@ def register_sql_functions(spark) -> None:
     from pyspark.sql.types import LongType as _L
     from pyspark.sql.types import StringType as _S
 
+    def _go_ip_to_string(b):
+        if b is None or len(b) == 0:
+            return "0.0.0.0"
+        b = bytes(b)
+        if len(b) == 4:
+            return ".".join(str(x) for x in b)
+        if len(b) == 16:
+            if b[:10] == b"\x00" * 10 and b[10] == 0xFF and b[11] == 0xFF:
+                return ".".join(str(x) for x in b[12:])
+            return str(_ip.IPv6Address(b))
+        return "0.0.0.0"
+
     spark.udf.register("ipv4_num_to_string", _v4_num_to_string, _S())
     spark.udf.register("ipv4_string_to_num", _v4_string_to_num, _L())
     spark.udf.register("ipv6_num_to_string", _v6_num_to_string, _S())
     spark.udf.register("ipv6_string_to_num", _v6_string_to_num, _B())
     spark.udf.register("flow_addr_to_string", _flow_addr_to_string, _S())
+    spark.udf.register("go_ip_to_string", _go_ip_to_string, _S())

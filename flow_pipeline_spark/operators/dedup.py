@@ -298,8 +298,10 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
 
     Scale: each round is one join on id + one groupBy-min — both shuffle
     only the EDGE set, never documents. Driver sees one scalar (the changed
-    count) per round. For web-scale graphs swap in the large-star/small-star
-    algorithm; the per-round plan shape is identical.
+    count) per round. Rounds ≈ diameter, so a long similarity CHAIN is this
+    algorithm's worst case — :func:`duplicate_clusters_star` (large-star/
+    small-star) converges in O(log n) rounds regardless of diameter and is
+    the web-scale form; both produce identical output (equivalence tested).
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
@@ -333,6 +335,90 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
         if changed == 0:
             return labels
     raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+
+
+def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
+                            id_b: str = "id_b",
+                            max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star — the
+    web-scale alternative to :func:`duplicate_clusters`' min-label
+    propagation. Returns (id, cluster_id), identical output.
+
+    Why a second algorithm: label propagation needs ~diameter rounds and
+    keeps a labels table joined against the full edge set every round —
+    fine for shallow near-dup clusters, but a long chain (A~B~C~...~Z, the
+    adversarial shape for transitive dedup) costs O(diameter) shuffles.
+    Large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") rewrites the EDGE SET itself toward a star
+    forest rooted at each component's minimum and converges in O(log n)
+    rounds regardless of diameter:
+
+    - large-star: every node attaches its strictly-LARGER neighbors to the
+      minimum of its neighborhood (including itself);
+    - small-star: every node attaches its smaller-or-equal neighbors and
+      itself to that minimum.
+
+    Both steps are one groupBy-min + one join on the center node — the
+    same shuffle shape each round, no driver-side state but a convergence
+    checksum. Edges stay canonical (u > v). High-degree hubs are fine:
+    a hub's neighborhood collapses onto one min in a single round
+    (the groupBy-min is a partial aggregate, so even a hub's edges
+    combine map-side).
+    """
+    edges = (pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        F.least(F.col(id_a), F.col(id_b)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("u").alias("id"))
+             .unionByName(edges.select(F.col("v").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _sig(e: DataFrame) -> tuple:
+        # order-independent set checksum: count + xor of row hashes (xor,
+        # not sum — summing full-range 64-bit hashes overflows ANSI longs)
+        r = e.agg(F.count("*").alias("n"),
+                  F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        return (r["n"], r["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (u > v): every stored neighbor of u is ≤ u
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        attach_nbrs = (e.join(mins, "u")
+                       .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                       .filter(F.col("u") != F.col("v")))
+        attach_self = mins.select("u", F.col("m").alias("v"))
+        return attach_nbrs.unionByName(attach_self).distinct()
+
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        edges = _large_star(edges).localCheckpoint(eager=True)
+        edges = _small_star(edges).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds")
+
+    # converged edge set is a star forest: non-roots point at the component
+    # min; roots (and only roots) never appear as u
+    return (nodes.join(edges.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.coalesce("v", F.col("id")).alias("cluster_id")))
 
 
 def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,

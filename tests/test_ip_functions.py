@@ -97,3 +97,13 @@ def test_sql_registered_functions(spark):
     assert row["v6rt"] == "101:a8c0::"
     # EType=0x800: first 4 bytes big-endian = 01 01 a8 c0 = 1.1.168.192
     assert row["dual"] == "1.1.168.192"
+    # Go net.IP.String() semantics (inserter.go:131-140) from SQL: nil
+    # substitute, v4-mapped To4() quad, plain-16B RFC-5952
+    go = spark.sql("""
+        SELECT go_ip_to_string(CAST(NULL AS BINARY))               AS nil,
+               go_ip_to_string(X'00000000000000000000FFFF0A000001') AS mapped,
+               go_ip_to_string(ipv6_string_to_num('101:a8c0::'))    AS v6
+    """).collect()[0]
+    assert go["nil"] == "0.0.0.0"
+    assert go["mapped"] == "10.0.0.1"
+    assert go["v6"] == "101:a8c0::"

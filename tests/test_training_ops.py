@@ -163,6 +163,43 @@ def test_duplicate_clusters_transitive(spark):
     assert all(got[i] == 20 for i in range(20, 26))
 
 
+def test_star_contraction_equals_label_propagation(spark):
+    """duplicate_clusters_star (large-star/small-star, O(log n) rounds) must
+    produce the identical (id, cluster_id) mapping as min-label propagation
+    on every graph shape that stresses a different failure mode: long chain
+    (diameter), hub star (degree), bridged stars (merge), singleton edge,
+    and a pseudo-random graph."""
+    shapes = {
+        "chain": [(i, i + 1) for i in range(30, 60)],
+        "hub": [(100, 100 + k) for k in range(1, 20)],
+        "bridged": [(1, 2), (1, 3), (10, 11), (10, 12), (3, 10)],
+        "singleton": [(7, 8)],
+        "random": [((k * 7919) % 50, (k * 104729) % 50)
+                   for k in range(1, 80)
+                   if (k * 7919) % 50 != (k * 104729) % 50],
+    }
+    for name, edges in shapes.items():
+        pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+        # LP needs ~diameter rounds (the chain shape is exactly its worst
+        # case — the reason the star variant exists); star needs O(log n)
+        lp = {r["id"]: r["cluster_id"]
+              for r in D.duplicate_clusters(pairs, max_iter=60).collect()}
+        star = {r["id"]: r["cluster_id"]
+                for r in D.duplicate_clusters_star(pairs).collect()}
+        assert star == lp, (name, star, lp)
+
+
+def test_star_contraction_on_planted_corpus(planted, spark):
+    """End-to-end parity on real LSH candidate pairs: the star-contraction
+    clusters drive dedup_by_clusters-equivalent survivor selection."""
+    pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4)
+    lp = {(r["id"], r["cluster_id"])
+          for r in D.duplicate_clusters(pairs).collect()}
+    star = {(r["id"], r["cluster_id"])
+            for r in D.duplicate_clusters_star(pairs).collect()}
+    assert star == lp
+
+
 def test_dedup_by_clusters_end_to_end(planted, spark):
     """LSH pairs on the planted corpus → clusters → corpus keeps exactly
     one representative per duplicate group (the original, min doc_id)."""
