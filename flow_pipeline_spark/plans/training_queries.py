@@ -605,19 +605,22 @@ def train_val_split(spark, sf_dir):
     GROUP BY id ORDER BY cluster_id, id
     """,
     doc="Corpus-level dedup resolution: MinHash-LSH candidate pairs → "
-        "connected components via min-label propagation (per round: one "
-        "edge join + groupBy-min, shuffles edges only; diameter-bounded "
-        "iterations) → (id, cluster_id). Pairs alone under-specify dedup "
-        "(A~B, B~C must collapse together); this closes that gap "
-        "(operators/dedup.py:duplicate_clusters). Oracle: the same md5 "
-        "LSH edges + transitive closure as a recursive CTE.",
+        "connected components via large-star/small-star contraction "
+        "(O(log n) rounds regardless of graph diameter; each round one "
+        "groupBy-min + one center join, shuffling edges only) → "
+        "(id, cluster_id). Pairs alone under-specify dedup (A~B, B~C must "
+        "collapse together); this closes that gap (operators/dedup.py:"
+        "duplicate_clusters_star; the min-label-propagation form "
+        "duplicate_clusters produces identical output — equivalence "
+        "pytest-asserted — but needs ~diameter rounds). Oracle: the same "
+        "md5 LSH edges + transitive closure as a recursive CTE.",
 )
 def dedup_clusters(spark, sf_dir):
     d = _docs(spark, sf_dir)
     planted = _with_exact_copies(d)
     pairs = D.minhash_lsh_candidates(planted, n_hashes=8, bands=4,
                                      hash_fn="md5")
-    return (D.duplicate_clusters(pairs)
+    return (D.duplicate_clusters_star(pairs)
             .orderBy("cluster_id", "id"))
 
 
