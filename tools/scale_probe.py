@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scale probe — measure how the core operators behave as data grows.
+
+sf0.1 correctness says nothing about the 100 TB story; this probe does the
+next-best local thing: run each operator class at geometrically increasing
+synthetic sizes (4x steps) and report seconds + rows/s per step. An operator
+whose plan is scale-sane shows ~flat rows/s (linear time); a quadratic or
+skew-cliff plan shows rows/s collapsing at the top step.
+
+Usage: python tools/scale_probe.py [--fast]    (from the repo root)
+Prints one JSON line per measurement and a final summary line; SCALE.md
+holds a recorded run with analysis.
+
+Probed (one per operator family):
+- ingest: generate -> flows_raw MV -> Date-partitioned parquet (the S8 path)
+- instant_traffic: time-bucketed expression aggregate over the written raw
+- rollup build + routed panel query (A7/D3 pre-aggregation path)
+- top_src_ips: render-after-aggregate IP panel (pandas-UDF above the agg)
+- srp_near_dup: SRP-bucketed cosine near-duplicate pairs over synthetic
+  embeddings — the plane count scales with corpus size (8 -> 16 planes)
+  exactly as it must in production to keep per-bucket work bounded
+- brute_knn_gemm: Arrow+numpy exact kNN (corpus never shuffles)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flow_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def median_timed(fn, runs: int = 3) -> float:
+    """Warm once (codegen + Python-worker spin-up), then median of `runs`.
+    The probe host is shared — single-shot timings swing 2-3x with noisy
+    neighbors; medians across interleaved runs keep the RATIOS honest."""
+    fn()
+    ts = sorted(timed(fn)[0] for _ in range(runs))
+    return ts[len(ts) // 2]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synth_embeddings(spark, n: int, dim: int = 64, planted: int = 20):
+    """Deterministic hash-derived embeddings + `planted` exact duplicates
+    (ids shifted by 10**9) so near-dup recovery is checkable at any n."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: ((F.xxhash64(F.col("id"), d) % 2000) / 1000.0 - 1.0)
+            .cast("float")).alias("embedding"))
+    copies = (base.filter(F.col("vec_id") < planted)
+              .select((F.col("vec_id") + 10**9).alias("vec_id"), "embedding"))
+    return base.unionByName(copies)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="halve the top step (CI-friendly)")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-probe")
+    results = []
+
+    def record(op, n, sec, planted_ok=None):
+        row = {"op": op, "n": n, "sec": round(sec, 2),
+               "rows_per_sec": round(n / max(sec, 1e-9))}
+        if planted_ok is not None:
+            row["planted_recovered"] = planted_ok
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    from flow_pipeline_spark.operators.rollup import (
+        rollup_flat, route_traffic_query)
+    from flow_pipeline_spark.operators.similarity import (
+        brute_knn_vectorized, cosine_near_dup_pairs)
+    from flow_pipeline_spark.plans.flow_queries import (
+        instant_traffic, top_src_ips)
+    from flow_pipeline_spark.sources.mocker import flows_raw, synthetic_flows
+
+    flow_steps = [1_000_000, 4_000_000, 8_000_000 if args.fast else 16_000_000]
+    d = tempfile.mkdtemp(prefix="fps_scale_")
+    try:
+        for n in flow_steps:
+            raw_dir = f"{d}/raw_{n}"
+
+            def ingest():
+                (flows_raw(synthetic_flows(spark, n))
+                 .write.mode("overwrite").partitionBy("Date")
+                 .parquet(raw_dir))
+            record("ingest", n, median_timed(ingest))
+            raw = spark.read.parquet(raw_dir)
+
+            record("instant_traffic", n,
+                   median_timed(lambda: force(instant_traffic(raw))))
+            record("top_src_ips", n,
+                   median_timed(lambda: force(top_src_ips(raw, k=10))))
+
+            rollup_dir = f"{d}/rollup_{n}"
+            record("rollup_build", n, median_timed(
+                lambda: rollup_flat(raw).write
+                .mode("overwrite").parquet(rollup_dir)))
+            rollup = spark.read.parquet(rollup_dir)
+            record("routed_panel", n, median_timed(
+                lambda: force(route_traffic_query(raw, rollup, ["SrcAS"]))))
+            shutil.rmtree(raw_dir, ignore_errors=True)
+            shutil.rmtree(rollup_dir, ignore_errors=True)
+
+        # embeddings: plane count grows with corpus so per-bucket work stays
+        # bounded — the production knob, exercised here
+        emb_steps = [(20_000, 8), (80_000, 12),
+                     (160_000 if args.fast else 320_000, 16)]
+        for n, planes in emb_steps:
+            emb = synth_embeddings(spark, n)
+            emb_cached = emb.localCheckpoint(eager=True)  # isolate op cost
+
+            def near_dup():
+                return cosine_near_dup_pairs(
+                    emb_cached, threshold=0.999, bucketed=True,
+                    n_planes=planes)
+            record(f"srp_near_dup_p{planes}", n,
+                   median_timed(lambda: force(near_dup())),
+                   planted_ok=(near_dup().count() >= 20))
+
+            q = emb_cached.filter(F.col("vec_id") < 10)
+            record("brute_knn_gemm", n, median_timed(
+                lambda: force(brute_knn_vectorized(emb_cached, q, k=5))))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
