@@ -48,11 +48,24 @@ def run_batch_demo(spark: SparkSession, out_dir: str,
         .parquet(rollup_dir)
     run_compaction(spark, rollup_dir)
 
+    # Postgres-path panels (viz.json:206,311): the inserter's 14-column
+    # projection (Go-rendered IP strings, nil→"0.0.0.0") queried the way
+    # Grafana queries the `flows` heap table
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import inserter_projection
+    pg = inserter_projection(raw)
+    pg_src_ips = (pg.groupBy("src_ip")
+                  .agg(F.count("*").alias("n"),
+                       F.sum("bytes").alias("sumbytes"))
+                  .orderBy(F.desc("sumbytes"), F.asc("src_ip")))
+
     return {
         "instant_traffic": instant_traffic(raw),
         "top_src_ips": top_src_ips(raw, k=10),
         "top_src_ports": top_src_ports(raw, k=10),
         "as_pair_traffic": as_pair_traffic(raw),
+        "pg_top_src_ips": pg_src_ips.limit(10),
         "rollup": read_rollup(spark, rollup_dir),
     }
 

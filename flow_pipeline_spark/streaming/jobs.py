@@ -149,12 +149,19 @@ def inserter_projection(flows: DataFrame) -> DataFrame:
     """The inserter's 14-field tuple (inserter.go:142-157): epoch→timestamp,
     Go net.IP.String() rendering with nil→"0.0.0.0" (inserter.go:131-140),
     NOW() as a real current_timestamp (the reference binds the string
-    "NOW()" as a parameter — SURVEY §3.2 notes we fix that)."""
+    "NOW()" as a parameter — SURVEY §3.2 notes we fix that).
+
+    Accepts either the wire-decoded frame (TimeFlowStart as epoch seconds,
+    the inserter's actual input) or the flows_raw MV output (already a
+    timestamp) — the projection is the same 14 columns either way."""
     from ..functions.ip import go_ip_to_string
 
+    tf_type = dict(flows.dtypes).get("TimeFlowStart", "bigint")
+    time_flow = (F.col("TimeFlowStart") if tf_type.startswith("timestamp")
+                 else F.timestamp_seconds("TimeFlowStart"))
     return flows.select(
         F.current_timestamp().alias("date_inserted"),
-        F.timestamp_seconds("TimeFlowStart").alias("time_flow"),
+        time_flow.alias("time_flow"),
         F.col("Type").alias("type"),
         F.col("SamplingRate").cast("int").alias("sampling_rate"),
         F.coalesce(go_ip_to_string(F.col("SrcAddr")), F.lit("0.0.0.0")).alias("src_ip"),

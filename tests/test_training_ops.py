@@ -92,6 +92,35 @@ def test_near_dup_bucketed_catches_identical(spark):
     assert pairs == {(i, i + 100000) for i in range(10)}
 
 
+def test_signature_codegen_equals_hof(spark):
+    """hyperplane_signature has two construction paths — parsed expression
+    chains (column NAME arg, codegen hot path) and zip_with/aggregate folds
+    (Column arg). They must produce bit-identical signatures on arbitrary
+    vectors: ±1 coefficients make every term an exact IEEE sign flip and
+    both fold left-to-right, so any divergence is a real bug (it would
+    silently change LSH bucketing between call sites)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # add hash-derived adversarial vectors (mixed signs/magnitudes + zeros)
+    synth = spark.range(500).select(
+        (F.col("id") + 500000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when((F.xxhash64(F.col("id"), d) % 7) == 0,
+                             F.lit(0.0))
+            .otherwise((F.xxhash64(F.col("id"), d) % 2001) / 400.0 - 2.5)
+            .cast("float")).alias("embedding"))
+    for n_planes in (4, 8, 16):
+        both = (emb.unionByName(synth)
+                .select(
+                    "vec_id",
+                    S.hyperplane_signature("embedding", n_planes)
+                    .alias("sig_expr"),
+                    S.hyperplane_signature(F.col("embedding"), n_planes)
+                    .alias("sig_hof")))
+        diff = both.filter(F.col("sig_expr") != F.col("sig_hof")).count()
+        assert diff == 0, (n_planes, diff)
+
+
 def test_multimodal_pipeline(spark):
     media = synthetic_media(spark, 300)
     feats = extract_features(media)
