@@ -50,12 +50,14 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _median(run, runs: int = 3) -> float:
-    """Median of `runs` post-warmup measurements — the steady-state figure
-    (max-of-N is a peak and overstates it; median resists one-off GC or
-    scheduler hiccups in either direction)."""
+def _median_and_peak(run, runs: int = 3) -> tuple[float, float]:
+    """(median, peak) of `runs` post-warmup measurements. Median is the
+    honest steady-state figure (max-of-N overstates it); peak is reported
+    alongside because the shared bench host swings 2-3x with noisy
+    neighbors, so the max carries real signal about machine capability."""
     import statistics
-    return statistics.median(run() for _ in range(runs))
+    vals = [run() for _ in range(runs)]
+    return statistics.median(vals), max(vals)
 
 
 def _steady(build, runs: int = 2) -> float:
@@ -101,7 +103,9 @@ def _ingest_throughput(spark) -> dict[str, float]:
         # codegen + Python-worker spin-up, then MEDIAN of 3 measured runs
         # (median, not max — best-of-N overstates steady state)
         run_ingest()
-        out["ingest_rows_per_sec"] = round(_median(run_ingest, 3))
+        med, peak = _median_and_peak(run_ingest, 3)
+        out["ingest_rows_per_sec"] = round(med)
+        out["ingest_rows_per_sec_peak"] = round(peak)
 
         n2 = 1_000_000
         enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
@@ -119,7 +123,9 @@ def _ingest_throughput(spark) -> dict[str, float]:
             return n2 / (time.perf_counter() - t0)
 
         run_decode()
-        out["protobuf_decode_rows_per_sec"] = round(_median(run_decode, 3))
+        med, peak = _median_and_peak(run_decode, 3)
+        out["protobuf_decode_rows_per_sec"] = round(med)
+        out["protobuf_decode_rows_per_sec_peak"] = round(peak)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
