@@ -135,16 +135,26 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 8, dim: int = 64, *,
     return sig
 
 
-def _multi_table_sig(vec: Column, n_planes: int, dim: int,
+def _multi_table_sig(vec: Column | str, n_planes: int, dim: int,
                      n_tables: int) -> Column:
     """array of (table, signature) structs — the standard L-table OR
     construction: a pair is a candidate if ANY table's buckets collide,
     trading one extra explode for exponentially better recall.
 
-    All tables' planes ship as ONE 3-D literal (tables × planes × dim) and
-    the signatures come from nested transform/zip_with — same values as
-    building n_tables·n_planes separate literal dot chains, at a fraction
-    of the plan size (literals are data, not code)."""
+    Column-NAME input (the hot path) builds each table's signature from
+    :func:`hyperplane_signature`'s parsed expression chains — whole-stage
+    codegen compiles them flat. Column input keeps the generic HOF form:
+    all tables' planes ship as ONE 3-D literal (tables × planes × dim) and
+    the signatures come from nested transform/zip_with — same values
+    (±1 coefficients, same left fold) at a fraction of the plan size
+    when an expression tree is unavoidable (literals are data, not code)."""
+    if isinstance(vec, str):
+        structs = [
+            F.struct(F.lit(t).cast("int").alias("tbl"),
+                     hyperplane_signature(vec, n_planes, dim, table=t)
+                     .cast("int").alias("sig"))
+            for t in range(n_tables)]
+        return F.array(*structs)
     planes3d = F.lit([[_plane(t, p, dim) for p in range(n_planes)]
                       for t in range(n_tables)])
     powers = F.lit([1 << p for p in range(n_planes)])
@@ -171,11 +181,12 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     bounded-width keys; per-bucket work replaces all-pairs. Recall vs
     brute_knn asserted in tests/test_training_ops.py."""
     def sig(df, name):
+        # vec_col passed by NAME → codegen'd signature chains
         return df.select(
             F.col(id_col).alias(name),
             F.col(vec_col).alias(f"{name}v"),
             _norm(F.col(vec_col)).alias(f"{name}nrm"),
-            F.explode(_multi_table_sig(F.col(vec_col), n_planes, dim,
+            F.explode(_multi_table_sig(vec_col, n_planes, dim,
                                        n_tables)).alias("bk")
         ).select(name, f"{name}v", f"{name}nrm", "bk.tbl", "bk.sig")
 
