@@ -50,6 +50,75 @@ def salted_join(fact: DataFrame, other: DataFrame, key: str, *,
     return out.drop("__salt")
 
 
+def approx_top_k(df: DataFrame, key_col: str, k: int = 10, *,
+                 capacity: int = 2048) -> DataFrame:
+    """Heavy hitters without a full-key shuffle: mergeable Misra-Gries.
+
+    The exact top-k (``groupBy(key).count()``) shuffles one row per
+    DISTINCT key — fine for ports, hostile at 100 TB for high-cardinality
+    keys (IPs, user ids, URLs). This sketch bounds the shuffle at
+    ``capacity`` rows PER PARTITION regardless of key cardinality:
+
+    - map side: one ``mapInPandas`` pass keeps a Misra-Gries summary of at
+      most ``capacity`` counters per partition (per Arrow batch: one
+      ``np.unique`` pre-aggregation, then a summary merge — never a
+      per-row Python loop over raw rows);
+    - merge: partition summaries union by key-sum (the mergeable-summaries
+      construction: trimming to the (capacity+1)-th largest value keeps the
+      total undercount ≤ n/(capacity+1), Agarwal et al., "Mergeable
+      Summaries"); here the post-union trim is skipped — estimates only
+      get tighter — and the final top-k orders the summed estimates.
+
+    Output: (key, est_count, upper_bound), top-k by estimate descending
+    (ties on key ascending). Guarantees: ``est_count ≤ true ≤
+    upper_bound = est_count + floor(n/(capacity+1))``, and every key with
+    true frequency > n/(capacity+1) survives into the merged summary.
+    With ``capacity ≥`` the partition-level distinct-key count no trim ever
+    fires and the sketch IS the exact count (the oracle-checkable regime,
+    same trick as approx_percentiles).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (f"k {key_type}, cnt long, is_meta boolean")
+
+    def kernel(batches):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            vals, cnts = np.unique(pdf[key_col].dropna().to_numpy(),
+                                   return_counts=True)
+            n_rows += int(len(pdf))
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                sub = sorted(counters.values(), reverse=True)[capacity]
+                counters = {v: c - sub for v, c in counters.items()
+                            if c > sub}
+        yield pd.DataFrame({
+            "k": list(counters.keys()) + [None],
+            "cnt": list(counters.values()) + [n_rows],
+            "is_meta": [False] * len(counters) + [True],
+        })
+
+    summaries = df.select(key_col).mapInPandas(kernel, out_schema)
+    total = (summaries.filter(F.col("is_meta"))
+             .agg(F.sum("cnt").alias("__n")))
+    merged = (summaries.filter(~F.col("is_meta"))
+              .groupBy("k")
+              .agg(F.sum("cnt").alias("est_count")))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .withColumn("upper_bound",
+                    F.col("est_count")
+                    + (F.col("__n") / (capacity + 1)).cast("long"))
+        .select(F.col("k").alias(key_col), "est_count", "upper_bound")
+        .orderBy(F.desc("est_count"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, *,
                    n_buckets: int = 32,
                    sort_by: str | None = None) -> None:

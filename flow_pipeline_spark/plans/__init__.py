@@ -23,6 +23,8 @@ _DEMOTED_VARIANTS = [
     "minhash_signatures",     # subsumed by minhash_lsh_dedup (sig→band→verify)
     "simhash",                # subsumed by simhash_near_dup (same sig + banding)
     "top_event_types",        # A3 count-per-group covered by the PG panels
+    "approx_top_talkers",     # A5 sketch form; exact top-k (top_talkers) is
+                              # windowed, the MG bounds are pytest-asserted
 ]
 
 

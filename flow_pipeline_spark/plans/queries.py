@@ -608,6 +608,31 @@ def metrics_rate_sum_by(spark, sf_dir):
 
 
 @_q(
+    "approx_top_talkers",
+    """
+    SELECT user_id, count(*) AS est_count,
+           count(*) + (SELECT count(*) FROM events) // 2049 AS upper_bound
+    FROM events GROUP BY user_id
+    ORDER BY est_count DESC, user_id ASC LIMIT 10
+    """,
+    doc="A5/O2 sketch path — heavy hitters via mergeable Misra-Gries "
+        "(operators/scale.py:approx_top_k): the shuffle is bounded at "
+        "`capacity` summary rows per partition regardless of key "
+        "cardinality — the 100 TB form of top-talkers when the key is an "
+        "IP/user/URL space too wide to groupBy-count. With capacity=2048 ≥ "
+        "the distinct-key count at every test SF no trim fires, the sketch "
+        "is exact, and DuckDB's plain count(*) top-k (plus the same "
+        "deterministic n/(capacity+1) upper-bound arithmetic) hash-matches "
+        "— the trimmed regime's bounds are pytest-asserted on skewed "
+        "synthetic data (tests/test_scale_ops.py).",
+)
+def approx_top_talkers(spark, sf_dir):
+    from ..operators.scale import approx_top_k
+    return approx_top_k(_events(spark, sf_dir), "user_id", k=10,
+                        capacity=2048)
+
+
+@_q(
     "ipv6_render",
     """
     WITH base AS (

@@ -62,6 +62,37 @@ def start_raw_persist(flows_stream: DataFrame, out_dir: str,
     return writer.start()
 
 
+def start_enriched_persist(flows_stream: DataFrame, asn_dim: DataFrame,
+                           out_dir: str, checkpoint_dir: str, *,
+                           trigger: dict | None = None) -> StreamingQuery:
+    """J1 streaming — the enrichment processor the reference DESCRIBES but
+    never ships (reference README.md:44-51: "IP addresses can be mapped to
+    countries, ASN or customer information"; output columns reserved at
+    pb-ext/flow.pb.go:140-143), as a continuous MV: the flow stream
+    stream-static joined against the AS dimension, filling SrcCountry/
+    DstCountry/SrcASDB/DstASDB, persisted Date-partitioned like flows_raw.
+
+    Stream-static joins need no watermark or state: the static side is
+    re-resolved per micro-batch (so a dim update takes effect at the next
+    trigger — the enrichment-refresh semantics a production pipeline
+    wants), and the dim is broadcast, so the streaming side never
+    shuffles. Scale: identical plan per micro-batch to the batch
+    ``enrich_by_asn`` — broadcast hash join, zero fact shuffle.
+    """
+    from ..operators.enrich import enrich_by_asn
+    from ..sources.mocker import flows_raw
+    enriched = enrich_by_asn(flows_raw(flows_stream), asn_dim)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("Date")
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
 def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
                         checkpoint_dir: str, *,
                         trigger: dict | None = None) -> StreamingQuery:

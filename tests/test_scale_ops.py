@@ -108,3 +108,50 @@ def test_asof_join_semantics(spark):
     assert got[3] == 2.0           # latest at-or-before wins
     assert got[4] is None          # b's dim row is later than the event
     assert got[5] == 4.0           # keys isolated
+
+
+def test_approx_top_k_bounds_under_trim(spark):
+    """Misra-Gries guarantees in the TRIMMED regime (tiny capacity on
+    skewed data): est_count ≤ true ≤ upper_bound for every reported key,
+    and every true heavy hitter (freq > n/(capacity+1)) is reported."""
+    from flow_pipeline_spark.operators.scale import approx_top_k
+
+    # skewed synthetic: key j appears ~n/(j+1) times (zipf-ish), many
+    # singletons as noise, spread over several partitions
+    n = 60_000
+    df = (spark.range(n).repartition(8)
+          .select((F.floor(F.sqrt(F.col("id") % 10_000))).cast("long")
+                  .alias("key")))
+    capacity = 16
+    k = 8
+    got = approx_top_k(df, "key", k=k, capacity=capacity).collect()
+    assert 0 < len(got) <= k
+    true = {r["key"]: r["cnt"] for r in
+            df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    err = n // (capacity + 1)
+    for r in got:
+        t = true[r["key"]]
+        assert r["est_count"] <= t <= r["upper_bound"], r
+        assert r["upper_bound"] - r["est_count"] == err
+    # heavy-hitter completeness: keys with freq > n/(cap+1) must appear in
+    # the top-k as long as k is large enough to hold them
+    heavy = sorted((kk for kk, c in true.items() if c > err),
+                   key=lambda kk: (-true[kk], kk))[:k]
+    reported = {r["key"] for r in got}
+    for kk in heavy:
+        assert kk in reported, (kk, true[kk], err)
+
+
+def test_approx_top_k_exact_regime_matches_groupby(spark):
+    """With capacity ≥ distinct keys no trim fires: the sketch IS the exact
+    top-k (the oracle-checkable regime used by approx_top_talkers)."""
+    from flow_pipeline_spark.operators.scale import approx_top_k
+    from flow_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = [(r["user_id"], r["est_count"]) for r in
+           approx_top_k(e, "user_id", k=5, capacity=2048).collect()]
+    exact = [(r["user_id"], r["cnt"]) for r in
+             (e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("user_id")).limit(5).collect())]
+    assert got == exact

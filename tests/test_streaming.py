@@ -61,6 +61,35 @@ def test_raw_persist_mv(spark, tmpdir, flow_source):
     assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
 
 
+def test_enriched_persist_stream_matches_batch(spark, tmpdir, flow_source):
+    """J1 streaming — the continuous enrichment MV (stream-static broadcast
+    join against the AS dim) writes exactly what the batch enrich_by_asn of
+    the same rows produces, and its per-batch plan broadcasts the dim."""
+    from flow_pipeline_spark.operators.enrich import enrich_by_asn
+    from flow_pipeline_spark.streaming.jobs import start_enriched_persist
+
+    src, stream = flow_source
+    dim = spark.createDataFrame(
+        [(65000, "US", "AS-A"), (65001, "DE", "AS-B")],
+        "asn int, country string, as_name string")
+    out, ckpt = f"{tmpdir}/flows_enr", f"{tmpdir}/ckpt_enr"
+    q = start_enriched_persist(stream, dim, out, ckpt,
+                               trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == N
+    for c in ("SrcCountry", "DstCountry", "SrcASDB", "DstASDB"):
+        assert c in got.columns
+    batch = enrich_by_asn(flows_raw(spark.read.parquet(src)), dim)
+    aligned = got.select(*batch.columns)  # partitionBy moves Date to the end
+    assert aligned.exceptAll(batch).isEmpty() and \
+        batch.exceptAll(aligned).isEmpty()
+    # unmatched AS (65002) stays, enrichment never drops traffic
+    assert got.filter(F.col("SrcAS") == 65002).count() > 0
+    assert (got.filter(F.col("SrcAS") == 65002)
+            .filter(F.col("SrcCountry").isNotNull()).count() == 0)
+
+
 def test_rollup_stream_and_compaction(spark, tmpdir, flow_source):
     src, _ = flow_source
     raw_schema = flows_raw(spark.read.parquet(src)).schema
