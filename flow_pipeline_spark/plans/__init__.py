@@ -25,6 +25,8 @@ _DEMOTED_VARIANTS = [
     "top_event_types",        # A3 count-per-group covered by the PG panels
     "approx_top_talkers",     # A5 sketch form; exact top-k (top_talkers) is
                               # windowed, the MG bounds are pytest-asserted
+    "stratified_sample",      # md5-threshold device windowed via train_val_split
+    "benchmark_contamination",  # shingle-overlap class windowed via ngram/LSH
 ]
 
 

@@ -585,6 +585,94 @@ def train_val_split(spark, sf_dir):
 
 
 @_q(
+    "stratified_sample",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4) AS h
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, lang FROM tagged
+      WHERE (lang = 'en'  AND h < '1999')
+         OR (lang <> 'en' AND h < '8000')
+    )
+    SELECT doc_id, lang FROM sampled ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling — per-stratum hash-threshold "
+        "downsampling (≈10% of 'en', ≈50% of everything else: the classic "
+        "rebalance of an English-dominated crawl). Same md5-prefix device "
+        "as train_val_split, so membership is identical in any engine, "
+        "any run, any cluster size — unlike rand()/sampleBy whose RNG "
+        "stream ties sampling to partition layout. Scale: pure map-side "
+        "filter, zero shuffle, row-level output oracle-checked.",
+)
+def stratified_sample(spark, sf_dir):
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+        1, 4)
+    keep = (
+        ((F.col("lang") == "en") & (h < "1999"))
+        | ((F.col("lang") != "en") & (h < "8000"))
+    )
+    return (_docs(spark, sf_dir)
+            .filter(keep)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+@_q(
+    "benchmark_contamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+      FROM documents WHERE doc_id < 10),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz tail'
+      FROM documents WHERE doc_id < 10),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_shared
+      FROM sh s JOIN bench b ON b.shingle = s.shingle
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shared FROM hits
+    WHERE n_shared >= 5 ORDER BY doc_id
+    """,
+    doc="Benchmark-contamination screening — the eval-hygiene gate a "
+        "training pipeline runs before release: flag corpus documents "
+        "sharing ≥5 distinct word-3-shingles with a benchmark/eval set. "
+        "The benchmark side is small by nature (eval suites), so it "
+        "broadcasts; the corpus side explodes shingles map-side and "
+        "aggregates per-doc overlap partially before the one narrow "
+        "shuffle — the corpus documents themselves never shuffle. Planted "
+        "tail-perturbed benchmark copies are flagged along with the "
+        "benchmark originals.",
+)
+def benchmark_contamination(spark, sf_dir):
+    from ..operators.text import shingles
+    d = _docs(spark, sf_dir)
+    bench = (d.filter(F.col("doc_id") < 10)
+             .select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+             .distinct())
+    copies = (d.filter(F.col("doc_id") < 10)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zz tail"))
+                      .alias("text")))
+    corpus = d.select("doc_id", "text").unionByName(copies)
+    sh = (corpus.select("doc_id",
+                        F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+          .distinct())
+    return (
+        sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE corpus AS (
