@@ -27,6 +27,7 @@ _DEMOTED_VARIANTS = [
                               # windowed, the MG bounds are pytest-asserted
     "stratified_sample",      # md5-threshold device windowed via train_val_split
     "benchmark_contamination",  # shingle-overlap class windowed via ngram/LSH
+    "repetition_stats",       # per-row text-QC class windowed via text_quality
 ]
 
 

@@ -672,6 +672,57 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+_GRAMS5 = (f"list_transform(range(1, len({_TOKS})-3), "
+           f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]"
+           f" || ' ' || {_TOKS}[i+3] || ' ' || {_TOKS}[i+4])")
+
+@_q(
+    "repetition_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000, text || ' ' || text
+      FROM documents WHERE doc_id < 30),
+    segs AS (
+      SELECT doc_id,
+             len({_GRAMS5})                AS n_grams,
+             len(list_distinct({_GRAMS5})) AS n_unique
+      FROM corpus)
+    SELECT doc_id, n_grams, n_unique,
+           round(1.0 - n_unique / greatest(n_grams, 1), 4) AS dup_ratio,
+           (1.0 - n_unique / greatest(n_grams, 1)) > 0.3   AS flagged
+    FROM segs ORDER BY doc_id
+    """,
+    doc="Intra-document repetition QC — the duplicate word-5-gram fraction "
+        "rule (Gopher/RefinedWeb-style quality gate for boilerplate and "
+        "self-repeating pages): dup_ratio = 1 − distinct/total 5-grams, "
+        "flag above 30%. Planted self-concatenated docs score ≈0.5 and "
+        "are flagged; originals pass. Pure per-row expressions (tokenize / "
+        "sliding grams / array_distinct / size): zero shuffle, zero UDF — "
+        "the cheapest possible curation gate, so it runs FIRST in a "
+        "pipeline to prune before any wide op.",
+)
+def repetition_stats(spark, sf_dir):
+    from ..operators.text import shingles
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    planted = (d.filter(F.col("doc_id") < 30)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat_ws(" ", "text", "text").alias("text")))
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    grams = shingles(F.col("text"), 5)
+    n = F.size(grams)
+    nu = F.size(F.array_distinct(grams))
+    ratio = 1.0 - nu / F.greatest(n, F.lit(1))
+    return (
+        corpus.select(
+            "doc_id", n.alias("n_grams"), nu.alias("n_unique"),
+            F.round(ratio, 4).alias("dup_ratio"),
+            (ratio > 0.3).alias("flagged"))
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "dedup_clusters",
     f"""
