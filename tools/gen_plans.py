@@ -36,6 +36,9 @@ NOTES = {
   "flows_top_src_ips": "render-AFTER-aggregate: ArrowEvalPython sits above the raw (addr,Etype) HashAggregate, UDF input = |distinct addrs|",
   "flows_pg_src_ip_panel": "Go-render panel, same two-level agg: raw-bytes partials below the Arrow boundary",
   "metrics_rate_sum_by": "one series-key exchange reused by lag, bucket agg, and sliding frame; sum-by re-aggregates tiny rows",
+  "approx_top_talkers": "Misra-Gries sketch: shuffle bounded at capacity summary rows per partition, independent of key cardinality",
+  "benchmark_contamination": "benchmark shingle set broadcast; corpus-side overlap count partial-aggregates before one narrow shuffle",
+  "repetition_stats": "pure per-row expressions — the whole gate is one codegen'd scan, zero shuffle",
 }
 
 
