@@ -28,6 +28,7 @@ _DEMOTED_VARIANTS = [
     "stratified_sample",      # md5-threshold device windowed via train_val_split
     "benchmark_contamination",  # shingle-overlap class windowed via ngram/LSH
     "repetition_stats",       # per-row text-QC class windowed via text_quality
+    "curation_full_pipeline",  # composition of windowed stages (corpus_curation+)
 ]
 
 

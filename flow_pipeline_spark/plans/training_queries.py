@@ -840,6 +840,122 @@ def corpus_curation(spark, sf_dir):
 
 
 @_q(
+    "curation_full_pipeline",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 200000, text || ' ' || text
+      FROM documents WHERE doc_id < 30),
+    len_gated AS (
+      SELECT doc_id, text, len({_TOKS}) AS n_tokens
+      FROM corpus WHERE len({_TOKS}) >= 10),
+    rep_gated AS (
+      SELECT doc_id, text, n_tokens FROM len_gated
+      WHERE (1.0 - len(list_distinct({_GRAMS5}))
+                   / greatest(len({_GRAMS5}), 1)) <= 0.3),
+    hashed AS (
+      SELECT doc_id, text, n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM rep_gated),
+    survivors AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    kept AS (
+      SELECT t.doc_id, t.text, t.n_tokens FROM survivors s
+      JOIN hashed t ON t.doc_id = s.doc_id),
+    bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+      FROM documents WHERE doc_id < 5),
+    kept_sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM kept),
+    contaminated AS (
+      SELECT s.doc_id FROM kept_sh s
+      JOIN bench b ON b.shingle = s.shingle
+      GROUP BY s.doc_id HAVING count(*) >= 5),
+    clean AS (
+      SELECT doc_id, n_tokens FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    tagged AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                 1, 2) < 'd3'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM clean)
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    doc="The COMPLETE curation composition, every round-2 gate chained in "
+        "one linear plan: length gate → repetition gate (dup-5-gram ≤0.3, "
+        "drops the 30 planted self-repeats) → exact dedup (drops the 50 "
+        "planted copies) → benchmark-contamination screen (drops eval-set "
+        "members, bench = docs 0-4) → deterministic split → per-split "
+        "stats. Plan shape: the two per-row gates run inside the scan "
+        "projection BEFORE any shuffle; the wide ops are the 32-byte-"
+        "digest dedup shuffle, one narrow per-doc overlap count against "
+        "the broadcast benchmark shingles, and the final 2-group "
+        "aggregate. Documents themselves cross the wire exactly once "
+        "(into the dedup shuffle); at 100 TB swap that for the digest-only "
+        "form in corpus_curation.",
+)
+def curation_full_pipeline(spark, sf_dir):
+    from ..operators.text import normalize_text, shingles, token_count
+    d = _docs(spark, sf_dir)
+    exact_copies = (d.filter(F.col("doc_id") < 50)
+                    .select((F.col("doc_id") + 100000).alias("doc_id"),
+                            "text"))
+    rep_copies = (d.filter(F.col("doc_id") < 30)
+                  .select((F.col("doc_id") + 200000).alias("doc_id"),
+                          F.concat_ws(" ", "text", "text").alias("text")))
+    corpus = d.select("doc_id", "text").unionByName(exact_copies) \
+        .unionByName(rep_copies)
+
+    grams = shingles(F.col("text"), 5)
+    dup_ratio = (1.0 - F.size(F.array_distinct(grams))
+                 / F.greatest(F.size(grams), F.lit(1)))
+    gated = (corpus
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter(F.col("n_tokens") >= 10)
+             .filter(dup_ratio <= 0.3))
+
+    hashed = gated.select(
+        "doc_id", "text", "n_tokens",
+        F.md5(normalize_text(F.col("text"))).alias("h"))
+    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = survivors.select("doc_id").join(
+        hashed.select("doc_id", "text", "n_tokens"), "doc_id")
+
+    bench = (d.filter(F.col("doc_id") < 5)
+             .select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+             .distinct())
+    contaminated = (
+        kept.select("doc_id",
+                    F.explode(F.array_distinct(shingles(F.col("text"), 3)))
+                    .alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("doc_id"))
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+
+    split = F.when(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 2) < "d3",
+        "train").otherwise("val")
+    return (clean
+            .select("doc_id", "n_tokens", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("split"))
+
+
+@_q(
     "kmeans_cells",
     None,  # iterative float means drift across engines — rows-only; the
     # Lloyd invariants (argmax assignment, objective monotonicity) are
