@@ -58,6 +58,25 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def synth_docs(spark, n: int, words: int = 40, vocab: int = 5000,
+               planted: int = 50):
+    """Deterministic hash-derived documents (`words` tokens from a
+    `vocab`-word vocabulary) + `planted` tail-perturbed near-copies
+    (ids shifted by 10**9, Jaccard ≈0.9 vs their originals)."""
+    text = F.concat_ws(" ", *[
+        F.concat(F.lit("w"),
+                 (F.abs(F.xxhash64(F.col("id"), F.lit(w))) % vocab)
+                 .cast("string"))
+        for w in range(words)])
+    base = spark.range(n).select(F.col("id").alias("doc_id"),
+                                 text.alias("text"))
+    copies = (base.filter(F.col("doc_id") < planted)
+              .select((F.col("doc_id") + 10**9).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zz tail zz"))
+                      .alias("text")))
+    return base.unionByName(copies)
+
+
 def synth_embeddings(spark, n: int, dim: int = 64, planted: int = 20):
     """Deterministic hash-derived embeddings + `planted` exact duplicates
     (ids shifted by 10**9) so near-dup recovery is checkable at any n."""
@@ -144,6 +163,24 @@ def main() -> None:
             q = emb_cached.filter(F.col("vec_id") < 10)
             record("brute_knn_gemm", n, median_timed(
                 lambda: force(brute_knn_vectorized(emb_cached, q, k=5))))
+
+        # MinHash-LSH dedup (the flagship training-tier operator) over
+        # synthetic documents — xxhash64 family (the production mode; md5
+        # exists only for the cross-engine oracle)
+        from flow_pipeline_spark.operators.dedup import (
+            jaccard_pairs, minhash_lsh_candidates)
+        doc_steps = [20_000, 80_000, 160_000 if args.fast else 240_000]
+        for n in doc_steps:
+            docs = synth_docs(spark, n).localCheckpoint(eager=True)
+
+            def lsh_dedup():
+                cands = minhash_lsh_candidates(docs, n_hashes=8, bands=4,
+                                               k=3, hash_fn="xxhash64")
+                return jaccard_pairs(docs, k=3, threshold=0.5,
+                                     candidates=cands)
+            sec = median_timed(lambda: force(lsh_dedup()))
+            found = lsh_dedup().filter(F.col("id_b") >= 10**9).count()
+            record("minhash_lsh_dedup", n, sec, planted_ok=(found >= 50))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
