@@ -76,6 +76,14 @@ def approx_top_k(df: DataFrame, key_col: str, k: int = 10, *,
     With ``capacity ≥`` the partition-level distinct-key count no trim ever
     fires and the sketch IS the exact count (the oracle-checkable regime,
     same trick as approx_percentiles).
+
+    The sketch is defined over NON-NULL keys: null rows are excluded from
+    both the counters and ``n`` (so the error bound is relative to the
+    non-null row count, matching a SQL ``GROUP BY key`` oracle filtered to
+    ``key IS NOT NULL``). A SQL GROUP BY would additionally report one NULL
+    group; callers that need it should count nulls separately — mixing it
+    into the sketch would loosen every bound for a group no ranking query
+    wants.
     """
     import numpy as np
     import pandas as pd
@@ -89,7 +97,9 @@ def approx_top_k(df: DataFrame, key_col: str, k: int = 10, *,
         for pdf in batches:
             vals, cnts = np.unique(pdf[key_col].dropna().to_numpy(),
                                    return_counts=True)
-            n_rows += int(len(pdf))
+            # n counts the same population the counters see (non-null keys)
+            # so upper_bound stays tight and oracle-comparable under nulls
+            n_rows += int(cnts.sum())
             for v, c in zip(vals.tolist(), cnts.tolist()):
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > capacity:

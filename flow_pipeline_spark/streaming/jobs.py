@@ -224,20 +224,26 @@ def start_dedup_stream(flows_raw_stream: DataFrame, out_dir: str,
     arriving later than ``lateness`` passes through (at-least-once dedup;
     exact within the horizon).
 
-    Key choice: in real NetFlow/IPFIX, ``SequenceNum`` identifies the
-    EXPORT PACKET, which carries many flow records — keying on
-    ``(SamplerAddress, SequenceNum)`` alone would silently collapse every
-    record of a packet into one. The default therefore adds the record's
-    own identity (``TimeReceived`` + the 5-tuple) so only true
-    re-deliveries of the same record collide; pass ``key_cols`` explicitly
-    for exporters known to emit one record per sequence (e.g. the
-    reference mocker, mocker.go:89-91, where SequenceNum is a row id).
+    Key choice: the default is EXPORTER-SIDE record identity —
+    ``SamplerAddress`` + the flow's own timestamps (``TimeFlowStart`` /
+    ``TimeFlowEnd``) + 5-tuple + counters. A router-resent export packet
+    carries the same flow records verbatim, but the collector stamps the
+    resend with a FRESH ``TimeReceived`` — so keys that include
+    ``TimeReceived`` (or the collector-side ``SequenceNum``, which
+    identifies the EXPORT PACKET and changes on resend) only ever catch
+    broker-level re-deliveries, not the router resends this job exists
+    for. Counters (``Bytes``/``Packets``) are included so two genuinely
+    distinct same-second flows between the same endpoints don't collide;
+    a resend repeats the counters verbatim, so it still dedups. Pass
+    ``key_cols=["SamplerAddress", "SequenceNum", "TimeReceived", ...]``
+    explicitly to narrow to broker-redelivery-only suppression.
 
     Scale: state is hashed across executors by key — no hot spots unless
     one exporter dominates; RocksDB state store for large key spaces.
     """
-    keys = key_cols or ["SamplerAddress", "SequenceNum", "TimeReceived",
-                        "SrcAddr", "DstAddr", "SrcPort", "DstPort", "Proto"]
+    keys = key_cols or ["SamplerAddress", "TimeFlowStart", "TimeFlowEnd",
+                        "SrcAddr", "DstAddr", "SrcPort", "DstPort", "Proto",
+                        "Bytes", "Packets"]
     deduped = (
         flows_raw_stream
         .withWatermark("TimeReceived", lateness)

@@ -345,17 +345,27 @@ def test_watermarked_rollup_drops_late(spark, tmpdir):
 
 
 def test_dedup_stream_suppresses_redelivery(spark, tmpdir):
-    """start_dedup_stream drops replayed (SamplerAddress, SequenceNum)
-    pairs across micro-batches within the watermark horizon."""
+    """start_dedup_stream drops both broker re-deliveries (byte-identical
+    replays) AND router resends (same flow record, fresh collector-stamped
+    TimeReceived) within the watermark horizon — the default key is
+    exporter-side record identity, not TimeReceived."""
     from flow_pipeline_spark.streaming.jobs import start_dedup_stream
 
     src = f"{tmpdir}/dedup_src"
     out_dir, ckpt = f"{tmpdir}/dedup_out", f"{tmpdir}/dedup_ckpt"
     base = flows_raw(synthetic_flows(spark, 4000, seed=21))
     base.repartition(1).write.parquet(src)
-    # replay a slice of the same export packets (identical key cols)
+    # broker redelivery: a byte-identical slice of the same records
     replay = base.filter(F.col("SequenceNum") < 500)
     replay.repartition(1).write.mode("append").parquet(src)
+    # router resend: same flow records, but the collector stamps the
+    # resent export packet with a fresh (later) TimeReceived
+    resend = (base.filter((F.col("SequenceNum") >= 500)
+                          & (F.col("SequenceNum") < 900))
+              .withColumn("TimeReceived",
+                          F.col("TimeReceived")
+                          + F.expr("INTERVAL 5 SECONDS")))
+    resend.repartition(1).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
     stream = (spark.readStream.schema(schema)
@@ -366,7 +376,9 @@ def test_dedup_stream_suppresses_redelivery(spark, tmpdir):
 
     got = spark.read.parquet(out_dir)
     assert got.count() == 4000
-    dup_keys = (got.groupBy("SamplerAddress", "SequenceNum")
+    dup_keys = (got.groupBy("SamplerAddress", "TimeFlowStart", "TimeFlowEnd",
+                            "SrcAddr", "DstAddr", "SrcPort", "DstPort",
+                            "Proto", "Bytes", "Packets")
                 .count().filter(F.col("count") > 1).count())
     assert dup_keys == 0
 
