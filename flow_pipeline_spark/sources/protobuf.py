@@ -172,6 +172,93 @@ def unframe_length_delimited(buf: bytes) -> bytes:
     return buf[pos:pos + ln]
 
 
+# --- descriptor set for native from_protobuf/to_protobuf --------------------
+# Spark's native protobuf functions (spark-protobuf jar, SURVEY S3/S4's
+# preferred mapping) take a protoc-compiled FileDescriptorSet. protoc is not
+# in this container — but descriptor.proto's wire format is public protobuf
+# like any other, so the descriptor set for flow.proto is hand-encoded here
+# with the same varint/length-delimited primitives as the row codec. The
+# moment the spark-protobuf jar is on the classpath,
+# ``pyspark.sql.protobuf.functions.from_protobuf(col, "flowprotob.
+# FlowMessage", binaryDescriptorSet=flow_descriptor_set())`` runs with no
+# extra toolchain (parity test: tests/test_kafka_edge.py).
+
+# FieldDescriptorProto.Type values (descriptor.proto, public)
+_T_UINT64, _T_BYTES, _T_UINT32, _T_ENUM = 4, 12, 13, 14
+# per-field protobuf declared type, exactly pb-ext/flow.proto:16-64
+_PROTO_TYPES: dict[int, int] = {
+    **{num: _T_UINT32 for num in FLOW_FIELDS},
+    1: _T_ENUM,                                   # FlowType Type = 1
+    2: _T_UINT64, 3: _T_UINT64, 38: _T_UINT64,    # times / sampling
+    5: _T_UINT64, 9: _T_UINT64, 10: _T_UINT64,    # uint64 counters
+    11: _T_BYTES, 6: _T_BYTES, 7: _T_BYTES,       # addresses
+}
+
+
+def _tag(out: bytearray, field_num: int, wire: int) -> None:
+    _write_varint(out, (field_num << 3) | wire)
+
+
+def _ld(out: bytearray, field_num: int, payload: bytes) -> None:
+    """length-delimited submessage/string field (wire type 2)."""
+    _tag(out, field_num, 2)
+    _write_varint(out, len(payload))
+    out.extend(payload)
+
+
+def _vi(out: bytearray, field_num: int, v: int) -> None:
+    _tag(out, field_num, 0)
+    _write_varint(out, v)
+
+
+def flow_descriptor_set() -> bytes:
+    """FileDescriptorSet bytes for flow.proto (message flowprotob.
+    FlowMessage + nested enum FlowType) — what ``protoc
+    --descriptor_set_out`` would emit, minus source-info.
+
+    Descriptor field numbers used (all from the public descriptor.proto):
+    FileDescriptorSet.file=1; FileDescriptorProto .name=1 .package=2
+    .message_type=4 .syntax=12; DescriptorProto .name=1 .field=2
+    .enum_type=4; FieldDescriptorProto .name=1 .number=3 .label=4 .type=5
+    .type_name=6; EnumDescriptorProto .name=1 .value=2;
+    EnumValueDescriptorProto .name=1 .number=2.
+    """
+    # nested enum FlowType (flow.proto:9-15)
+    enum_pb = bytearray()
+    _ld(enum_pb, 1, b"FlowType")
+    for ename, enum_val in [(b"FLOWUNKNOWN", 0), (b"SFLOW_5", 1),
+                            (b"NETFLOW_V5", 2), (b"NETFLOW_V9", 3),
+                            (b"IPFIX", 4)]:
+        ev = bytearray()
+        _ld(ev, 1, ename)
+        _vi(ev, 2, enum_val)
+        _ld(enum_pb, 2, bytes(ev))
+
+    msg_pb = bytearray()
+    _ld(msg_pb, 1, b"FlowMessage")
+    for num in sorted(FLOW_FIELDS):
+        name, _ = FLOW_FIELDS[num]
+        f = bytearray()
+        _ld(f, 1, name.encode())
+        _vi(f, 3, num)
+        _vi(f, 4, 1)                    # LABEL_OPTIONAL (proto3 singular)
+        _vi(f, 5, _PROTO_TYPES[num])
+        if _PROTO_TYPES[num] == _T_ENUM:
+            _ld(f, 6, b".flowprotob.FlowMessage.FlowType")
+        _ld(msg_pb, 2, bytes(f))
+    _ld(msg_pb, 4, bytes(enum_pb))
+
+    file_pb = bytearray()
+    _ld(file_pb, 1, b"flow.proto")
+    _ld(file_pb, 2, b"flowprotob")
+    _ld(file_pb, 4, bytes(msg_pb))
+    _ld(file_pb, 12, b"proto3")
+
+    out = bytearray()
+    _ld(out, 1, bytes(file_pb))
+    return bytes(out)
+
+
 # --- batch codecs (column-oriented; the Arrow-UDF hot path) -----------------
 
 _SORTED_FIELDS = sorted(FLOW_FIELDS.items())  # [(num, (name, kind)), ...]
