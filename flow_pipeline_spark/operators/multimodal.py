@@ -1,4 +1,4 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) columns — real containers, real decode.
 
 Media travel as opaque ``binary`` payload columns plus a typed metadata
 struct — the pattern that scales: payloads stay columnar (parquet binary,
@@ -6,15 +6,29 @@ never materialized on the driver), metadata prunes/partitions, and all
 per-item compute runs as Arrow-batched ``mapInPandas`` so the Python cost
 is amortized per batch, not per row.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_image`` /
-``_decode_audio`` (clearly marked); the Spark-side contract — schemas, UDF
-signatures, batch iteration, partitioning — is real and tested. Swapping in
-a real codec changes only the function bodies.
+Heavyweight codec libraries (PIL/ffmpeg/soundfile) are not in this
+container, but stdlib + numpy can honestly parse real container formats,
+so the payloads here are REAL:
+
+- images: uncompressed 24-bit **BMP** (BITMAPFILEHEADER+BITMAPINFOHEADER,
+  bottom-up rows, 4-byte row padding) — built and parsed byte-for-byte;
+- audio: **RIFF/WAVE** PCM16, written and read via the stdlib ``wave``
+  module;
+- video: a length-prefixed sequence of BMP frames (custom envelope, real
+  frames — no uncompressed multi-frame container exists in stdlib).
+
+``extract_features`` decodes the actual payload bytes (header validation
+against the metadata struct included); swapping BMP/WAV for JPEG/FLAC on a
+cluster with PIL/soundfile changes only ``_decode_image``/``_decode_audio``
+bodies — every schema, UDF signature, and batch shape stays fixed.
 """
 
 from __future__ import annotations
 
+import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -26,7 +40,7 @@ from pyspark.sql import types as T
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),        # image|audio|video
-    T.StructField("payload", T.BinaryType(), False),     # opaque bytes
+    T.StructField("payload", T.BinaryType(), False),     # real container bytes
     T.StructField("meta", T.StructType([                 # typed metadata
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -46,43 +60,207 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def synthetic_media(spark, n_rows: int = 1000, *, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id
-    (stands in for real image/audio bytes; same shape/dtypes)."""
-    df = spark.range(0, n_rows)
-    kind = (
-        F.when(F.col("id") % 3 == 0, "image")
-        .when(F.col("id") % 3 == 1, "audio")
-        .otherwise("video"))
-    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512).cast("binary")
-    meta = F.struct(
-        (F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(1))) % 1920 + 64)
-        .cast("int").alias("width"),
-        (F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(2))) % 1080 + 64)
-        .cast("int").alias("height"),
-        F.lit(16000).alias("sample_rate"),
-        (F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(3))) % 300 + 1)
-        .cast("int").alias("n_frames"),
-        F.lit("fake").alias("format"),
-    )
-    return df.select(
-        F.col("id").alias("media_id"), kind.alias("kind"),
-        payload.alias("payload"), meta.alias("meta"))
+# --- container builders/parsers (pure functions, unit-tested) ---------------
 
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale grid as a real uncompressed 24-bit
+    BMP (gray replicated to BGR). Bottom-up row order and 4-byte row
+    padding per the BMP spec."""
+    h, w = pixels.shape
+    row_bytes = (3 * w + 3) // 4 * 4
+    img_size = row_bytes * h
+    # pixel array: bottom-up, BGR, padded
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.repeat(pixels[::-1, :, None], 3, axis=2)   # bottom-up
+    rows[:, :3 * w] = bgr.reshape(h, 3 * w)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w) float32 luminance
+    grid (mean of BGR). Validates magic, header size, and bpp."""
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI",
+                                                             payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size, w, h, _planes, bpp, compression, _img_size, _xp, _yp,
+     _clr, _clr_i) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    if hdr_size != 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, "
+                         f"bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    bgr = rows[:, :3 * w].reshape(h, w, 3).astype(np.float32)
+    lum = bgr.mean(axis=2)
+    return lum[::-1] if bottom_up else lum
+
+
+def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] as a real RIFF/WAVE PCM16 mono file
+    via the stdlib ``wave`` writer."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 mono via stdlib ``wave``: returns
+    (float32 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("expected PCM16 mono")
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    return samples, rate
+
+
+_VID_MAGIC = b"FSEQ"
+
+
+def make_video(frames: list[np.ndarray]) -> bytes:
+    """Length-prefixed sequence of real BMP frames: ``FSEQ | u32 n |
+    (u32 len | bmp bytes)*``. The envelope is custom (stdlib has no
+    uncompressed multi-frame container); every frame is a real BMP."""
+    out = bytearray(_VID_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for fr in frames:
+        bmp = make_bmp(fr)
+        out += struct.pack("<I", len(bmp))
+        out += bmp
+    return bytes(out)
+
+
+def parse_video(payload: bytes) -> list[np.ndarray]:
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not an FSEQ payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        frames.append(parse_bmp(payload[pos:pos + ln]))
+        pos += ln
+    return frames
+
+
+def _det_bytes(seed: int, media_id: int, tag: int, n: int) -> np.ndarray:
+    """n deterministic uint8s from sha512 counter expansion — stable across
+    library versions (unlike RNG streams)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha512(
+            f"{seed}:{media_id}:{tag}:{counter}".encode()).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
+# --- synthetic table --------------------------------------------------------
+
+def synthetic_media(spark, n_rows: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payload bytes (BMP/WAV/FSEQ),
+    generated distributively: each task builds its partition's containers
+    from sha512(seed, id) — no driver materialization, no RNG-stream
+    version hazard."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"].tolist():
+                kind = ("image", "audio", "video")[mid % 3]
+                if kind == "image":
+                    w = 8 + int(_det_bytes(seed, mid, 0, 1)[0]) % 25
+                    h = 8 + int(_det_bytes(seed, mid, 1, 1)[0]) % 17
+                    grid = _det_bytes(seed, mid, 2, h * w).reshape(h, w)
+                    payload = make_bmp(grid)
+                    meta = {"width": w, "height": h, "sample_rate": None,
+                            "n_frames": None, "format": "bmp"}
+                elif kind == "audio":
+                    n = 800 + int(_det_bytes(seed, mid, 0, 1)[0]) * 4
+                    freq = 200.0 + (mid % 37) * 50.0
+                    t = np.arange(n, dtype=np.float64) / 16000.0
+                    samples = 0.5 * np.sin(2 * np.pi * freq * t)
+                    payload = make_wav(samples, 16000)
+                    meta = {"width": None, "height": None,
+                            "sample_rate": 16000, "n_frames": None,
+                            "format": "wav"}
+                else:
+                    nf = 2 + mid % 6
+                    frames = [_det_bytes(seed, mid, 10 + i, 64).reshape(8, 8)
+                              for i in range(nf)]
+                    payload = make_video(frames)
+                    meta = {"width": 8, "height": 8, "sample_rate": None,
+                            "n_frames": nf, "format": "bmpseq"}
+                recs.append((mid, kind, payload, meta))
+            yield pd.DataFrame(recs, columns=["media_id", "kind", "payload",
+                                              "meta"])
+
+    df = spark.range(0, n_rows, 1,
+                     spark.sparkContext.defaultParallelism)
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --- decode kernels (real byte parsing; meta validated when present) --------
 
 def _decode_image(payload: bytes, meta) -> np.ndarray:
-    """STUB — deterministic fake decode. A real implementation would be
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``; this container has
-    no image codec, so we expand the payload bytes into a fake (h, w)
-    luminance grid deterministically."""
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return np.resize(arr, (8, 8))  # fake 8x8 luminance
+    """Real BMP decode. ``meta`` (the typed metadata struct, possibly None)
+    cross-checks the container header — corrupt/mislabeled payloads fail
+    loudly instead of feeding garbage features downstream."""
+    grid = parse_bmp(payload)
+    if meta is not None and meta.get("width") is not None:
+        if grid.shape != (meta["height"], meta["width"]):
+            raise ValueError(f"meta/header mismatch: header {grid.shape}, "
+                             f"meta ({meta['height']}, {meta['width']})")
+    return grid
 
 
 def _decode_audio(payload: bytes, meta) -> np.ndarray:
-    """STUB — deterministic fake PCM decode (real: soundfile.read)."""
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return (arr - 128.0) / 128.0
+    """Real WAV decode (stdlib ``wave``), sample-rate checked against
+    metadata when present."""
+    samples, rate = parse_wav(payload)
+    if meta is not None and meta.get("sample_rate") is not None:
+        if rate != meta["sample_rate"]:
+            raise ValueError(f"meta/header mismatch: header rate {rate}, "
+                             f"meta {meta['sample_rate']}")
+    return samples
+
+
+def _decode_video(payload: bytes, meta) -> list[np.ndarray]:
+    frames = parse_video(payload)
+    if meta is not None and meta.get("n_frames") is not None:
+        if len(frames) != meta["n_frames"]:
+            raise ValueError(f"meta/header mismatch: {len(frames)} frames, "
+                             f"meta {meta['n_frames']}")
+    return frames
+
+
+def _pool(grid: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Block-mean a variable-size (h, w) grid to (th, tw): rows/cols split
+    into near-equal runs, cumulative-sum differences give each block mean
+    (no divisibility requirement, no per-pixel Python loop)."""
+    h, w = grid.shape
+    re = np.linspace(0, h, th + 1).round().astype(int)
+    ce = np.linspace(0, w, tw + 1).round().astype(int)
+    cs = np.zeros((h + 1, w + 1), dtype=np.float64)
+    cs[1:, 1:] = grid.cumsum(0).cumsum(1)
+    sums = (cs[re[1:, None], ce[None, 1:]] - cs[re[:-1, None], ce[None, 1:]]
+            - cs[re[1:, None], ce[None, :-1]]
+            + cs[re[:-1, None], ce[None, :-1]])
+    areas = ((re[1:] - re[:-1])[:, None] * (ce[1:] - ce[:-1])[None, :])
+    return (sums / np.maximum(areas, 1)).astype(np.float32)
 
 
 def extract_features(media: DataFrame, *, thumb: tuple[int, int] = (4, 4)
@@ -90,39 +268,35 @@ def extract_features(media: DataFrame, *, thumb: tuple[int, int] = (4, 4)
     """decode → feature-extract → resize/frame-sample, one mapInPandas pass.
 
     Runs per Arrow batch; each batch decodes N payloads without driver
-    involvement. Features: 16-dim pooled grid (image/video) or 16-bin
-    energy histogram (audio) — stand-ins with the real UDF shape."""
+    involvement. Decode is inherently per-item (one container per call —
+    true for any codec), everything around it stays numpy-vectorized;
+    there is no per-row pandas iteration. Features: 16-dim block-mean
+    thumbnail (image; video pools the across-frame average), 16-bin PCM
+    amplitude histogram (audio)."""
     tw, th = thumb
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Decode is inherently per-item (a real codec parses one container
-        # per call), but everything after it is vectorized ACROSS the batch:
-        # one stacked average-pool for all image/video rows, numpy-internal
-        # histograms for audio. No per-row pandas iteration (iterrows builds
-        # a Series per row — the slow path this kernel exists to avoid).
         for pdf in batches:
             n = len(pdf)
             kinds = pdf["kind"].to_numpy()
             payloads = [bytes(b) for b in pdf["payload"]]
+            metas = (pdf["meta"].tolist() if "meta" in pdf.columns
+                     else [None] * n)
             n_bytes = np.array([len(b) for b in payloads], dtype="int32")
             feats: list = [None] * n
-            visual = np.nonzero((kinds == "image") | (kinds == "video"))[0]
-            if visual.size:
-                # stub grids are all (8, 8) so one stacked pool serves the
-                # whole batch; a real variable-size decoder would pool each
-                # grid to (th, tw) before the stack
-                grids = np.stack([_decode_image(payloads[i], None)
-                                  for i in visual])
-                pooled = grids.reshape(
-                    visual.size, th, grids.shape[1] // th,
-                    tw, grids.shape[2] // tw).mean(axis=(2, 4))
-                pooled = pooled.reshape(visual.size, -1).astype(np.float32)
-                for j, i in enumerate(visual):
-                    feats[i] = pooled[j].tolist()
-            for i in np.nonzero((kinds != "image") & (kinds != "video"))[0]:
-                pcm = _decode_audio(payloads[i], None)
-                hist, _ = np.histogram(pcm, bins=16, range=(-1, 1))
-                feats[i] = (hist / max(len(pcm), 1)).astype(np.float32).tolist()
+            for i in range(n):
+                if kinds[i] == "image":
+                    grid = _decode_image(payloads[i], metas[i])
+                    feats[i] = _pool(grid, th, tw).ravel().tolist()
+                elif kinds[i] == "video":
+                    frames = _decode_video(payloads[i], metas[i])
+                    avg = np.mean(np.stack(frames), axis=0)
+                    feats[i] = _pool(avg, th, tw).ravel().tolist()
+                else:
+                    pcm = _decode_audio(payloads[i], metas[i])
+                    hist, _ = np.histogram(pcm, bins=16, range=(-1, 1))
+                    feats[i] = (hist / max(len(pcm), 1)).astype(
+                        np.float32).tolist()
             is_visual = (kinds == "image") | (kinds == "video")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
@@ -140,8 +314,10 @@ def extract_features(media: DataFrame, *, thumb: tuple[int, int] = (4, 4)
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plan: explode frame indices 0, n, 2n, ... from
-    metadata — pure expressions; the (stubbed) per-frame decode then rides
-    extract_features. Demonstrates the fan-out side of the pipeline."""
+    metadata (which ``synthetic_media`` guarantees matches the FSEQ header;
+    extract_features re-validates). Pure expressions — the per-frame decode
+    of the selected indices then rides a mapInPandas kernel exactly like
+    extract_features' video path."""
     return (
         media.filter(F.col("kind") == "video")
         .select(

@@ -995,10 +995,10 @@ def approx_distinct_users(spark, sf_dir):
 @_q(
     "multimodal_features",
     None,
-    doc="Multimodal plumbing: opaque binary payloads + typed metadata → "
-        "Arrow mapInPandas decode/feature/resize kernels (decode stubbed "
-        "deterministically — no codecs in container; operators/"
-        "multimodal.py). Returns per-kind feature stats.",
+    doc="Multimodal pipeline: real container payloads (24-bit BMP, "
+        "RIFF/WAVE PCM16, BMP frame sequences) decoded byte-for-byte in "
+        "Arrow mapInPandas kernels with header↔metadata validation "
+        "(operators/multimodal.py). Returns per-kind feature stats.",
 )
 def multimodal_features(spark, sf_dir):
     from ..operators.multimodal import extract_features, synthetic_media

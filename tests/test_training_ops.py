@@ -307,3 +307,70 @@ def test_brute_knn_vectorized_matches_hof(spark):
     b = {(r["q"], r["n"], r["cos"])
          for r in S.brute_knn_vectorized(emb, queries, k=5).collect()}
     assert a == b
+
+
+def test_bmp_wav_containers_roundtrip():
+    """The container builders emit real formats: BMP survives an
+    independent-shape round-trip (incl. non-4-divisible widths that force
+    row padding), WAV round-trips through the stdlib reader within PCM16
+    quantization."""
+    import numpy as np
+    from flow_pipeline_spark.operators.multimodal import (
+        make_bmp, make_video, make_wav, parse_bmp, parse_video, parse_wav)
+
+    grid = np.arange(7 * 5, dtype=np.uint8).reshape(7, 5)  # w=5 → padded rows
+    assert np.array_equal(parse_bmp(make_bmp(grid)), grid.astype(np.float32))
+
+    samples = np.sin(np.linspace(0, 20, 1000)) * 0.7
+    got, rate = parse_wav(make_wav(samples, 8000))
+    assert rate == 8000
+    assert np.abs(got - samples).max() < 1.5 / 32767
+
+    frames = [grid, grid.T.copy()[:5, :5]]
+    back = parse_video(make_video(frames))
+    assert len(back) == 2 and np.array_equal(back[0], grid)
+
+
+def test_known_payload_known_feature(spark):
+    """End-to-end decode honesty: a constant-value BMP must pool to exactly
+    that constant; an all-zero WAV puts all histogram mass in the bin
+    containing 0. If the kernel faked the decode, neither would hold."""
+    import numpy as np
+    import pandas as pd
+    from flow_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_bmp, make_wav)
+
+    img = make_bmp(np.full((10, 6), 100, dtype=np.uint8))
+    wav = make_wav(np.zeros(500), 16000)
+    pdf = pd.DataFrame([
+        (0, "image", img, {"width": 6, "height": 10, "sample_rate": None,
+                           "n_frames": None, "format": "bmp"}),
+        (1, "audio", wav, {"width": None, "height": None,
+                           "sample_rate": 16000, "n_frames": None,
+                           "format": "wav"}),
+    ], columns=["media_id", "kind", "payload", "meta"])
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(media).collect()}
+    assert feats[0] == [100.0] * 16
+    # zeros → PCM16 value 0 → bin [0, 0.125) → index 8
+    assert feats[1][8] == 1.0 and sum(feats[1]) == 1.0
+
+
+def test_meta_header_mismatch_fails_loudly(spark):
+    """A payload whose container header contradicts its metadata struct
+    must raise (data-integrity gate), not silently decode."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from flow_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_bmp)
+
+    img = make_bmp(np.zeros((4, 4), dtype=np.uint8))
+    pdf = pd.DataFrame(
+        [(0, "image", img, {"width": 99, "height": 4, "sample_rate": None,
+                            "n_frames": None, "format": "bmp"})],
+        columns=["media_id", "kind", "payload", "meta"])
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="(?i)mismatch"):
+        extract_features(media).collect()
