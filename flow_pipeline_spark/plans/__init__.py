@@ -29,6 +29,9 @@ _DEMOTED_VARIANTS = [
     "benchmark_contamination",  # shingle-overlap class windowed via ngram/LSH
     "repetition_stats",       # per-row text-QC class windowed via text_quality
     "curation_full_pipeline",  # composition of windowed stages (corpus_curation+)
+    "flows_top_dst_ips",      # A5/P10 render-after-aggregate twin of
+                              # flows_top_src_ips (windowed); demoted to make
+                              # room for partitioned_day_scan (P5 pruning)
 ]
 
 

@@ -230,6 +230,37 @@ def time_filtered_scan(spark, sf_dir):
 
 
 @_q(
+    "partitioned_day_scan",
+    """
+    SELECT event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="P5 partition pruning — the reference's toDate($dateFilter) trick "
+        "(viz-ch.json:75; clickhouse create.sh:45 PARTITION BY Date): scan "
+        "a Date-partitioned layout (the raw-persist MV's, "
+        "streaming/jobs.py:58) with a day predicate. The predicate prunes "
+        "whole day DIRECTORIES before any IO — the plan carries "
+        "PartitionFilters, not a data filter (tests/test_plans.py). At "
+        "100 TB a 5-day panel reads 5 partitions, not the table.",
+)
+def partitioned_day_scan(spark, sf_dir):
+    from ..sources.tables import partitioned_events_dir
+    part = spark.read.parquet(partitioned_events_dir(spark, sf_dir))
+    return (
+        part.filter(F.col("day").between(F.to_date(F.lit("2024-01-05")),
+                                         F.to_date(F.lit("2024-01-09"))))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "conditional_class",
     """
     SELECT CASE WHEN value >= 500 THEN 'high'

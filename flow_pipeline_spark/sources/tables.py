@@ -50,3 +50,40 @@ def register_views(spark: SparkSession, sf_dir: str,
     DuckDB oracle's pre-registered view names."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf dir) a Date-partitioned copy of ``events``
+    — the layout the raw-persist MV writes in production
+    (streaming/jobs.py:start_raw_persist; toDate partition key per
+    clickhouse create.sh:45 ``PARTITION BY Date``) — and return its path.
+
+    Scans of this layout with a ``day`` predicate prune at the DIRECTORY
+    level (``PartitionFilters`` in the plan): at 100 TB a one-week query
+    touches 7 day-directories, not the whole table. The copy is cached
+    under /tmp keyed by the sf dir name and guarded by parquet's _SUCCESS
+    marker; a half-finished concurrent write is invisible (written to a
+    unique tmp dir, renamed into place atomically).
+    """
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dest = os.path.join(tempfile.gettempdir(),
+                        "flow_pipeline_partitioned", tag, "events_by_day")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        parent = os.path.dirname(dest)
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="events_by_day_", dir=parent)
+        (load_table(spark, sf_dir, "events")
+         .withColumn("day", F.to_date("ts"))
+         .repartition("day")          # one task per day-dir, no tiny files
+         .write.mode("overwrite").partitionBy("day").parquet(tmp))
+        import shutil
+        if (os.path.isdir(dest)
+                and not os.path.exists(os.path.join(dest, "_SUCCESS"))):
+            shutil.rmtree(dest)  # clear a half-finished previous write
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return dest

@@ -186,3 +186,18 @@ def test_analyst_sql_surface(spark):
     # DESCRIBE works over the registered views (D2)
     cols = {r["col_name"] for r in spark.sql("DESCRIBE events").collect()}
     assert {"ts", "user_id", "value"} <= cols
+
+
+def test_partitioned_day_scan_prunes_partitions(plans):
+    """P5 pruning: the day predicate must land in PartitionFilters (pruned
+    at the directory listing, zero IO for other days) — NOT as a data
+    filter, and the scan must read only the referenced columns."""
+    plan = plans("partitioned_day_scan")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "day" in m.group(1) and "2024-01-05" in m.group(1), m.group(1)
+    # the pruning predicate must not degrade into a post-scan Filter node
+    assert not re.search(r"\bFilter .*\bday\b", plan), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "event_type" in rs.group(1) and "value" in rs.group(1)
+    assert "props" not in rs.group(1), rs.group(1)

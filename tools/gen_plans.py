@@ -39,6 +39,7 @@ NOTES = {
   "approx_top_talkers": "Misra-Gries sketch: shuffle bounded at capacity summary rows per partition, independent of key cardinality",
   "benchmark_contamination": "benchmark shingle set broadcast; corpus-side overlap count partial-aggregates before one narrow shuffle",
   "repetition_stats": "pure per-row expressions — the whole gate is one codegen'd scan, zero shuffle",
+  "partitioned_day_scan": "day predicate lands in PartitionFilters: non-matching day directories are pruned at listing time, zero IO — the toDate($dateFilter) partition trick at any scale",
 }
 
 
@@ -82,6 +83,9 @@ def main() -> None:
         for p in dict.fromkeys(pushed):
             if p != "[]":
                 print(f"- pushed filters: `{p}`")
+        for pf in dict.fromkeys(re.findall(r"PartitionFilters: (\[.*?\])", s)):
+            if pf != "[]":
+                print(f"- partition filters: `{pf}`")
         print()
 
 
