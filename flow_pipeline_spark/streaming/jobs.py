@@ -21,9 +21,12 @@ Spark mapping:
   This design needs NO watermark: late rows just create new partial rows for
   old slots, merged at next compaction — unbounded lateness, eventually
   consistent (SURVEY W5), with bounded state (no streaming agg state at all).
-- the JDBC inserter = foreachBatch batch-JDBC append with a 5-s
+- the JDBC inserter = foreachBatch batch append with a 5-s
   processing-time trigger (flush.dur parity; Spark has no count trigger —
-  SURVEY W1).
+  SURVEY W1); `start_transactional_inserter` adds a per-epoch batch-id
+  ledger (rows + ledger mark commit in ONE transaction) for true
+  exactly-once — strictly better than the reference's mark-before-flush
+  "roughly once" (inserter.go:176-196), which loses the tail on crash.
 
 At scale: raw persist is shuffle-free (source partitions → files); the
 rollup's foreachBatch aggregation shuffles only each micro-batch (tiny), and
@@ -152,13 +155,15 @@ def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
                         checkpoint_dir: str, *,
                         properties: dict | None = None,
                         trigger: dict | None = None) -> StreamingQuery:
-    """S7/W1/W2 — the Go inserter (inserter/inserter.go:90-196) as
+    """S7/W1 — the Go inserter (inserter/inserter.go:90-196) as
     foreachBatch JDBC append: 14-column projection (inserter.go:51-66,
     142-157), Go-style IP text render, 5-s trigger ≈ flush.dur.
 
-    Exactly-once-per-batch via checkpointed batch ids (an improvement over
-    the reference's mark-before-flush tail loss). Requires a JDBC driver on
-    the classpath; the projection itself is unit-tested without one.
+    Delivery: at-least-once (a crash between the JDBC append and the
+    checkpoint commit re-runs the epoch). For exactly-once use
+    :func:`start_transactional_inserter` — same projection, plus the
+    batch-id ledger (SURVEY W2). Requires a JDBC driver on the classpath;
+    the projection itself is unit-tested without one.
     """
     projected = inserter_projection(flows_stream)
 
@@ -169,6 +174,99 @@ def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
     writer = (
         projected.writeStream
         .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def exactly_once_batch_writer(con_factory, table: str, *,
+                              ledger_table: str | None = None):
+    """W2 — exactly-once foreachBatch writer over any DB-API connection
+    (duckdb here, psycopg2/pg8000 against the reference's Postgres).
+
+    The reference marks offsets BEFORE flushing (inserter.go:176-196,
+    SURVEY W2) and can lose the tail; plain ``foreachBatch`` + append can
+    instead DUPLICATE an epoch (crash after the insert, before the
+    checkpoint commit → Spark re-runs the batch). This writer closes both
+    holes with a batch-id ledger, one transaction per epoch:
+
+        BEGIN;
+        ledger has batch_id?      -> COMMIT (already delivered: skip)
+        DELETE target WHERE batch_id  (clean any non-txn partial attempt)
+        INSERT rows (batch_id stamped on every row)
+        INSERT ledger(batch_id)
+        COMMIT;
+
+    Rows and their ledger mark commit atomically, so every epoch lands
+    exactly once no matter where the stream crashes — even across a
+    checkpoint wipe (epoch replay hits the ledger skip).
+
+    Scale note: a DB-API insert materializes the micro-batch on the
+    driver — the Go inserter's own model (100-row INSERT batches,
+    inserter.go:90-113), right for the dashboard-rate stream this mirrors.
+    For bulk backfills swap step 3 for a distributed ``df.write.jdbc`` into
+    a staging table and make step 4 ``INSERT .. SELECT`` from staging —
+    the ledger logic is unchanged.
+    """
+    ledger = ledger_table or f"{table}_epoch_ledger"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        con = con_factory()
+        try:
+            con.execute("BEGIN")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} "
+                f"(batch_id BIGINT PRIMARY KEY, committed_at TIMESTAMP)")
+            seen = con.execute(
+                f"SELECT count(*) FROM {ledger} WHERE batch_id = ?",
+                [batch_id]).fetchone()[0]
+            if seen:
+                con.execute("COMMIT")
+                return
+            cols = ", ".join(list(pdf.columns) + ["batch_id"])
+            marks = ", ".join(["?"] * (len(pdf.columns) + 1))
+            con.execute(f"DELETE FROM {table} WHERE batch_id = ?",
+                        [batch_id])
+            if len(pdf):
+                rows = [tuple(r) + (batch_id,)
+                        for r in pdf.itertuples(index=False, name=None)]
+                con.executemany(
+                    f"INSERT INTO {table} ({cols}) VALUES ({marks})", rows)
+            con.execute(
+                f"INSERT INTO {ledger} VALUES (?, current_timestamp)",
+                [batch_id])
+            con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
+            raise
+        finally:
+            con.close()
+
+    return write_batch
+
+
+def start_transactional_inserter(flows_stream: DataFrame, con_factory,
+                                 table: str, checkpoint_dir: str, *,
+                                 ledger_table: str | None = None,
+                                 trigger: dict | None = None
+                                 ) -> StreamingQuery:
+    """S7/W1/W2 — the inserter with exactly-once delivery: the 14-column
+    projection through :func:`exactly_once_batch_writer`. ``con_factory``
+    returns a fresh DB-API connection per epoch (duckdb.connect(path) in
+    tests; psycopg2.connect(dsn) against the reference's Postgres). The
+    target table needs the 14 projection columns plus ``batch_id BIGINT``.
+    """
+    projected = inserter_projection(flows_stream)
+    writer = (
+        projected.writeStream
+        .foreachBatch(exactly_once_batch_writer(
+            con_factory, table, ledger_table=ledger_table))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

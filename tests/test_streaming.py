@@ -433,3 +433,108 @@ def test_session_stream_matches_batch(spark, tmpdir):
     )
     assert got.count() > 0
     assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+
+def _duckdb_inserter_ddl(con):
+    con.execute("""
+        CREATE TABLE IF NOT EXISTS flows_pg (
+            date_inserted TIMESTAMP, time_flow TIMESTAMP, type INT,
+            sampling_rate INT, src_ip VARCHAR, dst_ip VARCHAR,
+            bytes BIGINT, packets BIGINT, src_port INT, dst_port INT,
+            etype INT, proto INT, src_as BIGINT, dst_as BIGINT,
+            batch_id BIGINT)""")
+
+
+def test_exactly_once_writer_survives_epoch_rerun(spark, tmpdir):
+    """W2: Spark re-runs a foreachBatch epoch after a crash between the
+    insert and the checkpoint commit. The ledger writer must land the
+    epoch's rows exactly once across any number of re-runs, and a partial
+    non-transactional attempt must be cleaned, not compounded."""
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_batch_writer, inserter_projection)
+
+    db = f"{tmpdir}/inserter.duckdb"
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    batch = inserter_projection(synthetic_flows(spark, 200, seed=31))
+    write_batch = exactly_once_batch_writer(
+        lambda: duckdb.connect(db), "flows_pg")
+
+    write_batch(batch, 7)
+    write_batch(batch, 7)          # crash-replay of the same epoch
+    write_batch(batch, 8)          # a genuinely new epoch still lands
+
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM flows_pg WHERE batch_id = 7").fetchone()[0] == 200
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 400
+    # simulate a partial NON-transactional prior attempt for epoch 9: rows
+    # present, no ledger mark — the writer must replace, not append
+    con.execute("""INSERT INTO flows_pg
+                   SELECT * EXCLUDE (batch_id), 9 FROM flows_pg
+                   WHERE batch_id = 7 LIMIT 50""")
+    con.close()
+    write_batch(batch, 9)
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM flows_pg WHERE batch_id = 9").fetchone()[0] == 200
+    ledger = con.execute(
+        "SELECT batch_id FROM flows_pg_epoch_ledger ORDER BY 1").fetchall()
+    assert [b for (b,) in ledger] == [7, 8, 9]
+    con.close()
+
+
+def test_transactional_inserter_zero_dupes_across_restart(spark, tmpdir):
+    """W2 end-to-end: run the transactional inserter, then WIPE the
+    checkpoint (the harshest redelivery — every epoch replays from zero)
+    and run again. The ledger must skip every replayed epoch: zero
+    duplicate rows, count unchanged."""
+    import shutil
+
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        start_transactional_inserter)
+
+    src = f"{tmpdir}/txn_src"
+    ckpt = f"{tmpdir}/txn_ckpt"
+    db = f"{tmpdir}/txn.duckdb"
+    flows = synthetic_flows(spark, 3000, seed=33)
+    for i in range(3):   # three files → three epochs under maxFilesPerTrigger
+        (flows.filter(F.col("SequenceNum") % 3 == i)
+         .repartition(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_transactional_inserter(
+            stream, lambda: duckdb.connect(db), "flows_pg", ckpt,
+            trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run_once()
+    con = duckdb.connect(db)
+    n1 = con.execute("SELECT count(*) FROM flows_pg").fetchone()[0]
+    assert n1 == 3000
+    con.close()
+
+    shutil.rmtree(ckpt)            # forget all progress → full redelivery
+    run_once()
+
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 3000
+    dupes = con.execute("""
+        SELECT count(*) FROM (
+          SELECT time_flow, src_ip, dst_ip, src_port, dst_port, bytes,
+                 packets, count(*) c
+          FROM flows_pg
+          GROUP BY ALL HAVING count(*) > 1)""").fetchone()[0]
+    assert dupes == 0
+    con.close()
