@@ -20,6 +20,9 @@ Probed (one per operator family):
   embeddings — the plane count scales with corpus size (8 -> 16 planes)
   exactly as it must in production to keep per-bucket work bounded
 - brute_knn_gemm: Arrow+numpy exact kNN (corpus never shuffles)
+- minhash_lsh_dedup: shingle→minhash→band→candidate-verify, to 1M docs
+- skew_join: one hot key = 50% of an 8M-row fact side — plain sort-merge
+  (broadcast + AQE skew split disabled) vs salted_join's explicit spread
 """
 
 from __future__ import annotations
@@ -169,7 +172,8 @@ def main() -> None:
         # exists only for the cross-engine oracle)
         from flow_pipeline_spark.operators.dedup import (
             jaccard_pairs, minhash_lsh_candidates)
-        doc_steps = [20_000, 80_000, 160_000 if args.fast else 240_000]
+        doc_steps = ([20_000, 80_000, 160_000] if args.fast
+                     else [20_000, 80_000, 240_000, 1_000_000])
         for n in doc_steps:
             docs = synth_docs(spark, n).localCheckpoint(eager=True)
 
@@ -181,6 +185,35 @@ def main() -> None:
             sec = median_timed(lambda: force(lsh_dedup()))
             found = lsh_dedup().filter(F.col("id_b") >= 10**9).count()
             record("minhash_lsh_dedup", n, sec, planted_ok=(found >= 50))
+
+        # skewed-key join: one hot key owns 50% of the fact side. The salt
+        # spreads the hot key over n_salts tasks (operators/scale.py) — the
+        # explicit fix for when AQE's runtime skew split doesn't apply (it
+        # only fires on sort-merge stages it can re-plan). Probed with
+        # broadcast + AQE skew-handling OFF so the straggler is visible.
+        from flow_pipeline_spark.operators.scale import salted_join
+        n_fact, n_keys = 8_000_000, 100_000
+        fact = spark.range(n_fact).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.abs(F.xxhash64("id")) % n_keys).alias("key"),
+            (F.col("id") % 997).alias("v")).localCheckpoint(eager=True)
+        other = spark.range(n_keys).select(
+            F.col("id").alias("key"), (F.col("id") % 13).alias("w"))
+        saved = {k: spark.conf.get(k) for k in
+                 ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.skewJoin.enabled")}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            assert (salted_join(fact, other, "key").count()
+                    == fact.join(other, "key").count())
+            record("skew_join_plain", n_fact, median_timed(
+                lambda: force(fact.join(other, "key", "inner"))))
+            record("skew_join_salted", n_fact, median_timed(
+                lambda: force(salted_join(fact, other, "key", n_salts=32))))
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
