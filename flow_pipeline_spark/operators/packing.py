@@ -1,0 +1,86 @@
+"""Token-budget sequence packing and per-source quota sampling.
+
+The last mile of a training-data pipeline: after curation/dedup, documents
+must be (a) rebalanced across sources, (b) shuffled deterministically, and
+(c) packed into fixed-token-budget training sequences. All three are
+implemented here as pure DataFrame expressions — no Python UDFs — with the
+same cross-engine md5 determinism device as ``train_val_split``
+(plans/training_queries.py): assignment is a function of the row's key
+alone, so it is identical in any engine, on any cluster size, across runs.
+
+Scale design (100 TB):
+- Packing windows are PARTITIONED BY a bounded shard key (first hex char of
+  an md5 → 16 shards here; a production run widens to substr(md5,1,3) →
+  4096 shards). No global ORDER BY ever materializes on one task — each
+  shard packs independently, which is exactly how a multi-worker tokenizer
+  fleet consumes them. The md5 ordering WITHIN a shard doubles as the
+  deterministic global shuffle a training run needs.
+- Quota sampling is one window over the grouping key (source) — shuffle
+  keys are |sources|, not |docs|, and the per-source rank never needs the
+  document text: project keys first, join text back only for survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def det_shard(key: Column, salt: str, hex_chars: int = 1) -> Column:
+    """Deterministic shard id: first `hex_chars` hex chars of
+    md5(key||salt) — 16**hex_chars shards, identical in any engine."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))),
+                       1, hex_chars)
+
+
+def det_order(key: Column, salt: str) -> Column:
+    """Deterministic pseudo-random sort key (the 'global shuffle' of a
+    training run, without rand()'s partition-layout dependence)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   key_col: str = "doc_id", shard_hex_chars: int = 1,
+                   salt: str = ":pack") -> DataFrame:
+    """Assign every document to a (shard, seq) training sequence.
+
+    Streaming first-fit packing in closed form: within a shard, documents
+    are laid out in deterministic-shuffle order and seq = floor(exclusive
+    running token count / budget) — a document whose tokens straddle a
+    boundary opens the next sequence (standard concat-then-chunk packing, à
+    la GPT-style pretraining where document boundaries are soft). Every
+    sequence except a shard's last therefore spans ≥budget tokens.
+
+    Pure window function — no state, no UDF; cost is one shuffle on the
+    shard key.
+    """
+    key = F.col(key_col)
+    shard = det_shard(key, salt + ":shard", shard_hex_chars)
+    order = det_order(key, salt + ":order")
+    out = df.withColumn("shard", shard).withColumn("_ord", order)
+    w = (Window.partitionBy("shard").orderBy("_ord", key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return (out
+            .withColumn("seq", F.floor(cum_before / F.lit(budget)))
+            .drop("_ord"))
+
+
+def quota_sample(df: DataFrame, group_col: str, quota: int,
+                 key_col: str = "doc_id",
+                 salt: str = ":quota") -> DataFrame:
+    """Keep at most `quota` rows per group, chosen by deterministic md5
+    rank (NOT first-seen order, which would bias toward early crawl
+    segments). Adds `rn` (1-based md5 rank within group) and `kept`.
+
+    The classic per-domain cap of web-corpus curation (C4 keeps ≤
+    constant pages per domain to stop boilerplate-heavy sites from
+    dominating). One window over the group key; the rank is computed on
+    (group, key, order) columns only — at scale, project those three,
+    rank, then semi-join survivors back to the wide table.
+    """
+    key = F.col(key_col)
+    w = (Window.partitionBy(group_col)
+         .orderBy(det_order(key, salt), key_col))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .withColumn("kept", F.col("rn") <= quota))

@@ -157,3 +157,42 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(t).alias("pred_lang"),
         fingerprint(t).alias("fp"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+# Every production curation stack (C4, RefinedWeb, Dolma) scrubs PII before
+# training. Patterns are deliberately restricted to the regex subset with
+# IDENTICAL semantics in Java regex (Spark, codegen'd JVM-side) and RE2
+# (DuckDB oracle): character classes, bounded repetition, alternation — no
+# backreferences, no lookaround. Order matters: email before ip (an email's
+# host part may contain dotted digits), phone last (digit runs inside an
+# already-redacted token can't re-fire because the mask is alphabetic).
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (size of regexp_extract_all)."""
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact all PII kinds, in PII_PATTERNS order. Pure JVM regexp_replace
+    chain — no Python in the loop, whole-stage-codegen friendly."""
+    out = text
+    for _, pat, mask in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, mask)
+    return out
+
+
+def residual_pii(text: Column) -> Column:
+    """Total PII matches remaining in a text — 0 after scrub_pii, by
+    construction (masks are alphabetic and cannot re-match)."""
+    total = F.lit(0)
+    for kind, _, _ in PII_PATTERNS:
+        total = total + pii_count(text, kind)
+    return total

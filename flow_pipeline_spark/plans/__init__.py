@@ -32,6 +32,15 @@ _DEMOTED_VARIANTS = [
     "flows_top_dst_ips",      # A5/P10 render-after-aggregate twin of
                               # flows_top_src_ips (windowed); demoted to make
                               # room for partitioned_day_scan (P5 pruning)
+    # round 3: three last-mile pipeline classes enter the window
+    # (pii_scrub, sequence_pack, source_quota_sample); the displaced twins:
+    "ipv6_render",            # P8/P9 render class windowed via ipv4_render
+                              # (hypothesis-tested vs `ipaddress` in pytest)
+    "nations_with_big_orders",  # J2 semi-join; class windowed via
+                              # customers_no_orders (anti) + set_ops +
+                              # late_order_priority (correlated EXISTS)
+    "range_window_sum",       # J3 range-frame window; class windowed via
+                              # sliding_rate_5m (same frame, promql tier)
 ]
 
 

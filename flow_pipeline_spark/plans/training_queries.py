@@ -1011,3 +1011,158 @@ def multimodal_features(spark, sf_dir):
              F.round(F.avg("n_bytes"), 2).alias("avg_bytes"))
         .orderBy("kind")
     )
+
+
+# --- last-mile pipeline: PII scrub, quota rebalance, sequence packing -------
+# (operators/packing.py + text.py PII tier.) The corpus has no natural PII,
+# so — same device as the planted-duplicates rule above — PII is PLANTED
+# deterministically from doc_id by the identical expression in both
+# dialects, then scrubbed; the query proves detection counts, masks, and a
+# zero-residue invariant cross-engine.
+
+@_q(
+    "pii_scrub",
+    r"""
+    WITH decorated AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents),
+    scrubbed AS (
+      SELECT source, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s
+      FROM decorated)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS emails,
+           CAST(sum(len(regexp_extract_all(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
+             AS ips,
+           CAST(sum(len(regexp_extract_all(t,
+             '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS phones,
+           CAST(sum(len(regexp_extract_all(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(s,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           + len(regexp_extract_all(s,
+             '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS residual,
+           CAST(sum(len(t) - len(s)) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+    doc="PII scrub (C4/RefinedWeb/Dolma-style): plant a deterministic "
+        "email+IPv4+phone per doc, detect (regexp_extract_all counts), "
+        "redact (chained regexp_replace, operators/text.py PII tier), and "
+        "prove zero residue post-scrub. Patterns restricted to the "
+        "Java-regex∩RE2 subset so Spark and the oracle agree. Scale: pure "
+        "per-row JVM expressions before any shuffle — PII never leaves the "
+        "mapper; the only exchange is the per-source count.",
+)
+def pii_scrub(spark, sf_dir):
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = _docs(spark, sf_dir).select("source", decorated.alias("t"))
+    d = d.withColumn("s", TX.scrub_pii(F.col("t")))
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(TX.pii_count(F.col("t"), "email")).alias("emails"),
+             F.sum(TX.pii_count(F.col("t"), "ipv4")).alias("ips"),
+             F.sum(TX.pii_count(F.col("t"), "phone")).alias("phones"),
+             F.sum(TX.residual_pii(F.col("s"))).alias("residual"),
+             F.sum(F.length("t") - F.length("s")).alias("chars_removed"))
+        .orderBy("source")
+    )
+
+
+@_q(
+    "sequence_pack",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS tok,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':pack:shard'), 1, 1)
+               AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':pack:order') AS ord
+      FROM documents),
+    packed AS (
+      SELECT shard, doc_id, tok,
+             CAST(floor(COALESCE(SUM(tok) OVER (
+                 PARTITION BY shard ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS BIGINT) AS seq
+      FROM toks)
+    SELECT shard, seq, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM packed GROUP BY shard, seq ORDER BY shard, seq
+    """,
+    doc="Token-budget sequence packing (operators/packing.py): concat-then-"
+        "chunk layout à la GPT pretraining — md5-sharded (16 shards here; "
+        "substr widens it to any power of 16), md5-ordered within shard "
+        "(doubling as the deterministic global shuffle), seq = "
+        "floor(exclusive running tokens / 512). Scale: the window is "
+        "partitioned by the shard key, so no global sort ever lands on one "
+        "task; each shard packs independently exactly as a tokenizer-"
+        "worker fleet consumes it.",
+)
+def sequence_pack(spark, sf_dir):
+    from ..operators import packing as PK
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).alias("tok"))
+    packed = PK.pack_sequences(d, "tok", budget=512)
+    return (
+        packed.groupBy("shard", "seq")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("tok").alias("seq_tokens"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("shard", "seq")
+    )
+
+
+@_q(
+    "source_quota_sample",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id)
+               AS rn
+      FROM documents)
+    SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc="Per-source quota cap (operators/packing.py quota_sample): keep ≤10 "
+        "docs per source by deterministic md5 rank — the per-domain cap of "
+        "C4-style curation, without first-seen bias. Scale: one window over "
+        "the source key computed on (source, doc_id) projections only; at "
+        "100 TB, rank the narrow projection and semi-join survivors back — "
+        "document text never enters the rank shuffle.",
+)
+def source_quota_sample(spark, sf_dir):
+    from ..operators import packing as PK
+    q = PK.quota_sample(_docs(spark, sf_dir), "source", quota=10)
+    return (
+        q.groupBy("source")
+        .agg(F.count("*").alias("n_total"),
+             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+             F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+               .alias("kept_chars"))
+        .orderBy("source")
+    )
