@@ -102,32 +102,30 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 8, dim: int = 64, *,
                          table: int = 0) -> Column:
     """Deterministic random-hyperplane signature (SRP-LSH).
 
-    sig bit p = sign(Σ_d vec[d]·plane[p][d]). Two construction paths with
-    IDENTICAL doubles (±1 coefficients make each term an exact sign flip,
-    and both forms fold left-to-right from 0.0):
+    sig bit p = sign(Σ_d vec[d]·plane[p][d]), folded left-to-right from 0.0
+    with ±1 coefficients (each term an exact IEEE sign flip) — so the
+    doubles are reproducible in any engine that folds the same way
+    (the DuckDB oracles mirror this fold exactly).
 
-    - ``vec`` as a COLUMN NAME: each plane's projection is ONE parsed
-      expression chain (``0.0 + v[0] - v[1] + ...``) that whole-stage
-      codegen compiles flat — the hot path; interpreted higher-order
-      functions evaluate a lambda per element per row.
-    - ``vec`` as a Column: generic HOF form (zip_with/aggregate against the
-      plane literal). Planes always ship as literals/parsed strings, never
-      per-component py4j expression builds (measured: ~23 s of driver time
-      for a 6-table × 4-plane × 64-dim signature built term-by-term over
-      py4j; ~0.1 s for literal/parse forms)."""
+    One construction path: zip_with/aggregate against the plane LITERAL.
+    Spark ≥3.x whole-stage-codegens higher-order functions as compact
+    loops, which measured as fast or faster than flat parsed expression
+    chains (``0.0 + v[0] - v[1] + ...``) at every size — and the flat
+    chains blow janino's 64 KB method limit beyond ~1.5k terms (e.g. the
+    6-table × 8-plane × 64-dim lsh_knn signature), silently dropping the
+    WHOLE stage to interpreted mode: 12× slower than this form. Planes
+    always ship as literals, never per-component py4j expression builds
+    (measured: ~23 s of driver time for a 6×4×64 signature built
+    term-by-term over py4j; ~0.1 s for the literal form)."""
+    if isinstance(vec, str):
+        vec = F.col(vec)
     bits = []
     for p in range(n_planes):
         plane = _plane(table, p, dim)
-        if isinstance(vec, str):
-            terms = "".join(
-                f" {'+' if h > 0 else '-'} CAST({vec}[{d}] AS DOUBLE)"
-                for d, h in enumerate(plane))
-            proj = F.expr(f"CAST(0.0 AS DOUBLE){terms}")
-        else:
-            proj = F.aggregate(
-                F.zip_with(vec, F.lit(plane),
-                           lambda x, h: x.cast("double") * h),
-                F.lit(0.0), lambda a, v: a + v)
+        proj = F.aggregate(
+            F.zip_with(vec, F.lit(plane),
+                       lambda x, h: x.cast("double") * h),
+            F.lit(0.0), lambda a, v: a + v)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
@@ -141,20 +139,14 @@ def _multi_table_sig(vec: Column | str, n_planes: int, dim: int,
     construction: a pair is a candidate if ANY table's buckets collide,
     trading one extra explode for exponentially better recall.
 
-    Column-NAME input (the hot path) builds each table's signature from
-    :func:`hyperplane_signature`'s parsed expression chains — whole-stage
-    codegen compiles them flat. Column input keeps the generic HOF form:
-    all tables' planes ship as ONE 3-D literal (tables × planes × dim) and
-    the signatures come from nested transform/zip_with — same values
-    (±1 coefficients, same left fold) at a fraction of the plan size
-    when an expression tree is unavoidable (literals are data, not code)."""
+    All tables' planes ship as ONE 3-D literal (tables × planes × dim) and
+    the signatures come from nested transform/zip_with — same values as
+    :func:`hyperplane_signature` (±1 coefficients, same left fold) in a
+    plan whose size is independent of tables × planes × dim (literals are
+    data, not code; see hyperplane_signature's docstring for why flat
+    expression chains lose at this size)."""
     if isinstance(vec, str):
-        structs = [
-            F.struct(F.lit(t).cast("int").alias("tbl"),
-                     hyperplane_signature(vec, n_planes, dim, table=t)
-                     .cast("int").alias("sig"))
-            for t in range(n_tables)]
-        return F.array(*structs)
+        vec = F.col(vec)
     planes3d = F.lit([[_plane(t, p, dim) for p in range(n_planes)]
                       for t in range(n_tables)])
     powers = F.lit([1 << p for p in range(n_planes)])
@@ -181,7 +173,7 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     bounded-width keys; per-bucket work replaces all-pairs. Recall vs
     brute_knn asserted in tests/test_training_ops.py."""
     def sig(df, name):
-        # vec_col passed by NAME → codegen'd signature chains
+        # one 3-D plane literal; nested-HOF signatures (see _multi_table_sig)
         return df.select(
             F.col(id_col).alias(name),
             F.col(vec_col).alias(f"{name}v"),
@@ -220,8 +212,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   _norm(F.col(vec_col)).alias("nb"))
     if bucketed:
-        # column-name form → codegen'd flat projection chains (see
-        # hyperplane_signature), not interpreted HOF folds per row
+        # plane-literal HOF signatures (see hyperplane_signature)
         a = a.withColumn("sig", hyperplane_signature("va", n_planes, dim))
         b = b.withColumn("sig", hyperplane_signature("vb", n_planes, dim))
         joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))

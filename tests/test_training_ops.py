@@ -92,13 +92,12 @@ def test_near_dup_bucketed_catches_identical(spark):
     assert pairs == {(i, i + 100000) for i in range(10)}
 
 
-def test_signature_codegen_equals_hof(spark):
-    """hyperplane_signature has two construction paths — parsed expression
-    chains (column NAME arg, codegen hot path) and zip_with/aggregate folds
-    (Column arg). They must produce bit-identical signatures on arbitrary
-    vectors: ±1 coefficients make every term an exact IEEE sign flip and
-    both fold left-to-right, so any divergence is a real bug (it would
-    silently change LSH bucketing between call sites)."""
+def test_signature_matches_independent_fold(spark):
+    """hyperplane_signature's Spark fold must be bit-identical to an
+    independent Python reference that folds the same way (left-to-right
+    from 0.0, ±1 coefficients = exact IEEE sign flips). Any divergence is
+    a real bug: it would silently change LSH bucketing between engines
+    (the DuckDB oracles mirror this fold) or between releases."""
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     # add hash-derived adversarial vectors (mixed signs/magnitudes + zeros)
     synth = spark.range(500).select(
@@ -109,16 +108,24 @@ def test_signature_codegen_equals_hof(spark):
                              F.lit(0.0))
             .otherwise((F.xxhash64(F.col("id"), d) % 2001) / 400.0 - 2.5)
             .cast("float")).alias("embedding"))
-    for n_planes in (4, 8, 16):
-        both = (emb.unionByName(synth)
-                .select(
-                    "vec_id",
-                    S.hyperplane_signature("embedding", n_planes)
-                    .alias("sig_expr"),
-                    S.hyperplane_signature(F.col("embedding"), n_planes)
-                    .alias("sig_hof")))
-        diff = both.filter(F.col("sig_expr") != F.col("sig_hof")).count()
-        assert diff == 0, (n_planes, diff)
+    rows = (emb.unionByName(synth)
+            .select("vec_id", "embedding",
+                    *[S.hyperplane_signature("embedding", p).alias(f"sig{p}")
+                      for p in (4, 8, 16)])
+            .collect())
+    assert rows
+    planes = {p: [S._plane(0, i, 64) for i in range(p)] for p in (4, 8, 16)}
+    for r in rows:
+        v = r["embedding"]
+        for p in (4, 8, 16):
+            want = 0
+            for i, plane in enumerate(planes[p]):
+                proj = 0.0
+                for x, h in zip(v, plane):
+                    proj += float(x) * h  # same left fold, exact sign flip
+                if proj > 0:
+                    want += 1 << i
+            assert r[f"sig{p}"] == want, (r["vec_id"], p)
 
 
 def test_multimodal_pipeline(spark):
