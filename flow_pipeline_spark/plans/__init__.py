@@ -41,6 +41,12 @@ _DEMOTED_VARIANTS = [
                               # late_order_priority (correlated EXISTS)
     "range_window_sum",       # J3 range-frame window; class windowed via
                               # sliding_rate_5m (same frame, promql tier)
+    # round 3 cont.: vocab_top_bigrams (explode→vocab-bounded agg→top-k)
+    # and doc_chunks (stride generator) enter; displaced twins:
+    "tpch_q6",                # P5 range-filter + agg scan; class windowed
+                              # via time_filtered_scan (+ tpch_q1 for A1)
+    "customers_no_orders",    # J2 anti-join; class windowed via set_ops
+                              # (EXCEPT) + late_order_priority (EXISTS)
 ]
 
 

@@ -1166,3 +1166,86 @@ def source_quota_sample(spark, sf_dir):
                .alias("kept_chars"))
         .orderBy("source")
     )
+
+
+# --- tokenizer corpus stats + context-window chunking -----------------------
+
+@_q(
+    "vocab_top_bigrams",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    doc="Tokenizer-induction corpus stats: exact top-50 token bigrams "
+        "(the pair-frequency table a BPE/WordPiece trainer starts from). "
+        "Scale: explode → partial+final hash aggregate — the shuffle "
+        "carries one row per DISTINCT bigram per partition (vocab-bounded, "
+        "not corpus-bounded), then TakeOrdered merges k·P rows; for "
+        "heavy-tail vocabularies operators/scale.py approx_top_k swaps in "
+        "as the sketch path (same Misra-Gries device as "
+        "approx_top_talkers).",
+)
+def vocab_top_bigrams(spark, sf_dir):
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@_q(
+    "doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(floor((len(t) - 1) / 48.0) AS BIGINT) + 1))
+               AS chunk_idx,
+             t
+      FROM toks WHERE len(t) >= 1)
+    SELECT doc_id, chunk_idx,
+           CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+                               ' ')) AS chunk_fp
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window chunking (RAG / pretraining windows): 64-token "
+        "chunks, stride 48 (16-token overlap), one output row per chunk "
+        "with an md5 chunk fingerprint — chunk starts at every stride "
+        "boundary ≤ doc length, so membership is a pure function of the "
+        "token count. Scale: posexplode is a narrow generator (no "
+        "shuffle); at 100 TB chunks stream straight to the sink "
+        "partitioned however the trainer shards — the ORDER BY here "
+        "exists only for the oracle hash.",
+)
+def doc_chunks(spark, sf_dir):
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", toks.alias("t"))
+         .filter(F.size("t") >= 1))
+    n_chunks = F.floor((F.size("t") - 1) / F.lit(48.0)) + 1
+    d = d.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * 48 + 1, 64)
+    return (
+        d.select(
+            "doc_id", "chunk_idx",
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    )
