@@ -22,13 +22,22 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        # one py4j round-trip + one parse instead of two lambda HOF builds
+        # (driver-time dominant at small SF); same expressions, same fold
+        return F.expr(f"aggregate(zip_with(`{a}`, `{b}`, "
+                      "(x, y) -> CAST(x AS DOUBLE) * y), "
+                      "0.0D, (acc, v) -> acc + v)")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt(aggregate(`{a}`, 0.0D, "
+                      "(acc, v) -> acc + CAST(v AS DOUBLE) * v))")
     return F.sqrt(F.aggregate(
         a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
 
@@ -37,7 +46,8 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def _cos_pre(a: Column | str, b: Column | str,
+             na: Column, nb: Column) -> Column:
     """cosine with norms precomputed ONCE per row instead of once per pair
     — identical doubles (same fold, same operand order), ~1/3 less work in
     pair scoring where each side's norm would otherwise be recomputed
@@ -73,15 +83,15 @@ def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     Determinism: rank on (round(cos,4) DESC, neighbor id ASC)."""
     q = queries.select(F.col(id_col).alias("q"),
                        F.col(vec_col).alias("qv"),
-                       _norm(F.col(vec_col)).alias("qn"))
+                       _norm(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("n"),
                       F.col(vec_col).alias("nv"),
-                      _norm(F.col(vec_col)).alias("nn"))
+                      _norm(vec_col).alias("nn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n") != F.col("q"))
         .select("q", "n",
-                F.round(_cos_pre(F.col("qv"), F.col("nv"),
+                F.round(_cos_pre("qv", "nv",
                                  F.col("qn"), F.col("nn")), 4).alias("cos"))
     )
     return _topk_per_query(scored, k)
@@ -107,7 +117,7 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 8, dim: int = 64, *,
     doubles are reproducible in any engine that folds the same way
     (the DuckDB oracles mirror this fold exactly).
 
-    One construction path: zip_with/aggregate against the plane LITERAL.
+    One semantic form: zip_with/aggregate against the plane LITERAL.
     Spark ≥3.x whole-stage-codegens higher-order functions as compact
     loops, which measured as fast or faster than flat parsed expression
     chains (``0.0 + v[0] - v[1] + ...``) at every size — and the flat
@@ -116,9 +126,26 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 8, dim: int = 64, *,
     WHOLE stage to interpreted mode: 12× slower than this form. Planes
     always ship as literals, never per-component py4j expression builds
     (measured: ~23 s of driver time for a 6×4×64 signature built
-    term-by-term over py4j; ~0.1 s for the literal form)."""
+    term-by-term over py4j; ~0.1 s for the literal form).
+
+    Two construction paths to the SAME expressions: a column NAME goes
+    through one ``F.expr`` over a generated SQL string (a single py4j
+    round-trip + one parse — the n_planes × (2 lambdas + array literal)
+    py4j build was the dominant cost of the whole embedding_near_dup
+    query at small SF, ~1.4 s of driver time vs ~10 ms for the string);
+    a Column object (not addressable from SQL text) keeps the direct
+    HOF build. Bit-identical results pinned by
+    test_signature_matches_independent_fold, which exercises both."""
     if isinstance(vec, str):
-        vec = F.col(vec)
+        terms = []
+        for p in range(n_planes):
+            arr = ",".join("1.0D" if h > 0 else "-1.0D"
+                           for h in _plane(table, p, dim))
+            proj = (f"aggregate(zip_with(`{vec}`, array({arr}), "
+                    "(x, h) -> CAST(x AS DOUBLE) * h), "
+                    "0.0D, (acc, v) -> acc + v)")
+            terms.append(f"IF({proj} > 0, {1 << p}, 0)")
+        return F.expr("(" + " + ".join(terms) + ")")
     bits = []
     for p in range(n_planes):
         plane = _plane(table, p, dim)
@@ -144,9 +171,30 @@ def _multi_table_sig(vec: Column | str, n_planes: int, dim: int,
     :func:`hyperplane_signature` (±1 coefficients, same left fold) in a
     plan whose size is independent of tables × planes × dim (literals are
     data, not code; see hyperplane_signature's docstring for why flat
-    expression chains lose at this size)."""
+    expression chains lose at this size).
+
+    Like :func:`hyperplane_signature`, a column NAME routes through one
+    generated-SQL ``F.expr`` (the 3-D nested-list ``F.lit`` plus the
+    nested-lambda build cost ~1.1 s of py4j driver time per call site;
+    the parsed string, ~15 ms) — identical expressions either way."""
     if isinstance(vec, str):
-        vec = F.col(vec)
+        p3d = "array(%s)" % ",".join(
+            "array(%s)" % ",".join(
+                "array(%s)" % ",".join(
+                    "1.0D" if h > 0 else "-1.0D"
+                    for h in _plane(t, p, dim))
+                for p in range(n_planes))
+            for t in range(n_tables))
+        powers = "array(%s)" % ",".join(str(1 << p) for p in range(n_planes))
+        tables = "array(%s)" % ",".join(str(t) for t in range(n_tables))
+        dot = (f"aggregate(zip_with(`{vec}`, pl, "
+               "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)")
+        return F.expr(
+            f"zip_with(transform({p3d}, planes -> "
+            f"aggregate(zip_with(planes, {powers}, "
+            f"(pl, pw) -> IF({dot} > 0, pw, 0)), 0, (a, x) -> a + x)), "
+            f"{tables}, (s, t) -> named_struct("
+            "'tbl', CAST(t AS INT), 'sig', CAST(s AS INT)))")
     planes3d = F.lit([[_plane(t, p, dim) for p in range(n_planes)]
                       for t in range(n_tables)])
     powers = F.lit([1 << p for p in range(n_planes)])
@@ -177,7 +225,7 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         return df.select(
             F.col(id_col).alias(name),
             F.col(vec_col).alias(f"{name}v"),
-            _norm(F.col(vec_col)).alias(f"{name}nrm"),
+            _norm(vec_col).alias(f"{name}nrm"),
             F.explode(_multi_table_sig(vec_col, n_planes, dim,
                                        n_tables)).alias("bk")
         ).select(name, f"{name}v", f"{name}nrm", "bk.tbl", "bk.sig")
@@ -190,7 +238,7 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         .select("q", "n", "qv", "nv", "qnrm", "nnrm")
         .dropDuplicates(["q", "n"])
         .select("q", "n",
-                F.round(_cos_pre(F.col("qv"), F.col("nv"),
+                F.round(_cos_pre("qv", "nv",
                                  F.col("qnrm"), F.col("nnrm")), 4)
                 .alias("cos"))
     )
@@ -208,11 +256,11 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     vectors collide with high probability) — the scale path; False is the
     exact all-pairs form for small SF / oracle checks."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  _norm(F.col(vec_col)).alias("na"))
+                  _norm(vec_col).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  _norm(F.col(vec_col)).alias("nb"))
+                  _norm(vec_col).alias("nb"))
     if bucketed:
-        # plane-literal HOF signatures (see hyperplane_signature)
+        # plane-literal signatures via the one-parse expr path
         a = a.withColumn("sig", hyperplane_signature("va", n_planes, dim))
         b = b.withColumn("sig", hyperplane_signature("vb", n_planes, dim))
         joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
@@ -221,7 +269,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     return (
         joined
         .select("id_a", "id_b",
-                F.round(_cos_pre(F.col("va"), F.col("vb"),
+                F.round(_cos_pre("va", "vb",
                                  F.col("na"), F.col("nb")), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
@@ -418,7 +466,7 @@ def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
     centroids = kmeans_fit(corpus, n_cells, n_iter, id_col=id_col,
                            vec_col=vec_col)
     v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
-                      _norm(F.col(vec_col)).alias("vn"))
+                      _norm(vec_col).alias("vn"))
     # cos-to-assigned-centroid IS the argmax cosine: one struct serves both
     best = _argmax_struct(F.col("v"), F.col("vn"),
                           list(enumerate(centroids)))
@@ -475,7 +523,7 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
 
     cent = corpus.sparkSession.createDataFrame(
         [(cid, cv) for cid, cv in py_cents], "cid long, cv array<double>",
-    ).withColumn("cnrm", _norm(F.col("cv")))
+    ).withColumn("cnrm", _norm("cv"))
 
     def _unit(v):
         n = math.sqrt(sum(x * x for x in v)) or 1.0
@@ -484,7 +532,7 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
     unit_cells = [(cid, _unit(cv)) for cid, cv in py_cents]
     assigned = (corpus
                 .select(F.col(id_col), F.col(vec_col),
-                        _norm(F.col(vec_col)).alias("_vnrm"))
+                        _norm(vec_col).alias("_vnrm"))
                 .withColumn("cell", _argmax_cell(F.col(vec_col),
                                                  F.col("_vnrm"), unit_cells))
                 .withColumnRenamed("_vnrm", "vnrm"))
@@ -506,10 +554,10 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
                                 vec_col=vec_col, centroids=centroids)
     q = queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv"),
-                       _norm(F.col(vec_col)).alias("qnrm"))
+                       _norm(vec_col).alias("qnrm"))
     qc = (q.crossJoin(F.broadcast(cent))
           .select("q", "qv", "qnrm", "cid",
-                  _cos_pre(F.col("qv"), F.col("cv"),
+                  _cos_pre("qv", "cv",
                            F.col("qnrm"), F.col("cnrm")).alias("c_cos")))
     wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
     probes = (qc.withColumn("r", F.row_number().over(wq))
@@ -519,7 +567,7 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("q"))
         .select("q", F.col(id_col).alias("n"),
-                F.round(_cos_pre(F.col("qv"), F.col(vec_col),
+                F.round(_cos_pre("qv", vec_col,
                                  F.col("qnrm"), F.col("vnrm")), 4)
                 .alias("cos"))
     )
