@@ -429,3 +429,31 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,
     drop = clusters.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
+                      text_col: str = "text",
+                      hash_col: str = "content_hash") -> DataFrame:
+    """Dedup a NEW ingest batch against an already-curated historical
+    corpus: keep only new docs whose normalized-content digest does not
+    already exist in history.
+
+    This is the continuous-crawl form of exact dedup (a training corpus is
+    not built in one shot — each crawl snapshot must be deduped against
+    everything already accepted; re-running global dedup over
+    history+batch would re-shuffle the full corpus every ingest).
+
+    Scale shape: the history side is reduced to DISTINCT 32-byte digests
+    *before* the anti-join — the historical documents themselves are never
+    read past the digest projection (in production the digest table is the
+    stored artifact, appended per batch, so history text is never
+    re-scanned at all). The anti-join shuffles (digest, id) pairs on the
+    digest; when the digest set fits the broadcast threshold AQE turns it
+    into a broadcast anti-join with zero shuffle on the batch side.
+
+    Returns ``new_batch`` + ``hash_col``, filtered to first-seen content.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    hist = history.select(digest.alias(hash_col)).distinct()
+    return (new_batch.withColumn(hash_col, digest)
+            .join(hist, hash_col, "left_anti"))

@@ -572,3 +572,80 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                 .alias("cos"))
     )
     return _topk_per_query(scored, k)
+
+
+# --- semantic dedup (cluster-then-verify) ------------------------------------
+
+def assign_nearest_centroid(df: DataFrame,
+                            centroids: list[tuple[int, list[float]]], *,
+                            vec_col: str = "embedding",
+                            out_col: str = "cell") -> DataFrame:
+    """Map-side nearest-centroid assignment with CROSS-ENGINE-deterministic
+    ranking: cosine rounded to 4dp before the argmax (raw-double argmax is
+    ulp-sensitive to summation order, which neither engine pins), ties to
+    the smallest centroid id.
+
+    Unlike :func:`_argmax_struct` (which requires unit centroids prepared
+    driver-side), both the dot product and BOTH norms are computed inside
+    the engine's own expression fold, so a SQL oracle can mirror the exact
+    arithmetic. Centroids ship as one 2-D array literal (plan size O(1) in
+    k·dim — see _argmax_cell's measured rationale)."""
+    vnrm = _norm(vec_col)
+    cvs = F.lit([cv for _, cv in centroids])
+    negids = F.lit([float(-cid) for cid, _ in centroids])
+    pairs = F.zip_with(
+        cvs, negids,
+        lambda cv, nc: F.struct(
+            F.round(_dot(F.col(vec_col), cv) / (vnrm * _norm(cv)), 4)
+            .alias("cos"),
+            nc.alias("negid")))
+    best = F.array_max(pairs)
+    return df.withColumn(out_col, (-best["negid"]).cast("long"))
+
+
+def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
+                         n_cells: int = 8, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         centroids: list[tuple[int, list[float]]] | None = None,
+                         ) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then verify cosine
+    near-duplicates WITHIN each cluster only — the cluster assignment is
+    the candidate filter that replaces the quadratic all-pairs join.
+
+    Returns (cell, id_a, id_b, cos) for same-cell pairs with
+    round(cos, 4) >= threshold.
+
+    Centroid rule: by default the ``n_cells`` lowest-id corpus vectors
+    (deterministic and reproducible in ANY engine — the property the
+    DuckDB oracle needs); production passes ``centroids`` from
+    :func:`kmeans_fit` instead, which changes recall, not the plan shape.
+
+    Scale shape: assignment is map-side against broadcast centroid
+    literals (zero shuffle); the verify self-join shuffles on the cell id,
+    so per-task work is bounded by the largest cluster — n_cells is the
+    occupancy knob and must grow with the corpus exactly like SRP plane
+    count does (SCALE.md). Identical vectors always share a cell
+    (identical rounded cosines, identical tie-break), so exact-duplicate
+    recall is 1.0 regardless of n_cells.
+    """
+    if centroids is None:
+        rows = (corpus.select(id_col, vec_col)
+                .orderBy(id_col).limit(n_cells).collect())
+        # small-side by design: n_cells rows, like kmeans_fit's centroids
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    assigned = assign_nearest_centroid(corpus, centroids, vec_col=vec_col)
+    base = assigned.select("cell", F.col(id_col),
+                           F.col(vec_col).alias("v"),
+                           _norm(vec_col).alias("vn"))
+    a = base.select("cell", F.col(id_col).alias("id_a"),
+                    F.col("v").alias("va"), F.col("vn").alias("na"))
+    b = base.select("cell", F.col(id_col).alias("id_b"),
+                    F.col("v").alias("vb"), F.col("vn").alias("nb"))
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(
+                _cos_pre("va", "vb", F.col("na"), F.col("nb")), 4))
+            .filter(F.col("cos") >= threshold)
+            .select("cell", "id_a", "id_b", "cos"))

@@ -196,3 +196,103 @@ def residual_pii(text: Column) -> Column:
     for kind, _, _ in PII_PATTERNS:
         total = total + pii_count(text, kind)
     return total
+
+
+# --- model-scored quality gate ----------------------------------------------
+
+# Linear quality model over the QC features above — the logreg/fastText
+# quality-classifier surrogate every large curation pipeline runs (GPT-3's
+# LR-over-features reference filter, CCNet's fasttext LM gate). The weights
+# here are fixed literals; a production model's coefficient vector arrives
+# the same way (a literal/broadcast array), so the plan shape — one narrow
+# map-side projection, zero shuffle, zero UDF — is already the 100 TB form.
+#
+# ALL model arithmetic is exact-integer (features in ten-thousandths,
+# weights ×10, margin in hundred-thousandths). Measured necessity, not
+# style: weights have 1 decimal and features 4, so the float margin lands
+# EXACTLY on decimal .xxxx5 boundaries for ~10% of documents, where
+# round(x, 4) is an implementation lottery — Java BigDecimal HALF_UP reads
+# the double's exact binary expansion while DuckDB scales-and-floors, and
+# they legally disagree whenever the scaled double crosses .5 by an ulp
+# (observed 3/500 docs). Integer HALF_UP division has no such boundary.
+CLF_BIAS_E5 = -150_000            # -1.5, in hundred-thousandths
+CLF_WEIGHTS_E1 = {
+    "f_len": 22,     # +2.2  enough tokens (saturating)
+    "f_stop": 16,    # +1.6  natural-language stopword density
+    "f_punct": -28,  # -2.8  punctuation noise
+    "f_digit": -19,  # -1.9  digit noise
+    "f_wlen": 8,     # +0.8  sane mean word length (saturating)
+}
+
+
+def _ratio_e4(num: Column, den: Column) -> Column:
+    """HALF_UP(10000·num/den) in exact integer arithmetic (num>=0, den>=1):
+    floor((20000·num + den) / (2·den)). The float division's floor is exact
+    here: quotients are ≤ ~1e8 (ulp ≈ 1.5e-8) while the distance from an
+    integer boundary is ≥ 1/(2·den) ≥ ~5e-5 for any real document. Long
+    math: int32 num·20000 overflows at ~100k chars."""
+    num = num.cast("long")
+    den = den.cast("long")
+    return F.floor((num * 20000 + den) / (den * 2)).cast("long")
+
+
+def classifier_features_e4(text: Column) -> dict[str, Column]:
+    """The model's feature vector in integer ten-thousandths — exact in
+    any engine (counts, integer multiply/divide only; no float round)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    m = F.greatest(n_tok, F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    sum_wlen = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    avg_wlen_e4 = _ratio_e4(sum_wlen, m)
+    return {
+        # least(n_tok/100, 1): 10000*n_tok/100 = 100*n_tok exactly
+        "f_len": F.least(n_tok.cast("long") * 100, F.lit(10000).cast("long")),
+        "f_stop": _ratio_e4(n_stop, m),
+        "f_punct": _ratio_e4(n_punct, n_chars),
+        "f_digit": _ratio_e4(n_digit, n_chars),
+        # least(avg_wlen/10, 1) at 4dp: HALF_UP(avg_e4/10), capped
+        "f_wlen": F.least(
+            F.floor((avg_wlen_e4 + 5) / 10).cast("long"),
+            F.lit(10000).cast("long")),
+    }
+
+
+def classifier_z_e4(text: Column) -> Column:
+    """The model's margin in integer ten-thousandths,
+    z_e4 = HALF_UP((bias_e5 + Σ w_e1·f_e4) / 10). The keep/drop decision
+    must gate on the SIGN of this margin, not on the calibrated score: a
+    z of -0.0001 produces a score that 4dp-rounds to exactly 0.5000, so
+    `score >= 0.5` would flip the decision the margin made."""
+    feats = classifier_features_e4(text)
+    z_e5 = F.lit(CLF_BIAS_E5).cast("long")
+    for name, w in CLF_WEIGHTS_E1.items():
+        z_e5 = z_e5 + F.lit(w) * feats[name]
+    mag = F.floor((F.abs(z_e5) + 5) / 10).cast("long")
+    return F.when(z_e5 < 0, -mag).otherwise(mag)
+
+
+def classifier_z(text: Column) -> Column:
+    """The margin as a double, z_e4/10000 — one correctly-rounded IEEE
+    division of the exact integer margin, bit-identical in any engine."""
+    return classifier_z_e4(text) / F.lit(10000.0)
+
+
+def classifier_score(z: Column) -> Column:
+    """Quality score in (0, 1): softsign calibration of the margin,
+    score = (z/(1+|z|) + 1) / 2, deliberately UNROUNDED.
+
+    Softsign, not the logistic sigmoid, on purpose: exp() is NOT a
+    correctly-rounded IEEE op — libm implementations (JVM vs DuckDB's C
+    runtime) legally differ in the last ulp, which can flip a 4dp-rounded
+    score on a boundary. Softsign is division and abs only — correctly
+    rounded IEEE ops, so given the 4dp-rounded z the score double is
+    BIT-IDENTICAL across engines with no rounding needed; a final
+    round(·, 4) would actually break parity (measured: Java BigDecimal
+    HALF_UP vs DuckDB's scaled-nearbyint disagree when the scaled value
+    sits within an ulp of .5). Same monotone gate (score >= 0.5 ⇔ z >= 0).
+    """
+    return (z / (F.lit(1.0) + F.abs(z)) + F.lit(1.0)) / F.lit(2.0)

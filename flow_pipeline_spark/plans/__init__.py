@@ -47,6 +47,17 @@ _DEMOTED_VARIANTS = [
                               # via time_filtered_scan (+ tpch_q1 for A1)
     "customers_no_orders",    # J2 anti-join; class windowed via set_ops
                               # (EXCEPT) + late_order_priority (EXISTS)
+    # round 3 cont.: incremental_dedup (cross-snapshot anti-join dedup),
+    # quality_classifier (model-scored gate), semantic_dedup (SemDeDup
+    # cluster-then-verify) enter the window; displaced twins:
+    "part_type_revenue",      # J1/A1/O2 broadcast-dim rollup; class
+                              # windowed via revenue_top_customers (same
+                              # fact⋈broadcast-dim → agg → top-k shape)
+    "flows_pg_dst_ip_panel",  # P10/A3 dst twin of flows_pg_src_ip_panel
+                              # (windowed; identical render/agg shape)
+    "priority_linecount",     # sum(CASE WHEN) conditional agg; class
+                              # windowed via event_type_pivot (pivot
+                              # compiles to the same conditional-agg form)
 ]
 
 

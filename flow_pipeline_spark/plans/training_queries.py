@@ -1249,3 +1249,184 @@ def doc_chunks(spark, sf_dir):
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --- round 3: incremental dedup, model-scored gate, semantic dedup ----------
+
+@_q(
+    "incremental_dedup",
+    """
+    WITH history AS (SELECT text FROM documents WHERE doc_id < 400),
+    new_batch AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source, text
+      FROM documents WHERE doc_id < 50),
+    hist_d AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        AS content_hash
+      FROM history),
+    nb AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash
+      FROM new_batch)
+    SELECT doc_id, source, content_hash FROM nb
+    WHERE content_hash NOT IN (SELECT content_hash FROM hist_d)
+    ORDER BY doc_id
+    """,
+    doc="Incremental (cross-snapshot) exact dedup: a new crawl batch "
+        "(100 fresh docs + 50 planted copies of history) anti-joined on "
+        "content digest against the already-curated corpus — the 50 "
+        "copies vanish, first-seen content survives "
+        "(operators/dedup.py:incremental_dedup). Scale: history is "
+        "reduced to DISTINCT 32-byte digests before the anti-join (in "
+        "production the digest table IS the stored artifact, appended "
+        "per batch — history text is never re-scanned), so each ingest "
+        "shuffles only the new batch's digests; a digest set under the "
+        "broadcast threshold makes the batch side shuffle-free.",
+)
+def incremental_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") < 400)
+    fresh = d.filter(F.col("doc_id") >= 400)
+    replayed = (d.filter(F.col("doc_id") < 50)
+                .withColumn("doc_id", F.col("doc_id") + 100000))
+    new_batch = fresh.unionByName(replayed).select("doc_id", "source", "text")
+    return (D.incremental_dedup(new_batch, history)
+            .select("doc_id", "source", "content_hash")
+            .orderBy("doc_id"))
+
+
+# counts → integer ten-thousandths features → integer margin: EXACT integer
+# arithmetic mirroring operators/text.py (HALF_UP(1e4·n/d) as
+# (20000·n + d) // (2·d); see CLF_* comments there for why no float round()
+# may appear anywhere in this model)
+_CLF_INTS_SQL = f"""
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(greatest(len({_TOKS}), 1) AS BIGINT) AS m,
+             CAST(len(list_filter({_TOKS}, x -> lower(x) IN
+                   ('the','a','an','of','and','in','to','is'))) AS BIGINT)
+               AS n_stop,
+             CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)),
+                  'sum') AS BIGINT) AS sum_wlen
+      FROM documents
+"""
+
+
+@_q(
+    "quality_classifier",
+    f"""
+    WITH ints AS ({_CLF_INTS_SQL}),
+    feats AS (
+      SELECT doc_id,
+             least(n_tok * 100, 10000) AS f_len,
+             (20000 * n_stop + m) // (2 * m) AS f_stop,
+             (20000 * n_punct + n_chars) // (2 * n_chars) AS f_punct,
+             (20000 * n_digit + n_chars) // (2 * n_chars) AS f_digit,
+             least(((20000 * coalesce(sum_wlen, 0) + m) // (2 * m) + 5) // 10,
+                   10000) AS f_wlen
+      FROM ints),
+    ze5 AS (
+      SELECT doc_id,
+             -150000 + 22 * f_len + 16 * f_stop + -28 * f_punct
+             + -19 * f_digit + 8 * f_wlen AS z_e5
+      FROM feats),
+    ze4 AS (
+      SELECT doc_id,
+             CASE WHEN z_e5 < 0 THEN -((abs(z_e5) + 5) // 10)
+                  ELSE (z_e5 + 5) // 10 END AS z_e4
+      FROM ze5)
+    SELECT doc_id,
+           ((z_e4 / 10000.0) / (1 + abs(z_e4 / 10000.0)) + 1) / 2.0 AS score,
+           z_e4 >= 0 AS keep
+    FROM ze4 ORDER BY doc_id
+    """,
+    doc="Model-scored quality gate (operators/text.py:classifier_z_e4): "
+        "softsign-calibrated linear model over the QC feature vector — "
+        "the logreg/fastText classifier surrogate of GPT-3/CCNet-style "
+        "curation. The whole model runs in EXACT integer arithmetic "
+        "(features in ten-thousandths, margin in hundred-thousandths; "
+        "float round() is an engine lottery at decimal .5 boundaries, "
+        "which this model hits for ~10% of docs) and the squash is "
+        "softsign (division+abs, correctly-rounded IEEE) instead of the "
+        "libm-dependent logistic, so Spark and the oracle agree bitwise. "
+        "Scale: weights are constant-folded literals (a real model's "
+        "coefficients ride one broadcast array literal the same way); "
+        "the whole gate is one narrow map-side projection — zero "
+        "shuffle, zero UDF, fused into whatever scan precedes it.",
+)
+def quality_classifier(spark, sf_dir):
+    # stage z once; score and keep both derive from it (keep gates on the
+    # SIGN of the margin — `score >= 0.5` flips at the 4dp boundary)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", TX.classifier_z(F.col("text")).alias("z"))
+            .select("doc_id",
+                    TX.classifier_score(F.col("z")).alias("score"),
+                    (F.col("z") >= 0).alias("keep"))
+            .orderBy("doc_id"))
+
+
+@_q(
+    "semantic_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 20),
+    e AS ({_EMB_EXPLODED.format(src='corpus')}),
+    c AS (SELECT * FROM e WHERE vec_id < 8),
+    cosc AS (
+      SELECT e.vec_id AS id, c.vec_id AS cid,
+             round(sum(e.v * c.v) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.v * c.v))), 4) AS cos
+      FROM e JOIN c ON e.i = c.i
+      GROUP BY e.vec_id, c.vec_id),
+    assign AS (
+      SELECT id, cid,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM cosc),
+    cells AS (SELECT id, cid AS cell FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT ca.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(sum(a.v * b.v) /
+                   (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
+      FROM e a
+      JOIN cells ca ON ca.id = a.vec_id
+      JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      JOIN cells cb ON cb.id = b.vec_id AND cb.cell = ca.cell
+      GROUP BY ca.cell, a.vec_id, b.vec_id)
+    SELECT cell, id_a, id_b, cos FROM pairs
+    WHERE cos >= 0.999 ORDER BY id_a, id_b
+    """,
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540; "
+        "operators/similarity.py:semantic_dedup_pairs): assign every "
+        "embedding to its nearest centroid (deterministic lowest-id "
+        "centroids so the oracle can reproduce the rule; production "
+        "passes kmeans_fit centroids — same plan), then verify cosine "
+        "near-duplicates WITHIN cells only. Recovers exactly the 20 "
+        "planted identical copies (identical vectors share a cell with "
+        "probability 1; max organic cosine ≈0.51). Scale: assignment is "
+        "map-side vs one broadcast centroid literal; the verify "
+        "self-join shuffles on the cell id — per-task work bounded by "
+        "the largest cluster, n_cells is the occupancy knob and grows "
+        "with the corpus like SRP plane count (SCALE.md). The 4dp "
+        "rounding BEFORE argmax makes the assignment engine-portable "
+        "(raw-double argmax is ulp-sensitive to summation order).",
+)
+def semantic_dedup(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = (e.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    corpus = e.unionByName(copies)
+    return (S.semantic_dedup_pairs(corpus, threshold=0.999, n_cells=8)
+            .orderBy("id_a", "id_b"))

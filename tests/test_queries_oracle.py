@@ -34,8 +34,9 @@ def test_registry_window_ordering():
     for flagship in ["minhash_lsh_dedup", "dedup_clusters", "corpus_curation",
                      "embedding_near_dup", "simhash_near_dup",
                      "train_val_split", "metrics_rate_sum_by",
-                     "flows_pg_src_ip_panel", "flows_pg_dst_ip_panel",
-                     "approx_percentiles"]:
+                     "flows_pg_src_ip_panel", "approx_percentiles",
+                     "incremental_dedup", "quality_classifier",
+                     "semantic_dedup"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

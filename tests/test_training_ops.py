@@ -381,3 +381,68 @@ def test_meta_header_mismatch_fails_loudly(spark):
     media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
     with pytest.raises(Exception, match="(?i)mismatch"):
         extract_features(media).collect()
+
+
+# --- round 3: incremental / semantic dedup, quality classifier ---------------
+
+def test_incremental_dedup_drops_replays_keeps_fresh(spark, docs):
+    history = docs.filter(F.col("doc_id") < 400)
+    fresh = docs.filter(F.col("doc_id") >= 400)
+    replayed = (docs.filter(F.col("doc_id") < 50)
+                .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = fresh.unionByName(replayed)
+    kept = D.incremental_dedup(batch, history)
+    ids = {r[0] for r in kept.select("doc_id").collect()}
+    assert ids == {r[0] for r in fresh.select("doc_id").collect()}
+    # idempotence: re-running the surviving batch against history+batch
+    # (the appended digest table) drops everything
+    appended = history.unionByName(kept.select("doc_id", "text"))
+    assert D.incremental_dedup(kept.select("doc_id", "text"),
+                               appended).count() == 0
+
+
+def test_semantic_dedup_recovers_planted_and_stays_in_cells(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    copies = (emb.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(copies)
+    pairs = S.semantic_dedup_pairs(corpus, threshold=0.999, n_cells=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}
+    # every reported pair shares its cell by construction; spot-check the
+    # assignment itself is total and deterministic across two runs
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in corpus.orderBy("vec_id").limit(8).collect()]
+    a1 = S.assign_nearest_centroid(corpus, cents).select("vec_id", "cell")
+    a2 = S.assign_nearest_centroid(corpus, cents).select("vec_id", "cell")
+    assert a1.count() == corpus.count()
+    assert a1.exceptAll(a2).count() == 0
+
+
+def test_semantic_dedup_plan_joins_on_cell_not_cross(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    plan = S.semantic_dedup_pairs(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_gate_consistency(spark, docs):
+    """score >= 0.5 ⇔ z >= 0 except exactly at the rounding boundary —
+    the gate must follow z's sign (the boundary case that motivated
+    classifier_z)."""
+    from flow_pipeline_spark.operators import text as TX
+    scored = docs.select(
+        "doc_id", TX.classifier_z(F.col("text")).alias("z")) \
+        .select("doc_id", "z", TX.classifier_score(F.col("z")).alias("score"))
+    rows = scored.collect()
+    assert rows, "empty corpus"
+    for r in rows:
+        assert 0.0 < r["score"] < 1.0
+        if r["z"] >= 0:
+            assert r["score"] >= 0.5
+        else:
+            assert r["score"] <= 0.5  # boundary z=-0.0001 rounds UP to 0.5
+    # the gate is discriminative on this corpus (both classes present is
+    # not guaranteed at every SF, but scores must not be constant)
+    assert len({r["score"] for r in rows}) > 1

@@ -40,6 +40,9 @@ NOTES = {
   "benchmark_contamination": "benchmark shingle set broadcast; corpus-side overlap count partial-aggregates before one narrow shuffle",
   "repetition_stats": "pure per-row expressions — the whole gate is one codegen'd scan, zero shuffle",
   "partitioned_day_scan": "day predicate lands in PartitionFilters: non-matching day directories are pruned at listing time, zero IO — the toDate($dateFilter) partition trick at any scale",
+  "incremental_dedup": "history collapses to DISTINCT digests before the anti-join; the batch side shuffles 32-byte digests only (broadcast anti-join when the digest set is small)",
+  "quality_classifier": "the whole model is one codegen'd projection — weights constant-folded, zero shuffle, zero UDF",
+  "semantic_dedup": "centroid assignment is map-side against one array literal; the verify self-join shuffles on the cell id, never a CartesianProduct",
 }
 
 
