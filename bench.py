@@ -123,11 +123,17 @@ def _ingest_throughput(spark) -> dict[str, float]:
             return n / (time.perf_counter() - t0)
 
         # steady-state like the headline loop (the reference's published
-        # rates are steady-state production figures): first run pays
-        # codegen + Python-worker spin-up, then MEDIAN of 3 measured runs
-        # (median, not max — best-of-N overstates steady state)
-        run_ingest()
-        lo, med, peak = _spread(run_ingest, 3)
+        # rates are steady-state production figures): measured ramp on an
+        # IDLE host is 0.28M -> 1.24M -> 1.49M -> 1.5M+ rows/s across
+        # consecutive runs — ONE warm run only pays Python spin-up, while
+        # the JVM's C2 compiler keeps optimizing the parquet-write path
+        # for ~3 more runs (this, not neighbor noise, was the r02
+        # "median halved vs peak" artifact). Warm 3, then MEDIAN of 5
+        # (median, not max — best-of-N overstates steady state; the
+        # occasional GC-pause dip lands in min, not the median)
+        for _ in range(3):
+            run_ingest()
+        lo, med, peak = _spread(run_ingest, 5)
         out["ingest_rows_per_sec"] = round(med)
         out["ingest_rows_per_sec_min"] = round(lo)
         out["ingest_rows_per_sec_peak"] = round(peak)
@@ -147,7 +153,10 @@ def _ingest_throughput(spark) -> dict[str, float]:
              .parquet(f"{d}/decoded"))
             return n2 / (time.perf_counter() - t0)
 
-        run_decode()
+        # decode is Arrow-UDF-bound (Python workers), which warms faster
+        # than the JVM write path, but give C2 the same runway
+        for _ in range(2):
+            run_decode()
         lo, med, peak = _spread(run_decode, 3)
         out["protobuf_decode_rows_per_sec"] = round(med)
         out["protobuf_decode_rows_per_sec_min"] = round(lo)

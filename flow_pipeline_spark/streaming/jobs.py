@@ -446,3 +446,58 @@ def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
     )
     writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
     return writer.start()
+
+
+def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
+                             checkpoint_dir: str, *,
+                             min_tokens: int = 5,
+                             dedup_horizon: str = "10 minutes",
+                             trigger: dict | None = None) -> StreamingQuery:
+    """Continuous corpus curation — the training-data analog of the flows
+    MV cascade: a document stream (crawl batches landing continuously)
+    flows through the same gates as the batch `corpus_curation` /
+    `curation_full_pipeline` queries, as ONE streaming query.
+
+    Per micro-batch: PII scrub → length gate → model-scored quality gate
+    (classifier margin >= 0) → exact dedup on the content digest within a
+    processing-time watermark horizon → curated parquet append,
+    partitioned by source.
+
+    Order matters at scale exactly as in the batch pipeline: every
+    per-row gate runs BEFORE the dedup's digest shuffle, so a document
+    crosses the wire at most once, post-filter — and the dedup state
+    store holds 32-byte digests, not documents, bounded by the watermark
+    horizon (dropDuplicatesWithinWatermark evicts state older than the
+    horizon; an unbounded-history exact dedup belongs to the batch
+    `incremental_dedup` anti-join against the stored digest table, which
+    a periodic job runs over each day's curated output).
+
+    Delivery: checkpointed file sink — exactly-once per batch id; a
+    replayed micro-batch rewrites the same files.
+    """
+    from ..operators.text import (classifier_z_e4, normalize_text,
+                                  scrub_pii, token_count)
+
+    scrubbed = docs_stream.withColumn("text", scrub_pii(F.col("text")))
+    gated = (
+        scrubbed
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("score_e4", classifier_z_e4(F.col("text")))
+        .filter((F.col("n_tokens") >= min_tokens)
+                & (F.col("score_e4") >= 0))
+        .withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+        .withColumn("ingest_ts", F.current_timestamp())
+    )
+    deduped = (gated
+               .withWatermark("ingest_ts", dedup_horizon)
+               .dropDuplicatesWithinWatermark(["content_hash"]))
+    writer = (
+        deduped.drop("ingest_ts", "score_e4")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("source")
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()

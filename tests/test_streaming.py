@@ -538,3 +538,51 @@ def test_transactional_inserter_zero_dupes_across_restart(spark, tmpdir):
           GROUP BY ALL HAVING count(*) > 1)""").fetchone()[0]
     assert dupes == 0
     con.close()
+
+
+def test_document_qc_stream_matches_batch_gates(spark, tmpdir):
+    """The continuous curation MV (scrub → gates → digest dedup) emits
+    exactly the batch pipeline's survivors: same digest set, one row per
+    digest, replayed files deduped — stream ≡ batch for the training tier
+    like test_raw_persist_mv proves for the flow tier."""
+    from flow_pipeline_spark.operators.text import (classifier_z_e4,
+                                                    normalize_text,
+                                                    scrub_pii, token_count)
+    from flow_pipeline_spark.streaming.jobs import start_document_qc_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    src = f"{tmpdir}/qc_src"
+    docs.repartition(1).write.parquet(src)
+    # second crawl batch: 40 byte-identical replays land later
+    (docs.filter(F.col("doc_id") < 40)
+     .withColumn("doc_id", F.col("doc_id") + 100000)
+     .repartition(1).write.mode("append").parquet(src))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ckpt = f"{tmpdir}/qc_out", f"{tmpdir}/qc_ckpt"
+    q = start_document_qc_stream(stream, out, ckpt,
+                                 trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    batch = (docs.withColumn("text", scrub_pii(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter((F.col("n_tokens") >= 5)
+                     & (classifier_z_e4(F.col("text")) >= 0))
+             .withColumn("content_hash",
+                         F.md5(normalize_text(F.col("text")))))
+    want_digests = {r[0] for r in
+                    batch.select("content_hash").distinct().collect()}
+    assert want_digests, "gates drop the whole corpus — broken fixture"
+    got_digests = [r[0] for r in got.select("content_hash").collect()]
+    # one row per surviving digest (replays suppressed), same survivor set
+    assert len(got_digests) == len(set(got_digests))
+    assert set(got_digests) == want_digests
+    assert got.count() == len(want_digests)
+    # curated columns present, state-only columns dropped
+    assert {"doc_id", "source", "text", "n_tokens", "content_hash"} \
+        <= set(got.columns)
+    assert "ingest_ts" not in got.columns
