@@ -608,6 +608,7 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          centroids: list[tuple[int, list[float]]] | None = None,
+                         vectorized: bool = False,
                          ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then verify cosine
@@ -635,6 +636,16 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
                 .orderBy(id_col).limit(n_cells).collect())
         # small-side by design: n_cells rows, like kmeans_fit's centroids
         centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    if vectorized:
+        # scale path, both stages numpy: GEMM assignment (ids-only Arrow
+        # output, cells re-attached by an id join) + per-cell GEMM verify
+        # — the form for cell counts past ~a hundred, where the
+        # interpreted HOF argmax and the per-pair HOF cosine dominate
+        cells = assign_nearest_centroid_vectorized(
+            corpus, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = corpus.join(cells, id_col)
+        return _cell_pairs_vectorized(assigned, threshold,
+                                      id_col=id_col, vec_col=vec_col)
     assigned = assign_nearest_centroid(corpus, centroids, vec_col=vec_col)
     base = assigned.select("cell", F.col(id_col),
                            F.col(vec_col).alias("v"),
@@ -649,3 +660,99 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
                 _cos_pre("va", "vb", F.col("na"), F.col("nb")), 4))
             .filter(F.col("cos") >= threshold)
             .select("cell", "id_a", "id_b", "cos"))
+
+
+def _cell_pairs_vectorized(assigned: DataFrame, threshold: float, *,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Within-cell near-duplicate pairs as one per-cell numpy GEMM
+    (``applyInPandas`` over the cell grouping — the shuffle the HOF form
+    pays anyway, minus the pair-row blowup: the m·(m-1)/2 candidate pairs
+    of an m-vector cell never exist as Spark rows, only the qualifying
+    ones leave Python). Memory per task is the m×m cosine matrix — bounded
+    by the cell-occupancy knob exactly like the pair count. Rounding
+    matches the HOF verify (4dp HALF-UP, away from zero)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def per_cell(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cos": []})
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        m = np.array(list(pdf[vec_col]), dtype="float64")
+        vn = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cos = (m @ m.T) / (vn * vn.T)
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        ia, ib = np.triu_indices(len(ids), k=1)   # id_a < id_b (sorted)
+        vals = cos[ia, ib]
+        keep = vals >= threshold
+        return pd.DataFrame({"cell": pdf["cell"].iloc[0],
+                             "id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cos": vals[keep]})
+
+    return (assigned.select("cell", id_col, vec_col)
+            .groupBy("cell").applyInPandas(per_cell, out_schema))
+
+
+def assign_nearest_centroid_vectorized(df: DataFrame,
+                                       centroids: list[tuple[int, list[float]]],
+                                       *, id_col: str = "vec_id",
+                                       vec_col: str = "embedding",
+                                       out_col: str = "cell") -> DataFrame:
+    """GEMM form of :func:`assign_nearest_centroid` — the scale path when
+    the cell count grows past what an interpreted HOF argmax over a
+    centroid literal should carry (the HOF form does n·cells·dim folds
+    OUTSIDE codegen; one (batch × dim) @ (dim × cells) numpy matmul per
+    Arrow batch replaces them, same ~30x as brute_knn_vectorized).
+
+    Semantics are pinned to the HOF form (pytest-asserted equal): cosine
+    HALF-UP-rounded to 4dp (np.round is banker's — floor(x·1e4 + 0.5)
+    reproduces Spark's round for the non-negative boundary cases that
+    decide ties), ties to the smallest centroid id (columns ordered by
+    ascending cid, argmax takes the first maximum).
+
+    Returns (id_col, out_col) — join back on id to attach cells to a
+    wider frame; the ids-only output keeps the Arrow boundary narrow.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cids = np.array([centroids[i][0] for i in order], dtype="int64")
+    cm = np.array([centroids[i][1] for i in order], dtype="float64")
+    cn = np.maximum(np.linalg.norm(cm, axis=1), 1e-300)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    # bound the per-chunk scores matrix at ~4M doubles (32 MB): a full
+    # 10k-row Arrow batch against 8k cells would otherwise materialize a
+    # 640 MB float64 matrix per task and stall the host in allocation
+    chunk = max(64, 4_000_000 // max(len(centroids), 1))
+
+    def assign(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo:lo + chunk]
+                ids = sub[id_col].to_numpy(dtype="int64")
+                m = np.array(list(sub[vec_col]), dtype="float64")
+                vn = np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+                cos = (m @ cm.T) / (vn * cn[None, :])
+                # HALF-UP at 4dp (cosines can be negative: away from 0)
+                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+                yield pd.DataFrame({id_col: ids,
+                                    out_col: cids[cos.argmax(1)]})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)

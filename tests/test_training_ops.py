@@ -446,3 +446,42 @@ def test_classifier_gate_consistency(spark, docs):
     # the gate is discriminative on this corpus (both classes present is
     # not guaranteed at every SF, but scores must not be constant)
     assert len({r["score"] for r in rows}) > 1
+
+
+def test_assign_vectorized_matches_hof(spark):
+    """GEMM centroid assignment ≡ the HOF literal-argmax form on every
+    corpus vector (same 4dp HALF-UP rounding, same smallest-cid ties)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    hof = {(r[0], r[1]) for r in
+           S.assign_nearest_centroid(emb, cents)
+           .select("vec_id", "cell").collect()}
+    gemm = {(r[0], r[1]) for r in
+            S.assign_nearest_centroid_vectorized(emb, cents).collect()}
+    assert hof == gemm
+    # and the dedup built on it returns the same pairs either way
+    copies = (emb.filter(F.col("vec_id") < 10)
+              .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(copies)
+    a = {tuple(r) for r in
+         S.semantic_dedup_pairs(corpus, n_cells=8).collect()}
+    b = {tuple(r) for r in
+         S.semantic_dedup_pairs(corpus, n_cells=8,
+                                vectorized=True).collect()}
+    assert a == b and len(a) == 10
+
+
+def test_semantic_dedup_with_kmeans_centroids(spark):
+    """Production path: trained kmeans_fit centroids instead of the
+    lowest-id oracle rule — planted identical pairs are still recovered
+    (identical vectors share a cell under ANY centroid set)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    copies = (emb.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(copies)
+    trained = S.kmeans_fit(corpus, n_cells=8, n_iter=2)
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(trained)]
+    pairs = S.semantic_dedup_pairs(corpus, threshold=0.999, centroids=cents)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}

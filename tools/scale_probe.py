@@ -21,6 +21,8 @@ Probed (one per operator family):
   exactly as it must in production to keep per-bucket work bounded
 - brute_knn_gemm: Arrow+numpy exact kNN (corpus never shuffles)
 - minhash_lsh_dedup: shingle→minhash→band→candidate-verify, to 1M docs
+- semantic_dedup: SemDeDup cluster-then-verify, cells scaling linearly
+  with the corpus, GEMM assignment + per-cell GEMM verify
 - skew_join: one hot key = 50% of an 8M-row fact side — plain sort-merge
   (broadcast + AQE skew split disabled) vs salted_join's explicit spread
 """
@@ -166,6 +168,28 @@ def main() -> None:
             q = emb_cached.filter(F.col("vec_id") < 10)
             record("brute_knn_gemm", n, median_timed(
                 lambda: force(brute_knn_vectorized(emb_cached, q, k=5))))
+
+        # SemDeDup-style semantic dedup: cell count scales LINEARLY with
+        # the corpus (bounded ~40-vector cell occupancy keeps the verify
+        # join's pair count ~ 20·n instead of n²/2) and assignment runs
+        # the GEMM path — the two production knobs for this operator.
+        from flow_pipeline_spark.operators.similarity import (
+            semantic_dedup_pairs)
+        sem_steps = [(20_000, 500), (80_000, 2_000),
+                     (160_000 if args.fast else 320_000, 8_000)]
+        for n, cells in sem_steps:
+            emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+            cents = [(int(r[0]), [float(x) for x in r[1]])
+                     for r in emb.orderBy("vec_id").limit(cells).collect()]
+
+            def sem():
+                return semantic_dedup_pairs(
+                    emb, threshold=0.999, centroids=cents,
+                    vectorized=True)
+            sec = median_timed(lambda: force(sem()))
+            found = sem().filter(F.col("id_b") >= 10**9).count()
+            record(f"semantic_dedup_c{cells}", n, sec,
+                   planted_ok=(found >= 20))
 
         # MinHash-LSH dedup (the flagship training-tier operator) over
         # synthetic documents — xxhash64 family (the production mode; md5
