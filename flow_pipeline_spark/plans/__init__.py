@@ -58,6 +58,11 @@ _DEMOTED_VARIANTS = [
     "priority_linecount",     # sum(CASE WHEN) conditional agg; class
                               # windowed via event_type_pivot (pivot
                               # compiles to the same conditional-agg form)
+    # round 3 cont.: doc_perplexity (LM-scored gate, the CCNet filter)
+    # enters the window; displaced twin:
+    "flows_pg_port_panel",    # A3 count-per-group panel; class windowed
+                              # via flows_pg_src_ip_panel (same PG panel
+                              # shape plus the P10 render on top)
 ]
 
 

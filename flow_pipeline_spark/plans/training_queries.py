@@ -1430,3 +1430,50 @@ def semantic_dedup(spark, sf_dir):
     corpus = e.unionByName(copies)
     return (S.semantic_dedup_pairs(corpus, threshold=0.999, n_cells=8)
             .orderBy("id_a", "id_b"))
+
+
+@_q(
+    "doc_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks
+      GROUP BY tok ORDER BY c DESC, tok LIMIT 2000),
+    scored AS (
+      SELECT t.doc_id,
+             -ln(coalesce(v.c, 1) / (SELECT n FROM tot)) / ln(2) AS nll
+      FROM toks t LEFT JOIN vocab v USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 4) AS avg_nll_bits
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="LM-perplexity quality gate (CCNet's actual filter: score each doc "
+        "under a language model, drop the high-perplexity tail): a "
+        "self-trained unigram LM — top-2000 vocabulary with corpus "
+        "frequencies, count-1 floor for OOV — scores every document as "
+        "average negative log2 probability per token. Scale: the vocab "
+        "aggregate is vocab-bounded (one row per distinct token per "
+        "partition, the vocab_top_bigrams shape); the trained table "
+        "BROADCASTS to the scoring join so the exploded corpus never "
+        "shuffles on the token — the only wide op is the per-doc partial "
+        "aggregate. In production the LM comes from a reference corpus / "
+        "previous epoch (KenLM in CCNet) and rides the same broadcast; "
+        "plan shape unchanged.",
+)
+def doc_perplexity(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+    total = toks.count()  # one small driver scalar, ≡ the oracle's subquery
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), F.asc("tok")).limit(2000))
+    nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.lit(total)) \
+        / F.log(F.lit(2.0))
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(nll), 4).alias("avg_nll_bits"))
+            .orderBy("doc_id"))
