@@ -201,3 +201,34 @@ def test_partitioned_day_scan_prunes_partitions(plans):
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert rs and "event_type" in rs.group(1) and "value" in rs.group(1)
     assert "props" not in rs.group(1), rs.group(1)
+
+
+def test_doc_perplexity_vocab_broadcasts(plans):
+    """The LM scoring join must BROADCAST the trained vocabulary: a
+    shuffle join on the token key would re-partition the exploded corpus
+    (40x row blowup) by token — hot stopwords make that a skew cliff at
+    scale. No Exchange may partition on the token."""
+    p = plans("doc_perplexity")
+    assert "BroadcastHashJoin" in p
+    # exactly ONE token-key exchange is legitimate: the vocab count itself
+    # (partial-aggregated, so it carries one row per distinct token per
+    # partition — vocab-bounded). The scoring join must not add another.
+    assert len(re.findall(r"hashpartitioning\(tok", p)) == 1
+
+
+def test_incremental_dedup_ships_digests_not_documents(plans):
+    """The anti-join's build side must be the DISTINCT-digest projection
+    of history — if document text appeared in any Exchange, each ingest
+    would re-shuffle the historical corpus instead of 32-byte digests."""
+    p = plans("incremental_dedup")
+    assert "LeftAnti" in p
+    for exch in re.findall(r"Exchange [^\n]*", p):
+        assert "text" not in exch, exch
+
+
+def test_semantic_dedup_registered_query_no_cross_join(plans):
+    """The windowed semantic_dedup query joins on the cell id — never a
+    CartesianProduct (the all-pairs scale-killer the cells exist to
+    avoid)."""
+    p = plans("semantic_dedup")
+    assert "CartesianProduct" not in p

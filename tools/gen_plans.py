@@ -43,6 +43,7 @@ NOTES = {
   "incremental_dedup": "history collapses to DISTINCT digests before the anti-join; the batch side shuffles 32-byte digests only (broadcast anti-join when the digest set is small)",
   "quality_classifier": "the whole model is one codegen'd projection — weights constant-folded, zero shuffle, zero UDF",
   "semantic_dedup": "centroid assignment is map-side against one array literal; the verify self-join shuffles on the cell id, never a CartesianProduct",
+  "doc_perplexity": "trained vocab broadcasts to the scoring join — the exploded corpus never shuffles on the token; the only wide op is the per-doc partial aggregate",
 }
 
 
