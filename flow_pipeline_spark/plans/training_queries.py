@@ -1467,12 +1467,16 @@ def doc_perplexity(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
-    total = toks.count()  # one small driver scalar, ≡ the oracle's subquery
+    # the corpus token total stays IN the plan (1-row broadcast), like the
+    # oracle's scalar subquery — a driver-side .count() here would run an
+    # eager full scan at every plan build
+    total = F.broadcast(toks.agg(F.count("*").alias("_n")))
     vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
              .orderBy(F.desc("c"), F.asc("tok")).limit(2000))
-    nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.lit(total)) \
+    nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("_n")) \
         / F.log(F.lit(2.0))
     return (toks.join(F.broadcast(vocab), "tok", "left")
+            .crossJoin(total)
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.avg(nll), 4).alias("avg_nll_bits"))
