@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "embedding_near_dup",    # SRP-bucketed near-dup (was all-pairs crossJoin)
     "ngram_jaccard_dups",    # LSH-candidates verify (was inverted-index)
     "flows_top_src_ips",     # render-after-aggregate IP panel (UDF off scan)
+    # round-3 additions:
+    "incremental_dedup",     # cross-snapshot digest anti-join
+    "quality_classifier",    # integer-exact model-scored gate (pure scan)
+    "semantic_dedup",        # SemDeDup cluster-then-verify (HOF oracle form)
+    "doc_perplexity",        # unigram-LM gate (vocab broadcast, CCNet filter)
 ]
 
 

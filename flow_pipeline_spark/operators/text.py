@@ -1,9 +1,11 @@
 """Text-analysis operators for the training-data pipeline tier.
 
 All hot-path logic is native ``pyspark.sql.functions`` (JVM, codegen) —
-no Python UDFs. Where cross-engine (DuckDB-oracle) determinism is needed,
-hashes are md5-hex (identical lowercase hex in Spark and DuckDB) rather
-than engine-specific hash functions.
+no Python UDFs, with ONE deliberate exception: the zlib
+compression-ratio signal (stdlib C, Arrow-batched; no JVM-expression
+equivalent exists). Where cross-engine (DuckDB-oracle) determinism is
+needed, hashes are md5-hex (identical lowercase hex in Spark and DuckDB)
+rather than engine-specific hash functions.
 
 Operators: tokenization/counting, quality scoring, n-gram language ID,
 document fingerprinting, shingling (shared with dedup).
@@ -11,6 +13,7 @@ document fingerprinting, shingling (shared with dedup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -296,3 +299,33 @@ def classifier_score(z: Column) -> Column:
     sits within an ulp of .5). Same monotone gate (score >= 0.5 ⇔ z >= 0).
     """
     return (z / (F.lit(1.0) + F.abs(z)) + F.lit(1.0)) / F.lit(2.0)
+
+
+# --- compression-ratio QC ----------------------------------------------------
+
+def compression_ratio(text: Column) -> Column:
+    """DEFLATE compression ratio len(zlib(text)) / len(text) — the
+    Gopher/RefinedWeb-family redundancy signal: highly repetitive or
+    templated documents compress far below natural prose, gibberish
+    compresses above it, so curation gates keep a middle band.
+
+    A pandas UDF on purpose (stdlib ``zlib``, one C call per row over the
+    Arrow batch): there is no JVM-expression equivalent, and the byte
+    work is all in C. No DuckDB oracle can mirror zlib — the registry
+    entry is rows-only; correctness is pinned by pytest on documents
+    with known redundancy structure."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def r(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+        return s.map(r)
+
+    return _ratio(text)

@@ -1481,3 +1481,31 @@ def doc_perplexity(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.avg(nll), 4).alias("avg_nll_bits"))
             .orderBy("doc_id"))
+
+
+@_q(
+    "doc_compression_stats",
+    None,  # zlib has no SQL equivalent — rows-only here; correctness is
+    # pinned in pytest on documents with planted redundancy structure
+    # (test_training_ops.py::test_compression_ratio_orders_redundancy).
+    doc="Compression-ratio QC (Gopher/RefinedWeb redundancy gate): "
+        "len(deflate(text))/len(text) per doc via stdlib zlib — "
+        "repetitive/templated docs compress far below natural prose, "
+        "gibberish above it; curation keeps a middle band "
+        "(operators/text.py:compression_ratio). Scale: one C call per "
+        "row over the Arrow batch, zero shuffle — the gate fuses into "
+        "whatever scan precedes it; output here is the per-band "
+        "histogram a curation run reports.",
+)
+def doc_compression_stats(spark, sf_dir):
+    ratio = TX.compression_ratio(F.col("text"))
+    band = (F.when(F.col("ratio") < 0.4, "low_repetitive")
+            .when(F.col("ratio") <= 0.9, "mid_natural")
+            .otherwise("high_gibberish"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", ratio.alias("ratio"))
+            .select("doc_id", "ratio", band.alias("band"))
+            .groupBy("band")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("ratio"), 4).alias("avg_ratio"))
+            .orderBy("band"))

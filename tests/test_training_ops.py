@@ -485,3 +485,31 @@ def test_semantic_dedup_with_kmeans_centroids(spark):
     pairs = S.semantic_dedup_pairs(corpus, threshold=0.999, centroids=cents)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(i, i + 100000) for i in range(20)}
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """zlib ratio must rank: highly repetitive < natural prose < random
+    gibberish — the property the Gopher-style band gate relies on."""
+    from flow_pipeline_spark.operators import text as TX
+    rows = [
+        (1, "the quick brown fox " * 50),                      # repetitive
+        (2, ("the sudden storm scattered every careful plan we had "
+             "made for the harvest and the village met to decide "
+             "what could still be saved before winter ") * 3),  # prose-ish
+        (3, " ".join(format((i * 2654435761) % 2**32, "x")
+                     for i in range(150))),                     # gibberish
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["r"]
+           for r in df.select("doc_id",
+                              TX.compression_ratio(F.col("text"))
+                              .alias("r")).collect()}
+    assert got[1] < got[2] < got[3]
+    assert 0.0 < got[1] < 0.2          # heavy repetition compresses hard
+    assert got[3] > 0.5                # hex gibberish barely compresses
+    # determinism + null/empty handling
+    df2 = spark.createDataFrame([(4, None), (5, "")],
+                                "doc_id int, text string")
+    vals = [r["r"] for r in df2.select(
+        TX.compression_ratio(F.col("text")).alias("r")).collect()]
+    assert vals == [None, None]
