@@ -107,6 +107,22 @@ def run_stream_demo(spark: SparkSession, out_dir: str, *,
     }
 
 
+def run_curation_demo(spark: SparkSession, sf_dir: str) -> dict:
+    """The training-data tier end to end on the ``documents`` /
+    ``embeddings`` tables: quality gates (heuristic, classifier, LM
+    perplexity, compression band) → exact + MinHash-LSH + semantic dedup
+    → deterministic split — the same registry queries the driver
+    oracle-checks, composed as a user would run them."""
+    from .plans import QUERIES
+
+    names = [
+        "text_quality", "quality_classifier", "doc_perplexity",
+        "doc_compression_stats", "dedup_exact", "minhash_lsh_dedup",
+        "semantic_dedup", "incremental_dedup", "corpus_curation",
+    ]
+    return {n: QUERIES[n].spark(spark, sf_dir) for n in names}
+
+
 def main() -> None:
     from .session import get_spark
 
@@ -114,6 +130,11 @@ def main() -> None:
     ap.add_argument("--dir", required=True)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the training-data curation tier instead "
+                         "of the flow panels")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="warehouse dir for --curate")
     ap.add_argument("--seconds", type=int, default=20)
     args = ap.parse_args()
 
@@ -123,6 +144,10 @@ def main() -> None:
         print(f"streamed {out['input_rows']} rows "
               f"(~{out['rows_per_sec']}/s); raw={out['raw'].count()} "
               f"rollup_rows={out['rollup'].count()}")
+    elif args.curate:
+        for name, df in run_curation_demo(spark, args.sf_dir).items():
+            print(f"== {name}")
+            df.show(6, truncate=False)
     else:
         panels = run_batch_demo(spark, args.dir, rows=args.rows)
         for name, df in panels.items():
