@@ -84,3 +84,53 @@ def quota_sample(df: DataFrame, group_col: str, quota: int,
          .orderBy(det_order(key, salt), key_col))
     return (df.withColumn("rn", F.row_number().over(w))
             .withColumn("kept", F.col("rn") <= quota))
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   group_col: str = "source", key_col: str = "doc_id",
+                   default_rate: float = 1.0,
+                   salt: str = ":mix") -> DataFrame:
+    """Epoch-aware source mixing: sample each group at its configured
+    RATE, where rates above 1 replicate (extra training epochs of that
+    source) and fractional parts downsample deterministically — the
+    data-mixture step of a pretraining run (e.g. wikipedia at 3.0 epochs,
+    common-crawl at 0.6), which ``quota_sample``'s hard per-source cap
+    cannot express.
+
+    rate r = k + f (k = ⌊r⌋): every row emits epochs 0..k-1
+    unconditionally; epoch k survives iff the first 4 hex chars of
+    md5(key ‖ salt ‖ epoch) compare below the 4-hex threshold
+    round(f·65536) — fixed-width lowercase-hex string comparison IS
+    numeric comparison, identical in any engine (the train_val_split
+    device), and keying the hash on (row, epoch) makes every epoch's
+    fractional draw independent.
+
+    Adds an ``epoch`` column (a row kept at rate 2.5 appears with epoch
+    0, 1, and — for ~half of rows — 2). Scale: one generator explode
+    (×⌈r⌉, narrow, no shuffle) and a per-row hash — membership is a pure
+    function of (key, epoch), invariant to partitioning and cluster
+    size.
+    """
+    def _thr_hex(f: float) -> str:
+        # clamp: f≈0.99999 would round to 65536 = "10000", a 5-char hex
+        # that string-compares BELOW "ffff" and silently inverts the gate
+        return format(min(round(f * 65536), 65535), "04x")
+
+    k_col: Column = F.lit(int(default_rate))
+    thr_col: Column = F.lit(_thr_hex(default_rate - int(default_rate)))
+    for src, r in rates.items():
+        k, f = int(r), r - int(r)
+        cond = F.col(group_col) == src
+        k_col = F.when(cond, F.lit(k)).otherwise(k_col)
+        thr_col = F.when(cond, F.lit(_thr_hex(f))).otherwise(thr_col)
+    key = F.col(key_col).cast("string")
+    out = (df.withColumn("_k", k_col).withColumn("_thr", thr_col)
+           .withColumn("epoch",
+                       F.explode(F.sequence(F.lit(0), F.col("_k"))))
+           .filter((F.col("epoch") < F.col("_k"))
+                   | (F.substring(
+                       F.md5(F.concat(key, F.lit(salt),
+                                      F.col("epoch").cast("string"))),
+                       1, 4) < F.col("_thr")))
+           .drop("_k", "_thr"))
+    return out

@@ -63,6 +63,11 @@ _DEMOTED_VARIANTS = [
     "flows_pg_port_panel",    # A3 count-per-group panel; class windowed
                               # via flows_pg_src_ip_panel (same PG panel
                               # shape plus the P10 render on top)
+    "mixture_sample",         # md5-threshold sampling device; class
+                              # windowed via train_val_split +
+                              # source_quota_sample (adds epoch
+                              # replication on the same device; oracled
+                              # in pytest like every demoted variant)
 ]
 
 

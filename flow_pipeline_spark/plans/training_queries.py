@@ -1509,3 +1509,44 @@ def doc_compression_stats(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg("ratio"), 4).alias("avg_ratio"))
             .orderBy("band"))
+
+
+@_q(
+    "mixture_sample",
+    """
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                  WHEN 'src2' THEN 1 ELSE 1 END AS k,
+             CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+                  WHEN 'src2' THEN '0000' ELSE '0000' END AS thr
+      FROM documents),
+    exploded AS (
+      SELECT doc_id, source, k, thr,
+             unnest(range(0, k + 1)) AS epoch
+      FROM rated)
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM exploded
+    WHERE epoch < k
+       OR substring(md5(CAST(doc_id AS VARCHAR) || ':mix'
+                        || CAST(epoch AS VARCHAR)), 1, 4) < thr
+    ORDER BY doc_id, epoch
+    """,
+    doc="Epoch-aware data mixing (operators/packing.py:mixture_sample): "
+        "src0 at 2.5 epochs (2 full + ~half a fractional draw), src1 at "
+        "0.25 (downsample), src2 at exactly 1.0, everything else 1.0 — "
+        "the pretraining mixture step (wikipedia upsampled, crawl "
+        "downsampled) that a hard per-source cap can't express. "
+        "Membership is a pure function of (doc_id, epoch) via the "
+        "fixed-width-hex md5-threshold device, so the sample is "
+        "identical on any engine, partitioning, or cluster size. "
+        "Scale: one narrow generator explode (×⌈r⌉) + a per-row hash — "
+        "zero shuffle; the ORDER BY exists only for the oracle hash.",
+)
+def mixture_sample(spark, sf_dir):
+    from ..operators.packing import mixture_sample as mix
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (mix(d, {"src0": 2.5, "src1": 0.25, "src2": 1.0})
+            .select("doc_id", "source", F.col("epoch").cast("long")
+                    .alias("epoch"))
+            .orderBy("doc_id", "epoch"))

@@ -104,3 +104,38 @@ def test_pii_scrub_idempotent_and_residue_free(spark):
     assert once.collect() == twice.collect()
     assert once.select(TX.residual_pii(F.col("t")).alias("r")
                        ).collect()[0]["r"] == 0
+
+
+def test_mixture_sample_rates(spark):
+    """Epoch semantics: rate 2.5 → every row at epochs 0 and 1 plus ~half
+    at epoch 2; rate 0.25 → ~quarter of rows at epoch 0 only; rate 1.0 →
+    exactly once; determinism across runs and partitionings."""
+    from flow_pipeline_spark.operators.packing import mixture_sample
+    from flow_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    rates = {"src0": 2.5, "src1": 0.25, "src2": 1.0}
+    out = mixture_sample(d, rates).cache()
+
+    n0 = d.filter(F.col("source") == "src0").count()
+    # full epochs are exact
+    for epoch in (0, 1):
+        assert out.filter((F.col("source") == "src0")
+                          & (F.col("epoch") == epoch)).count() == n0
+    frac = out.filter((F.col("source") == "src0")
+                      & (F.col("epoch") == 2)).count()
+    assert 0 < frac < n0                      # fractional epoch is partial
+    n1 = d.filter(F.col("source") == "src1").count()
+    kept1 = out.filter(F.col("source") == "src1").count()
+    assert 0 < kept1 < n1
+    assert (out.filter(F.col("source") == "src1")
+            .filter(F.col("epoch") != 0).count() == 0)
+    # rate exactly 1.0 and the default: one epoch-0 copy per row
+    for src in ("src2", "src3"):
+        n = d.filter(F.col("source") == src).count()
+        assert out.filter(F.col("source") == src).count() == n
+    # layout-invariance: same membership under a different partitioning
+    again = mixture_sample(d.repartition(7), rates)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
