@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "incremental_dedup",     # cross-snapshot digest anti-join
     "quality_classifier",    # integer-exact model-scored gate (pure scan)
     "semantic_dedup",        # SemDeDup cluster-then-verify (HOF oracle form)
+    "semantic_dedup_gemm",   # same operator, production GEMM path
     "doc_perplexity",        # unigram-LM gate (vocab broadcast, CCNet filter)
 ]
 

@@ -68,6 +68,9 @@ _DEMOTED_VARIANTS = [
                               # source_quota_sample (adds epoch
                               # replication on the same device; oracled
                               # in pytest like every demoted variant)
+    "semantic_dedup_gemm",    # GEMM scale-path twin of the windowed
+                              # semantic_dedup (same oracle, benched as
+                              # the production form)
 ]
 
 

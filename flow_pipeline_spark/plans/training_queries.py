@@ -1550,3 +1550,27 @@ def mixture_sample(spark, sf_dir):
             .select("doc_id", "source", F.col("epoch").cast("long")
                     .alias("epoch"))
             .orderBy("doc_id", "epoch"))
+
+
+@_q(
+    "semantic_dedup_gemm",
+    QUERIES["semantic_dedup"].oracle,  # same corpus, same answer — the
+    # GEMM scale path must hash-match the HOF form's oracle exactly
+    doc="semantic_dedup on its production path "
+        "(semantic_dedup_pairs(vectorized=True)): chunked numpy GEMM "
+        "centroid assignment + per-cell GEMM verify via applyInPandas — "
+        "candidate pairs never exist as Spark rows. Identical answers to "
+        "the windowed HOF form (same DuckDB oracle, plus a direct "
+        "equality pytest); registered so the BENCH measures the form a "
+        "100 TB run would execute (SCALE.md: 320k vectors / 8k cells at "
+        "rising throughput).",
+)
+def semantic_dedup_gemm(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = (e.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    corpus = e.unionByName(copies)
+    return (S.semantic_dedup_pairs(corpus, threshold=0.999, n_cells=8,
+                                   vectorized=True)
+            .orderBy("id_a", "id_b"))
