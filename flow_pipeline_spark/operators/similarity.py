@@ -16,10 +16,12 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -756,3 +758,41 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
                                     out_col: cids[cos.argmax(1)]})
 
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def hashed_tf_embed(df: DataFrame, text_col: str = "text",
+                    dim: int = 64, out_col: str = "embedding") -> DataFrame:
+    """Feature-hashed term-frequency embeddings (the "hashing trick"):
+    each token's md5 picks a dimension (low 63 bits mod dim) and a sign
+    (top bit), counts accumulate, the vector L2-normalizes. Deterministic
+    everywhere — no model weights, no RNG — which makes it the
+    encoder stand-in that lets :func:`semantic_dedup_pairs` (and the ANN
+    tier) run directly over a TEXT corpus: identical texts map to
+    identical vectors (cosine exactly 1), near-copies land close (shared
+    tokens dominate the sum).
+
+    Production swaps a real encoder through the same Arrow shape — one
+    pandas UDF per batch, embedding column appended, nothing else in the
+    pipeline changes. The signed-hash trick keeps random token pairs
+    near-orthogonal in expectation (Weinberger et al. 2009, feature
+    hashing)."""
+    import hashlib
+
+    import numpy as np
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            v = np.zeros(dim, dtype=np.float32)
+            if t:
+                for tok in t.lower().split():
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                        "little")
+                    v[h % dim] += 1.0 if h >> 63 else -1.0
+            n = float(np.linalg.norm(v))
+            out.append((v / n).tolist() if n else v.tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _embed(F.col(text_col)))

@@ -513,3 +513,26 @@ def test_compression_ratio_orders_redundancy(spark):
     vals = [r["r"] for r in df2.select(
         TX.compression_ratio(F.col("text")).alias("r")).collect()]
     assert vals == [None, None]
+
+
+def test_hashed_tf_embed_feeds_semantic_dedup(spark, docs):
+    """The encoder stand-in closes the text → semantic-dedup loop:
+    identical texts embed identically (cosine exactly 1), so planted
+    copies are recovered by semantic_dedup_pairs over raw documents."""
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    emb = S.hashed_tf_embed(corpus).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    # embeddings are unit-norm, deterministic, fixed-dim
+    one = emb.limit(5).collect()
+    for r in one:
+        v = r["embedding"]
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    pairs = S.semantic_dedup_pairs(emb, threshold=0.999, n_cells=8,
+                                   vectorized=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(15)} <= got
+    # no explosion: organic 500-doc corpus shouldn't be all near-dups
+    assert len(got) < 100
