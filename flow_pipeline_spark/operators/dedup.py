@@ -82,14 +82,18 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, k: int = 3,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
-                           k: int = 3, text_col: str = "text",
-                           id_col: str = "doc_id", *,
-                           hash_fn: str = "xxhash64") -> DataFrame:
-    """LSH banding: signature split into ``bands`` bands of
-    ``n_hashes/bands`` rows; docs sharing any band hash become candidate
-    pairs. Shuffle is on (band_idx, band_hash) — bounded by band
-    cardinality, never all-pairs. Returns distinct (id_a < id_b) pairs."""
+def minhash_band_table(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                       k: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, band, bh) rows — the STORABLE near-dup artifact of a corpus.
+
+    A production pipeline persists this table per curated batch (bands ×
+    16-byte hashes per doc, no text) and appends to it; every future
+    ingest deduplicates against ALL history by joining its own band table
+    against the store (:func:`incremental_near_dup`) without ever
+    re-reading historical text — the near-dup analog of the exact-dedup
+    digest table."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, k, text_col, id_col,
                              hash_fn=hash_fn)
@@ -99,9 +103,21 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
         band_cols.append(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *parts)).alias("bh")))
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.bh")
+
+
+def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                           k: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id", *,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band hash become candidate
+    pairs. Shuffle is on (band_idx, band_hash) — bounded by band
+    cardinality, never all-pairs. Returns distinct (id_a < id_b) pairs."""
+    buckets = minhash_band_table(df, n_hashes, bands, k, text_col, id_col,
+                                 hash_fn=hash_fn)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -112,6 +128,35 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def incremental_near_dup(new_batch: DataFrame, history_bands: DataFrame,
+                         n_hashes: int = 8, bands: int = 4, k: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id", *,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate analog of :func:`incremental_dedup`: flag new-batch
+    docs whose MinHash bands collide with the STORED band table of the
+    already-curated corpus (:func:`minhash_band_table`, same
+    n_hashes/bands/k/hash_fn — band hashes are only comparable within one
+    configuration).
+
+    Returns distinct (new_id, hist_id) candidate pairs; callers verify
+    with exact Jaccard on the flagged subset if history text is
+    reachable, or drop on candidacy alone (LSH false-positive rate is the
+    tunable knob, as in batch LSH dedup).
+
+    Scale shape: history text never participates — the join's history
+    side is band rows (two 16-byte-ish values per band per doc), shuffled
+    on (band, bh) exactly like batch LSH; per-ingest cost is the BATCH's
+    shingling plus a band-key join against the store."""
+    nb = minhash_band_table(new_batch, n_hashes, bands, k, text_col,
+                            id_col, hash_fn=hash_fn)
+    h = history_bands.select(F.col(id_col).alias("_hist_id"),
+                             "band", "bh")
+    return (nb.join(h, ["band", "bh"])
+            .select(F.col(id_col).alias("new_id"),
+                    F.col("_hist_id").alias("hist_id"))
+            .distinct())
 
 
 def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,

@@ -71,6 +71,10 @@ _DEMOTED_VARIANTS = [
     "semantic_dedup_gemm",    # GEMM scale-path twin of the windowed
                               # semantic_dedup (same oracle, benched as
                               # the production form)
+    "incremental_near_dup",   # band-table variant of the windowed
+                              # minhash_lsh_dedup (same banding device,
+                              # cross-snapshot join) + incremental_dedup
+                              # (the exact-digest analog, windowed)
 ]
 
 

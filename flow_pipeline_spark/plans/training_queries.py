@@ -1574,3 +1574,70 @@ def semantic_dedup_gemm(spark, sf_dir):
     return (S.semantic_dedup_pairs(corpus, threshold=0.999, n_cells=8,
                                    vectorized=True)
             .orderBy("id_a", "id_b"))
+
+
+def _two_sided_band_sql(side: str, src: str, n_hashes: int = 8,
+                        bands: int = 4) -> str:
+    """sig + band CTEs for one side of a cross-corpus band join,
+    mirroring operators/dedup.py minhash_band_table(hash_fn='md5')."""
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(n_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig_{s}".format(
+            b=b, s=side, parts=" || '|' || ".join(
+                f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return (f"sh_{side} AS (SELECT DISTINCT doc_id, "
+            f"unnest({_SHINGLES}) AS shingle FROM {src}),\n"
+            f"    sig_{side} AS (SELECT doc_id, {mins} FROM sh_{side} "
+            f"GROUP BY doc_id),\n"
+            f"    bands_{side} AS ({band_rows})")
+
+
+@_q(
+    "incremental_near_dup",
+    f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    nb AS (
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' appended tail marker' AS text
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             regexp_replace(text, '\\s+', ' zz9 ', 'g') AS text
+      FROM documents WHERE doc_id >= 475 AND doc_id < 500),
+    {_two_sided_band_sql('h', 'hist')},
+    {_two_sided_band_sql('n', 'nb')}
+    SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+    FROM bands_n n JOIN bands_h h ON n.band = h.band AND n.bh = h.bh
+    ORDER BY new_id, hist_id
+    """,
+    doc="Incremental NEAR-dup dedup (the cross-snapshot analog of "
+        "minhash_lsh_dedup, operators/dedup.py:incremental_near_dup): a "
+        "new crawl batch — 25 tail-perturbed echoes of history plus 25 "
+        "heavily rewritten docs — is banded and joined against the "
+        "STORED band table of the curated corpus. The echoes collide "
+        "with their originals; the rewrites (every shingle changed) do "
+        "not. Scale: history text never participates — the store holds "
+        "band rows only, appended per batch; each ingest pays its own "
+        "shingling plus a band-key join, exactly the batch-LSH shuffle "
+        "shape. md5 family for the oracle; xxhash64 in production.",
+)
+def incremental_near_dup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    history_bands = D.minhash_band_table(d, n_hashes=8, bands=4, k=3,
+                                         hash_fn="md5")
+    echoes = (d.filter(F.col("doc_id") < 25)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" appended tail marker")).alias("text")))
+    rewrites = (d.filter((F.col("doc_id") >= 475)
+                         & (F.col("doc_id") < 500))
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.regexp_replace(F.col("text"), r"\s+",
+                                         " zz9 ").alias("text")))
+    batch = echoes.unionByName(rewrites)
+    return (D.incremental_near_dup(batch, history_bands, n_hashes=8,
+                                   bands=4, k=3, hash_fn="md5")
+            .orderBy("new_id", "hist_id"))

@@ -536,3 +536,25 @@ def test_hashed_tf_embed_feeds_semantic_dedup(spark, docs):
     assert {(i, i + 100000) for i in range(15)} <= got
     # no explosion: organic 500-doc corpus shouldn't be all near-dups
     assert len(got) < 100
+
+
+def test_incremental_near_dup_flags_echoes_not_rewrites(spark, docs):
+    """Cross-snapshot near-dup: tail-perturbed echoes of history collide
+    with their originals via the stored band table; full rewrites (every
+    shingle changed) never do."""
+    history_bands = D.minhash_band_table(docs, n_hashes=8, bands=4, k=3)
+    echoes = (docs.filter(F.col("doc_id") < 25)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat("text", F.lit(" tail x")).alias("text")))
+    rewrites = (docs.filter(F.col("doc_id") < 25)
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.regexp_replace("text", r"\s+", " qq7 ")
+                        .alias("text")))
+    flagged = D.incremental_near_dup(
+        echoes.unionByName(rewrites), history_bands,
+        n_hashes=8, bands=4, k=3).cache()
+    pairs = {(r["new_id"], r["hist_id"]) for r in flagged.collect()}
+    echo_hits = {(i + 100000, i) for i in range(25)} & pairs
+    assert len(echo_hits) >= 23          # J≈0.9 → band-collision p≈0.999
+    assert all(nid < 200000 for nid, _ in pairs), \
+        "a full rewrite collided with history"
