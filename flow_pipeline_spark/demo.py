@@ -118,7 +118,8 @@ def run_curation_demo(spark: SparkSession, sf_dir: str) -> dict:
     names = [
         "text_quality", "quality_classifier", "doc_perplexity",
         "doc_compression_stats", "dedup_exact", "minhash_lsh_dedup",
-        "semantic_dedup", "incremental_dedup", "corpus_curation",
+        "semantic_dedup", "incremental_dedup", "incremental_near_dup",
+        "mixture_sample", "corpus_curation",
     ]
     return {n: QUERIES[n].spark(spark, sf_dir) for n in names}
 
