@@ -46,8 +46,11 @@ BENCH_QUERIES = [
     # round-3 additions:
     "incremental_dedup",     # cross-snapshot digest anti-join
     "quality_classifier",    # integer-exact model-scored gate (pure scan)
-    "semantic_dedup",        # SemDeDup cluster-then-verify (HOF oracle form)
-    "semantic_dedup_gemm",   # same operator, production GEMM path
+    # semantic dedup is benched on its PRODUCTION (GEMM) path; the HOF
+    # twin ("semantic_dedup") is the driver's oracle form — at sf0.1 it
+    # pays 260k interpreted pair-cosines (~6 s) that the real pipeline
+    # never executes (pytest asserts the two return identical pairs)
+    "semantic_dedup_gemm",
     "doc_perplexity",        # unigram-LM gate (vocab broadcast, CCNet filter)
 ]
 

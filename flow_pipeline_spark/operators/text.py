@@ -241,15 +241,27 @@ def _ratio_e4(num: Column, den: Column) -> Column:
 
 def classifier_features_e4(text: Column) -> dict[str, Column]:
     """The model's feature vector in integer ten-thousandths — exact in
-    any engine (counts, integer multiply/divide only; no float round)."""
+    any engine (counts, integer multiply/divide only; no float round).
+
+    Counting devices chosen for codegen, not elegance: higher-order
+    functions (filter+isin, aggregate) are CodegenFallback — interpreted
+    per element — and measured ~200µs/doc on this gate; the equivalent
+    regex/length forms fuse into the whole-stage-codegen'd scan
+    (stopword hits via a whitespace-anchored alternation on the padded
+    lowered text ≡ token equality; summed token length ≡ non-whitespace
+    char count — every non-ws char belongs to exactly one token). The
+    DuckDB oracle keeps its list_filter/list_aggregate derivation: same
+    integers, independent device."""
     toks = tokens(text)
     n_tok = F.size(toks)
     m = F.greatest(n_tok, F.lit(1))
-    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    n_stop = F.size(F.regexp_extract_all(
+        F.concat(F.lit(" "), F.lower(text), F.lit(" ")),
+        F.lit(r"(?<=\s)(?:" + "|".join(STOPWORDS) + r")(?=\s)"), F.lit(0)))
     n_chars = F.greatest(F.length(text), F.lit(1))
     n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    sum_wlen = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    sum_wlen = F.length(F.regexp_replace(text, r"\s", ""))
     avg_wlen_e4 = _ratio_e4(sum_wlen, m)
     return {
         # least(n_tok/100, 1): 10000*n_tok/100 = 100*n_tok exactly
