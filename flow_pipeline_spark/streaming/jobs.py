@@ -452,6 +452,7 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              checkpoint_dir: str, *,
                              min_tokens: int = 5,
                              dedup_horizon: str = "10 minutes",
+                             history: DataFrame | None = None,
                              trigger: dict | None = None) -> StreamingQuery:
     """Continuous corpus curation — the training-data analog of the flows
     MV cascade: a document stream (crawl batches landing continuously)
@@ -468,9 +469,15 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
     crosses the wire at most once, post-filter — and the dedup state
     store holds 32-byte digests, not documents, bounded by the watermark
     horizon (dropDuplicatesWithinWatermark evicts state older than the
-    horizon; an unbounded-history exact dedup belongs to the batch
-    `incremental_dedup` anti-join against the stored digest table, which
-    a periodic job runs over each day's curated output).
+    horizon). Pass ``history`` (the already-curated corpus, or directly
+    its stored digest table with a ``content_hash`` column) to ALSO drop
+    documents the corpus already contains: a stream-static anti-join
+    (left_outer + null filter — the stream-static-supported form),
+    re-resolved per micro-batch like the enrichment MV's dimension, so a
+    nightly-refreshed digest store is picked up without restarting the
+    stream. Watermark state stays bounded either way — history lives in
+    the static table, not the state store (the batch
+    `incremental_dedup` is the same contract, one batch at a time).
 
     Delivery: checkpointed file sink — exactly-once per batch id; a
     replayed micro-batch rewrites the same files.
@@ -488,6 +495,16 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
         .withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
         .withColumn("ingest_ts", F.current_timestamp())
     )
+    if history is not None:
+        hist = (history if "content_hash" in history.columns
+                else history.select(
+                    F.md5(normalize_text(F.col("text")))
+                    .alias("content_hash")))
+        hist = (hist.select("content_hash").distinct()
+                .withColumn("_in_history", F.lit(True)))
+        gated = (gated.join(hist, "content_hash", "left_outer")
+                 .filter(F.col("_in_history").isNull())
+                 .drop("_in_history"))
     deduped = (gated
                .withWatermark("ingest_ts", dedup_horizon)
                .dropDuplicatesWithinWatermark(["content_hash"]))

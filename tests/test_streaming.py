@@ -586,3 +586,48 @@ def test_document_qc_stream_matches_batch_gates(spark, tmpdir):
     assert {"doc_id", "source", "text", "n_tokens", "content_hash"} \
         <= set(got.columns)
     assert "ingest_ts" not in got.columns
+
+
+def test_document_qc_stream_drops_history(spark, tmpdir):
+    """With a history table attached, the curation stream drops documents
+    the curated corpus already contains (stream-static anti-join) on top
+    of the in-stream watermark dedup."""
+    from flow_pipeline_spark.operators.text import (classifier_z_e4,
+                                                    normalize_text,
+                                                    scrub_pii, token_count)
+    from flow_pipeline_spark.streaming.jobs import start_document_qc_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    history = docs.filter(F.col("doc_id") < 250)
+    # the stream carries re-crawls of history (doc_id<100, re-keyed) plus
+    # genuinely new content (doc_id >= 250)
+    stream_docs = (
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .unionByName(docs.filter(F.col("doc_id") >= 250)))
+    src = f"{tmpdir}/qch_src"
+    stream_docs.repartition(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(src))
+    out, ckpt = f"{tmpdir}/qch_out", f"{tmpdir}/qch_ckpt"
+    q = start_document_qc_stream(stream, out, ckpt, history=history,
+                                 trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    gates = (stream_docs.withColumn("text", scrub_pii(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter((F.col("n_tokens") >= 5)
+                     & (classifier_z_e4(F.col("text")) >= 0))
+             .withColumn("content_hash",
+                         F.md5(normalize_text(F.col("text")))))
+    hist_d = {r[0] for r in history.select(
+        F.md5(normalize_text(F.col("text")))).collect()}
+    want = {r[0] for r in gates.select("content_hash").collect()} - hist_d
+    got_digests = [r[0] for r in got.select("content_hash").collect()]
+    assert set(got_digests) == want
+    assert len(got_digests) == len(set(got_digests))
+    # every re-crawl of history is gone
+    assert got.filter(F.col("doc_id") >= 100000).count() == 0
