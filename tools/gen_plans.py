@@ -44,6 +44,8 @@ NOTES = {
   "quality_classifier": "the whole model is one codegen'd projection — weights constant-folded, zero shuffle, zero UDF",
   "semantic_dedup": "centroid assignment is map-side against one array literal; the verify self-join shuffles on the cell id, never a CartesianProduct",
   "doc_perplexity": "trained vocab broadcasts to the scoring join — the exploded corpus never shuffles on the token; the only wide op is the per-doc partial aggregate",
+  "mixture_sample": "one narrow generator explode (x-ceil-rate) + a per-row hash gate — zero shuffle; the ORDER BY exists only for the oracle",
+  "incremental_near_dup": "both sides reduce to band rows before the join; history text never appears in any exchange — the store IS the band table",
 }
 
 
