@@ -215,13 +215,22 @@ def _multi_table_sig(vec: Column | str, n_planes: int, dim: int,
 
 def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             n_planes: int = 8, n_tables: int = 6, dim: int = 64,
+            multiprobe: bool = False,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates collide in ≥1 of ``n_tables`` SRP
     bucket tables; exact cosine rerank within candidates.
 
+    ``multiprobe=True`` additionally probes, for every query and table,
+    the ``n_planes`` buckets one sign-flip away (multi-probe LSH, Lv et
+    al. 2007): a near-neighbor that lands just across ONE hyperplane is
+    still found, buying the recall of ~(n_planes+1)× more tables for the
+    cost of exploding only the QUERY side — the corpus is never re-banded
+    and its shuffle volume is unchanged (probing is the knob to prefer
+    when corpus storage, not query latency, is the constraint).
+
     Scale: the corpus explodes ×n_tables and shuffles on (table, sig) —
     bounded-width keys; per-bucket work replaces all-pairs. Recall vs
-    brute_knn asserted in tests/test_training_ops.py."""
+    brute_knn (both modes) asserted in tests/test_training_ops.py."""
     def sig(df, name):
         # one 3-D plane literal; nested-HOF signatures (see _multi_table_sig)
         return df.select(
@@ -234,6 +243,12 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
     c = sig(corpus, "n")
     q = sig(queries, "q")
+    if multiprobe:
+        masks = F.array(F.lit(0),
+                        *[F.lit(1 << b) for b in range(n_planes)])
+        q = (q.withColumn("_m", F.explode(masks))
+             .withColumn("sig", F.col("sig").bitwiseXOR(F.col("_m")))
+             .drop("_m"))
     scored = (
         c.join(F.broadcast(q), ["tbl", "sig"])
         .filter(F.col("n") != F.col("q"))

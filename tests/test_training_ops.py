@@ -558,3 +558,23 @@ def test_incremental_near_dup_flags_echoes_not_rewrites(spark, docs):
     assert len(echo_hits) >= 23          # J≈0.9 → band-collision p≈0.999
     assert all(nid < 200000 for nid, _ in pairs), \
         "a full rewrite collided with history"
+
+
+def test_lsh_knn_multiprobe_recall_dominates(spark):
+    """Multi-probe (1-bit-flip buckets, query side only) must strictly
+    improve candidate coverage: recall >= the single-probe run on the
+    same tables, and clears a higher floor."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    single = {(r["q"], r["n"])
+              for r in S.lsh_knn(emb, queries, k=5, n_planes=4,
+                                 n_tables=6).collect()}
+    multi = {(r["q"], r["n"])
+             for r in S.lsh_knn(emb, queries, k=5, n_planes=4, n_tables=6,
+                                multiprobe=True).collect()}
+    r_single = len(brute & single) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.8, f"multiprobe recall {r_multi}"
