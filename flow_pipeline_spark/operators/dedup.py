@@ -496,7 +496,14 @@ def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
     digest; when the digest set fits the broadcast threshold AQE turns it
     into a broadcast anti-join with zero shuffle on the batch side.
 
-    Returns ``new_batch`` + ``hash_col``, filtered to first-seen content.
+    Returns ``new_batch`` + ``hash_col``, filtered to content not already
+    in history. Duplicates WITHIN the new batch are deliberately NOT
+    collapsed here (compose with :func:`exact_dedup` on the batch side, or
+    use the streaming form — ``start_document_qc_stream`` — whose
+    ``dropDuplicatesWithinWatermark`` handles in-batch dupes): the two
+    concerns have different survivor rules, and keeping the anti-join
+    idempotent with respect to history alone lets a failed ingest re-run
+    without shifting in-batch survivors.
     """
     digest = F.md5(normalize_text(F.col(text_col)))
     hist = history.select(digest.alias(hash_col)).distinct()

@@ -110,7 +110,20 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     (×⌈r⌉, narrow, no shuffle) and a per-row hash — membership is a pure
     function of (key, epoch), invariant to partitioning and cluster
     size.
+
+    Preconditions (validated/handled here, not left to silent
+    misbehavior): every rate must be ≥ 0 — a negative rate has no epoch
+    semantics and would otherwise build a descending ``sequence()`` plus a
+    nonsense negative threshold string; null sampling keys are coalesced
+    to a sentinel so a null-keyed row still draws a deterministic
+    fractional-epoch verdict instead of being dropped unconditionally
+    (md5(NULL) is NULL, and NULL < thr is never true).
     """
+    bad = {s: r for s, r in {**rates, "<default>": default_rate}.items()
+           if r < 0}
+    if bad:
+        raise ValueError(f"mixture_sample rates must be >= 0, got {bad}")
+
     def _thr_hex(f: float) -> str:
         # clamp: f≈0.99999 would round to 65536 = "10000", a 5-char hex
         # that string-compares BELOW "ffff" and silently inverts the gate
@@ -123,7 +136,7 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
         cond = F.col(group_col) == src
         k_col = F.when(cond, F.lit(k)).otherwise(k_col)
         thr_col = F.when(cond, F.lit(_thr_hex(f))).otherwise(thr_col)
-    key = F.col(key_col).cast("string")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     out = (df.withColumn("_k", k_col).withColumn("_thr", thr_col)
            .withColumn("epoch",
                        F.explode(F.sequence(F.lit(0), F.col("_k"))))

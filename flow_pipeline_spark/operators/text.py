@@ -28,6 +28,13 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "是", "在", "了"],
 }
 
+# NOTE: consumers build TWO devices from this list that must stay
+# equivalent — token EQUALITY (isin / DuckDB `IN`, the oracle form) and a
+# whitespace-anchored regex ALTERNATION (classifier_features_e4's codegen
+# form). The equivalence holds because each entry, re.escape'd, matches
+# exactly itself and nothing else between whitespace; an entry containing
+# regex metacharacters or one that is a strict prefix of another stays
+# safe ONLY because the alternation is escaped and anchored on both sides.
 STOPWORDS = ["the", "a", "an", "of", "and", "in", "to", "is"]
 
 
@@ -68,7 +75,16 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def predict_lang(text: Column) -> Column:
-    """argmax over lang scores, ties broken by LANG_MARKERS order."""
+    """argmax over lang scores, ties broken by LANG_MARKERS order.
+
+    Portable, oracle-checkable STAND-IN for a real language classifier —
+    a 4-language marker-count heuristic will misclassify heavily on wild
+    text. Swap point: a fastText-class model (e.g. lid.176) replaces
+    exactly this function with one Arrow-batched pandas UDF
+    ``text → lang`` (the :func:`~..operators.similarity.hashed_tf_embed`
+    pattern — model weights load once per worker, batches stream
+    through); every consumer (``lang_id``, ``stratified_sample``, the QC
+    stream) keeps the same column contract and plan shape."""
     scores = lang_scores(text)
     langs = list(scores)
     best = F.lit(langs[0])
@@ -255,9 +271,16 @@ def classifier_features_e4(text: Column) -> dict[str, Column]:
     toks = tokens(text)
     n_tok = F.size(toks)
     m = F.greatest(n_tok, F.lit(1))
+    import re as _re
+    # re.escape each stopword: no behavior change for the current list,
+    # but a future entry with a regex metacharacter would otherwise
+    # silently diverge from the oracle's token-equality (`IN`) device
+    # instead of failing loudly (see the STOPWORDS note above)
     n_stop = F.size(F.regexp_extract_all(
         F.concat(F.lit(" "), F.lower(text), F.lit(" ")),
-        F.lit(r"(?<=\s)(?:" + "|".join(STOPWORDS) + r")(?=\s)"), F.lit(0)))
+        F.lit(r"(?<=\s)(?:"
+              + "|".join(_re.escape(s) for s in STOPWORDS)
+              + r")(?=\s)"), F.lit(0)))
     n_chars = F.greatest(F.length(text), F.lit(1))
     n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
@@ -311,6 +334,70 @@ def classifier_score(z: Column) -> Column:
     sits within an ulp of .5). Same monotone gate (score >= 0.5 ⇔ z >= 0).
     """
     return (z / (F.lit(1.0) + F.abs(z)) + F.lit(1.0)) / F.lit(2.0)
+
+
+# --- unigram-LM perplexity gate (train / persist / score split) --------------
+# CCNet's actual pipeline trains the LM on a REFERENCE corpus, persists it,
+# and scores every future crawl batch against it. These two functions make
+# that split literal: train_unigram_lm(batch_N) -> a small (tok, c, n_total)
+# table you persist; score_with_lm(batch_N1, lm) scores the NEXT batch under
+# the STORED model via a broadcast join — the self-scored registry query
+# (plans/training_queries.py doc_perplexity) is the same arithmetic with
+# train and score fused over one corpus. Swap point for a real model: a
+# KenLM/NN scorer replaces score_with_lm with one Arrow-batched pandas UDF
+# (weights load once per worker); train_unigram_lm's output table is then
+# the model artifact path instead.
+
+
+def train_unigram_lm(docs: DataFrame, text_col: str = "text",
+                     vocab_size: int = 2000) -> DataFrame:
+    """Train a unigram LM: top-``vocab_size`` tokens with corpus counts,
+    plus the corpus token total stamped on every row. Persist the result
+    (it IS the model — a few thousand rows).
+
+    Scale: the groupBy is vocab-bounded (one row per distinct token per
+    partition); the total rides a 1-row broadcast, so the only wide op is
+    the tiny vocab aggregate."""
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    total = F.broadcast(toks.agg(F.count("*").alias("n_total")))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size))
+    return vocab.crossJoin(total)
+
+
+def score_with_lm(docs: DataFrame, lm: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Score a document batch under a PREVIOUSLY-TRAINED unigram LM
+    (:func:`train_unigram_lm` output, typically read back from parquet):
+    avg negative log2 probability per token, count-1 floor for OOV.
+
+    Fixed-point scoring (per-token nll HALF-UP to integer millionths,
+    integer-division average — see doc_perplexity's rationale) so scores
+    are reproducible bit-for-bit across engines and runs.
+
+    Scale: the LM broadcasts to the scoring join — the exploded batch
+    never shuffles on the token; the only wide op is the per-doc partial
+    aggregate. Returns (id_col, n_tokens, avg_nll_bits)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    # n_total is stamped on every lm row; reduce it back to one broadcast
+    # row so OOV tokens (left-join null) still see the trained total
+    total = F.broadcast(lm.agg(F.max("n_total").alias("n_total")))
+    vocab = lm.select("tok", "c")
+    nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("n_total")) \
+        / F.log(F.lit(2.0))
+    nll_e6 = F.floor(nll * 1e6 + F.lit(0.5)).cast("long")
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .crossJoin(total)
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(nll_e6).alias("_s"))
+            .select(id_col, "n_tokens",
+                    (F.expr("(2 * _s + 100 * n_tokens) div (200 * n_tokens)")
+                     / 10000.0).alias("avg_nll_bits")))
 
 
 # --- compression-ratio QC ----------------------------------------------------

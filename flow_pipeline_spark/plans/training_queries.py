@@ -1447,10 +1447,12 @@ def semantic_dedup(spark, sf_dir):
       GROUP BY tok ORDER BY c DESC, tok LIMIT 2000),
     scored AS (
       SELECT t.doc_id,
-             -ln(coalesce(v.c, 1) / (SELECT n FROM tot)) / ln(2) AS nll
+             CAST(floor((-ln(coalesce(v.c, 1) / (SELECT n FROM tot)) / ln(2))
+                        * 1000000 + 0.5) AS BIGINT) AS nll_e6
       FROM toks t LEFT JOIN vocab v USING (tok))
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(nll), 4) AS avg_nll_bits
+           ((2 * sum(nll_e6) + 100 * count(*)) // (200 * count(*)))
+             / 10000.0 AS avg_nll_bits
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     doc="LM-perplexity quality gate (CCNet's actual filter: score each doc "
@@ -1463,8 +1465,14 @@ def semantic_dedup(spark, sf_dir):
         "BROADCASTS to the scoring join so the exploded corpus never "
         "shuffles on the token — the only wide op is the per-doc partial "
         "aggregate. In production the LM comes from a reference corpus / "
-        "previous epoch (KenLM in CCNet) and rides the same broadcast; "
-        "plan shape unchanged.",
+        "previous epoch (KenLM in CCNet) and rides the same broadcast — "
+        "operators/text.py train_unigram_lm / score_with_lm implement "
+        "exactly that persist-then-score split; plan shape unchanged. "
+        "Cross-engine scoring is FIXED-POINT (per-token nll HALF-UP to "
+        "integer millionths, average via exact integer division) so the "
+        "libm-ln last-ulp lottery (JVM Math.log vs DuckDB's C runtime) "
+        "cannot flip a 4dp rounding boundary — the same no-float-round "
+        "discipline as quality_classifier.",
 )
 def doc_perplexity(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -1479,11 +1487,17 @@ def doc_perplexity(spark, sf_dir):
              .orderBy(F.desc("c"), F.asc("tok")).limit(2000))
     nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("_n")) \
         / F.log(F.lit(2.0))
+    # nll >= 0 always (c <= n), so floor(x·1e6 + 0.5) is HALF-UP; a last-
+    # ulp ln() disagreement (~1e-16 rel) cannot cross a 5e-7-wide boundary
+    nll_e6 = F.floor(nll * 1e6 + F.lit(0.5)).cast("long")
     return (toks.join(F.broadcast(vocab), "tok", "left")
             .crossJoin(total)
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.round(F.avg(nll), 4).alias("avg_nll_bits"))
+                 F.sum(nll_e6).alias("_s"))
+            .select("doc_id", "n_tokens",
+                    (F.expr("(2 * _s + 100 * n_tokens) div (200 * n_tokens)")
+                     / 10000.0).alias("avg_nll_bits"))
             .orderBy("doc_id"))
 
 

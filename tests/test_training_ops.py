@@ -578,3 +578,43 @@ def test_lsh_knn_multiprobe_recall_dominates(spark):
     r_multi = len(brute & multi) / len(brute)
     assert r_multi >= r_single, (r_multi, r_single)
     assert r_multi >= 0.8, f"multiprobe recall {r_multi}"
+
+
+def test_lm_persisted_scores_next_batch(spark, docs, tmp_path):
+    """The CCNet split made literal: train the unigram LM on batch N,
+    PERSIST it, score batch N+1 under the stored model — no retraining,
+    same broadcast-join plan as the fused doc_perplexity query."""
+    import math
+
+    from flow_pipeline_spark.operators.text import (score_with_lm,
+                                                    train_unigram_lm)
+
+    batch_n = docs.filter(F.col("doc_id") < 400)
+    batch_n1 = docs.filter(F.col("doc_id") >= 400)
+    lm_path = str(tmp_path / "unigram_lm")
+    train_unigram_lm(batch_n).write.parquet(lm_path)
+    lm = spark.read.parquet(lm_path)
+
+    scored = score_with_lm(batch_n1, lm).cache()
+    n_total = lm.agg(F.max("n_total")).first()[0]
+    max_bits = math.log2(n_total)
+    rows = scored.collect()
+    assert len(rows) == batch_n1.count()
+    # every score is positive and bounded by the all-OOV ceiling
+    assert all(0 < r["avg_nll_bits"] <= max_bits + 1e-9 for r in rows)
+
+    # an all-OOV doc scores EXACTLY the ceiling (count-1 floor), and a doc
+    # replayed verbatim from the training batch scores strictly below it
+    probe = spark.createDataFrame(
+        [(1, "zzqx9 zzqx8 zzqx7")], "doc_id long, text string")
+    oov = score_with_lm(probe, lm).first()["avg_nll_bits"]
+    assert abs(oov - round(max_bits, 4)) < 2e-4
+    replay = batch_n.limit(1)
+    replayed = score_with_lm(replay, lm).first()["avg_nll_bits"]
+    assert replayed < oov
+
+    # determinism: scoring from the persisted table == scoring from the
+    # in-memory training plan (the fixed-point arithmetic guarantees it)
+    scored2 = score_with_lm(batch_n1, train_unigram_lm(batch_n))
+    assert scored.exceptAll(scored2).isEmpty()
+    assert scored2.exceptAll(scored).isEmpty()
