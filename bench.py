@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     # never executes (pytest asserts the two return identical pairs)
     "semantic_dedup_gemm",
     "doc_perplexity",        # unigram-LM gate (vocab broadcast, CCNet filter)
+    # round-4 addition:
+    "exact_substring_spans",  # ExactSubstr span dedup (stride-1 fp groupBy)
 ]
 
 

@@ -476,6 +476,120 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,
     return df.join(drop, id_col, "left_anti")
 
 
+# --- exact-substring (repeated-span) dedup -----------------------------------
+# The ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better"): document-level dedup (exact digests,
+# MinHash, SemDeDup) leaves CROSS-DOCUMENT repeated spans — boilerplate
+# headers, license blocks, quoted paragraphs — untouched, and those spans
+# are what a model memorizes verbatim. The reference suffix-array
+# implementation is a single-machine construction; the Spark-shaped
+# equivalent below reuses the stride-chunk fingerprint device of
+# plans/training_queries.py doc_chunks (stride 1, width k) and the
+# cross-doc overlap device of benchmark_contamination, composed into a
+# span-level operator: any k-token window whose fingerprint occurs in
+# more than one document marks a duplicated position; overlapping marked
+# positions merge into maximal spans per document.
+
+
+def repeated_span_table(df: DataFrame, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id", *,
+                        keep_first: bool = True,
+                        hash_fn: str = "md5") -> DataFrame:
+    """Maximal cross-document repeated ≥k-token spans →
+    (id, span_start, span_len), token positions 1-based.
+
+    A position p in doc d is DUPLICATED iff the k-token window starting
+    at p also occurs in some other document — with ``keep_first`` (the
+    Lee-et-al. keep-one-occurrence rule) only when some SMALLER-id doc
+    contains it, so each repeated span's canonical (min-id) occurrence is
+    never flagged and survives scrubbing. Overlapping/adjacent duplicated
+    positions (gap ≤ k) merge into one maximal span via a per-doc window
+    (gaps-and-islands).
+
+    Scale shape (why this survives 100 TB where a suffix array cannot):
+    the fingerprint explode is a narrow generator (one md5 per token
+    position — the same cost doc_chunks already pays at stride 48); the
+    only corpus-wide shuffle is the groupBy on the fingerprint, bounded
+    by |distinct k-grams| per partition (partial-aggregated map-side,
+    the vocab_top_bigrams shape); the join back ships only REPEATED
+    fingerprints (min≠max doc), and the islands window shuffles only the
+    HIT positions on doc id — documents never shuffle whole, and no
+    global suffix order is ever materialized. ``hash_fn='md5'`` for the
+    cross-engine oracle; ``'xxhash64'`` (JVM intrinsic) in production.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(text_col))
+    d = (df.select(F.col(id_col), toks.alias("t"))
+         .filter(F.size("t") >= k))
+
+    def fp(gram: Column) -> Column:
+        return F.md5(gram) if hash_fn == "md5" else F.xxhash64(gram)
+
+    # fingerprint array BEFORE exploding: posexplode of the fp array emits
+    # (pos0, 16-byte fp) rows without replicating the token array per
+    # position (exploding positions first would carry `t` into every row)
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("t") - k + 1),
+        lambda i: fp(F.concat_ws(" ", F.slice(F.col("t"), i, k))))
+    chunks = (d.select(F.col(id_col), F.posexplode(fps).alias("pos0", "fp"))
+              .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "fp"))
+
+    # cross-doc repeated ⇔ the fp's doc set has ≥2 members ⇔ min≠max —
+    # two cheap partial-aggregating mins/maxes, no countDistinct shuffle
+    rep = (chunks.groupBy("fp")
+           .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+           .filter(F.col("_mx") > F.col("_mn")))
+    hits = chunks.join(rep, "fp")
+    if keep_first:
+        hits = hits.filter(F.col(id_col) > F.col("_mn"))
+    hits = hits.select(id_col, "pos")
+
+    # gaps-and-islands: break a span when the next duplicated position
+    # starts more than k after the previous (no overlap, no adjacency)
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = (F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+           .otherwise(0))
+    islands = hits.withColumn(
+        "_isl", F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (islands.groupBy(id_col, "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1) - F.min("pos") + 1)
+                 .cast("long").alias("span_len"))
+            .select(id_col, "span_start", "span_len"))
+
+
+def remove_repeated_spans(df: DataFrame, spans: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Scrubbed-text form of :func:`repeated_span_table`: drop every token
+    covered by a flagged span (the canonical occurrence was never flagged
+    under ``keep_first``, so exactly one copy of each repeated span
+    survives corpus-wide). Output text is whitespace-normalized (tokens
+    re-joined with single spaces) — the same canonical form every
+    downstream digest/shingle operator tokenizes back to.
+
+    Scale: spans per doc are collected into one array (span counts are
+    tiny — they merged maximally), the token filter is a per-row
+    higher-order function, and the only shuffle is the span join on doc
+    id."""
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(
+                   F.struct(F.col("span_start").alias("s"),
+                            (F.col("span_start") + F.col("span_len") - 1)
+                            .alias("e"))).alias("_spans")))
+    joined = df.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    covered = lambda t, i: F.exists(  # noqa: E731 — (token, 0-based idx)
+        F.col("_spans"),
+        lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]))
+    scrubbed = F.when(
+        F.col("_spans").isNull(), F.col(text_col)
+    ).otherwise(
+        F.concat_ws(" ", F.filter(toks, lambda t, i: ~covered(t, i))))
+    return joined.withColumn(text_col, scrubbed).drop("_spans")
+
+
 def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
                       text_col: str = "text",
                       hash_col: str = "content_hash") -> DataFrame:

@@ -75,6 +75,12 @@ _DEMOTED_VARIANTS = [
                               # minhash_lsh_dedup (same banding device,
                               # cross-snapshot join) + incremental_dedup
                               # (the exact-digest analog, windowed)
+    # round 4: exact_substring_spans (repeated-span dedup, the ExactSubstr
+    # family — a NEW operator class) enters the window; displaced twin:
+    "doc_fingerprint",        # md5-of-token-prefix collision grouping;
+                              # the device is dedup_exact's digest-groupBy
+                              # over a doc_chunks-style slice+md5 prefix —
+                              # both windowed; stays pytest-oracled
 ]
 
 

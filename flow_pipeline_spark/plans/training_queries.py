@@ -1659,3 +1659,78 @@ def incremental_near_dup(spark, sf_dir):
     return (D.incremental_near_dup(batch, history_bands, n_hashes=8,
                                    bands=4, k=3, hash_fn="md5")
             .orderBy("new_id", "hist_id"))
+
+
+# Shared 12-token paragraph planted into docs 10-29 — the boilerplate /
+# license-block shape ExactSubstr exists to remove. Long enough for five
+# k=8 windows to land fully inside it; boundary windows straddle each
+# host doc's own tail, so they (correctly) never match across docs.
+_SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
+                 "golf hotel india juliet kilo lima")
+
+
+@_q(
+    "exact_substring_spans",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' {_SPAN_LITERAL}'
+      FROM documents WHERE doc_id >= 10 AND doc_id < 30),
+    tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM corpus),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
+      FROM tk WHERE len(t) >= 8),
+    fps AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM pos),
+    rep AS (
+      SELECT fp, min(doc_id) AS mn FROM fps
+      GROUP BY fp HAVING max(doc_id) > min(doc_id)),
+    hits AS (
+      SELECT f.doc_id, f.pos FROM fps f JOIN rep r ON r.fp = f.fp
+      WHERE f.doc_id > r.mn),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM lagged)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+    doc="Exact-substring (repeated-span) dedup — the ExactSubstr pass of "
+        "Lee et al. 2022 (arXiv:2107.06499), the one LLM-dedup family "
+        "document-level operators can't express: find maximal cross-"
+        "document repeated >=k-token spans (k=8; a planted 12-token "
+        "boilerplate paragraph in 20 docs is recovered as one maximal "
+        "span per non-canonical host, min-id occurrence kept). Spark "
+        "plan (operators/dedup.py:repeated_span_table) composes "
+        "doc_chunks' stride-fingerprint generator (stride 1) with "
+        "benchmark_contamination's cross-doc overlap device: narrow fp "
+        "generator -> fp-bounded groupBy (min/max doc, partial map-side) "
+        "-> repeated-fp join -> per-doc gaps-and-islands window over HIT "
+        "positions only. No suffix array, no global order, documents "
+        "never shuffle whole. remove_repeated_spans scrubs the flagged "
+        "token ranges (pytest-verified round trip).",
+)
+def exact_substring_spans(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" " + _SPAN_LITERAL)).alias("text")))
+    corpus = d.unionByName(planted)
+    return (D.repeated_span_table(corpus, k=8)
+            .select("doc_id", F.col("span_start").cast("long"),
+                    "span_len")
+            .orderBy("doc_id", "span_start"))

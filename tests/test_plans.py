@@ -232,3 +232,16 @@ def test_semantic_dedup_registered_query_no_cross_join(plans):
     avoid)."""
     p = plans("semantic_dedup")
     assert "CartesianProduct" not in p
+
+
+def test_exact_substring_spans_no_doc_shuffle_no_cartesian(plans):
+    """The repeated-span plan must never shuffle documents whole (only
+    16/8-byte fingerprints + positions cross the wire) and never go
+    all-pairs: no Exchange carries the text/token column, no
+    CartesianProduct, and the fp aggregate runs partial map-side
+    (min/max-doc partial rows, the vocab-bounded shape)."""
+    p = plans("exact_substring_spans")
+    assert "CartesianProduct" not in p
+    for exch in re.findall(r"Exchange [^\n]*", p):
+        assert "text" not in exch, exch
+    assert "partial_min" in p or "partial" in p.lower()

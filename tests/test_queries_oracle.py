@@ -36,7 +36,7 @@ def test_registry_window_ordering():
                      "train_val_split", "metrics_rate_sum_by",
                      "flows_pg_src_ip_panel", "approx_percentiles",
                      "incremental_dedup", "quality_classifier",
-                     "semantic_dedup"]:
+                     "semantic_dedup", "exact_substring_spans"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

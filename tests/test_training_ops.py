@@ -618,3 +618,69 @@ def test_lm_persisted_scores_next_batch(spark, docs, tmp_path):
     scored2 = score_with_lm(batch_n1, train_unigram_lm(batch_n))
     assert scored.exceptAll(scored2).isEmpty()
     assert scored2.exceptAll(scored).isEmpty()
+
+
+def _span_corpus(spark):
+    """Synthetic corpus with per-doc-unique vocabularies (zero organic
+    cross-doc k-grams) + a 12-token paragraph planted mid-document in
+    docs 2-5, twice (far apart) in doc 6."""
+    lit = ["s%d" % j for j in range(12)]
+
+    def doc(i, plants):
+        toks = ["d%dt%d" % (i, j) for j in range(40)]
+        out = []
+        prev = 0
+        for at in plants:
+            out += toks[prev:at] + lit
+            prev = at
+        out += toks[prev:]
+        return (i, " ".join(out))
+
+    rows = [doc(0, []), doc(1, []), doc(2, [10]), doc(3, [20]),
+            doc(4, [5]), doc(5, [30]), doc(6, [8, 30])]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_span_recovery(spark):
+    """Planted cross-doc paragraph recovered as one maximal span per
+    non-canonical host, at the exact token position, min-id copy kept."""
+    corpus = _span_corpus(spark)
+    spans = {(r["doc_id"], r["span_start"], r["span_len"])
+             for r in D.repeated_span_table(corpus, k=8).collect()}
+    # canonical (doc 2, the min id containing the paragraph) never flagged
+    assert all(d != 2 for d, _, _ in spans)
+    # insert at token index `at` (0-based) → span starts at at+1 (1-based)
+    assert (3, 21, 12) in spans
+    assert (4, 6, 12) in spans
+    assert (5, 31, 12) in spans
+    # two far-apart plants in one doc → two distinct maximal spans
+    assert (6, 9, 12) in spans and (6, 43, 12) in spans
+    assert len(spans) == 5
+    # keep_first=False flags EVERY occurrence, including the canonical
+    all_spans = {(r["doc_id"], r["span_start"], r["span_len"])
+                 for r in D.repeated_span_table(
+                     corpus, k=8, keep_first=False).collect()}
+    assert (2, 11, 12) in all_spans
+    assert len(all_spans) == 6
+
+
+def test_remove_repeated_spans_round_trip(spark):
+    """Scrubbing removes exactly the flagged tokens; the canonical copy
+    survives; a second pass finds nothing left to remove."""
+    corpus = _span_corpus(spark)
+    spans = D.repeated_span_table(corpus, k=8)
+    scrubbed = D.remove_repeated_spans(corpus, spans)
+    texts = {r["doc_id"]: r["text"] for r in scrubbed.collect()}
+    lit = " ".join("s%d" % j for j in range(12))
+    assert lit in texts[2]                      # canonical keeps its copy
+    for d in (3, 4, 5, 6):
+        assert lit not in texts[d]
+        assert "s0" not in texts[d].split()     # no partial residue
+    # non-span tokens all survive, in order
+    assert texts[3].split() == (
+        ["d3t%d" % j for j in range(40)])
+    assert texts[6].split() == ["d6t%d" % j for j in range(40)]
+    # docs with no spans pass through verbatim
+    assert texts[0] == " ".join("d0t%d" % j for j in range(40))
+    # fixed point: re-running the span finder on scrubbed text is empty
+    assert D.repeated_span_table(scrubbed, k=8).count() == 0

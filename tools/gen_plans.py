@@ -46,6 +46,7 @@ NOTES = {
   "doc_perplexity": "trained vocab broadcasts to the scoring join — the exploded corpus never shuffles on the token; the only wide op is the per-doc partial aggregate",
   "mixture_sample": "one narrow generator explode (x-ceil-rate) + a per-row hash gate — zero shuffle; the ORDER BY exists only for the oracle",
   "incremental_near_dup": "both sides reduce to band rows before the join; history text never appears in any exchange — the store IS the band table",
+  "exact_substring_spans": "stride-1 fp generator is narrow; the corpus-wide shuffle is the fp groupBy (min/max doc partials map-side); islands window sees HIT positions only — no suffix array, no global sort, documents never shuffle whole",
 }
 
 

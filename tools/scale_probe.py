@@ -210,6 +210,23 @@ def main() -> None:
             found = lsh_dedup().filter(F.col("id_b") >= 10**9).count()
             record("minhash_lsh_dedup", n, sec, planted_ok=(found >= 50))
 
+        # exact-substring (repeated-span) dedup: stride-1 k-gram
+        # fingerprints — the heaviest shuffle of the dedup tier (one fp
+        # row per token position, ~40n rows here), bounded by |distinct
+        # k-grams| via map-side partials. The planted copies embed their
+        # originals verbatim, so each must surface as a >=40-token span.
+        from flow_pipeline_spark.operators.dedup import repeated_span_table
+        for n in doc_steps:
+            docs = synth_docs(spark, n).localCheckpoint(eager=True)
+
+            def spans():
+                return repeated_span_table(docs, k=8, hash_fn="xxhash64")
+            sec = median_timed(lambda: force(spans()))
+            found = (spans()
+                     .filter((F.col("doc_id") >= 10**9)
+                             & (F.col("span_len") >= 40)).count())
+            record("exact_substring_spans", n, sec, planted_ok=(found >= 50))
+
         # skewed-key join: one hot key owns 50% of the fact side. The salt
         # spreads the hot key over n_salts tasks (operators/scale.py) — the
         # explicit fix for when AQE's runtime skew split doesn't apply (it
