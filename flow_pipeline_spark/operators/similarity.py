@@ -775,39 +775,96 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+# Shared hash rule for the two hashed-TF forms below — chosen to be cheap
+# in EVERY engine: dimension = first-8-hex-chars of md5(token) mod dim
+# (32-bit value: conv() in Spark, hex-digit arithmetic in a SQL oracle),
+# sign = high bit of the 9th hex digit. Both forms MUST produce identical
+# doubles: counts are small integers (exact in float64 under any summation
+# order), the norm is a correctly-rounded sqrt of an exact integer sum,
+# and the per-element division is correctly rounded — so group-by
+# accumulation (native) and scatter-add (pandas) agree bit-for-bit
+# (pytest-asserted).
+_TF_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
 def hashed_tf_embed(df: DataFrame, text_col: str = "text",
                     dim: int = 64, out_col: str = "embedding") -> DataFrame:
     """Feature-hashed term-frequency embeddings (the "hashing trick"):
-    each token's md5 picks a dimension (low 63 bits mod dim) and a sign
-    (top bit), counts accumulate, the vector L2-normalizes. Deterministic
-    everywhere — no model weights, no RNG — which makes it the
-    encoder stand-in that lets :func:`semantic_dedup_pairs` (and the ANN
-    tier) run directly over a TEXT corpus: identical texts map to
-    identical vectors (cosine exactly 1), near-copies land close (shared
-    tokens dominate the sum).
+    each token's md5 picks a dimension and a sign, counts accumulate, the
+    vector L2-normalizes. Deterministic everywhere — no model weights, no
+    RNG — which makes it the encoder stand-in that lets
+    :func:`semantic_dedup_pairs` (and the ANN tier) run directly over a
+    TEXT corpus: identical texts map to identical vectors (cosine exactly
+    1), near-copies land close (shared tokens dominate the sum).
 
-    Production swaps a real encoder through the same Arrow shape — one
-    pandas UDF per batch, embedding column appended, nothing else in the
-    pipeline changes. The signed-hash trick keeps random token pairs
-    near-orthogonal in expectation (Weinberger et al. 2009, feature
-    hashing)."""
+    This is the ARROW-SHAPE form: one pandas UDF per batch, embedding
+    column appended — production swaps a real encoder (sentence
+    transformer etc.) through exactly this kernel and nothing else in
+    the pipeline changes. For the hashed-TF model itself, prefer
+    :func:`hashed_tf_embed_native` — same vectors (pytest-asserted
+    bit-equal), zero Python; this form doubles as its cross-check. The
+    signed-hash trick keeps random token pairs near-orthogonal in
+    expectation (Weinberger et al. 2009, feature hashing)."""
     import hashlib
 
     import numpy as np
 
-    @pandas_udf(T.ArrayType(T.FloatType()))
+    @pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(s: pd.Series) -> pd.Series:
         out = []
         for t in s:
-            v = np.zeros(dim, dtype=np.float32)
+            v = np.zeros(dim, dtype=np.float64)
             if t:
                 for tok in t.lower().split():
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode("utf-8")).digest()[:8],
-                        "little")
-                    v[h % dim] += 1.0 if h >> 63 else -1.0
+                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    v[int(h[:8], 16) % dim] += (
+                        1.0 if int(h[8], 16) >= 8 else -1.0)
             n = float(np.linalg.norm(v))
             out.append((v / n).tolist() if n else v.tolist())
         return pd.Series(out)
 
     return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+def hashed_tf_embed_native(df: DataFrame, text_col: str = "text",
+                           dim: int = 64, out_col: str = "embedding",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Zero-Python form of :func:`hashed_tf_embed`: explode tokens → md5 →
+    (dimension, sign) via conv/substring → groupBy (doc, dimension) signed
+    counts → dense array assembly → L2 normalize. Every step is a JVM
+    expression (codegen'd scan-side work plus one partial-aggregating
+    shuffle of (doc, dim, count) triples — at most ``dim`` rows per doc
+    cross the wire, never tokens), and every step is SQL-expressible, so
+    text-tier queries built on it oracle cleanly against DuckDB
+    (plans/training_queries.py:text_semantic_dedup).
+
+    Identical doubles to the pandas form — see the hash-rule note above;
+    equality is pytest-asserted. Empty/whitespace-only docs get the zero
+    vector, exactly like the pandas kernel."""
+    from .text import tokens
+
+    # match str.split(): drop empty tokens (split(trim(""), \\s+) -> [""])
+    toks = F.filter(tokens(F.lower(F.col(text_col))),
+                    lambda t: t != F.lit(""))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.md5(F.col("tok"))
+    idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim)
+    sign = (F.when(F.substring(h, 9, 1).isin(*_TF_HEX_HIGH), 1.0)
+            .otherwise(-1.0))
+    sparse = (exploded.select(F.col(id_col), idx.alias("i"),
+                              sign.alias("s"))
+              .groupBy(id_col, "i").agg(F.sum("s").alias("v")))
+    agg = (sparse.groupBy(id_col)
+           .agg(F.map_from_entries(
+               F.collect_list(F.struct(F.col("i"), F.col("v")))).alias("m"),
+               F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(
+            F.col("nrm") > 0,
+            F.coalesce(F.element_at(F.col("m"), j.cast("long")), F.lit(0.0))
+            / F.col("nrm")).otherwise(F.lit(0.0)))
+    vecs = agg.select(F.col(id_col), dense.alias(out_col))
+    zero = F.lit([0.0] * dim)
+    return (df.join(vecs, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), zero)))

@@ -81,6 +81,12 @@ _DEMOTED_VARIANTS = [
                               # the device is dedup_exact's digest-groupBy
                               # over a doc_chunks-style slice+md5 prefix —
                               # both windowed; stays pytest-oracled
+    "text_semantic_dedup",    # composition of two WINDOWED devices
+                              # (hashed-TF embed is pytest-bit-equal to
+                              # its pandas twin; semantic_dedup is the
+                              # windowed cluster-then-verify class) —
+                              # joins the demoted set per the discipline,
+                              # DuckDB-oracled every pytest run
 ]
 
 

@@ -1734,3 +1734,105 @@ def exact_substring_spans(spark, sf_dir):
             .select("doc_id", F.col("span_start").cast("long"),
                     "span_len")
             .orderBy("doc_id", "span_start"))
+
+
+# hashed-TF sparse-vector CTE fragment (mirrors similarity.py
+# hashed_tf_embed_native's hash rule at dim=64: dimension = first-8-hex
+# md5 value mod 64 — arithmetically the low 6 bits, i.e. (16·d7 + d8) mod
+# 64 on hex digits 7-8 — sign = high bit of hex digit 9). `unit` holds
+# the L2-normalized sparse entries; `n2` their stored-vector norms.
+_TF_UNIT_SQL = r"""
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\s+'),
+                    x -> x <> '')) AS tok
+      FROM corpus),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    hashed AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1))
+               % 64 AS i,
+             CASE WHEN substring(h, 9, 1) IN
+                    ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM hx),
+    sparse AS (SELECT doc_id, i, sum(s) AS v FROM hashed
+               GROUP BY doc_id, i),
+    nrm0 AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM sparse
+             GROUP BY doc_id),
+    unit AS (
+      SELECT s.doc_id, s.i, s.v / n.nrm AS v
+      FROM sparse s JOIN nrm0 n USING (doc_id) WHERE n.nrm > 0),
+    n2 AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM unit
+           GROUP BY doc_id)
+"""
+
+
+@_q(
+    "text_semantic_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+    {_TF_UNIT_SQL},
+    cent AS (SELECT doc_id AS cid, i, v FROM unit WHERE doc_id < 8),
+    grid AS (SELECT d.doc_id AS id, c.cid
+             FROM (SELECT DISTINCT doc_id FROM corpus) d,
+                  (SELECT DISTINCT cid FROM cent) c),
+    dots AS (
+      SELECT u.doc_id AS id, c.cid, sum(u.v * c.v) AS dot
+      FROM unit u JOIN cent c ON c.i = u.i
+      GROUP BY u.doc_id, c.cid),
+    cosc AS (
+      SELECT g.id, g.cid,
+             round(coalesce(d.dot, 0.0) / (na.nrm * nc.nrm), 4) AS cos
+      FROM grid g
+      LEFT JOIN dots d ON d.id = g.id AND d.cid = g.cid
+      JOIN n2 na ON na.doc_id = g.id
+      JOIN n2 nc ON nc.doc_id = g.cid),
+    assign AS (
+      SELECT id, cid,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM cosc),
+    cells AS (SELECT id, cid AS cell FROM assign WHERE rn = 1),
+    pdots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.v * b.v) AS dot
+      FROM unit a JOIN unit b ON b.i = a.i AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT ca.cell, p.id_a, p.id_b,
+             round(p.dot / (na.nrm * nb.nrm), 4) AS cos
+      FROM pdots p
+      JOIN cells ca ON ca.id = p.id_a
+      JOIN cells cb ON cb.id = p.id_b AND cb.cell = ca.cell
+      JOIN n2 na ON na.doc_id = p.id_a
+      JOIN n2 nb ON nb.doc_id = p.id_b)
+    SELECT cell, id_a, id_b, cos FROM pairs WHERE cos >= 0.999
+    ORDER BY id_a, id_b
+    """,
+    doc="END-TO-END semantic dedup over RAW TEXT, fully oracled: "
+        "hashed_tf_embed_native (explode -> md5 -> signed-count groupBy "
+        "-> dense assembly, zero Python) feeds semantic_dedup_pairs "
+        "(deterministic lowest-id centroids, cluster-then-verify). The "
+        "20 planted verbatim copies land in their originals' cells with "
+        "cosine exactly 1 and are recovered pair-for-pair; the DuckDB "
+        "oracle reproduces the embedding arithmetic sparsely (integer "
+        "counts -> exact float64 under any summation order -> correctly-"
+        "rounded norm/divide, so vectors are bit-identical cross-engine) "
+        "and verifies all-pairs. Scale: the embed is one partial-"
+        "aggregating shuffle of (doc, dim, count) triples — at most 64 "
+        "rows per doc, never tokens; dedup stages as in semantic_dedup.",
+)
+def text_semantic_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (d.filter(F.col("doc_id") < 20)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    corpus = d.unionByName(copies)
+    emb = (S.hashed_tf_embed_native(corpus)
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    return (S.semantic_dedup_pairs(emb, threshold=0.999, n_cells=8)
+            .orderBy("id_a", "id_b"))

@@ -206,9 +206,10 @@ def exactly_once_batch_writer(con_factory, table: str, *,
     Scale note: a DB-API insert materializes the micro-batch on the
     driver — the Go inserter's own model (100-row INSERT batches,
     inserter.go:90-113), right for the dashboard-rate stream this mirrors.
-    For bulk backfills swap step 3 for a distributed ``df.write.jdbc`` into
-    a staging table and make step 4 ``INSERT .. SELECT`` from staging —
-    the ledger logic is unchanged.
+    For bulk backfills use :func:`exactly_once_staged_writer` — the
+    distributed form (executors stage, the driver txn does
+    ``INSERT .. SELECT`` from staging) with the identical ledger
+    contract; this writer is its small-batch special case.
     """
     ledger = ledger_table or f"{table}_epoch_ledger"
 
@@ -251,22 +252,116 @@ def exactly_once_batch_writer(con_factory, table: str, *,
     return write_batch
 
 
+def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
+                               ledger_table: str | None = None):
+    """W2, distributed form — the staged variant
+    :func:`exactly_once_batch_writer` describes: executors write each
+    micro-batch to a per-epoch staging location with a fully DISTRIBUTED
+    ``df.write`` (no driver-side materialization, no row ever passes
+    through the driver), then one driver-side transaction performs the
+    ledger check + ``INSERT .. SELECT`` from staging + ledger mark — the
+    same atomic contract, now sized for bulk backfills where a
+    ``toPandas`` micro-batch would not fit driver memory:
+
+        executors:  batch_df.write.mode("overwrite") -> stage/epoch=N
+        driver txn: BEGIN;
+                    ledger has N?          -> COMMIT (skip replay)
+                    DELETE target WHERE batch_id = N   (partial attempts)
+                    INSERT INTO target SELECT *, N FROM <stage epoch=N>
+                    INSERT ledger(N); COMMIT
+
+    The staging write itself is idempotent (mode("overwrite") per epoch
+    directory), and staging is cleaned only AFTER the commit — a crash at
+    any point either replays into an overwrite or hits the ledger skip.
+
+    Staging transport here is parquet + DuckDB ``read_parquet`` (the
+    database ingests the staged files server-side — no per-row driver
+    loop anywhere). Against the reference's Postgres the identical
+    contract is ``df.write.jdbc`` into a per-epoch staging TABLE and
+    ``INSERT .. SELECT`` from it inside the same ledger transaction;
+    only the two staging lines change. The driver-side
+    :func:`exactly_once_batch_writer` remains the small-batch special
+    case (dashboard-rate streams, where one extra fsync per 100 rows
+    beats a distributed write's task overhead).
+    """
+    import glob
+    import shutil
+
+    ledger = ledger_table or f"{table}_epoch_ledger"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = list(batch_df.columns)
+        epoch_dir = os.path.join(stage_dir, f"epoch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        parts = glob.glob(os.path.join(epoch_dir, "*.parquet"))
+        con = con_factory()
+        try:
+            con.execute("BEGIN")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} "
+                f"(batch_id BIGINT PRIMARY KEY, committed_at TIMESTAMP)")
+            seen = con.execute(
+                f"SELECT count(*) FROM {ledger} WHERE batch_id = ?",
+                [batch_id]).fetchone()[0]
+            if seen:
+                con.execute("COMMIT")   # replay: skip, but still clean
+            else:
+                con.execute(f"DELETE FROM {table} WHERE batch_id = ?",
+                            [batch_id])
+                if parts:  # an empty epoch still gets its ledger mark
+                    collist = ", ".join(cols)
+                    # file list inlined: DuckDB table-function args can't
+                    # be prepared-statement parameters
+                    files_sql = "[" + ", ".join(
+                        "'" + p.replace("'", "''") + "'"
+                        for p in parts) + "]"
+                    con.execute(
+                        f"INSERT INTO {table} ({collist}, batch_id) "
+                        f"SELECT {collist}, ? "
+                        f"FROM read_parquet({files_sql})",
+                        [batch_id])
+                con.execute(
+                    f"INSERT INTO {ledger} VALUES (?, current_timestamp)",
+                    [batch_id])
+                con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
+            raise
+        finally:
+            con.close()
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+
+    return write_batch
+
+
 def start_transactional_inserter(flows_stream: DataFrame, con_factory,
                                  table: str, checkpoint_dir: str, *,
                                  ledger_table: str | None = None,
+                                 stage_dir: str | None = None,
                                  trigger: dict | None = None
                                  ) -> StreamingQuery:
     """S7/W1/W2 — the inserter with exactly-once delivery: the 14-column
-    projection through :func:`exactly_once_batch_writer`. ``con_factory``
-    returns a fresh DB-API connection per epoch (duckdb.connect(path) in
-    tests; psycopg2.connect(dsn) against the reference's Postgres). The
-    target table needs the 14 projection columns plus ``batch_id BIGINT``.
+    projection through :func:`exactly_once_batch_writer` (default), or
+    through the distributed :func:`exactly_once_staged_writer` when
+    ``stage_dir`` is given (bulk backfills; rows never touch the driver).
+    ``con_factory`` returns a fresh DB-API connection per epoch
+    (duckdb.connect(path) in tests; psycopg2.connect(dsn) against the
+    reference's Postgres). The target table needs the 14 projection
+    columns plus ``batch_id BIGINT``.
     """
     projected = inserter_projection(flows_stream)
+    if stage_dir is not None:
+        batch_writer = exactly_once_staged_writer(
+            con_factory, table, stage_dir, ledger_table=ledger_table)
+    else:
+        batch_writer = exactly_once_batch_writer(
+            con_factory, table, ledger_table=ledger_table)
     writer = (
         projected.writeStream
-        .foreachBatch(exactly_once_batch_writer(
-            con_factory, table, ledger_table=ledger_table))
+        .foreachBatch(batch_writer)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

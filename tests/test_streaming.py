@@ -631,3 +631,99 @@ def test_document_qc_stream_drops_history(spark, tmpdir):
     assert len(got_digests) == len(set(got_digests))
     # every re-crawl of history is gone
     assert got.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_staged_writer_survives_epoch_rerun(spark, tmpdir):
+    """W2, distributed form: the staged writer (executors stage parquet,
+    driver txn does ledger + INSERT..SELECT) must land every epoch
+    exactly once across crash-replays and clean partial attempts — the
+    same contract as the toPandas form, with zero rows through the
+    driver."""
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_staged_writer, inserter_projection)
+
+    db = f"{tmpdir}/staged.duckdb"
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    batch = inserter_projection(
+        synthetic_flows(spark, 500, seed=41)).repartition(4)
+    write_batch = exactly_once_staged_writer(
+        lambda: duckdb.connect(db), "flows_pg", f"{tmpdir}/stage")
+
+    write_batch(batch, 7)
+    write_batch(batch, 7)          # crash-replay of the same epoch
+    write_batch(batch, 8)          # a genuinely new epoch still lands
+
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM flows_pg WHERE batch_id = 7"
+    ).fetchone()[0] == 500
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 1000
+    # partial NON-transactional attempt for epoch 9 → replaced, not added
+    con.execute("""INSERT INTO flows_pg
+                   SELECT * EXCLUDE (batch_id), 9 FROM flows_pg
+                   WHERE batch_id = 7 LIMIT 50""")
+    con.close()
+    write_batch(batch, 9)
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM flows_pg WHERE batch_id = 9"
+    ).fetchone()[0] == 500
+    ledger = con.execute(
+        "SELECT batch_id FROM flows_pg_epoch_ledger ORDER BY 1").fetchall()
+    assert [b for (b,) in ledger] == [7, 8, 9]
+    con.close()
+    # staging cleaned after commit (ledger carries the replay protection)
+    import glob
+    assert glob.glob(f"{tmpdir}/stage/epoch=*") == []
+
+
+def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir):
+    """W2 end-to-end on the STAGED path: wipe the checkpoint after a full
+    run (every epoch replays from zero) — the ledger must skip every
+    replayed epoch; zero duplicate rows."""
+    import shutil
+
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        start_transactional_inserter)
+
+    src = f"{tmpdir}/stg_src"
+    ckpt = f"{tmpdir}/stg_ckpt"
+    db = f"{tmpdir}/stg.duckdb"
+    flows = synthetic_flows(spark, 3000, seed=43)
+    for i in range(3):
+        (flows.filter(F.col("SequenceNum") % 3 == i)
+         .repartition(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_transactional_inserter(
+            stream, lambda: duckdb.connect(db), "flows_pg", ckpt,
+            stage_dir=f"{tmpdir}/stg_stage",
+            trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run_once()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 3000
+    con.close()
+
+    shutil.rmtree(ckpt)            # forget all progress → full redelivery
+    run_once()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 3000
+    # every epoch appears exactly once in the ledger
+    assert con.execute(
+        "SELECT count(*) = count(DISTINCT batch_id) "
+        "FROM flows_pg_epoch_ledger").fetchone()[0]
+    con.close()

@@ -684,3 +684,28 @@ def test_remove_repeated_spans_round_trip(spark):
     assert texts[0] == " ".join("d0t%d" % j for j in range(40))
     # fixed point: re-running the span finder on scrubbed text is empty
     assert D.repeated_span_table(scrubbed, k=8).count() == 0
+
+
+def test_hashed_tf_native_matches_pandas_bitwise(spark, docs):
+    """The zero-Python hashed-TF embed must equal the Arrow-kernel form
+    BIT-FOR-BIT (integer counts are exact in float64 under any summation
+    order; norm and divide are correctly-rounded IEEE), including the
+    empty/whitespace-only zero-vector edge."""
+    sample = docs.limit(150)
+    a = S.hashed_tf_embed(sample).select(
+        "doc_id", F.col("embedding").alias("ea"))
+    b = S.hashed_tf_embed_native(sample).select(
+        "doc_id", F.col("embedding").alias("eb"))
+    rows = a.join(b, "doc_id").collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r["ea"] == r["eb"], r["doc_id"]
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello hello world")],
+        "doc_id long, text string")
+    ea = {r["doc_id"]: r["embedding"]
+          for r in S.hashed_tf_embed(edge).collect()}
+    eb = {r["doc_id"]: r["embedding"]
+          for r in S.hashed_tf_embed_native(edge).collect()}
+    assert ea == eb
+    assert all(x == 0.0 for x in eb[1]) and all(x == 0.0 for x in eb[2])
