@@ -61,17 +61,6 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _spread(run, runs: int = 3) -> tuple[float, float, float]:
-    """(min, median, peak) of `runs` post-warmup measurements. Median is
-    the honest steady-state figure (max-of-N overstates it); min and peak
-    are reported alongside because the shared bench host swings 2-3x with
-    noisy neighbors — a median far below the peak implicates the HOST, a
-    tight min/median/peak band certifies the number (VERDICT r02 §1)."""
-    import statistics
-    vals = [run() for _ in range(runs)]
-    return min(vals), statistics.median(vals), max(vals)
-
-
 def _await_idle_host(max_load: float = 4.0, retries: int = 6,
                      wait_sec: float = 30.0) -> dict:
     """Idleness guard: concurrent Spark sessions on this host skew ingest
@@ -148,13 +137,29 @@ def _ingest_throughput(spark) -> dict[str, float]:
         # for ~3 more runs (this, not neighbor noise, was the r02
         # "median halved vs peak" artifact). Warm 3, then MEDIAN of 5
         # (median, not max — best-of-N overstates steady state; the
-        # occasional GC-pause dip lands in min, not the median)
-        for _ in range(3):
-            run_ingest()
-        lo, med, peak = _spread(run_ingest, 5)
+        # occasional GC-pause dip lands in min, not the median).
+        # Cold-vs-warm split (VERDICT r03 §4: the r03 min sat 4x below
+        # median with no recorded cause): every sample is RECORDED —
+        # cold = first-ever run (JVM/codegen/page-cache cold), warmup =
+        # the C2 ramp, warm = the 5 measured runs. A warm floor far
+        # below the warm median now implicates a specific sample in the
+        # record instead of an anonymous min.
+        warmup = [run_ingest() for _ in range(3)]
+        out["ingest_rows_per_sec_cold"] = round(warmup[0])
+        out["ingest_warmup_samples"] = [round(x) for x in warmup]
+        warm = [run_ingest() for _ in range(5)]
+        import statistics
+        lo, med, peak = min(warm), statistics.median(warm), max(warm)
         out["ingest_rows_per_sec"] = round(med)
         out["ingest_rows_per_sec_min"] = round(lo)
         out["ingest_rows_per_sec_peak"] = round(peak)
+        out["ingest_warm_samples"] = [round(x) for x in warm]
+        out["ingest_warm_floor_ratio"] = round(med / max(lo, 1e-9), 2)
+        if med > 2 * lo:
+            print(f"bench: warm ingest floor {round(lo)} is >2x below "
+                  f"median {round(med)} — inspect ingest_warm_samples "
+                  f"and host load for the offending run",
+                  file=sys.stderr)
         # load DURING this section (bench start-time idleness can expire
         # mid-run; a high value here marks the medians as contended —
         # subtract ~32 for this bench's own executor threads)
@@ -177,12 +182,15 @@ def _ingest_throughput(spark) -> dict[str, float]:
 
         # decode is Arrow-UDF-bound (Python workers), which warms faster
         # than the JVM write path, but give C2 the same runway
-        for _ in range(2):
-            run_decode()
-        lo, med, peak = _spread(run_decode, 3)
+        dec_warmup = [run_decode() for _ in range(2)]
+        out["protobuf_decode_rows_per_sec_cold"] = round(dec_warmup[0])
+        dec_warm = [run_decode() for _ in range(3)]
+        lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
+                         max(dec_warm))
         out["protobuf_decode_rows_per_sec"] = round(med)
         out["protobuf_decode_rows_per_sec_min"] = round(lo)
         out["protobuf_decode_rows_per_sec_peak"] = round(peak)
+        out["decode_warm_samples"] = [round(x) for x in dec_warm]
         out["load1_after_decode_incl_self"] = round(os.getloadavg()[0], 1)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -775,6 +775,139 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+# --- incremental semantic dedup (cross-snapshot) ------------------------------
+
+def semantic_store(corpus: DataFrame,
+                   centroids: list[tuple[int, list[float]]], *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   vectorized: bool = False) -> DataFrame:
+    """(id, cell, embedding) — the STORABLE semantic-dedup artifact of a
+    curated corpus: every embedding with its nearest-centroid cell
+    attached. The semantic analog of the exact-dedup digest table and the
+    near-dup band table (operators/dedup.py:minhash_band_table): a
+    production pipeline persists this per curated batch (partitioned by
+    cell, so future probes prune to their own cells) and appends; every
+    future ingest verifies against ALL history by joining its own
+    assignments against the store — history documents are never re-read,
+    re-embedded, or re-assigned."""
+    if vectorized:
+        cells = assign_nearest_centroid_vectorized(
+            corpus, centroids, id_col=id_col, vec_col=vec_col)
+        return (corpus.join(cells, id_col)
+                .select(id_col, "cell", vec_col))
+    assigned = assign_nearest_centroid(corpus, centroids, vec_col=vec_col)
+    return assigned.select(id_col, "cell", vec_col)
+
+
+def incremental_semantic_dedup(new_batch: DataFrame, store: DataFrame,
+                               centroids: list[tuple[int, list[float]]],
+                               threshold: float = 0.999, *,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               vectorized: bool = False) -> DataFrame:
+    """Semantic analog of :func:`~..operators.dedup.incremental_dedup` /
+    ``incremental_near_dup``, completing the incremental triptych: flag
+    new-batch embeddings whose cosine to ANY same-cell stored embedding
+    reaches ``threshold``. The new batch is assigned map-side against the
+    same broadcast centroid literal that built the store (assignments are
+    only comparable within one centroid set — same contract as band-table
+    hash configs); the verify join runs per cell.
+
+    Returns (new_id, hist_id, cos) pairs. Scale shape: per-ingest cost is
+    the BATCH's assignment plus a cell-key join against the store — the
+    store side shuffles (or partition-prunes, if persisted partitioned by
+    cell) only the probed cells' rows; history never re-embeds.
+    ``vectorized=True`` verifies with one numpy GEMM per (cell) cogroup —
+    candidate pairs never exist as Spark rows (the
+    ``_cell_pairs_vectorized`` device, two-sided)."""
+    nb = (assign_nearest_centroid(new_batch, centroids, vec_col=vec_col)
+          .select(F.col(id_col).alias("new_id"), "cell",
+                  F.col(vec_col).alias("nv")))
+    h = store.select(F.col(id_col).alias("hist_id"), "cell",
+                     F.col(vec_col).alias("hv"))
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        out_schema = T.StructType([
+            T.StructField("new_id", T.LongType()),
+            T.StructField("hist_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ])
+
+        def per_cell(_key, nb_pdf, h_pdf):
+            if not len(nb_pdf) or not len(h_pdf):
+                return pd.DataFrame({"new_id": [], "hist_id": [],
+                                     "cos": []})
+            nid = nb_pdf["new_id"].to_numpy(dtype="int64")
+            hid = h_pdf["hist_id"].to_numpy(dtype="int64")
+            nm = np.array(list(nb_pdf["nv"]), dtype="float64")
+            hm = np.array(list(h_pdf["hv"]), dtype="float64")
+            nn = np.maximum(np.linalg.norm(nm, axis=1, keepdims=True),
+                            1e-300)
+            hn = np.maximum(np.linalg.norm(hm, axis=1, keepdims=True),
+                            1e-300)
+            cos = (nm @ hm.T) / (nn * hn.T)
+            # HALF-UP at 4dp, matching the HOF verify (see
+            # _cell_pairs_vectorized)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            ia, ib = np.nonzero(cos >= threshold)
+            return pd.DataFrame({"new_id": nid[ia], "hist_id": hid[ib],
+                                 "cos": cos[ia, ib]})
+
+        return (nb.groupBy("cell").cogroup(h.groupBy("cell"))
+                .applyInPandas(per_cell, out_schema))
+    return (nb.withColumn("nn", _norm("nv"))
+            .join(h.withColumn("hn", _norm("hv")), "cell")
+            .select("new_id", "hist_id",
+                    F.round(_cos_pre("nv", "hv",
+                                     F.col("nn"), F.col("hn")), 4)
+                    .alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
+    """Map-side semantic-duplicate gate for STREAMING pipelines: collect
+    the (cell, embedding) store once (normalized, grouped by cell) and
+    return a pandas UDF ``(embedding, cell) -> bool`` that GEMM-verifies
+    each row against its cell's store rows — the streaming-safe form of
+    :func:`incremental_semantic_dedup` (no join, no aggregation, so it
+    composes with append-mode watermark stages). HALF-UP 4dp rounding
+    matches the batch verify. For stores beyond driver memory, use the
+    distributed batch operator inside foreachBatch instead."""
+    import numpy as np
+
+    mats: dict[int, "np.ndarray"] = {}
+    for r in store.select("cell", "embedding").collect():
+        mats.setdefault(int(r["cell"]), []).append(
+            [float(x) for x in r["embedding"]])
+    for c, vs in list(mats.items()):
+        m = np.array(vs, dtype="float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        mats[c] = m
+
+    @pandas_udf(T.BooleanType())
+    def _sem_dup(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        out = []
+        for v, c in zip(emb, cell):
+            m = mats.get(int(c))
+            if m is None:
+                out.append(False)
+                continue
+            x = np.array(v, dtype="float64")
+            n = np.linalg.norm(x)
+            if n == 0:
+                out.append(False)
+                continue
+            cos = m @ (x / n)
+            # HALF-UP at 4dp — the batch verify's rounding
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            out.append(bool((cos >= threshold).any()))
+        return pd.Series(out)
+
+    return _sem_dup
+
+
 # Shared hash rule for the two hashed-TF forms below — chosen to be cheap
 # in EVERY engine: dimension = first-8-hex-chars of md5(token) mod dim
 # (32-bit value: conv() in Spark, hex-digit arithmetic in a SQL oracle),

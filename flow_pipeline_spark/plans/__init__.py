@@ -19,7 +19,15 @@ _DEMOTED_VARIANTS = [
     "flows_as_matrix",        # A4 pair-key covered by pair_matrix
     "flows_rollup_5m",        # A4/A7/W4 covered by rollup_5m + flows_rollup_nested
     "flows_top_dst_ports",    # A5/O2 twin of flows_top_ports
-    "flows_routed_traffic",   # J1-class covered by enrichment_join/range_band_join
+    # round 4: flows_routed_traffic PROMOTED into the window (the §4
+    # rollup-routing class previously had no driver row — its oracle
+    # proves routed ≡ raw, the SummingMergeTree losslessness claim);
+    # displaced twin:
+    "sliding_rate_5m",        # W7 sliding-frame rate; class stays
+                              # windowed 3× via metrics_rate_sum_by
+                              # (same counter-rate + sliding frame over
+                              # the metrics table, flagship-asserted),
+                              # value_percentiles and approx_percentiles
     "minhash_signatures",     # subsumed by minhash_lsh_dedup (sig→band→verify)
     "simhash",                # subsumed by simhash_near_dup (same sig + banding)
     "top_event_types",        # A3 count-per-group covered by the PG panels
@@ -40,7 +48,9 @@ _DEMOTED_VARIANTS = [
                               # customers_no_orders (anti) + set_ops +
                               # late_order_priority (correlated EXISTS)
     "range_window_sum",       # J3 range-frame window; class windowed via
-                              # sliding_rate_5m (same frame, promql tier)
+                              # metrics_rate_sum_by (same sliding-frame
+                              # device, promql tier; sliding_rate_5m is
+                              # its demoted twin too, see below)
     # round 3 cont.: vocab_top_bigrams (explode→vocab-bounded agg→top-k)
     # and doc_chunks (stride generator) enter; displaced twins:
     "tpch_q6",                # P5 range-filter + agg scan; class windowed
@@ -81,6 +91,11 @@ _DEMOTED_VARIANTS = [
                               # the device is dedup_exact's digest-groupBy
                               # over a doc_chunks-style slice+md5 prefix —
                               # both windowed; stays pytest-oracled
+    "incremental_semantic_dedup",  # cell-store variant of the windowed
+                              # semantic_dedup (same assignment + verify
+                              # devices, cross-snapshot join) — the
+                              # semantic sibling of incremental_near_dup,
+                              # demoted on the same grounds
     "text_semantic_dedup",    # composition of two WINDOWED devices
                               # (hashed-TF embed is pytest-bit-equal to
                               # its pandas twin; semantic_dedup is the

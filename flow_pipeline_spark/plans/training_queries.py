@@ -1836,3 +1836,83 @@ def text_semantic_dedup(spark, sf_dir):
            .select(F.col("doc_id").alias("vec_id"), "embedding"))
     return (S.semantic_dedup_pairs(emb, threshold=0.999, n_cells=8)
             .orderBy("id_a", "id_b"))
+
+
+def _emb_cells_sql(side: str, src: str) -> str:
+    """Exploded vectors + 4dp-rounded nearest-centroid assignment for one
+    side of the incremental semantic dedup oracle (centroids = the 8
+    lowest-id HISTORY vectors, mirroring semantic_store's rule)."""
+    return f"""
+    e_{side} AS ({_EMB_EXPLODED.format(src=src)}),
+    cos_{side} AS (
+      SELECT e.vec_id AS id, c.vec_id AS cid,
+             round(sum(e.v * c.v) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.v * c.v))), 4) AS cos
+      FROM e_{side} e JOIN cent c ON e.i = c.i
+      GROUP BY e.vec_id, c.vec_id),
+    asg_{side} AS (
+      SELECT id, cid,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM cos_{side}),
+    cells_{side} AS (SELECT id, cid AS cell FROM asg_{side} WHERE rn = 1)
+"""
+
+
+@_q(
+    "incremental_semantic_dedup",
+    f"""
+    WITH hist AS (SELECT vec_id, embedding FROM embeddings),
+    nb AS (
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 20
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id,
+             list_transform(embedding, x -> -x) AS embedding
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
+    e_c AS ({_EMB_EXPLODED.format(src='hist')}),
+    cent AS (SELECT * FROM e_c WHERE vec_id < 8),
+    {_emb_cells_sql('h', 'hist').lstrip()},
+    {_emb_cells_sql('n', 'nb').lstrip()},
+    pairs AS (
+      SELECT n.vec_id AS new_id, h.vec_id AS hist_id,
+             round(sum(n.v * h.v) /
+                   (sqrt(sum(n.v * n.v)) * sqrt(sum(h.v * h.v))), 4) AS cos
+      FROM e_n n JOIN e_h h ON n.i = h.i
+      JOIN cells_n cn ON cn.id = n.vec_id
+      JOIN cells_h ch ON ch.id = h.vec_id AND ch.cell = cn.cell
+      GROUP BY new_id, hist_id)
+    SELECT new_id, hist_id, cos FROM pairs WHERE cos >= 0.999
+    ORDER BY new_id, hist_id
+    """,
+    doc="Incremental SEMANTIC dedup — completes the incremental triptych "
+        "(exact digest store / near-dup band store / semantic cell "
+        "store): a new crawl batch — 20 verbatim embedding replays plus "
+        "20 negated (maximally dissimilar) vectors — is centroid-"
+        "assigned map-side and verified by same-cell cosine against the "
+        "STORED (id, cell, embedding) table of the curated corpus "
+        "(operators/similarity.py semantic_store + "
+        "incremental_semantic_dedup). The replays collide with their "
+        "originals at cosine exactly 1; the rewrites never collide. "
+        "Scale: history is never re-embedded or re-assigned — the store "
+        "is the artifact, appended per batch, partitioned by cell so "
+        "probes prune; per-ingest cost is the batch's assignment plus a "
+        "cell-key join. GEMM cogroup verify (vectorized=True) is the "
+        "production form, pytest-asserted equal.",
+)
+def incremental_semantic_dedup_query(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    rows = e.orderBy("vec_id").limit(8).collect()
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    store = S.semantic_store(e, cents)
+    copies = (e.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    negs = (e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+            .select((F.col("vec_id") + 200000).alias("vec_id"),
+                    F.transform(F.col("embedding"),
+                                lambda x: -x).alias("embedding")))
+    batch = copies.unionByName(negs)
+    return (S.incremental_semantic_dedup(batch, store, cents,
+                                         threshold=0.999)
+            .orderBy("new_id", "hist_id"))

@@ -548,6 +548,9 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              min_tokens: int = 5,
                              dedup_horizon: str = "10 minutes",
                              history: DataFrame | None = None,
+                             semantic_store: DataFrame | None = None,
+                             semantic_centroids: list | None = None,
+                             semantic_threshold: float = 0.999,
                              trigger: dict | None = None) -> StreamingQuery:
     """Continuous corpus curation — the training-data analog of the flows
     MV cascade: a document stream (crawl batches landing continuously)
@@ -573,6 +576,22 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
     stream. Watermark state stays bounded either way — history lives in
     the static table, not the state store (the batch
     `incremental_dedup` is the same contract, one batch at a time).
+
+    Pass ``semantic_store`` (the (id, cell, embedding) artifact from
+    ``operators.similarity.semantic_store``) + ``semantic_centroids``
+    (the centroid set that built it) to ALSO drop documents that are
+    SEMANTIC near-duplicates of the curated corpus — re-crawls with a
+    changed tail or byline that the digest anti-join cannot catch. The
+    stage is fully map-side, preserving the stream's append-mode shape:
+    each document embeds via the hashed-TF Arrow kernel (the real-encoder
+    swap point), assigns its cell against the broadcast centroid literal,
+    and a pandas UDF verifies cosine-vs-threshold against that cell's
+    store rows (collected once at stream start, normalized, grouped by
+    cell — the store is cells × occupancy vectors, the same
+    driver-resident footprint as kmeans centroids scaled by occupancy).
+    When the store outgrows driver memory, run the distributed batch form
+    (``incremental_semantic_dedup``, cell-partitioned store) inside a
+    foreachBatch sink instead — same verify arithmetic, pytest-asserted.
 
     Delivery: checkpointed file sink — exactly-once per batch id; a
     replayed micro-batch rewrites the same files.
@@ -600,6 +619,20 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
         gated = (gated.join(hist, "content_hash", "left_outer")
                  .filter(F.col("_in_history").isNull())
                  .drop("_in_history"))
+    if semantic_store is not None:
+        from ..operators.similarity import (assign_nearest_centroid,
+                                            hashed_tf_embed,
+                                            semantic_gate_udf)
+        if semantic_centroids is None:
+            raise ValueError("semantic_store requires the centroid set "
+                             "that built it (assignments are only "
+                             "comparable within one centroid set)")
+        _sem_dup = semantic_gate_udf(semantic_store, semantic_threshold)
+        gated = hashed_tf_embed(gated, text_col="text")
+        gated = assign_nearest_centroid(gated, semantic_centroids)
+        gated = (gated
+                 .filter(~_sem_dup(F.col("embedding"), F.col("cell")))
+                 .drop("embedding", "cell"))
     deduped = (gated
                .withWatermark("ingest_ts", dedup_horizon)
                .dropDuplicatesWithinWatermark(["content_hash"]))

@@ -245,3 +245,32 @@ def test_exact_substring_spans_no_doc_shuffle_no_cartesian(plans):
     for exch in re.findall(r"Exchange [^\n]*", p):
         assert "text" not in exch, exch
     assert "partial_min" in p or "partial" in p.lower()
+
+
+def test_routed_query_scans_stored_rollup_not_raw(spark, tmp_path):
+    """§4 routing, physical evidence: given a PERSISTED flows_5m rollup,
+    the routed plan's only FileScan is the rollup directory — raw files
+    never appear (the 1e-4-cost path a 100 TB dashboard depends on).
+    The windowed flows_routed_traffic oracle proves routed ≡ raw
+    values; this pins the plan side of the claim."""
+    from flow_pipeline_spark.operators.rollup import (route_traffic_query,
+                                                      rollup_flat)
+    from flow_pipeline_spark.sources.mocker import (flows_raw,
+                                                    synthetic_flows)
+
+    raw_dir = str(tmp_path / "raw")
+    rollup_dir = str(tmp_path / "flows_5m")
+    flows_raw(synthetic_flows(spark, 5000, seed=7)) \
+        .write.partitionBy("Date").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    rollup_flat(raw).write.parquet(rollup_dir)
+    rollup = spark.read.parquet(rollup_dir)
+
+    routed = route_traffic_query(raw, rollup, ["SrcAS"], interval_s=600)
+    p = _executed_plan(routed)
+    # the scan's ReadSchema is the rollup's (Timeslot + pre-aggregated
+    # sums); no raw-schema column (TimeReceived) is ever read
+    assert "Timeslot:timestamp" in p
+    assert "TimeReceived" not in p
+    unrouted = route_traffic_query(raw, None, ["SrcAS"], interval_s=600)
+    assert "TimeReceived" in _executed_plan(unrouted)

@@ -727,3 +727,71 @@ def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir):
         "SELECT count(*) = count(DISTINCT batch_id) "
         "FROM flows_pg_epoch_ledger").fetchone()[0]
     con.close()
+
+
+def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir):
+    """Semantic stage of the curation stream: near-copies of the curated
+    corpus (changed tail — digest anti-join CANNOT catch them) are
+    dropped by same-cell cosine against the persisted semantic store;
+    the survivor set equals the batch pipeline's exactly."""
+    from flow_pipeline_spark.operators.similarity import (
+        hashed_tf_embed_native, incremental_semantic_dedup, semantic_store)
+    from flow_pipeline_spark.operators.text import (classifier_z_e4,
+                                                    normalize_text,
+                                                    scrub_pii, token_count)
+    from flow_pipeline_spark.streaming.jobs import start_document_qc_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    history = docs.filter(F.col("doc_id") < 200)
+    hist_emb = (hashed_tf_embed_native(history)
+                .select("doc_id", "embedding"))
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in hist_emb.orderBy("doc_id").limit(8).collect()]
+    store = semantic_store(hist_emb, cents, id_col="doc_id")
+
+    # near-recrawls: history text + a changed tail (fresh digest, cosine
+    # still ~0.99) — plus genuinely new content
+    near = (history.filter(F.col("doc_id") < 40)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "source",
+                    F.concat("text", F.lit(" updated footer v2 zz"))
+                    .alias("text")))
+    fresh = docs.filter(F.col("doc_id") >= 300)
+    stream_docs = near.unionByName(fresh)
+    src = f"{tmpdir}/qcs_src"
+    stream_docs.repartition(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out, ckpt = f"{tmpdir}/qcs_out", f"{tmpdir}/qcs_ckpt"
+    q = start_document_qc_stream(
+        stream, out, ckpt, history=history,
+        semantic_store=store, semantic_centroids=cents,
+        semantic_threshold=0.98, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = {r[0] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+
+    # batch replica of the same cascade: scrub -> gates -> digest
+    # anti-join -> semantic gate (the batch operator) -> exact dedup
+    gates = (stream_docs.withColumn("text", scrub_pii(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter((F.col("n_tokens") >= 5)
+                     & (classifier_z_e4(F.col("text")) >= 0))
+             .withColumn("content_hash",
+                         F.md5(normalize_text(F.col("text")))))
+    hist_digests = history.select(
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+    after_digest = gates.join(hist_digests, "content_hash", "left_anti")
+    batch_emb = (hashed_tf_embed_native(after_digest)
+                 .select("doc_id", "embedding"))
+    flagged = (incremental_semantic_dedup(
+        batch_emb, store, cents, threshold=0.98, id_col="doc_id")
+        .select(F.col("new_id").alias("doc_id")).distinct())
+    want = {r[0] for r in
+            after_digest.join(flagged, "doc_id", "left_anti")
+            .dropDuplicates(["content_hash"]).select("doc_id").collect()}
+    assert got == want
+    # every near-recrawl was dropped by the semantic stage specifically
+    assert all(d < 100000 for d in got)
+    assert got, "survivor set should not be empty"

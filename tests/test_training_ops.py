@@ -709,3 +709,39 @@ def test_hashed_tf_native_matches_pandas_bitwise(spark, docs):
           for r in S.hashed_tf_embed_native(edge).collect()}
     assert ea == eb
     assert all(x == 0.0 for x in eb[1]) and all(x == 0.0 for x in eb[2])
+
+
+def test_incremental_semantic_dedup_gemm_matches_hof(spark):
+    """Cross-snapshot semantic dedup: verbatim embedding replays collide
+    with their stored originals at cos 1.0, negated vectors never do;
+    the cogroup-GEMM verify returns EXACTLY the HOF join's pairs."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding")
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    store = S.semantic_store(emb, cents)
+    copies = (emb.filter(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    negs = (emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+            .select((F.col("vec_id") + 200000).alias("vec_id"),
+                    F.transform(F.col("embedding"), lambda x: -x)
+                    .alias("embedding")))
+    batch = copies.unionByName(negs)
+
+    hof = {(r["new_id"], r["hist_id"], r["cos"]) for r in
+           S.incremental_semantic_dedup(batch, store, cents).collect()}
+    gemm = {(r["new_id"], r["hist_id"], r["cos"]) for r in
+            S.incremental_semantic_dedup(batch, store, cents,
+                                         vectorized=True).collect()}
+    assert hof == gemm
+    assert {(j + 100000, j, 1.0) for j in range(20)} <= hof
+    assert all(nid < 200000 for nid, _, _ in hof), \
+        "a negated vector collided with history"
+    # the vectorized store form assigns identically
+    store_v = S.semantic_store(emb, cents, vectorized=True)
+    a = {(r["vec_id"], r["cell"]) for r in
+         store.select("vec_id", "cell").collect()}
+    b = {(r["vec_id"], r["cell"]) for r in
+         store_v.select("vec_id", "cell").collect()}
+    assert a == b
