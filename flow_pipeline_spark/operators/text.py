@@ -336,6 +336,95 @@ def classifier_score(z: Column) -> Column:
     return (z / (F.lit(1.0) + F.abs(z)) + F.lit(1.0)) / F.lit(2.0)
 
 
+# --- C4 line-level filtering (Raffel et al. 2020, §2.2) ----------------------
+# The C4 cleanup is LINE-structured: pages are edited line-by-line before
+# page-level verdicts. Distinct from every per-doc gate above — the device
+# is split-lines → per-line rules → reassemble, all JVM expressions.
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def _line_kept(line: Column) -> Column:
+    """C4 line rules: ends in terminal punctuation, has ≥3 words, and does
+    not mention javascript (case-insensitive)."""
+    t = F.trim(line)
+    return (F.substring(t, -1, 1).isin(*C4_TERMINAL)
+            & (F.size(F.split(t, r"\s+")) >= 3)
+            & ~F.lower(t).contains("javascript"))
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """Array of surviving lines under the C4 line rules."""
+    return F.filter(F.split(text, "\n"), _line_kept)
+
+
+def c4_page_dropped(text: Column, min_kept_lines: int = 5) -> Column:
+    """C4 page-level verdict: drop pages containing '{' or 'lorem ipsum',
+    or retaining fewer than ``min_kept_lines`` lines after the line rules
+    (C4 uses 'fewer than 3 sentences'; the line proxy keeps the rule a
+    pure expression — the knob is explicit)."""
+    low = F.lower(text)
+    return (low.contains("{")
+            | low.contains("lorem ipsum")
+            | (F.size(c4_clean_lines(text)) < min_kept_lines))
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              min_kept_lines: int = 5) -> DataFrame:
+    """Apply the C4 cleanup: per-line edit + page verdict. Adds
+    ``c4_text`` (kept lines re-joined with newlines) and ``c4_dropped``.
+    Scale: pure per-row expressions — fuses into the scan, zero shuffle,
+    zero UDF; the cheapest structural gate, so it runs before any wide
+    op, exactly where C4 runs it."""
+    t = F.col(text_col)
+    return (df.withColumn("c4_text",
+                          F.array_join(c4_clean_lines(t), "\n"))
+            .withColumn("c4_dropped",
+                        c4_page_dropped(t, min_kept_lines)))
+
+
+# --- Gopher quality rules (Rae et al. 2021, Table A1) ------------------------
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """The Gopher document-quality rules as named boolean columns (True =
+    rule VIOLATED). All pure expressions; thresholds are the paper's.
+
+    - word count outside [50, 100000]
+    - mean word length outside [3, 10]
+    - symbol-to-word ratio (# or ...) > 0.1
+    - fraction of words with an alphabetic character < 0.80
+    - fewer than 2 distinct stop words present
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    m = F.greatest(n, F.lit(1))
+    mean_wlen = (F.aggregate(toks, F.lit(0),
+                             lambda a, t: a + F.length(t)) / m)
+    n_sym = (F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."),
+                                         F.lit(0))))
+    n_alpha_words = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop_distinct = F.size(F.filter(
+        F.lit(STOPWORDS),
+        lambda s: F.array_contains(
+            F.transform(toks, lambda t: F.lower(t)), s)))
+    return {
+        "bad_word_count": (n < 50) | (n > 100_000),
+        "bad_mean_word_length": (mean_wlen < 3) | (mean_wlen > 10),
+        "bad_symbol_ratio": (n_sym / m) > 0.1,
+        "bad_alpha_fraction": (n_alpha_words / m) < 0.80,
+        "bad_stopword_count": n_stop_distinct < 2,
+    }
+
+
+def gopher_keep(text: Column) -> Column:
+    """Overall Gopher verdict: keep iff no rule fires."""
+    out = F.lit(True)
+    for flag in gopher_flags(text).values():
+        out = out & ~flag
+    return out
+
+
 # --- unigram-LM perplexity gate (train / persist / score split) --------------
 # CCNet's actual pipeline trains the LM on a REFERENCE corpus, persists it,
 # and scores every future crawl batch against it. These two functions make

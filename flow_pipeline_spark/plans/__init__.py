@@ -102,6 +102,13 @@ _DEMOTED_VARIANTS = [
                               # windowed cluster-then-verify class) —
                               # joins the demoted set per the discipline,
                               # DuckDB-oracled every pytest run
+    "c4_line_filter",         # per-row expression gate (split-lines →
+                              # rules → reassemble); the per-row text-QC
+                              # class is windowed via text_quality +
+                              # quality_classifier; oracled in pytest
+    "gopher_rules",           # per-row expression gate (named Gopher
+                              # rule flags); same class rationale as
+                              # c4_line_filter; oracled in pytest
 ]
 
 

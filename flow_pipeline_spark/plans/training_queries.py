@@ -1916,3 +1916,148 @@ def incremental_semantic_dedup_query(spark, sf_dir):
     return (S.incremental_semantic_dedup(batch, store, cents,
                                          threshold=0.999)
             .orderBy("new_id", "hist_id"))
+
+
+@_q(
+    "c4_line_filter",
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             'Valid lead sentence number ' || CAST(doc_id AS VARCHAR)
+             || '.' || chr(10) || text || '.' || chr(10)
+             || 'short line' || chr(10)
+             || 'Jump with javascript enabled now.' || chr(10)
+             || 'Another valid closing sentence here.'
+             || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END AS page
+      FROM documents),
+    split AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS lines
+      FROM pages),
+    kept AS (
+      SELECT doc_id, page, len(lines) AS n_lines,
+             list_filter(lines, l ->
+               right(trim(l), 1) IN ('.', '!', '?', '"')
+               AND len(string_split_regex(trim(l), '\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS keep_lines
+      FROM split)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(keep_lines) AS BIGINT) AS n_kept,
+           CAST(length(array_to_string(keep_lines, chr(10))) AS BIGINT)
+             AS kept_chars,
+           (contains(lower(page), '{') OR contains(lower(page), 'lorem ipsum')
+            OR len(keep_lines) < 3) AS dropped
+    FROM kept ORDER BY doc_id
+    """,
+    doc="C4 line-level cleanup (Raffel et al. 2020 §2.2; "
+        "operators/text.py c4_filter): pages are edited LINE-BY-LINE "
+        "(keep lines ending in terminal punctuation with >=3 words and "
+        "no 'javascript') before page verdicts ('{', 'lorem ipsum', or "
+        "too few surviving lines drop the page). The corpus has no "
+        "newlines, so multi-line pages are constructed deterministically "
+        "in both dialects: a valid lead + the doc text + a fragment + a "
+        "javascript line + a valid closer, with lorem/brace poison on "
+        "doc_id%7 / %11. Distinct device from every per-doc gate: "
+        "split-lines -> per-line rules -> reassemble, all JVM "
+        "expressions. Scale: pure per-row projection, zero shuffle, "
+        "zero UDF — fuses into the scan like repetition_stats.",
+)
+def c4_line_filter(spark, sf_dir):
+    page = F.concat(
+        F.lit("Valid lead sentence number "),
+        F.col("doc_id").cast("string"), F.lit(".\n"),
+        F.col("text"), F.lit(".\n"),
+        F.lit("short line\n"),
+        F.lit("Jump with javascript enabled now.\n"),
+        F.lit("Another valid closing sentence here."),
+        F.when(F.col("doc_id") % 7 == 0, " lorem ipsum").otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, " {").otherwise(""))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", page.alias("page"))
+         .select("doc_id", "page", TX.c4_clean_lines(F.col("page"))
+                 .alias("keep_lines")))
+    return (d.select(
+        "doc_id",
+        F.size(F.split(F.col("page"), "\n")).cast("long").alias("n_lines"),
+        F.size("keep_lines").cast("long").alias("n_kept"),
+        F.length(F.array_join("keep_lines", "\n")).cast("long")
+        .alias("kept_chars"),
+        TX.c4_page_dropped(F.col("page"), min_kept_lines=3)
+        .alias("dropped"))
+        .orderBy("doc_id"))
+
+
+@_q(
+    "gopher_rules",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, 'Tiny page.'
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 200000,
+             text || ' ' || repeat('# ', len({_TOKS}) // 4 + 2)
+      FROM documents WHERE doc_id < 5),
+    feats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n,
+             greatest(len({_TOKS}), 1) AS m,
+             list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')
+               AS sum_wlen,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+             len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(['the','a','an','of','and','in','to','is'],
+                 s -> list_contains(list_transform({_TOKS},
+                                                   t -> lower(t)), s)))
+               AS n_stop
+      FROM corpus)
+    SELECT doc_id,
+           (n < 50 OR n > 100000)                          AS bad_word_count,
+           (sum_wlen / m < 3 OR sum_wlen / m > 10)         AS bad_mean_word_length,
+           (n_sym / m > 0.1)                               AS bad_symbol_ratio,
+           (n_alpha / m < 0.80)                            AS bad_alpha_fraction,
+           (n_stop < 2)                                    AS bad_stopword_count,
+           NOT ((n < 50 OR n > 100000)
+                OR (sum_wlen / m < 3 OR sum_wlen / m > 10)
+                OR (n_sym / m > 0.1)
+                OR (n_alpha / m < 0.80)
+                OR (n_stop < 2))                           AS keep
+    FROM feats ORDER BY doc_id
+    """,
+    doc="Gopher document-quality rules (Rae et al. 2021 Table A1; "
+        "operators/text.py gopher_flags/gopher_keep): word-count band "
+        "[50, 100k], mean word length [3, 10], symbol(#/...)-to-word "
+        "ratio <= 0.1, >=80% words with an alphabetic character, >=2 "
+        "distinct stop words — each rule a named boolean column plus "
+        "the overall keep verdict. Planted violations: 'Tiny page.' "
+        "(word count + stop words) and #-flooded variants (symbol "
+        "ratio). Exact parity: every ratio is an exact small-integer "
+        "division compared identically in both engines. Scale: pure "
+        "per-row expressions, zero shuffle, zero UDF.",
+)
+def gopher_rules(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tiny = (d.filter(F.col("doc_id") < 5)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.lit("Tiny page.").alias("text")))
+    hashes = (d.filter(F.col("doc_id") < 5)
+              .select((F.col("doc_id") + 200000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" "),
+                               F.repeat(F.lit("# "),
+                                        (F.floor(F.size(TX.tokens(
+                                            F.col("text"))) / 4)
+                                         + 2).cast("int")))
+                      .alias("text")))
+    corpus = d.unionByName(tiny).unionByName(hashes)
+    flags = TX.gopher_flags(F.col("text"))
+    return (corpus.select(
+        "doc_id",
+        flags["bad_word_count"].alias("bad_word_count"),
+        flags["bad_mean_word_length"].alias("bad_mean_word_length"),
+        flags["bad_symbol_ratio"].alias("bad_symbol_ratio"),
+        flags["bad_alpha_fraction"].alias("bad_alpha_fraction"),
+        flags["bad_stopword_count"].alias("bad_stopword_count"),
+        TX.gopher_keep(F.col("text")).alias("keep"))
+        .orderBy("doc_id"))
