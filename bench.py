@@ -147,7 +147,15 @@ def _ingest_throughput(spark) -> dict[str, float]:
         warmup = [run_ingest() for _ in range(3)]
         out["ingest_rows_per_sec_cold"] = round(warmup[0])
         out["ingest_warmup_samples"] = [round(x) for x in warmup]
-        warm = [run_ingest() for _ in range(5)]
+        # load1 sampled at the START of each warm run: a dip sample with
+        # elevated start-load is host contention; a dip at normal load is
+        # ours (GC / page-cache writeback) — the attribution the r03
+        # anonymous min lacked
+        warm, warm_load = [], []
+        for _ in range(5):
+            warm_load.append(round(os.getloadavg()[0], 1))
+            warm.append(run_ingest())
+        out["ingest_warm_load1_at_start"] = warm_load
         import statistics
         lo, med, peak = min(warm), statistics.median(warm), max(warm)
         out["ingest_rows_per_sec"] = round(med)

@@ -1724,12 +1724,20 @@ _SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
         "token ranges (pytest-verified round trip).",
 )
 def exact_substring_spans(spark, sf_dir):
+    import os
     d = _docs(spark, sf_dir).select("doc_id", "text")
     planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
                .select((F.col("doc_id") + 100000).alias("doc_id"),
                        F.concat(F.col("text"),
                                 F.lit(" " + _SPAN_LITERAL)).alias("text")))
     corpus = d.unionByName(planted)
+    # the test corpus is one small parquet file (2 splits) while the
+    # stride-1 fp generator is the plan's dominant narrow work — spread
+    # it across the cores a many-split production source would get
+    # (the bench's wire.repartition precedent; values unaffected)
+    corpus = corpus.repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS",
+                           str(spark.sparkContext.defaultParallelism))))
     return (D.repeated_span_table(corpus, k=8)
             .select("doc_id", F.col("span_start").cast("long"),
                     "span_len")
