@@ -1,0 +1,210 @@
+"""Distributed BPE tokenizer induction — the training step behind every
+LLM tokenizer (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"), Spark-shaped.
+
+Production BPE trainers (HuggingFace tokenizers, SentencePiece-BPE) train
+on the WORD-FREQUENCY table, not the raw corpus — the corpus is touched
+exactly once to count words. This implementation keeps that shape
+distributed end to end:
+
+1. one corpus pass: explode tokens → groupBy word → count
+   (vocab-bounded shuffle, the ``vocab_top_bigrams`` shape);
+2. per merge round, over the VOCAB table only: explode adjacent symbol
+   pairs (weighted by word freq) → pair-count aggregate (bounded by
+   |distinct pairs|, partial map-side) → driver collects ONE row (the
+   argmax pair, ties lexicographic) → the merge applies map-side as a
+   fold expression over each word's symbol array. ``localCheckpoint``
+   per round cuts lineage exactly as kmeans_fit / label propagation do.
+
+At 100 TB the corpus cost is the single word-count pass; every round is
+vocab-table-sized, independent of corpus size — which is why this
+formulation survives scale while a corpus-resident trainer cannot.
+
+Reference parity: no analog in /root/reference (the flow pipeline has no
+text tier); this extends the training-data tier next to
+vocab_top_bigrams (plans/training_queries.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import tokens
+
+END = "▁"  # end-of-word sentinel (SentencePiece's block char)
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the one corpus-wide pass. Lowercased whitespace
+    words; the shuffle carries one row per distinct word per partition."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols + end-of-word sentinel on the last one (the
+    classic BPE alphabet: 'low' -> [l, o, w▁])."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(END)))
+        .otherwise(c))
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs."""
+    n = F.size(symbols)
+    return F.zip_with(
+        F.slice(symbols, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(symbols, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+
+def _apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """Replace every adjacent (a, b) with a+b — a left fold with a
+    one-symbol lookbehind ('pending') accumulator, pure expressions.
+    Consecutive runs merge left-to-right ((a,a,a) -> (aa, a) for a==b),
+    matching the reference Python BPE's scan order."""
+    merged = F.lit(a + b)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, s):
+        out, pend = acc["out"], acc["pend"]
+        take = pend.isNotNull() & (pend == a) & (s == b)
+        return F.when(take,
+                      F.struct(F.concat(out, F.array(merged)).alias("out"),
+                               F.lit(None).cast("string").alias("pend"))) \
+            .otherwise(F.struct(
+                F.when(pend.isNotNull(), F.concat(out, F.array(pend)))
+                .otherwise(out).alias("out"),
+                s.alias("pend")))
+
+    def finish(acc):
+        return F.when(acc["pend"].isNotNull(),
+                      F.concat(acc["out"], F.array(acc["pend"]))) \
+            .otherwise(acc["out"])
+
+    return F.aggregate(symbols, acc0, step, finish)
+
+
+def bpe_train(df: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a document corpus. Returns the
+    ordered merge list [(a, b), ...] — the tokenizer model artifact.
+
+    Determinism: the argmax pair breaks count ties lexicographically on
+    (a, b), so the learned merges are identical on any engine, cluster
+    size, or partitioning (pytest-asserted equal to an independent
+    single-process reference implementation on the same word counts).
+    """
+    vocab = (word_freq_table(df, text_col)
+             .select("word", "freq",
+                     _initial_symbols(F.col("word")).alias("symbols"))
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (vocab.select("freq",
+                            F.explode(_adjacent_pairs(F.col("symbols")))
+                            .alias("p"))
+               .groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top or top[0]["n"] <= 0:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = (vocab.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), a, b))
+            .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_symbol_stats(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text") -> DataFrame:
+    """Corpus symbol statistics under a trained merge list: (symbol,
+    freq), the learned subword vocabulary with usage counts — what a
+    tokenizer build publishes alongside the merges."""
+    vocab = word_freq_table(df, text_col).select(
+        "word", "freq", _initial_symbols(F.col("word")).alias("symbols"))
+    col = F.col("symbols")
+    for a, b in merges:
+        col = _apply_merge(col, a, b)
+    return (vocab.select("freq", F.explode(col).alias("symbol"))
+            .groupBy("symbol").agg(F.sum("freq").alias("freq")))
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Encode documents under a trained merge list (ordered application
+    per word, the standard BPE encoder). An Arrow-batched pandas UDF on
+    purpose: encoding applies |merges| sequential rewrites per word —
+    expression-folding each one would build an O(|merges|)-deep plan —
+    and this is exactly the swap point where a real tokenizer
+    (HuggingFace/SentencePiece, weights loaded once per worker) slots in,
+    the ``hashed_tf_embed`` pattern. Parity with the trainer's fold
+    semantics is pytest-asserted against the same reference encoder."""
+    merge_list = list(merges)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(s: pd.Series) -> pd.Series:
+        def word_syms(w):
+            syms = list(w[:-1]) + [w[-1] + END] if w else []
+            for a, b in merge_list:
+                syms = _py_apply_merge(syms, a, b)
+            return syms
+
+        return s.map(lambda t: [sym for w in (t or "").lower().split()
+                                for sym in word_syms(w)])
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def _py_apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Single-process reference of :func:`_apply_merge` — same
+    left-to-right scan, same run semantics. Shared by bpe_encode and the
+    parity tests."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def py_bpe_reference(word_freqs: dict[str, int],
+                     n_merges: int) -> list[tuple[str, str]]:
+    """Independent single-process BPE trainer over a word-frequency dict
+    (the textbook algorithm) — the pytest oracle for :func:`bpe_train`.
+    Same tie rule: max count, then lexicographic (a, b)."""
+    vocab = {w: list(w[:-1]) + [w[-1] + END] for w in word_freqs if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                # count OCCURRENCES, overlapping runs included — matches
+                # the distributed pair explode, which emits every
+                # adjacent position
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        vocab = {w: _py_apply_merge(s, *pair) for w, s in vocab.items()}
+    return merges

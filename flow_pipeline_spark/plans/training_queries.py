@@ -2069,3 +2069,32 @@ def gopher_rules(spark, sf_dir):
         flags["bad_stopword_count"].alias("bad_stopword_count"),
         TX.gopher_keep(F.col("text")).alias("keep"))
         .orderBy("doc_id"))
+
+
+@_q(
+    "bpe_merges",
+    None,  # iterative driver-coordinated training — not SQL-expressible;
+    # the trainer is pytest-verified merge-for-merge against an
+    # independent single-process reference implementation
+    # (tests/test_training_ops.py::test_bpe_train_matches_reference).
+    doc="Distributed BPE tokenizer induction (Sennrich et al. 2016; "
+        "operators/tokenizer.py): the training step behind every LLM "
+        "tokenizer, run the way production trainers run it — ONE corpus "
+        "pass builds the word-frequency table (vocab-bounded shuffle, "
+        "the vocab_top_bigrams shape), then every merge round touches "
+        "only that table: weighted adjacent-pair counts (bounded by "
+        "|distinct pairs|, partial map-side), driver collects the ONE "
+        "argmax row (ties lexicographic — learned merges identical on "
+        "any engine/partitioning), merge applies map-side as a fold "
+        "expression, lineage cut per round like kmeans_fit. Returns the "
+        "ordered merge table (the tokenizer model artifact); "
+        "bpe_encode / bpe_symbol_stats consume it (encode is the "
+        "real-tokenizer Arrow swap point, parity-tested).",
+)
+def bpe_merges(spark, sf_dir):
+    from ..operators import tokenizer as TOK
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    merges = TOK.bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_idx long, a string, b string, merged string")

@@ -745,3 +745,70 @@ def test_incremental_semantic_dedup_gemm_matches_hof(spark):
     b = {(r["vec_id"], r["cell"]) for r in
          store_v.select("vec_id", "cell").collect()}
     assert a == b
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    """Distributed BPE induction == the textbook single-process trainer
+    on the same word frequencies (same tie rule), merge for merge — the
+    driver-coordinated rounds change the execution shape, never the
+    learned model."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    sample = docs.filter(F.col("doc_id") < 60)
+    got = TOK.bpe_train(sample, n_merges=8)
+    freqs = {r["word"]: r["freq"]
+             for r in TOK.word_freq_table(sample).collect()}
+    want = TOK.py_bpe_reference(freqs, 8)
+    assert got == want
+    assert len(got) == 8
+
+    # classic toy corpus: the first merges fuse the shared suffixes
+    toy = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest "
+             "newest newest widest widest widest")],
+        "doc_id long, text string")
+    toy_merges = TOK.bpe_train(toy, n_merges=4)
+    toy_freqs = {r["word"]: r["freq"]
+                 for r in TOK.word_freq_table(toy).collect()}
+    assert toy_merges == TOK.py_bpe_reference(toy_freqs, 4)
+    # 'est▁' dominates (9 occurrences): (e,s) then (es,t▁) lead
+    assert toy_merges[0] == ("e", "s")
+    assert toy_merges[1] == ("es", "t" + TOK.END)
+
+
+def test_bpe_encode_and_stats_consistent(spark, docs):
+    """Encoding under the trained merges reproduces the trainer's fold
+    semantics (Arrow encoder == reference per word), and the corpus
+    symbol stats account for every emitted symbol."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    sample = docs.filter(F.col("doc_id") < 40)
+    merges = TOK.bpe_train(sample, n_merges=6)
+
+    enc = TOK.bpe_encode(sample, merges).select("doc_id", "bpe_tokens")
+    rows = enc.collect()
+    assert all(len(r["bpe_tokens"]) > 0 for r in rows)
+    # Arrow encoder == reference encoder on a few docs
+    texts = {r["doc_id"]: r["text"]
+             for r in sample.limit(5).collect()}
+    got = {r["doc_id"]: r["bpe_tokens"] for r in rows}
+    for did, t in texts.items():
+        want = []
+        for w in t.lower().split():
+            syms = list(w[:-1]) + [w[-1] + TOK.END]
+            for a, b in merges:
+                syms = TOK._py_apply_merge(syms, a, b)
+            want += syms
+        assert got[did] == want, did
+
+    # stats: total symbol mass == total emitted tokens across the corpus
+    stats = TOK.bpe_symbol_stats(sample, merges)
+    total_stats = stats.agg(F.sum("freq")).first()[0]
+    total_enc = (enc.select(F.size("bpe_tokens").alias("n"))
+                 .agg(F.sum("n")).first()[0])
+    assert total_stats == total_enc
+    # every merged symbol that appears in stats is a concatenation
+    # reachable from the merge list
+    merged_syms = {a + b for a, b in merges}
+    produced = {r["symbol"] for r in stats.collect()}
+    assert merged_syms & produced, "no merged symbol ever used"
