@@ -109,6 +109,10 @@ _DEMOTED_VARIANTS = [
     "gopher_rules",           # per-row expression gate (named Gopher
                               # rule flags); same class rationale as
                               # c4_line_filter; oracled in pytest
+    "exact_substring_scrub",  # scrub-side twin of the WINDOWED
+                              # exact_substring_spans (same span CTE;
+                              # adds the disjointness-based count
+                              # oracle); oracled in pytest
 ]
 
 

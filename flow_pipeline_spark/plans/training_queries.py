@@ -2098,3 +2098,96 @@ def bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_idx long, a string, b string, merged string")
+
+
+@_q(
+    "exact_substring_scrub",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' {_SPAN_LITERAL}'
+      FROM documents WHERE doc_id >= 10 AND doc_id < 30),
+    tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM corpus),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
+      FROM tk WHERE len(t) >= 8),
+    fps AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM pos),
+    rep AS (
+      SELECT fp, min(doc_id) AS mn FROM fps
+      GROUP BY fp HAVING max(doc_id) > min(doc_id)),
+    hits AS (
+      SELECT f.doc_id, f.pos FROM fps f JOIN rep r ON r.fp = f.fp
+      WHERE f.doc_id > r.mn),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_len
+      FROM isl GROUP BY doc_id, island),
+    removed AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_removed,
+             count(*) AS n_spans
+      FROM spans GROUP BY doc_id)
+    SELECT k.doc_id,
+           CAST(len(k.t) AS BIGINT) AS n_tokens,
+           coalesce(r.n_spans, 0) AS n_spans,
+           coalesce(r.n_removed, 0) AS n_removed,
+           CAST(len(k.t) AS BIGINT) - coalesce(r.n_removed, 0) AS n_kept
+    FROM tk k LEFT JOIN removed r ON r.doc_id = k.doc_id
+    ORDER BY k.doc_id
+    """,
+    doc="Scrub side of the ExactSubstr pass, oracled cross-engine: after "
+        "remove_repeated_spans the surviving token count per doc must "
+        "equal n_tokens − Σ span_len — valid because maximal islands are "
+        "provably DISJOINT (a new island starts only when the gap "
+        "exceeds k, so the previous span has already ended). The Spark "
+        "side actually SCRUBS the text (token-filter fold over the "
+        "span array) and re-tokenizes; the oracle derives the same "
+        "counts arithmetically from the span table — two independent "
+        "routes to the same numbers, so a hash match certifies the "
+        "scrub removes exactly the flagged ranges and nothing else.",
+)
+def exact_substring_scrub(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" " + _SPAN_LITERAL)).alias("text")))
+    corpus = d.unionByName(planted)
+    spans = D.repeated_span_table(corpus, k=8)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum("span_len").alias("n_removed")))
+    scrubbed = D.remove_repeated_spans(corpus, spans)
+    from ..operators.text import token_count
+    return (corpus
+            .select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+            .join(scrubbed.select(
+                "doc_id",
+                # a fully-scrubbed doc becomes "" — whose whitespace
+                # split is [''], size 1, not 0 — so gate on emptiness
+                F.when(F.length("text") == 0, F.lit(0))
+                .otherwise(token_count(F.col("text")))
+                .alias("n_kept_actual")), "doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed"),
+                    F.col("n_kept_actual").cast("long").alias("n_kept"))
+            .orderBy("doc_id"))

@@ -47,6 +47,11 @@ NOTES = {
   "mixture_sample": "one narrow generator explode (x-ceil-rate) + a per-row hash gate — zero shuffle; the ORDER BY exists only for the oracle",
   "incremental_near_dup": "both sides reduce to band rows before the join; history text never appears in any exchange — the store IS the band table",
   "exact_substring_spans": "stride-1 fp generator is narrow; the corpus-wide shuffle is the fp groupBy (min/max doc partials map-side); islands window sees HIT positions only — no suffix array, no global sort, documents never shuffle whole",
+  "flows_routed_traffic": "the routed arm re-aggregates stored-rollup-shaped partials straight into the requested bucket — one shuffle, raw rows never re-scanned when the rollup is persisted (plan-tested in test_routed_query_scans_stored_rollup_not_raw)",
+  "text_semantic_dedup": "the embed is one partial-aggregating shuffle of (doc, dim, count) triples — at most dim rows per doc, tokens never cross the wire; then the semantic_dedup cell-join shape",
+  "incremental_semantic_dedup": "new batch assigns map-side against the centroid literal; the verify join shuffles on the cell id against the STORE — history never re-embeds or re-assigns",
+  "gopher_rules": "all five rules are one codegen'd projection over the scan — zero shuffle, zero UDF",
+  "c4_line_filter": "split-lines -> per-line rules -> reassemble, one per-row projection; the only exchange is the final ORDER BY for the oracle",
 }
 
 
