@@ -866,6 +866,232 @@ def incremental_semantic_dedup(new_batch: DataFrame, store: DataFrame,
             .filter(F.col("cos") >= threshold))
 
 
+# --- product quantization (PQ) ANN -------------------------------------------
+# Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search" —
+# the compressed-domain ANN family FAISS builds on (IVF-PQ): vectors are
+# split into m subvectors, each quantized against its own ks-centroid
+# codebook, so a D-dim float corpus stores as m uint8 codes (64-dim
+# float32 -> 8 bytes here, 32x). Search is asymmetric distance
+# computation (ADC): per query, one (m × ks) inner-product lookup table;
+# each corpus vector scores as m table lookups — no decompression, no
+# floats per vector. 100 TB story: the CODES table is the stored corpus
+# artifact (pq_encode output, tiny), it never shuffles at query time
+# (mapInPandas local top-k + exact global merge, the
+# brute_knn_vectorized shape), and codebooks are k·D floats broadcast in
+# the UDF closure. Compose with ivf_assign to probe cells first (IVF-PQ)
+# — the cell column simply partitions the codes table.
+
+
+def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16,
+             n_iter: int = 5, *, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train PQ codebooks: per-subspace L2 Lloyd k-means, ALL subspaces
+    in one distributed pass per iteration. Returns codebooks[m][ks][D/m]
+    (vectors are L2-normalized first, so ADC inner products approximate
+    cosine).
+
+    Shape per iteration: one mapInPandas pass emits per-(subspace, cell,
+    dim) partial sums (~|batches|·m·ks·D/m tiny rows); the corpus never
+    shuffles; the driver rebuilds the centroid tensor — the kmeans_fit
+    contract, m codebooks at once. Seeds are the deterministic
+    hash-strided sample (reproducible on any cluster)."""
+    import numpy as np
+
+    seed_rows = (corpus.select(F.col(id_col).alias("cid"),
+                               F.col(vec_col).alias("cv"))
+                 .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                 .limit(ks).collect())
+    seeds = np.array([[float(x) for x in r["cv"]] for r in seed_rows],
+                     dtype="float64")
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True),
+                        1e-300)
+    dim = seeds.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    d_sub = dim // m
+    # codebooks[j] starts as the seeds' j-th subvector block
+    books = np.stack([seeds[:, j * d_sub:(j + 1) * d_sub]
+                      for j in range(m)])          # (m, ks, d_sub)
+
+    part_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+
+    for _ in range(n_iter):
+        B = books.copy()
+
+        def partials(batches, B=B):
+            import pandas as pd
+            for pdf in batches:
+                X = np.array(list(pdf["v"]), dtype="float64")
+                X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-300)
+                out = {"sub": [], "cell": [], "pos": [], "s": [],
+                       "cnt": []}
+                for j in range(B.shape[0]):
+                    S = X[:, j * d_sub:(j + 1) * d_sub]
+                    # L2 argmin via ||s - c||² = ||s||² - 2s·c + ||c||²
+                    d2 = (-2.0 * (S @ B[j].T)
+                          + (B[j] ** 2).sum(axis=1)[None, :])
+                    cell = d2.argmin(axis=1)
+                    sums = np.zeros((B.shape[1], d_sub))
+                    np.add.at(sums, cell, S)
+                    cnt = np.bincount(cell, minlength=B.shape[1])
+                    kk = B.shape[1]
+                    out["sub"].append(np.full(kk * d_sub, j, dtype="int32"))
+                    out["cell"].append(
+                        np.repeat(np.arange(kk, dtype="int32"), d_sub))
+                    out["pos"].append(
+                        np.tile(np.arange(d_sub, dtype="int32"), kk))
+                    out["s"].append(sums.ravel())
+                    out["cnt"].append(
+                        np.repeat(cnt.astype("int64"), d_sub))
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()})
+
+        rows = (vecs.mapInPandas(partials, part_schema)
+                .groupBy("sub", "cell", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+                .collect())
+        new = books.copy()
+        counts = np.zeros((m, ks))
+        sums = np.zeros_like(books)
+        for r in rows:
+            sums[r["sub"], r["cell"], r["pos"]] = r["s"]
+            counts[r["sub"], r["cell"]] = r["cnt"]
+        nz = counts > 0
+        for j in range(m):
+            for c in range(ks):
+                if nz[j, c]:
+                    new[j, c] = sums[j, c] / counts[j, c]
+        books = new
+    return books.tolist()
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]], *,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              out_col: str = "pq_codes") -> DataFrame:
+    """Encode the corpus: (id, pq_codes array<smallint>) — the stored
+    compressed artifact (m small ints per vector; write as parquet with
+    byte/short physical type). Map-side only: one argmin GEMM per
+    subspace per Arrow batch, corpus never shuffles."""
+    import numpy as np
+
+    B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
+    m_, _, d_sub = B.shape
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.ArrayType(T.ShortType())),
+    ])
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            X = np.array(list(pdf[vec_col]), dtype="float64")
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-300)
+            codes = np.empty((len(ids), m_), dtype="int16")
+            for j in range(m_):
+                S = X[:, j * d_sub:(j + 1) * d_sub]
+                d2 = (-2.0 * (S @ B[j].T)
+                      + (B[j] ** 2).sum(axis=1)[None, :])
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: ids, out_col: list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_knn(codes: DataFrame, queries: DataFrame,
+           codebooks: list[list[list[float]]], k: int = 5, *,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           codes_col: str = "pq_codes",
+           rerank_with: DataFrame | None = None,
+           shortlist: int | None = None) -> DataFrame:
+    """Approximate top-k by ADC over the compressed codes table: per
+    query one (m × ks) inner-product lookup table; each corpus vector
+    scores as m lookups — the corpus is never decompressed and never
+    shuffles (local top-k per Arrow batch + exact global merge, the
+    brute_knn_vectorized shape). Ties break (score DESC 4dp, id ASC)
+    like every ANN path here. Recall vs brute_knn asserted in tests.
+
+    ``rerank_with`` enables the standard REFINE stage (FAISS
+    IndexRefineFlat): ADC produces a ``shortlist`` (default 4k) per
+    query, then exact cosine runs on only those |queries|·shortlist
+    rows against the original vectors — the join ships candidate ids,
+    not the corpus — and the final rank is exact within the shortlist.
+    This is how PQ deployments recover brute-force-grade recall while
+    still scanning only compressed codes."""
+    import numpy as np
+
+    B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
+    m_, ks_, d_sub = B.shape
+    q_rows = queries.select(F.col(id_col).alias("q"),
+                            F.col(vec_col).alias("qv")).collect()
+    q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
+    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    # LUT[qi, j, c] = <q_sub_j, centroid_c_j>; ADC score = Σ_j LUT[qi, j,
+    # code_j] = <q, decode(codes)> ≈ cosine of unit vectors
+    lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
+                    for j in range(m_)], axis=1)      # (Q, m, ks)
+
+    out_schema = T.StructType([
+        T.StructField("q", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    kk = k if rerank_with is None else (shortlist or 4 * k)
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            C = np.array(list(pdf[codes_col]), dtype="int64")  # (n, m)
+            take = min(kk + 1, len(ids))
+            for qi, qid in enumerate(q_ids):
+                # gather: scores = sum_j lut[qi, j, C[:, j]]
+                s = lut[qi, np.arange(m_)[None, :], C].sum(axis=1)
+                s = np.round(s, 4)
+                top = np.argpartition(-s, take - 1)[:take]
+                top = top[np.lexsort((ids[top], -s[top]))]
+                mask = ids[top] != qid
+                sel = top[mask][:kk]
+                yield pd.DataFrame({"q": qid, "n": ids[sel],
+                                    "score": s[sel]})
+
+    local = codes.select(id_col, codes_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("q").orderBy(F.desc("score"), F.asc("n"))
+    ranked = (local.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= kk))
+    if rerank_with is None:
+        return ranked.select("q", "n", "score", "rank")
+    # refine: exact cosine on the shortlist only — candidate ids join
+    # back to the original vectors; queries broadcast
+    cand = ranked.select("q", "n")
+    c = rerank_with.select(F.col(id_col).alias("n"),
+                           F.col(vec_col).alias("nv"),
+                           _norm(vec_col).alias("nn"))
+    qd = queries.select(F.col(id_col).alias("q"),
+                        F.col(vec_col).alias("qv"),
+                        _norm(vec_col).alias("qn"))
+    scored = (cand.join(c, "n").join(F.broadcast(qd), "q")
+              .select("q", "n",
+                      F.round(_cos_pre("qv", "nv",
+                                       F.col("qn"), F.col("nn")), 4)
+                      .alias("cos")))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
 def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
     """Map-side semantic-duplicate gate for STREAMING pipelines: collect
     the (cell, embedding) store once (normalized, grouped by cell) and

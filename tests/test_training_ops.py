@@ -812,3 +812,65 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     merged_syms = {a + b for a, b in merges}
     produced = {r["symbol"] for r in stats.collect()}
     assert merged_syms & produced, "no merged symbol ever used"
+
+
+def test_bpe_merge_fold_property(spark):
+    """Property: the Spark fold-expression merge (_apply_merge) equals
+    the single-process reference on arbitrary symbol sequences,
+    including overlapping runs (a,a,a) and (a,b,a,b) chains."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flow_pipeline_spark.operators.tokenizer import (_apply_merge,
+                                                         _py_apply_merge)
+
+    sym = st.sampled_from(["a", "b", "c", "ab", "ba"])
+    cases = st.lists(st.lists(sym, min_size=0, max_size=12),
+                     min_size=1, max_size=8)
+
+    @settings(max_examples=20, deadline=None)
+    @given(cases=cases, pair=st.tuples(sym, sym))
+    def check(cases, pair):
+        a, b = pair
+        df = spark.createDataFrame(
+            [(i, syms) for i, syms in enumerate(cases)],
+            "id long, syms array<string>")
+        got = {r["id"]: r["m"] for r in df.select(
+            "id", _apply_merge(F.col("syms"), a, b).alias("m")).collect()}
+        for i, syms in enumerate(cases):
+            assert got[i] == _py_apply_merge(syms, a, b), (syms, a, b)
+
+    check()
+
+
+def test_pq_knn_recall_and_determinism(spark):
+    """Product-quantization ANN: the ADC scan over 8-byte-per-vector
+    codes already clears a recall floor; the standard refine stage
+    (exact rerank of the ADC shortlist) recovers brute-force-grade
+    recall. Codebooks are deterministic (hash-strided seeds, no RNG)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+
+    books = S.pq_train(emb, m=16, ks=64, n_iter=4)
+    books2 = S.pq_train(emb, m=16, ks=64, n_iter=4)
+    assert books == books2, "codebook training must be deterministic"
+
+    codes = S.pq_encode(emb, books).cache()
+    # compression: m int16 codes per vector (m bytes once stored as int8)
+    row = codes.first()
+    assert len(row["pq_codes"]) == 16
+    assert codes.count() == emb.count()
+
+    raw = {(r["q"], r["n"])
+           for r in S.pq_knn(codes, queries, books, k=5).collect()}
+    refined = {(r["q"], r["n"])
+               for r in S.pq_knn(codes, queries, books, k=5,
+                                 rerank_with=emb,
+                                 shortlist=40).collect()}
+    r_raw = len(brute & raw) / len(brute)
+    r_ref = len(brute & refined) / len(brute)
+    assert r_raw >= 0.4, f"ADC recall {r_raw}"
+    assert r_ref >= 0.9, f"refined recall {r_ref}"
+    assert r_ref >= r_raw
