@@ -124,10 +124,17 @@ def _ingest_throughput(spark) -> dict[str, float]:
             # page-cache flush of the prior run — measured bimodal
             # (1.5M vs 0.3M rows/s runs on an idle host). Production
             # ingest is an append stream; it never pays that delete.
+            # The dir is removed AFTER the clock stops: letting ~16
+            # runs × 100 MB of dead output accumulate keeps the page
+            # cache under reclaim pressure for the rest of the bench —
+            # the r04 warm-floor dips correlated with exactly that.
+            out_dir = f"{d}/raw{next(seq)}"
             t0 = time.perf_counter()
             (flows_raw(synthetic_flows(spark, n))
-             .write.partitionBy("Date").parquet(f"{d}/raw{next(seq)}"))
-            return n / (time.perf_counter() - t0)
+             .write.partitionBy("Date").parquet(out_dir))
+            dt = time.perf_counter() - t0
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return n / dt
 
         # steady-state like the headline loop (the reference's published
         # rates are steady-state production figures): measured ramp on an
@@ -182,11 +189,14 @@ def _ingest_throughput(spark) -> dict[str, float]:
         wire = spark.read.parquet(f"{d}/wire").repartition(cpus)
 
         def run_decode():
+            out_dir = f"{d}/decoded{next(seq)}"
             t0 = time.perf_counter()
             (flows_raw(from_flow_protobuf(wire, fixed_length=True))
              .write.partitionBy("Date")
-             .parquet(f"{d}/decoded{next(seq)}"))
-            return n2 / (time.perf_counter() - t0)
+             .parquet(out_dir))
+            dt = time.perf_counter() - t0
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return n2 / dt
 
         # decode is Arrow-UDF-bound (Python workers), which warms faster
         # than the JVM write path, but give C2 the same runway

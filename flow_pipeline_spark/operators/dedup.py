@@ -534,6 +534,12 @@ def repeated_span_table(df: DataFrame, k: int = 8,
         lambda i: fp(F.concat_ws(" ", F.slice(F.col("t"), i, k))))
     chunks = (d.select(F.col(id_col), F.posexplode(fps).alias("pos0", "fp"))
               .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "fp"))
+    # chunks feeds BOTH the repeated-fp aggregate and the hits join —
+    # without a lineage cut the stride-1 fingerprint generator (the
+    # plan's dominant narrow stage) executes twice. Lazy localCheckpoint:
+    # materialized on first use, reused by the second branch, no eager
+    # job at plan-build time (the duplicate_clusters precedent).
+    chunks = chunks.localCheckpoint(eager=False)
 
     # cross-doc repeated ⇔ the fp's doc set has ≥2 members ⇔ min≠max —
     # two cheap partial-aggregating mins/maxes, no countDistinct shuffle
@@ -563,11 +569,22 @@ def remove_repeated_spans(df: DataFrame, spans: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Scrubbed-text form of :func:`repeated_span_table`: drop every token
-    covered by a flagged span (the canonical occurrence was never flagged
-    under ``keep_first``, so exactly one copy of each repeated span
-    survives corpus-wide). Output text is whitespace-normalized (tokens
-    re-joined with single spaces) — the same canonical form every
-    downstream digest/shingle operator tokenizes back to.
+    covered by a flagged span. Under ``keep_first`` a k-gram's position
+    in its canonical (min-id) document is never flagged, so each
+    repeated k-gram normally survives there. The guarantee is
+    per-POSITION, not per-substring: when DISTINCT repeated grams
+    overlap, a document can be canonical for one gram yet lose those
+    tokens to a flagged span of another (e.g. docs {x1..x8},
+    {x1..x9}, {x2..x9} at k=8 — the middle doc is canonical for x2..x9
+    but its x1-anchored span is flagged, so x2..x8 go with it and the
+    8-gram x2..x9 survives nowhere intact). The reference ExactSubstr
+    (Lee et al. 2022) cuts duplicated byte ranges with the same
+    overlap interaction; the pinned-behavior test
+    (test_remove_spans_overlap_chain_edge) documents it. Scrubbed
+    documents are whitespace-normalized (tokens re-joined with single
+    spaces) — the canonical form every downstream digest/shingle
+    operator tokenizes back to; documents with no flagged spans pass
+    through verbatim.
 
     Scale: spans per doc are collected into one array (span counts are
     tiny — they merged maximally), the token filter is a per-row

@@ -117,7 +117,12 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     nonsense negative threshold string; null sampling keys are coalesced
     to a sentinel so a null-keyed row still draws a deterministic
     fractional-epoch verdict instead of being dropped unconditionally
-    (md5(NULL) is NULL, and NULL < thr is never true).
+    (md5(NULL) is NULL, and NULL < thr is never true). Note the
+    limitation that implies: ALL null-keyed rows share the sentinel and
+    therefore share ONE draw per epoch (all kept or all dropped at the
+    fractional epoch) — deterministic sampling is a function of the key,
+    and null rows are indistinguishable. If per-row sampling of
+    null-keyed rows matters, supply a non-null surrogate key column.
     """
     bad = {s: r for s, r in {**rates, "<default>": default_rate}.items()
            if r < 0}

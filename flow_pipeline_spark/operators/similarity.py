@@ -1168,13 +1168,18 @@ def hashed_tf_embed(df: DataFrame, text_col: str = "text",
 
     import numpy as np
 
+    from .text import ascii_words
+
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(s: pd.Series) -> pd.Series:
         out = []
         for t in s:
             v = np.zeros(dim, dtype=np.float64)
             if t:
-                for tok in t.lower().split():
+                # ascii_words, NOT str.split(): Python splits on Unicode
+                # whitespace (NBSP etc.), the JVM tokenizer does not —
+                # bit-equality with the native form depends on this
+                for tok in ascii_words(t.lower()):
                     h = hashlib.md5(tok.encode("utf-8")).hexdigest()
                     v[int(h[:8], 16) % dim] += (
                         1.0 if int(h[8], 16) >= 8 else -1.0)
@@ -1202,7 +1207,9 @@ def hashed_tf_embed_native(df: DataFrame, text_col: str = "text",
     vector, exactly like the pandas kernel."""
     from .text import tokens
 
-    # match str.split(): drop empty tokens (split(trim(""), \\s+) -> [""])
+    # drop empty tokens (split(trim(""), \s+) -> [""]) — with that
+    # filter this matches text.ascii_words exactly (both sides ASCII
+    # \s+, both drop empties)
     toks = F.filter(tokens(F.lower(F.col(text_col))),
                     lambda t: t != F.lit(""))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))

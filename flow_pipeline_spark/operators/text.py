@@ -43,6 +43,24 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+import re as _re_mod  # noqa: E402  (module-level: shared by kernels below)
+
+_WS_ASCII = _re_mod.compile(r"\s+", _re_mod.ASCII)
+
+
+def ascii_words(text: str) -> list[str]:
+    """Python-side mirror of :func:`tokens` for Arrow kernels: Java regex
+    ``\\s`` is ASCII-only ([ \\t\\n\\x0B\\f\\r]) while Python's default
+    ``str.split()`` splits on UNICODE whitespace (NBSP, ideographic
+    space, ...), which silently diverges from every JVM/DuckDB tokenizer
+    in this repo on real web text. ``re.ASCII`` pins the same class;
+    empty tokens are dropped, matching the JVM side's
+    ``filter(t != '')`` / trim behavior. Every pandas kernel that
+    tokenizes (hashed_tf_embed, bpe_encode) MUST use this, never
+    ``str.split()``."""
+    return [w for w in _WS_ASCII.split(text) if w]
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -153,6 +153,8 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     (HuggingFace/SentencePiece, weights loaded once per worker) slots in,
     the ``hashed_tf_embed`` pattern. Parity with the trainer's fold
     semantics is pytest-asserted against the same reference encoder."""
+    from .text import ascii_words
+
     merge_list = list(merges)
 
     @pandas_udf(T.ArrayType(T.StringType()))
@@ -163,7 +165,10 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                 syms = _py_apply_merge(syms, a, b)
             return syms
 
-        return s.map(lambda t: [sym for w in (t or "").lower().split()
+        # ascii_words, NOT str.split(): the trainer tokenizes with the
+        # JVM ASCII \s+ — a Unicode-whitespace split here would segment
+        # words the trainer never saw (parity pinned in tests)
+        return s.map(lambda t: [sym for w in ascii_words((t or "").lower())
                                 for sym in word_syms(w)])
 
     return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -1669,16 +1669,18 @@ _SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
                  "golf hotel india juliet kilo lima")
 
 
-@_q(
-    "exact_substring_spans",
-    f"""
-    WITH corpus AS (
+# Shared span-CTE chain for the two ExactSubstr oracles below (corpus
+# with the planted 20-doc boilerplate tail -> tokens -> stride-1 k=8
+# fingerprints -> cross-doc repeated fps (min-doc) -> keep_first hits ->
+# gaps-and-islands). Any k / keep-rule change edits ONE fragment and both
+# oracles move together (the _EXACT_COPIES_SQL / _TF_UNIT_SQL pattern).
+_SPAN_CTES_SQL = r"""corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000, text || ' {_SPAN_LITERAL}'
+      SELECT doc_id + 100000, text || ' __LIT__'
       FROM documents WHERE doc_id >= 10 AND doc_id < 30),
     tk AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM corpus),
     pos AS (
       SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
@@ -1703,7 +1705,29 @@ _SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS island
-      FROM lagged)
+      FROM lagged)""".replace("__LIT__", _SPAN_LITERAL)
+
+
+def _span_planted_corpus(spark, sf_dir):
+    """Spark twin of _SPAN_CTES_SQL's corpus: documents + the 20 planted
+    boilerplate-tailed copies, spread across the cores a many-split
+    production source would get (the bench's wire.repartition precedent;
+    values unaffected)."""
+    import os
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" " + _SPAN_LITERAL)).alias("text")))
+    return d.unionByName(planted).repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS",
+                           str(spark.sparkContext.defaultParallelism))))
+
+
+@_q(
+    "exact_substring_spans",
+    f"""
+    WITH {_SPAN_CTES_SQL}
     SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
     FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
@@ -1724,20 +1748,7 @@ _SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
         "token ranges (pytest-verified round trip).",
 )
 def exact_substring_spans(spark, sf_dir):
-    import os
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
-               .select((F.col("doc_id") + 100000).alias("doc_id"),
-                       F.concat(F.col("text"),
-                                F.lit(" " + _SPAN_LITERAL)).alias("text")))
-    corpus = d.unionByName(planted)
-    # the test corpus is one small parquet file (2 splits) while the
-    # stride-1 fp generator is the plan's dominant narrow work — spread
-    # it across the cores a many-split production source would get
-    # (the bench's wire.repartition precedent; values unaffected)
-    corpus = corpus.repartition(
-        int(os.environ.get("SPARK_GRAFT_CPUS",
-                           str(spark.sparkContext.defaultParallelism))))
+    corpus = _span_planted_corpus(spark, sf_dir)
     return (D.repeated_span_table(corpus, k=8)
             .select("doc_id", F.col("span_start").cast("long"),
                     "span_len")
@@ -2103,38 +2114,7 @@ def bpe_merges(spark, sf_dir):
 @_q(
     "exact_substring_scrub",
     f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, text || ' {_SPAN_LITERAL}'
-      FROM documents WHERE doc_id >= 10 AND doc_id < 30),
-    tk AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM corpus),
-    pos AS (
-      SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
-      FROM tk WHERE len(t) >= 8),
-    fps AS (
-      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS fp
-      FROM pos),
-    rep AS (
-      SELECT fp, min(doc_id) AS mn FROM fps
-      GROUP BY fp HAVING max(doc_id) > min(doc_id)),
-    hits AS (
-      SELECT f.doc_id, f.pos FROM fps f JOIN rep r ON r.fp = f.fp
-      WHERE f.doc_id > r.mn),
-    lagged AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER
-                    (PARTITION BY doc_id ORDER BY pos) > 8
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits),
-    isl AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS island
-      FROM lagged),
+    WITH {_SPAN_CTES_SQL},
     spans AS (
       SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_len
       FROM isl GROUP BY doc_id, island),
@@ -2162,12 +2142,7 @@ def bpe_merges(spark, sf_dir):
         "scrub removes exactly the flagged ranges and nothing else.",
 )
 def exact_substring_scrub(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
-               .select((F.col("doc_id") + 100000).alias("doc_id"),
-                       F.concat(F.col("text"),
-                                F.lit(" " + _SPAN_LITERAL)).alias("text")))
-    corpus = d.unionByName(planted)
+    corpus = _span_planted_corpus(spark, sf_dir)
     spans = D.repeated_span_table(corpus, k=8)
     per_doc = (spans.groupBy("doc_id")
                .agg(F.count("*").alias("n_spans"),
@@ -2201,8 +2176,9 @@ def exact_substring_scrub(spark, sf_dir):
     # (tests/test_training_ops.py::test_pq_knn_recall_and_determinism).
     doc="Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ "
         "family; operators/similarity.py pq_train/pq_encode/pq_knn): "
-        "vectors compress to m subspace codes (64-dim float32 -> 16 "
-        "codes here, 8 bytes stored), search is asymmetric distance "
+        "vectors compress to m subspace codes (64-dim float32 = 256 "
+        "bytes -> 16 one-byte codes here, 16x; the m=8 default gives "
+        "8 bytes / 32x), search is asymmetric distance "
         "computation — one (m x ks) lookup table per query, m table "
         "lookups per corpus vector, no decompression — followed by the "
         "standard refine stage (exact rerank of the ADC shortlist; "

@@ -701,7 +701,10 @@ def test_hashed_tf_native_matches_pandas_bitwise(spark, docs):
     for r in rows:
         assert r["ea"] == r["eb"], r["doc_id"]
     edge = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "hello hello world")],
+        [(1, ""), (2, "   "), (3, "hello hello world"),
+         # Unicode whitespace (NBSP / ideographic space): ONE token to
+         # the ASCII tokenizer both sides — str.split() would diverge
+         (4, "foo\u00a0bar baz"), (5, "a\u3000b")],
         "doc_id long, text string")
     ea = {r["doc_id"]: r["embedding"]
           for r in S.hashed_tf_embed(edge).collect()}
@@ -874,3 +877,31 @@ def test_pq_knn_recall_and_determinism(spark):
     assert r_raw >= 0.4, f"ADC recall {r_raw}"
     assert r_ref >= 0.9, f"refined recall {r_ref}"
     assert r_ref >= r_raw
+
+
+def test_remove_spans_overlap_chain_edge(spark):
+    """Pinned behavior for OVERLAPPING distinct repeated grams (the
+    reviewer's adversarial chain): doc 2 is canonical for gram x2..x9
+    but non-canonical for x1..x8, so its x1-anchored flagged span takes
+    x2..x8 with it — the per-position keep_first guarantee holds (no
+    doc's OWN canonical position is flagged) while the 8-gram x2..x9
+    survives nowhere intact. Documented in remove_repeated_spans."""
+    xs = ["x%d" % i for i in range(1, 10)]          # x1..x9
+    corpus = spark.createDataFrame(
+        [(1, " ".join(xs[:8])),                      # x1..x8
+         (2, " ".join(xs[:9])),                      # x1..x9
+         (3, " ".join(xs[1:9]))],                    # x2..x9
+        "doc_id long, text string")
+    spans = D.repeated_span_table(corpus, k=8)
+    flagged = {(r["doc_id"], r["span_start"], r["span_len"])
+               for r in spans.collect()}
+    # doc 1 canonical for x1..x8: untouched; doc 2 flagged at pos 1
+    # (span covers x1..x8); doc 3 fully flagged (x2..x9's min doc is 2)
+    assert (2, 1, 8) in flagged
+    assert (3, 1, 8) in flagged
+    assert all(d != 1 for d, _, _ in flagged)
+    texts = {r["doc_id"]: r["text"] for r in
+             D.remove_repeated_spans(corpus, spans).collect()}
+    assert texts[1] == " ".join(xs[:8])              # canonical intact
+    assert texts[2] == "x9"                          # x1..x8 scrubbed
+    assert texts[3] == ""                            # fully scrubbed
