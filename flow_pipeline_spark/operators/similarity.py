@@ -1092,6 +1092,97 @@ def pq_knn(codes: DataFrame, queries: DataFrame,
             .select("q", "n", "cos", "rank"))
 
 
+def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
+               n_cells: int = 16, nprobe: int = 6, m: int = 16,
+               ks: int = 64, n_iter: int = 3,
+               rerank: bool = True, shortlist: int | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """The full FAISS-style IVF-PQ pipeline: coarse cells prune the scan
+    (ivf_assign — only ``nprobe`` cells per query are touched), PQ codes
+    compress what remains (ADC scoring, no decompression), and the
+    refine stage exact-reranks the shortlist. Composes the three
+    operators this module already ships; at 100 TB the persisted
+    artifact is the codes table partitioned by cell (partition pruning =
+    the inverted-list seek), ~m bytes/vector.
+
+    Scale shape: corpus never shuffles at query time — the (cell →
+    probing queries) map broadcasts, ADC is a vectorized gather per
+    Arrow batch, and the refine join ships candidate ids only. Recall vs
+    brute force is bounded by cell-probe recall (an unprobed true
+    neighbor is unrecoverable — the nprobe knob), then restored within
+    probed cells by the refine stage; floors asserted in tests."""
+    import numpy as np
+
+    books = pq_train(corpus, m=m, ks=ks, n_iter=n_iter,
+                     vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
+                                vec_col=vec_col)
+    codes_cells = codes.join(
+        assigned.select(id_col, "cell"), id_col)
+
+    # per-query probe set (ivf_knn's device, minus the vectors — ADC
+    # uses the precomputed LUT, so probes carry only (q, cell))
+    q = queries.select(F.col(id_col).alias("q"),
+                       F.col(vec_col).alias("qv"),
+                       _norm(vec_col).alias("qnrm"))
+    qc = (q.crossJoin(F.broadcast(cent))
+          .select("q", "cid",
+                  _cos_pre("qv", "cv",
+                           F.col("qnrm"), F.col("cnrm")).alias("c_cos")))
+    wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (qc.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("q", F.col("cid").alias("cell")))
+
+    B = np.array(books, dtype="float64")
+    m_, _, d_sub = B.shape
+    q_rows = queries.select(F.col(id_col).alias("q"),
+                            F.col(vec_col).alias("qv")).collect()
+    q_ids = [int(r["q"]) for r in q_rows]
+    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
+                    for j in range(m_)], axis=1)      # (Q, m, ks)
+    qidx = {qid: i for i, qid in enumerate(q_ids)}
+
+    @pandas_udf(T.DoubleType())
+    def adc(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        import numpy as _np
+        if not len(qs):
+            return pd.Series([], dtype="float64")
+        qi = _np.array([qidx[int(x)] for x in qs])
+        C = _np.array(list(cs), dtype="int64")
+        s = lut[qi[:, None], _np.arange(m_)[None, :], C].sum(axis=1)
+        return pd.Series(_np.round(s, 4))
+
+    kk = k if not rerank else (shortlist or 4 * k)
+    scored = (codes_cells.join(F.broadcast(probes), "cell")
+              .filter(F.col(id_col) != F.col("q"))
+              .select("q", F.col(id_col).alias("n"),
+                      adc(F.col("q"), F.col("pq_codes")).alias("cos")))
+    ranked = _topk_per_query(scored, kk)
+    if not rerank:
+        return ranked.withColumnRenamed("cos", "score")
+    cand = ranked.select("q", "n")
+    c = corpus.select(F.col(id_col).alias("n"),
+                      F.col(vec_col).alias("nv"),
+                      _norm(vec_col).alias("nn"))
+    qd = queries.select(F.col(id_col).alias("q"),
+                        F.col(vec_col).alias("qv"),
+                        _norm(vec_col).alias("qn"))
+    exact = (cand.join(c, "n").join(F.broadcast(qd), "q")
+             .select("q", "n",
+                     F.round(_cos_pre("qv", "nv",
+                                      F.col("qn"), F.col("nn")), 4)
+                     .alias("cos")))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
 def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
     """Map-side semantic-duplicate gate for STREAMING pipelines: collect
     the (cell, embedding) store once (normalized, grouped by cell) and

@@ -2197,3 +2197,29 @@ def ann_pq_knn(spark, sf_dir):
     return (S.pq_knn(codes, e.filter(F.col("vec_id") < 10), books, k=5,
                      rerank_with=e, shortlist=40)
             .orderBy("q", "rank"))
+
+
+@_q(
+    "ann_ivf_pq_knn",
+    None,  # iterative codebooks + float cell assignment — rows-only;
+    # the refined-recall-reaches-probe-ceiling property is
+    # pytest-asserted (test_ivf_pq_recall_reaches_probe_ceiling).
+    doc="The full FAISS-style IVF-PQ pipeline (composition of ivf_assign "
+        "+ pq_train/encode + ADC + refine, operators/similarity.py:"
+        "ivf_pq_knn): coarse cells prune the scan to nprobe cells per "
+        "query, PQ codes compress what remains (~m bytes/vector, ADC "
+        "gather scoring, no decompression), exact rerank restores "
+        "brute-force recall WITHIN probed cells — measured refined "
+        "recall equals plain IVF's probe ceiling at the same nprobe, "
+        "i.e. compression is lossless behind the refine; residual loss "
+        "is the nprobe knob. Scale: the persisted artifact is the codes "
+        "table partitioned by cell (partition pruning = inverted-list "
+        "seek); probes broadcast; the refine join ships candidate ids "
+        "only; the corpus never shuffles at query time.",
+)
+def ann_ivf_pq_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (S.ivf_pq_knn(e, e.filter(F.col("vec_id") < 10), k=5,
+                         n_cells=16, nprobe=8, m=16, ks=64,
+                         shortlist=40)
+            .orderBy("q", "rank"))

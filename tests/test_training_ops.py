@@ -905,3 +905,31 @@ def test_remove_spans_overlap_chain_edge(spark):
     assert texts[1] == " ".join(xs[:8])              # canonical intact
     assert texts[2] == "x9"                          # x1..x8 scrubbed
     assert texts[3] == ""                            # fully scrubbed
+
+
+def test_ivf_pq_recall_reaches_probe_ceiling(spark):
+    """IVF-PQ: refined recall must reach the plain-IVF probe ceiling at
+    the same nprobe (the refine stage makes PQ compression lossless
+    WITHIN probed cells — residual loss is cell-probe misses only, the
+    nprobe knob), and strictly dominate the raw ADC scan."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    ivf = {(r["q"], r["n"])
+           for r in S.ivf_knn(emb, queries, k=5, n_cells=16,
+                              nprobe=8).collect()}
+    ivfpq = {(r["q"], r["n"])
+             for r in S.ivf_pq_knn(emb, queries, k=5, n_cells=16,
+                                   nprobe=8, m=16, ks=64,
+                                   shortlist=40).collect()}
+    raw = {(r["q"], r["n"])
+           for r in S.ivf_pq_knn(emb, queries, k=5, n_cells=16,
+                                 nprobe=8, m=16, ks=64,
+                                 rerank=False).collect()}
+    r_ivf = len(brute & ivf) / len(brute)
+    r_pq = len(brute & ivfpq) / len(brute)
+    r_raw = len(brute & raw) / len(brute)
+    assert r_pq >= r_ivf - 1e-9, (r_pq, r_ivf)
+    assert r_pq >= 0.6, r_pq
+    assert r_pq >= r_raw
