@@ -227,6 +227,28 @@ def main() -> None:
                              & (F.col("span_len") >= 40)).count())
             record("exact_substring_spans", n, sec, planted_ok=(found >= 50))
 
+        # product-quantization ANN: codebooks train once per step (m=16
+        # subspaces in one mapInPandas pass per round), the corpus scans
+        # as 16-byte codes. Measures the ADC+refine query path; recall
+        # floor asserted against planted duplicates (identical vectors
+        # get identical codes, ADC score = max, refine keeps them).
+        from flow_pipeline_spark.operators.similarity import (
+            ivf_pq_knn, pq_encode, pq_knn, pq_train)
+        for n in [(20_000), (80_000), (160_000 if args.fast else 320_000)]:
+            emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+            books = pq_train(emb, m=16, ks=64, n_iter=3)
+            codes = pq_encode(emb, books).localCheckpoint(eager=True)
+            q = emb.filter(F.col("vec_id") < 10)
+
+            def pq_query():
+                return pq_knn(codes, q, books, k=5, rerank_with=emb,
+                              shortlist=40)
+            sec = median_timed(lambda: force(pq_query()))
+            # planted duplicates of the 10 query vectors must surface
+            got = (pq_query()
+                   .filter((F.col("n") == F.col("q") + 10**9)).count())
+            record("pq_adc_refine_knn", n, sec, planted_ok=(got >= 9))
+
         # skewed-key join: one hot key owns 50% of the fact side. The salt
         # spreads the hot key over n_salts tasks (operators/scale.py) — the
         # explicit fix for when AQE's runtime skew split doesn't apply (it
