@@ -113,6 +113,10 @@ _DEMOTED_VARIANTS = [
                               # exact_substring_spans (same span CTE;
                               # adds the disjointness-based count
                               # oracle); oracled in pytest
+    "dataset_card",           # release-report COMPOSITION of windowed
+                              # devices (token counts, digest distinct,
+                              # classifier margin, per-source agg) —
+                              # same rationale as curation_full_pipeline
 ]
 
 

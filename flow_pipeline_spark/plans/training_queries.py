@@ -2223,3 +2223,80 @@ def ann_ivf_pq_knn(spark, sf_dir):
                          n_cells=16, nprobe=8, m=16, ks=64,
                          shortlist=40)
             .orderBy("q", "rank"))
+
+
+@_q(
+    "dataset_card",
+    f"""
+    WITH ints AS ({_CLF_INTS_SQL.replace("SELECT doc_id,",
+                                         "SELECT doc_id, source, lang,")}),
+    ze5 AS (
+      SELECT doc_id, source, lang,
+             n_tok,
+             -150000 + 22 * least(n_tok * 100, 10000)
+             + 16 * ((20000 * n_stop + m) // (2 * m))
+             + -28 * ((20000 * n_punct + n_chars) // (2 * n_chars))
+             + -19 * ((20000 * n_digit + n_chars) // (2 * n_chars))
+             + 8 * least(((20000 * coalesce(sum_wlen, 0) + m)
+                          // (2 * m) + 5) // 10, 10000) AS z_e5
+      FROM ints),
+    scored AS (
+      SELECT doc_id, source, lang, n_tok,
+             CASE WHEN z_e5 < 0 THEN -((abs(z_e5) + 5) // 10)
+                  ELSE (z_e5 + 5) // 10 END AS z_e4
+      FROM ze5),
+    hashed AS (
+      SELECT s.*, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ',
+                                     'g')) AS content_hash
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT source,
+           count(*)                                    AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                  AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT)        AS n_langs,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_docs,
+           CAST(sum(CASE WHEN z_e4 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_clf_keep,
+           ((2 * sum(z_e4) + count(*)) // (2 * count(*))) / 10000.0
+                                                       AS avg_margin
+    FROM hashed GROUP BY source ORDER BY source
+    """,
+    doc="Dataset card — the per-source summary a data release publishes, "
+        "composing the QC tiers into one report: doc/token counts, "
+        "label-language coverage, distinct-content count (the exact-"
+        "dedup denominator), model-scored keep counts, and the mean "
+        "classifier margin in EXACT integer arithmetic (HALF-UP integer "
+        "division, then one correctly-rounded float divide — the "
+        "quality_classifier discipline, so no cross-engine rounding "
+        "lottery on the average). Scale: one scan; the only wide ops "
+        "are the per-source aggregate and the two distinct counts "
+        "(lang is tiny; content digests are the 32-byte dedup shuffle "
+        "this tier always pays) — swap count(DISTINCT content_hash) "
+        "for approx_count_distinct at 100 TB, as approx_distinct_users "
+        "demonstrates.",
+)
+def dataset_card(spark, sf_dir):
+    from ..operators.text import normalize_text, token_count
+    d = _docs(spark, sf_dir)
+    z = TX.classifier_z_e4(F.col("text"))
+    staged = d.select(
+        "source", "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        z.alias("z_e4"),
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+    return (staged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("total_tokens"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.countDistinct("content_hash").cast("long")
+                 .alias("n_distinct_docs"),
+                 F.sum(F.when(F.col("z_e4") >= 0, 1).otherwise(0))
+                 .cast("long").alias("n_clf_keep"),
+                 # `div`, deliberately: BOTH Spark `div` and DuckDB `//`
+                 # truncate toward zero (verified on the negative-margin
+                 # sources src8/src19 — F.floor diverged by one e4 step
+                 # there), so integer division is the cross-engine-exact
+                 # op for any sign; the +count(*) bias makes it HALF-UP
+                 # for the non-negative case like _ratio_e4
+                 (F.expr("(2 * sum(z_e4) + count(*)) div (2 * count(*))")
+                  / 10000.0).alias("avg_margin"))
+            .orderBy("source"))
