@@ -97,7 +97,8 @@ def _apply_merge(symbols: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(df: DataFrame, n_merges: int = 10,
-              text_col: str = "text") -> list[tuple[str, str]]:
+              text_col: str = "text",
+              min_freq: int = 1) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a document corpus. Returns the
     ordered merge list [(a, b), ...] — the tokenizer model artifact.
 
@@ -105,8 +106,18 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
     (a, b), so the learned merges are identical on any engine, cluster
     size, or partitioning (pytest-asserted equal to an independent
     single-process reference implementation on the same word counts).
+
+    ``min_freq`` is the production knob for web-scale vocabularies: a
+    crawl's word table is vocab-bounded but heavy-tailed (typos, ids,
+    URLs — hundreds of millions of singletons), and every merge round
+    touches the whole table. Pruning words below ``min_freq`` (every
+    real trainer does this; HF tokenizers' ``min_frequency``) shrinks
+    the per-round table by the tail's share while barely moving the
+    pair counts the argmax reads — singletons contribute ≤ min_freq-1
+    to any pair.
     """
     vocab = (word_freq_table(df, text_col)
+             .filter(F.col("freq") >= min_freq)
              .select("word", "freq",
                      _initial_symbols(F.col("word")).alias("symbols"))
              .localCheckpoint(eager=True))

@@ -933,3 +933,20 @@ def test_ivf_pq_recall_reaches_probe_ceiling(spark):
     assert r_pq >= r_ivf - 1e-9, (r_pq, r_ivf)
     assert r_pq >= 0.6, r_pq
     assert r_pq >= r_raw
+
+
+def test_bpe_min_freq_prunes_tail_only(spark, docs):
+    """The min_freq production knob: pruning the word-frequency tail
+    changes the trained merges exactly as the reference trainer with the
+    same pruned counts — and with a tail-free corpus it changes nothing."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    sample = docs.filter(F.col("doc_id") < 60)
+    freqs = {r["word"]: r["freq"]
+             for r in TOK.word_freq_table(sample).collect()}
+    pruned = {w: f for w, f in freqs.items() if f >= 3}
+    got = TOK.bpe_train(sample, n_merges=6, min_freq=3)
+    assert got == TOK.py_bpe_reference(pruned, 6)
+    # min_freq=1 is the identity knob
+    assert TOK.bpe_train(sample, n_merges=6) == \
+        TOK.py_bpe_reference(freqs, 6)

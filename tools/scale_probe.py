@@ -227,6 +227,22 @@ def main() -> None:
                              & (F.col("span_len") >= 40)).count())
             record("exact_substring_spans", n, sec, planted_ok=(found >= 50))
 
+        # BPE induction: the corpus pass is the only corpus-sized work;
+        # merge rounds operate on the vocab table (5k synthetic words —
+        # CONSTANT as the corpus grows), so time stays flat while the
+        # corpus grows 12x. (Merges themselves are NOT expected to be
+        # identical across steps: word frequencies are sampled, so
+        # near-tied pair counts flip with corpus size — determinism is
+        # per-corpus, pinned against the reference trainer in pytest.)
+        from flow_pipeline_spark.operators.tokenizer import bpe_train
+        for n in doc_steps[:3]:
+            docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                eager=True)
+            t0 = time.perf_counter()
+            merges = bpe_train(docs, n_merges=4)
+            record("bpe_train_4merges", n, time.perf_counter() - t0,
+                   planted_ok=(len(merges) == 4))
+
         # product-quantization ANN: codebooks train once per step (m=16
         # subspaces in one mapInPandas pass per round), the corpus scans
         # as 16-byte codes. Measures the ADC+refine query path; recall
