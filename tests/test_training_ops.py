@@ -950,3 +950,60 @@ def test_bpe_min_freq_prunes_tail_only(spark, docs):
     # min_freq=1 is the identity knob
     assert TOK.bpe_train(sample, n_merges=6) == \
         TOK.py_bpe_reference(freqs, 6)
+
+
+def _py_repeated_spans(texts: dict[int, str], k: int):
+    """Independent single-process reference of repeated_span_table
+    (keep_first): stride-1 k-gram index -> cross-doc repeated grams ->
+    flag positions whose gram exists in a smaller-id doc -> merge
+    positions with gap <= k into maximal spans."""
+    grams: dict[str, list[int]] = {}
+    toks = {d: t.split() for d, t in texts.items()}
+    for d, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[p:p + k]), []).append(d)
+    spans = set()
+    for d, ts in toks.items():
+        hits = []
+        for p in range(len(ts) - k + 1):
+            docs = grams[" ".join(ts[p:p + k])]
+            if min(docs) < d:
+                hits.append(p + 1)          # 1-based
+        hits.sort()
+        start = None
+        prev = None
+        for p in hits:
+            if start is None:
+                start, prev = p, p
+            elif p - prev > k:
+                spans.add((d, start, prev + k - 1 - start + 1))
+                start, prev = p, p
+            else:
+                prev = p
+        if start is not None:
+            spans.add((d, start, prev + k - 1 - start + 1))
+    return spans
+
+
+def test_repeated_spans_property(spark):
+    """Property: the distributed span finder equals the reference on
+    random corpora with engineered overlaps (small vocab forces shared
+    k-grams, shared prefixes/suffixes force span merges)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+    corpora = st.lists(doc, min_size=2, max_size=6)
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpora=corpora)
+    def check(corpora):
+        texts = {i: t for i, t in enumerate(corpora)}
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_len"])
+               for r in D.repeated_span_table(df, k=3).collect()}
+        assert got == _py_repeated_spans(texts, 3), texts
+
+    check()
