@@ -1096,6 +1096,7 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                n_cells: int = 16, nprobe: int = 6, m: int = 16,
                ks: int = 64, n_iter: int = 3,
                rerank: bool = True, shortlist: int | None = None,
+               centroids: list[list[float]] | None = None,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """The full FAISS-style IVF-PQ pipeline: coarse cells prune the scan
@@ -1117,8 +1118,11 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     books = pq_train(corpus, m=m, ks=ks, n_iter=n_iter,
                      vec_col=vec_col, id_col=id_col)
     codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    # centroids=None -> ivf_assign's hash-strided sampled quantizer;
+    # pass kmeans_fit output for the trained coarse quantizer (same
+    # contract as ivf_knn — plan shape unchanged, recall knob only)
     cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
-                                vec_col=vec_col)
+                                vec_col=vec_col, centroids=centroids)
     codes_cells = codes.join(
         assigned.select(id_col, "cell"), id_col)
 

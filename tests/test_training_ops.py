@@ -1007,3 +1007,18 @@ def test_repeated_spans_property(spark):
         assert got == _py_repeated_spans(texts, 3), texts
 
     check()
+
+
+def test_ivf_pq_with_trained_centroids(spark):
+    """IVF-PQ accepts kmeans_fit centroids as its coarse quantizer (the
+    ivf_knn contract) and still clears the refined-recall floor."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_fit(emb, n_cells=16, n_iter=2)
+    brute = {(r["q"], r["n"])
+             for r in S.brute_knn(emb, queries, k=5).collect()}
+    got = {(r["q"], r["n"])
+           for r in S.ivf_pq_knn(emb, queries, k=5, n_cells=16, nprobe=8,
+                                 m=16, ks=64, shortlist=40,
+                                 centroids=cents).collect()}
+    assert len(brute & got) / len(brute) >= 0.5
