@@ -637,6 +637,13 @@ def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
     without shifting in-batch survivors.
     """
     digest = F.md5(normalize_text(F.col(text_col)))
-    hist = history.select(digest.alias(hash_col)).distinct()
+    # history may be raw documents OR the stored digest table itself (a
+    # frame already carrying hash_col) — the persisted-artifact form the
+    # docstring describes, exercised end-to-end in
+    # test_incremental_store_lifecycle_end_to_end
+    if hash_col in history.columns:
+        hist = history.select(hash_col).distinct()
+    else:
+        hist = history.select(digest.alias(hash_col)).distinct()
     return (new_batch.withColumn(hash_col, digest)
             .join(hist, hash_col, "left_anti"))

@@ -1022,3 +1022,92 @@ def test_ivf_pq_with_trained_centroids(spark):
                                  m=16, ks=64, shortlist=40,
                                  centroids=cents).collect()}
     assert len(brute & got) / len(brute) >= 0.5
+
+
+def test_incremental_store_lifecycle_end_to_end(spark, docs, tmp_path):
+    """The stored-artifact claim made concrete: ingest batch 1, PERSIST
+    all three dedup stores (digest / MinHash band / semantic cell) as
+    parquet; ingest batch 2 against the read-back stores (exact replays,
+    near echoes, semantic near-dups all caught; fresh content passes);
+    append batch 2's rows to the stores; batch 3 then dedupes against
+    the UNION — history text is never re-read at any step."""
+    from flow_pipeline_spark.operators.similarity import (
+        hashed_tf_embed_native, incremental_semantic_dedup,
+        semantic_store)
+    from flow_pipeline_spark.operators.text import normalize_text
+
+    b1 = docs.filter(F.col("doc_id") < 200)
+    b2_fresh = docs.filter((F.col("doc_id") >= 200)
+                           & (F.col("doc_id") < 260))
+    b3_fresh = docs.filter((F.col("doc_id") >= 300)
+                           & (F.col("doc_id") < 330))
+
+    digest_p = str(tmp_path / "digests")
+    band_p = str(tmp_path / "bands")
+    sem_p = str(tmp_path / "semantic")
+
+    # --- ingest 1: curate + persist the three stores -------------------
+    (b1.select(F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+     .distinct().write.parquet(digest_p))
+    D.minhash_band_table(b1, n_hashes=8, bands=4, k=3) \
+        .write.parquet(band_p)
+    emb1 = hashed_tf_embed_native(b1).select("doc_id", "embedding")
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in emb1.orderBy("doc_id").limit(8).collect()]
+    semantic_store(emb1, cents, id_col="doc_id") \
+        .write.partitionBy("cell").parquet(sem_p)
+
+    # --- ingest 2 against the READ-BACK stores -------------------------
+    replays = (b1.filter(F.col("doc_id") < 10)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    echoes = (b1.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+              .select((F.col("doc_id") + 110000).alias("doc_id"),
+                      F.concat("text", F.lit(" tail z")).alias("text")))
+    batch2 = b2_fresh.unionByName(replays.select(*b2_fresh.columns)) \
+        .unionByName(echoes.select(*b2_fresh.columns))
+
+    digests = spark.read.parquet(digest_p)
+    survivors = D.incremental_dedup(batch2, digests)
+    ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert not any(200000 > i >= 100000 and i < 110000 for i in ids)
+    assert all(i not in ids for i in range(100000, 100010)), \
+        "an exact replay survived the persisted digest store"
+
+    bands = spark.read.parquet(band_p)
+    near = D.incremental_near_dup(survivors, bands,
+                                  n_hashes=8, bands=4, k=3)
+    near_ids = {r["new_id"] for r in near.collect()}
+    assert len(near_ids & {110000 + i for i in range(10, 20)}) >= 9, \
+        "near echoes escaped the persisted band store"
+
+    sem = spark.read.parquet(sem_p)
+    emb2 = hashed_tf_embed_native(survivors).select("doc_id", "embedding")
+    sem_hits = incremental_semantic_dedup(emb2, sem, cents,
+                                          threshold=0.98, id_col="doc_id")
+    sem_ids = {r["new_id"] for r in sem_hits.collect()}
+    assert len(sem_ids & {110000 + i for i in range(10, 20)}) >= 9, \
+        "near echoes escaped the persisted semantic store"
+    clean2 = survivors.join(
+        near.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+    clean2_ids = {r["doc_id"] for r in clean2.select("doc_id").collect()}
+    fresh_ids = {r["doc_id"] for r in b2_fresh.select("doc_id").collect()}
+    # candidacy-based dropping may catch the odd ORGANIC band collision
+    # (callers verify with exact Jaccard when history text is reachable
+    # — the jaccard_pairs contract); tolerate a couple, never the bulk
+    assert len(fresh_ids & clean2_ids) >= len(fresh_ids) - 2, \
+        sorted(fresh_ids - clean2_ids)
+
+    # --- append ingest 2 to the stores; ingest 3 sees the union --------
+    (clean2.select(F.md5(normalize_text(F.col("text")))
+                   .alias("content_hash"))
+     .distinct().write.mode("append").parquet(digest_p))
+    replay_of_2 = (b2_fresh.limit(5)
+                   .withColumn("doc_id", F.col("doc_id") + 200000))
+    batch3 = b3_fresh.unionByName(replay_of_2)
+    survivors3 = D.incremental_dedup(
+        batch3, spark.read.parquet(digest_p))
+    ids3 = {r["doc_id"] for r in survivors3.select("doc_id").collect()}
+    assert all(i < 200000 for i in ids3), \
+        "a replay of batch 2 survived the appended digest store"
+    assert {r["doc_id"] for r in b3_fresh.collect()} <= ids3
