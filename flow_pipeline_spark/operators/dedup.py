@@ -494,17 +494,23 @@ def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,
 def repeated_span_table(df: DataFrame, k: int = 8,
                         text_col: str = "text", id_col: str = "doc_id", *,
                         keep_first: bool = True,
+                        include_within_doc: bool = False,
                         hash_fn: str = "md5") -> DataFrame:
-    """Maximal cross-document repeated ≥k-token spans →
-    (id, span_start, span_len), token positions 1-based.
+    """Maximal repeated ≥k-token spans → (id, span_start, span_len),
+    token positions 1-based.
 
-    A position p in doc d is DUPLICATED iff the k-token window starting
-    at p also occurs in some other document — with ``keep_first`` (the
-    Lee-et-al. keep-one-occurrence rule) only when some SMALLER-id doc
-    contains it, so each repeated span's canonical (min-id) occurrence is
-    never flagged and survives scrubbing. Overlapping/adjacent duplicated
-    positions (gap ≤ k) merge into one maximal span via a per-doc window
-    (gaps-and-islands).
+    Default scope is CROSS-DOCUMENT: a position p in doc d is DUPLICATED
+    iff the k-token window starting at p also occurs in some other
+    document — with ``keep_first`` (the Lee-et-al. keep-one-occurrence
+    rule) only when some SMALLER-id doc contains it, so each repeated
+    span's canonical (min-id) occurrence is never flagged and survives
+    scrubbing. ``include_within_doc=True`` widens the scope to the full
+    ExactSubstr rule (Lee et al. 2022 also remove duplicates repeated
+    WITHIN one document): any k-gram with ≥2 occurrences anywhere is
+    repeated, and ``keep_first`` keeps only the globally first
+    occurrence (min (doc, pos)) — a self-repeating doc now flags its own
+    later copies. Overlapping/adjacent duplicated positions (gap ≤ k)
+    merge into one maximal span via a per-doc window (gaps-and-islands).
 
     Scale shape (why this survives 100 TB where a suffix array cannot):
     the fingerprint explode is a narrow generator (one md5 per token
@@ -541,14 +547,30 @@ def repeated_span_table(df: DataFrame, k: int = 8,
     # job at plan-build time (the duplicate_clusters precedent).
     chunks = chunks.localCheckpoint(eager=False)
 
-    # cross-doc repeated ⇔ the fp's doc set has ≥2 members ⇔ min≠max —
-    # two cheap partial-aggregating mins/maxes, no countDistinct shuffle
-    rep = (chunks.groupBy("fp")
-           .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
-           .filter(F.col("_mx") > F.col("_mn")))
-    hits = chunks.join(rep, "fp")
-    if keep_first:
-        hits = hits.filter(F.col(id_col) > F.col("_mn"))
+    if include_within_doc:
+        # repeated ⇔ ≥2 occurrences anywhere; canonical = the globally
+        # first occurrence, min over (doc, pos) — one partial-aggregating
+        # min(struct) + count, still no countDistinct shuffle
+        rep = (chunks.groupBy("fp")
+               .agg(F.count("*").alias("_cnt"),
+                    F.min(F.struct(F.col(id_col).alias("d"),
+                                   F.col("pos").alias("p")))
+                    .alias("_first"))
+               .filter(F.col("_cnt") >= 2))
+        hits = chunks.join(rep, "fp")
+        if keep_first:
+            hits = hits.filter(~((F.col(id_col) == F.col("_first.d"))
+                                 & (F.col("pos") == F.col("_first.p"))))
+    else:
+        # cross-doc repeated ⇔ the fp's doc set has ≥2 members ⇔ min≠max
+        # — two cheap partial-aggregating mins/maxes, no countDistinct
+        # shuffle
+        rep = (chunks.groupBy("fp")
+               .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+               .filter(F.col("_mx") > F.col("_mn")))
+        hits = chunks.join(rep, "fp")
+        if keep_first:
+            hits = hits.filter(F.col(id_col) > F.col("_mn"))
     hits = hits.select(id_col, "pos")
 
     # gaps-and-islands: break a span when the next duplicated position
@@ -609,7 +631,8 @@ def remove_repeated_spans(df: DataFrame, spans: DataFrame,
 
 def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
                       text_col: str = "text",
-                      hash_col: str = "content_hash") -> DataFrame:
+                      hash_col: str = "content_hash",
+                      history_is_digests: bool = False) -> DataFrame:
     """Dedup a NEW ingest batch against an already-curated historical
     corpus: keep only new docs whose normalized-content digest does not
     already exist in history.
@@ -627,6 +650,16 @@ def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
     digest; when the digest set fits the broadcast threshold AQE turns it
     into a broadcast anti-join with zero shuffle on the batch side.
 
+    ``history`` is raw documents by default (digests are computed from
+    its ``text_col``); pass ``history_is_digests=True`` when handing the
+    PERSISTED digest table itself (a frame whose ``hash_col`` holds the
+    md5-of-normalized-text digests — the stored-artifact form exercised
+    in test_incremental_store_lifecycle_end_to_end). The flag is
+    EXPLICIT on purpose: sniffing ``hash_col in history.columns`` would
+    silently treat a raw frame that happens to carry a stale or
+    differently-normalized ``content_hash`` column as a digest table
+    and miss duplicates.
+
     Returns ``new_batch`` + ``hash_col``, filtered to content not already
     in history. Duplicates WITHIN the new batch are deliberately NOT
     collapsed here (compose with :func:`exact_dedup` on the batch side, or
@@ -637,13 +670,19 @@ def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
     without shifting in-batch survivors.
     """
     digest = F.md5(normalize_text(F.col(text_col)))
-    # history may be raw documents OR the stored digest table itself (a
-    # frame already carrying hash_col) — the persisted-artifact form the
-    # docstring describes, exercised end-to-end in
-    # test_incremental_store_lifecycle_end_to_end
-    if hash_col in history.columns:
+    if history_is_digests:
+        if hash_col not in history.columns:
+            raise ValueError(
+                f"history_is_digests=True but history has no "
+                f"'{hash_col}' column (columns: {history.columns})")
         hist = history.select(hash_col).distinct()
     else:
+        if text_col not in history.columns:
+            raise ValueError(
+                f"history has no '{text_col}' column to digest "
+                f"(columns: {history.columns}); pass "
+                f"history_is_digests=True if this is the stored "
+                f"digest table")
         hist = history.select(digest.alias(hash_col)).distinct()
     return (new_batch.withColumn(hash_col, digest)
             .join(hist, hash_col, "left_anti"))

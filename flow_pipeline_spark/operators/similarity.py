@@ -1189,38 +1189,47 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
 def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
     """Map-side semantic-duplicate gate for STREAMING pipelines: collect
-    the (cell, embedding) store once (normalized, grouped by cell) and
-    return a pandas UDF ``(embedding, cell) -> bool`` that GEMM-verifies
-    each row against its cell's store rows — the streaming-safe form of
-    :func:`incremental_semantic_dedup` (no join, no aggregation, so it
-    composes with append-mode watermark stages). HALF-UP 4dp rounding
-    matches the batch verify. For stores beyond driver memory, use the
-    distributed batch operator inside foreachBatch instead."""
+    the (cell, embedding) store once (grouped by cell, RAW — not
+    pre-normalized) and return a pandas UDF ``(embedding, cell) -> bool``
+    that GEMM-verifies each row against its cell's store rows — the
+    streaming-safe form of :func:`incremental_semantic_dedup` (no join,
+    no aggregation, so it composes with append-mode watermark stages).
+
+    Cosine is computed with the SAME operand order as the batch verify
+    (raw dot product, then divided by the product of the two norms —
+    ``(hm @ x) / (hn * xn)``, the incremental_semantic_dedup per_cell
+    form) before HALF-UP 4dp rounding: pre-normalizing and dotting unit
+    vectors can differ in the last ulp, which could flip the rounded
+    threshold comparison at an exact boundary and break the pinned
+    gate ≡ batch equivalence. For stores beyond driver memory, use the
+    distributed batch operator inside foreachBatch instead
+    (``start_document_qc_stream`` switches automatically on
+    ``semantic_driver_max_store_rows``)."""
     import numpy as np
 
-    mats: dict[int, "np.ndarray"] = {}
+    rows: dict[int, list[list[float]]] = {}
     for r in store.select("cell", "embedding").collect():
-        mats.setdefault(int(r["cell"]), []).append(
+        rows.setdefault(int(r["cell"]), []).append(
             [float(x) for x in r["embedding"]])
-    for c, vs in list(mats.items()):
+    mats: dict[int, tuple["np.ndarray", "np.ndarray"]] = {}
+    for c, vs in rows.items():
         m = np.array(vs, dtype="float64")
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        mats[c] = m
+        n = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        mats[c] = (m, n)
 
     @pandas_udf(T.BooleanType())
     def _sem_dup(emb: pd.Series, cell: pd.Series) -> pd.Series:
         out = []
         for v, c in zip(emb, cell):
-            m = mats.get(int(c))
-            if m is None:
+            hit = mats.get(int(c))
+            if hit is None:
                 out.append(False)
                 continue
+            m, hn = hit
             x = np.array(v, dtype="float64")
-            n = np.linalg.norm(x)
-            if n == 0:
-                out.append(False)
-                continue
-            cos = m @ (x / n)
+            xn = max(np.linalg.norm(x), 1e-300)
+            # raw dot / (norm · norm) — the batch verify's operand order
+            cos = (m @ x) / (hn * xn)
             # HALF-UP at 4dp — the batch verify's rounding
             cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
             out.append(bool((cos >= threshold).any()))

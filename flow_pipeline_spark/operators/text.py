@@ -362,21 +362,25 @@ def classifier_score(z: Column) -> Column:
 C4_TERMINAL = (".", "!", "?", '"')
 
 
-def _line_kept(line: Column) -> Column:
-    """C4 line rules: ends in terminal punctuation, has ≥3 words, and does
-    not mention javascript (case-insensitive)."""
+def _line_kept(line: Column, min_words: int = 5) -> Column:
+    """C4 line rules: ends in terminal punctuation, has ≥``min_words``
+    words, and does not mention javascript (case-insensitive). Default 5,
+    the paper's threshold (Raffel et al. 2020 §2.2: 'only retained lines
+    that ... contained at least 5 words')."""
     t = F.trim(line)
     return (F.substring(t, -1, 1).isin(*C4_TERMINAL)
-            & (F.size(F.split(t, r"\s+")) >= 3)
+            & (F.size(F.split(t, r"\s+")) >= min_words)
             & ~F.lower(t).contains("javascript"))
 
 
-def c4_clean_lines(text: Column) -> Column:
+def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
     """Array of surviving lines under the C4 line rules."""
-    return F.filter(F.split(text, "\n"), _line_kept)
+    return F.filter(F.split(text, "\n"),
+                    lambda line: _line_kept(line, min_words))
 
 
-def c4_page_dropped(text: Column, min_kept_lines: int = 5) -> Column:
+def c4_page_dropped(text: Column, min_kept_lines: int = 5,
+                    min_words: int = 5) -> Column:
     """C4 page-level verdict: drop pages containing '{' or 'lorem ipsum',
     or retaining fewer than ``min_kept_lines`` lines after the line rules
     (C4 uses 'fewer than 3 sentences'; the line proxy keeps the rule a
@@ -384,11 +388,11 @@ def c4_page_dropped(text: Column, min_kept_lines: int = 5) -> Column:
     low = F.lower(text)
     return (low.contains("{")
             | low.contains("lorem ipsum")
-            | (F.size(c4_clean_lines(text)) < min_kept_lines))
+            | (F.size(c4_clean_lines(text, min_words)) < min_kept_lines))
 
 
 def c4_filter(df: DataFrame, text_col: str = "text",
-              min_kept_lines: int = 5) -> DataFrame:
+              min_kept_lines: int = 5, min_words: int = 5) -> DataFrame:
     """Apply the C4 cleanup: per-line edit + page verdict. Adds
     ``c4_text`` (kept lines re-joined with newlines) and ``c4_dropped``.
     Scale: pure per-row expressions — fuses into the scan, zero shuffle,
@@ -396,9 +400,9 @@ def c4_filter(df: DataFrame, text_col: str = "text",
     op, exactly where C4 runs it."""
     t = F.col(text_col)
     return (df.withColumn("c4_text",
-                          F.array_join(c4_clean_lines(t), "\n"))
+                          F.array_join(c4_clean_lines(t, min_words), "\n"))
             .withColumn("c4_dropped",
-                        c4_page_dropped(t, min_kept_lines)))
+                        c4_page_dropped(t, min_kept_lines, min_words)))
 
 
 # --- Gopher quality rules (Rae et al. 2021, Table A1) ------------------------

@@ -676,6 +676,14 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+# Shared 12-token paragraph planted into docs 10-29 — the boilerplate /
+# license-block shape ExactSubstr exists to remove. Long enough for five
+# k=8 windows to land fully inside it; boundary windows straddle each
+# host doc's own tail, so they (correctly) never match across docs.
+_SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
+                 "golf hotel india juliet kilo lima")
+
+
 _GRAMS5 = (f"list_transform(range(1, len({_TOKS})-3), "
            f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]"
            f" || ' ' || {_TOKS}[i+3] || ' ' || {_TOKS}[i+4])")
@@ -852,18 +860,65 @@ def corpus_curation(spark, sf_dir):
       SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
       UNION ALL
       SELECT doc_id + 200000, text || ' ' || text
-      FROM documents WHERE doc_id < 30),
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 300000, text || ' __SPANLIT__'
+      FROM documents WHERE doc_id >= 10 AND doc_id < 30),
     len_gated AS (
-      SELECT doc_id, text, len({_TOKS}) AS n_tokens
+      SELECT doc_id, text
       FROM corpus WHERE len({_TOKS}) >= 10),
     rep_gated AS (
-      SELECT doc_id, text, n_tokens FROM len_gated
+      SELECT doc_id, text FROM len_gated
       WHERE (1.0 - len(list_distinct({_GRAMS5}))
                    / greatest(len({_GRAMS5}), 1)) <= 0.3),
+    tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM rep_gated),
+    gpos AS (
+      SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
+      FROM tk WHERE len(t) >= 8),
+    fps AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM gpos),
+    rep AS (
+      SELECT fp, min(doc_id) AS mn FROM fps
+      GROUP BY fp HAVING max(doc_id) > min(doc_id)),
+    hits AS (
+      SELECT f.doc_id, f.pos FROM fps f JOIN rep r ON r.fp = f.fp
+      WHERE f.doc_id > r.mn),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island),
+    positions AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS p FROM tk),
+    kept_pos AS (
+      SELECT po.doc_id, po.p FROM positions po
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = po.doc_id
+                          AND po.p BETWEEN s.s AND s.e)),
+    scrubbed AS (
+      SELECT k.doc_id,
+             string_agg(t[k.p], ' ' ORDER BY k.p) AS text,
+             count(*) AS n_tokens
+      FROM kept_pos k JOIN tk USING (doc_id) GROUP BY k.doc_id),
+    scrub_gated AS (
+      SELECT doc_id, text, n_tokens FROM scrubbed WHERE n_tokens >= 10),
     hashed AS (
       SELECT doc_id, text, n_tokens,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-      FROM rep_gated),
+      FROM scrub_gated),
     survivors AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
     kept AS (
       SELECT t.doc_id, t.text, t.n_tokens FROM survivors s
@@ -890,19 +945,24 @@ def corpus_curation(spark, sf_dir):
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM tagged GROUP BY split ORDER BY split
-    """,
-    doc="The COMPLETE curation composition, every round-2 gate chained in "
-        "one linear plan: length gate → repetition gate (dup-5-gram ≤0.3, "
-        "drops the 30 planted self-repeats) → exact dedup (drops the 50 "
-        "planted copies) → benchmark-contamination screen (drops eval-set "
-        "members, bench = docs 0-4) → deterministic split → per-split "
-        "stats. Plan shape: the two per-row gates run inside the scan "
-        "projection BEFORE any shuffle; the wide ops are the 32-byte-"
-        "digest dedup shuffle, one narrow per-doc overlap count against "
-        "the broadcast benchmark shingles, and the final 2-group "
-        "aggregate. Documents themselves cross the wire exactly once "
-        "(into the dedup shuffle); at 100 TB swap that for the digest-only "
-        "form in corpus_curation.",
+    """.replace("__SPANLIT__", _SPAN_LITERAL),
+    doc="The COMPLETE curation composition, every gate chained in one "
+        "linear plan, now including the ExactSubstr pass in the order "
+        "Lee et al. 2022 prescribe (span-level dedup BEFORE document-"
+        "level dedup): length gate → repetition gate (dup-5-gram ≤0.3, "
+        "drops the 30 planted self-repeats) → exact-substring span "
+        "scrub (repeated_span_table + remove_repeated_spans, k=8 — the "
+        "50 planted full-document copies are 100pc-covered cross-doc "
+        "spans and scrub to empty; the 20 planted boilerplate-tailed "
+        "recrawls lose body AND tail to their canonical sources) → "
+        "post-scrub length re-gate (≥10 surviving tokens) → exact dedup "
+        "on the SCRUBBED digest → benchmark-contamination screen (bench "
+        "= docs 0-4) → deterministic split → per-split stats over "
+        "post-scrub token counts. Plan shape: per-row gates fuse into "
+        "the scan; the span stage adds exactly one corpus-wide shuffle "
+        "(the partial-aggregated fingerprint groupBy) and a hits-only "
+        "window; then the 32-byte-digest dedup shuffle, the broadcast "
+        "benchmark-shingle overlap, and the final 2-group aggregate.",
 )
 def curation_full_pipeline(spark, sf_dir):
     from ..operators.text import normalize_text, shingles, token_count
@@ -913,18 +973,32 @@ def curation_full_pipeline(spark, sf_dir):
     rep_copies = (d.filter(F.col("doc_id") < 30)
                   .select((F.col("doc_id") + 200000).alias("doc_id"),
                           F.concat_ws(" ", "text", "text").alias("text")))
+    span_copies = (d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+                   .select((F.col("doc_id") + 300000).alias("doc_id"),
+                           F.concat(F.col("text"),
+                                    F.lit(" " + _SPAN_LITERAL))
+                           .alias("text")))
     corpus = d.select("doc_id", "text").unionByName(exact_copies) \
-        .unionByName(rep_copies)
+        .unionByName(rep_copies).unionByName(span_copies)
 
     grams = shingles(F.col("text"), 5)
     dup_ratio = (1.0 - F.size(F.array_distinct(grams))
                  / F.greatest(F.size(grams), F.lit(1)))
     gated = (corpus
-             .withColumn("n_tokens", token_count(F.col("text")))
-             .filter(F.col("n_tokens") >= 10)
-             .filter(dup_ratio <= 0.3))
+             .filter(token_count(F.col("text")) >= 10)
+             .filter(dup_ratio <= 0.3)
+             .select("doc_id", "text"))
 
-    hashed = gated.select(
+    # ExactSubstr stage: span-level dedup before document-level dedup
+    spans = D.repeated_span_table(gated, k=8)
+    scrub = D.remove_repeated_spans(gated, spans)
+    scrub = (scrub.withColumn(
+        "n_tokens",
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(token_count(F.col("text"))))
+        .filter(F.col("n_tokens") >= 10))
+
+    hashed = scrub.select(
         "doc_id", "text", "n_tokens",
         F.md5(normalize_text(F.col("text"))).alias("h"))
     survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -1661,14 +1735,6 @@ def incremental_near_dup(spark, sf_dir):
             .orderBy("new_id", "hist_id"))
 
 
-# Shared 12-token paragraph planted into docs 10-29 — the boilerplate /
-# license-block shape ExactSubstr exists to remove. Long enough for five
-# k=8 windows to land fully inside it; boundary windows straddle each
-# host doc's own tail, so they (correctly) never match across docs.
-_SPAN_LITERAL = ("alpha bravo charlie delta echo foxtrot "
-                 "golf hotel india juliet kilo lima")
-
-
 # Shared span-CTE chain for the two ExactSubstr oracles below (corpus
 # with the planted 20-doc boilerplate tail -> tokens -> stride-1 k=8
 # fingerprints -> cross-doc repeated fps (min-doc) -> keep_first hits ->
@@ -1957,7 +2023,7 @@ def incremental_semantic_dedup_query(spark, sf_dir):
       SELECT doc_id, page, len(lines) AS n_lines,
              list_filter(lines, l ->
                right(trim(l), 1) IN ('.', '!', '?', '"')
-               AND len(string_split_regex(trim(l), '\s+')) >= 3
+               AND len(string_split_regex(trim(l), '\s+')) >= 5
                AND NOT contains(lower(l), 'javascript')) AS keep_lines
       FROM split)
     SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
@@ -1970,7 +2036,8 @@ def incremental_semantic_dedup_query(spark, sf_dir):
     """,
     doc="C4 line-level cleanup (Raffel et al. 2020 §2.2; "
         "operators/text.py c4_filter): pages are edited LINE-BY-LINE "
-        "(keep lines ending in terminal punctuation with >=3 words and "
+        "(keep lines ending in terminal punctuation with >=5 words — "
+        "the paper's threshold, exposed as the min_words knob — and "
         "no 'javascript') before page verdicts ('{', 'lorem ipsum', or "
         "too few surviving lines drop the page). The corpus has no "
         "newlines, so multi-line pages are constructed deterministically "

@@ -278,11 +278,21 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
     database ingests the staged files server-side — no per-row driver
     loop anywhere). Against the reference's Postgres the identical
     contract is ``df.write.jdbc`` into a per-epoch staging TABLE and
-    ``INSERT .. SELECT`` from it inside the same ledger transaction;
-    only the two staging lines change. The driver-side
-    :func:`exactly_once_batch_writer` remains the small-batch special
-    case (dashboard-rate streams, where one extra fsync per 100 rows
-    beats a distributed write's task overhead).
+    ``INSERT .. SELECT`` from it inside the same ledger transaction —
+    that literal form is :func:`exactly_once_staged_jdbc_writer`. The
+    driver-side :func:`exactly_once_batch_writer` remains the
+    small-batch special case (dashboard-rate streams, where one extra
+    fsync per 100 rows beats a distributed write's task overhead).
+
+    SHARED-FILESYSTEM REQUIREMENT: ``stage_dir`` must be visible to both
+    the executors (which write it) and this driver-side committer (which
+    globs and ingests it) — on a multi-node cluster that means shared
+    storage (HDFS/NFS/object store via a mounted path), exactly like a
+    checkpoint location. A local-disk stage_dir on a real cluster would
+    stage on each executor's disk and glob nothing on the driver; the
+    guard below turns that misconfiguration (and any partial stage) into
+    a raised error BEFORE the ledger mark, never a silently-empty commit
+    that exactly-once would then pin forever.
     """
     import glob
     import shutil
@@ -291,9 +301,17 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = list(batch_df.columns)
+        batch_has_rows = not batch_df.isEmpty()
         epoch_dir = os.path.join(stage_dir, f"epoch={batch_id}")
         batch_df.write.mode("overwrite").parquet(epoch_dir)
         parts = glob.glob(os.path.join(epoch_dir, "*.parquet"))
+        if batch_has_rows and not parts:
+            raise RuntimeError(
+                f"staged epoch {batch_id} is non-empty but no parquet "
+                f"parts are visible at {epoch_dir} — stage_dir must be "
+                f"on storage shared between executors and the driver "
+                f"(see exactly_once_staged_writer docstring); refusing "
+                f"to mark the ledger and silently drop the batch")
         con = con_factory()
         try:
             con.execute("BEGIN")
@@ -315,11 +333,19 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
                     files_sql = "[" + ", ".join(
                         "'" + p.replace("'", "''") + "'"
                         for p in parts) + "]"
-                    con.execute(
+                    staged = con.execute(
+                        f"SELECT count(*) FROM read_parquet({files_sql})"
+                    ).fetchone()[0]
+                    inserted = con.execute(
                         f"INSERT INTO {table} ({collist}, batch_id) "
                         f"SELECT {collist}, ? "
                         f"FROM read_parquet({files_sql})",
-                        [batch_id])
+                        [batch_id]).fetchone()[0]
+                    if inserted != staged:
+                        raise RuntimeError(
+                            f"epoch {batch_id}: staged {staged} rows but "
+                            f"inserted {inserted} — aborting before the "
+                            f"ledger mark (txn rolls back)")
                 con.execute(
                     f"INSERT INTO {ledger} VALUES (?, current_timestamp)",
                     [batch_id])
@@ -337,23 +363,149 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
     return write_batch
 
 
+def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
+                                    ledger_table: str | None = None,
+                                    driver: str | None = None,
+                                    stage_table: str | None = None,
+                                    create_table_column_types: str | None
+                                    = None):
+    """W2, distributed form over a REAL JDBC target — the literal shape
+    of the reference's Postgres path (inserter.go:95-106: COPY into the
+    table inside a transaction): executors bulk-write each micro-batch
+    into a staging TABLE with a fully distributed ``df.write.jdbc``
+    (each task opens its own connection to the database — no shared
+    filesystem required, no row through the driver), then one driver
+    transaction performs the identical ledger contract as
+    :func:`exactly_once_staged_writer`:
+
+        executors:  batch_df.write.jdbc(url, <stage>, overwrite)
+        driver txn: ledger has N? -> COMMIT (skip replay)
+                    DELETE target WHERE batch_id = N
+                    INSERT INTO target SELECT *, N FROM <stage>
+                    INSERT ledger(N); COMMIT
+
+    The staging write is idempotent (``mode("overwrite")`` recreates the
+    stage table per attempt), and the same staged-vs-inserted row-count
+    guard aborts BEFORE the ledger mark on any mismatch. The driver-side
+    transaction runs over ``java.sql`` through the live SparkSession's
+    JVM gateway, so one code path serves embedded Derby (in-repo e2e
+    test — the jar ships with Spark) and a networked Postgres (swap the
+    URL + driver class; the SQL is ANSI).
+
+    ``create_table_column_types`` passes through to the Spark JDBC
+    writer's option of the same name (e.g. ``"src_ip VARCHAR(64)"``) —
+    dialects that map StringType to CLOB/TEXT (Derby does) may need it
+    so stage-column types match the target's. Identifiers are quoted
+    exactly as the Spark JDBC writer quotes them, so column-name case
+    survives case-folding dialects.
+    """
+    ledger = ledger_table or f"{table}_epoch_ledger"
+    stage = stage_table or f"{table}_stage"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = list(batch_df.columns)
+        has_rows = not batch_df.isEmpty()
+        spark = batch_df.sparkSession
+        jvm = spark._sc._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        if has_rows:
+            w = (batch_df.write.format("jdbc").mode("overwrite")
+                 .option("url", jdbc_url).option("dbtable", stage))
+            if driver:
+                w = w.option("driver", driver)
+            if create_table_column_types:
+                w = w.option("createTableColumnTypes",
+                             create_table_column_types)
+            w.save()
+        conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+
+            def one(sql: str) -> int:
+                rs = st.executeQuery(sql)
+                rs.next()
+                v = rs.getLong(1)
+                rs.close()
+                return v
+
+            try:
+                st.executeUpdate(
+                    f'CREATE TABLE {ledger} ("batch_id" BIGINT '
+                    f'PRIMARY KEY, "committed_at" TIMESTAMP)')
+            except Exception as e:  # no IF NOT EXISTS in Derby
+                if "X0Y32" not in str(e) and "already exists" not in str(e):
+                    raise
+            seen = one(f'SELECT count(*) FROM {ledger} '
+                       f'WHERE "batch_id" = {int(batch_id)}')
+            if seen:
+                conn.commit()       # replay: ledger says done — skip
+                return
+            st.executeUpdate(f'DELETE FROM {table} '
+                             f'WHERE "batch_id" = {int(batch_id)}')
+            if has_rows:
+                staged = one(f"SELECT count(*) FROM {stage}")
+                if staged == 0:
+                    raise RuntimeError(
+                        f"epoch {batch_id}: batch is non-empty but the "
+                        f"staging table {stage} holds 0 rows — refusing "
+                        f"to mark the ledger and drop the batch")
+                collist = ", ".join(f'"{c}"' for c in cols)
+                inserted = st.executeUpdate(
+                    f'INSERT INTO {table} ({collist}, "batch_id") '
+                    f"SELECT {collist}, {int(batch_id)} FROM {stage}")
+                if inserted != staged:
+                    raise RuntimeError(
+                        f"epoch {batch_id}: staged {staged} rows but "
+                        f"inserted {inserted} — aborting before the "
+                        f"ledger mark (txn rolls back)")
+            st.executeUpdate(f'INSERT INTO {ledger} VALUES '
+                             f"({int(batch_id)}, CURRENT_TIMESTAMP)")
+            conn.commit()
+            try:                    # post-commit hygiene; replay-safe
+                st.executeUpdate(f"DROP TABLE {stage}")
+                conn.commit()
+            except Exception:
+                pass
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+            raise
+        finally:
+            conn.close()
+
+    return write_batch
+
+
 def start_transactional_inserter(flows_stream: DataFrame, con_factory,
                                  table: str, checkpoint_dir: str, *,
                                  ledger_table: str | None = None,
                                  stage_dir: str | None = None,
+                                 jdbc_stage: dict | None = None,
                                  trigger: dict | None = None
                                  ) -> StreamingQuery:
     """S7/W1/W2 — the inserter with exactly-once delivery: the 14-column
-    projection through :func:`exactly_once_batch_writer` (default), or
+    projection through :func:`exactly_once_batch_writer` (default),
     through the distributed :func:`exactly_once_staged_writer` when
-    ``stage_dir`` is given (bulk backfills; rows never touch the driver).
+    ``stage_dir`` is given (bulk backfills; rows never touch the
+    driver), or through :func:`exactly_once_staged_jdbc_writer` when
+    ``jdbc_stage`` is given (kwargs for that writer, ``url`` required —
+    staging goes into a database TABLE via ``df.write.jdbc``, the
+    literal Postgres shape; ``con_factory`` is unused on this path).
     ``con_factory`` returns a fresh DB-API connection per epoch
     (duckdb.connect(path) in tests; psycopg2.connect(dsn) against the
     reference's Postgres). The target table needs the 14 projection
     columns plus ``batch_id BIGINT``.
     """
     projected = inserter_projection(flows_stream)
-    if stage_dir is not None:
+    if jdbc_stage is not None:
+        opts = dict(jdbc_stage)
+        batch_writer = exactly_once_staged_jdbc_writer(
+            opts.pop("url"), table, ledger_table=ledger_table, **opts)
+    elif stage_dir is not None:
         batch_writer = exactly_once_staged_writer(
             con_factory, table, stage_dir, ledger_table=ledger_table)
     else:
@@ -551,6 +703,7 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              semantic_store: DataFrame | None = None,
                              semantic_centroids: list | None = None,
                              semantic_threshold: float = 0.999,
+                             semantic_driver_max_store_rows: int = 100_000,
                              trigger: dict | None = None) -> StreamingQuery:
     """Continuous corpus curation — the training-data analog of the flows
     MV cascade: a document stream (crawl batches landing continuously)
@@ -581,17 +734,30 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
     ``operators.similarity.semantic_store``) + ``semantic_centroids``
     (the centroid set that built it) to ALSO drop documents that are
     SEMANTIC near-duplicates of the curated corpus — re-crawls with a
-    changed tail or byline that the digest anti-join cannot catch. The
-    stage is fully map-side, preserving the stream's append-mode shape:
-    each document embeds via the hashed-TF Arrow kernel (the real-encoder
-    swap point), assigns its cell against the broadcast centroid literal,
-    and a pandas UDF verifies cosine-vs-threshold against that cell's
-    store rows (collected once at stream start, normalized, grouped by
-    cell — the store is cells × occupancy vectors, the same
-    driver-resident footprint as kmeans centroids scaled by occupancy).
-    When the store outgrows driver memory, run the distributed batch form
-    (``incremental_semantic_dedup``, cell-partitioned store) inside a
-    foreachBatch sink instead — same verify arithmetic, pytest-asserted.
+    changed tail or byline that the digest anti-join cannot catch. Each
+    document embeds via the hashed-TF Arrow kernel (the real-encoder
+    swap point) and assigns its cell against the broadcast centroid
+    literal; the verify then takes one of two forms, switched on the
+    store's size:
+
+    - store ≤ ``semantic_driver_max_store_rows``: map-side pandas-UDF
+      gate (``semantic_gate_udf`` — the store collects once at stream
+      start, grouped by cell; batch-identical cosine operand order).
+      Zero per-batch join cost; right for dashboard-rate streams over a
+      bounded curated store.
+    - store > threshold: fully DISTRIBUTED verify — the store never
+      touches the driver. The batch operator's HOF arithmetic
+      (``incremental_semantic_dedup``, raw dot / norm product, HALF-UP
+      4dp) runs as a stream-static LEFT OUTER equi-join on ``cell``
+      with the cosine threshold in the join condition, followed by the
+      null filter — the stream-static-supported anti-join form this
+      module already uses for the digest history. A surviving document
+      matches NO store row, so it exits the join exactly once (no row
+      multiplication), which keeps the single streaming plan, the
+      watermark dedup, and the file sink's exactly-once intact — no
+      foreachBatch epoch-directory fallback needed. Per micro-batch the
+      store side shuffles (or partition-prunes, when persisted
+      partitioned by cell) only the probed cells' rows.
 
     Delivery: checkpointed file sink — exactly-once per batch id; a
     replayed micro-batch rewrites the same files.
@@ -620,19 +786,38 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                  .filter(F.col("_in_history").isNull())
                  .drop("_in_history"))
     if semantic_store is not None:
-        from ..operators.similarity import (assign_nearest_centroid,
+        from ..operators.similarity import (_cos_pre, _norm,
+                                            assign_nearest_centroid,
                                             hashed_tf_embed,
                                             semantic_gate_udf)
         if semantic_centroids is None:
             raise ValueError("semantic_store requires the centroid set "
                              "that built it (assignments are only "
                              "comparable within one centroid set)")
-        _sem_dup = semantic_gate_udf(semantic_store, semantic_threshold)
         gated = hashed_tf_embed(gated, text_col="text")
         gated = assign_nearest_centroid(gated, semantic_centroids)
-        gated = (gated
-                 .filter(~_sem_dup(F.col("embedding"), F.col("cell")))
-                 .drop("embedding", "cell"))
+        if semantic_store.count() <= semantic_driver_max_store_rows:
+            _sem_dup = semantic_gate_udf(semantic_store,
+                                         semantic_threshold)
+            gated = gated.filter(~_sem_dup(F.col("embedding"),
+                                           F.col("cell")))
+        else:
+            # distributed verify: the incremental_semantic_dedup HOF
+            # arithmetic as a stream-static left-outer + null-filter
+            # anti-join — the store never collects to the driver
+            h = (semantic_store
+                 .select(F.col("cell").alias("_hcell"),
+                         F.col("embedding").alias("_hv"))
+                 .withColumn("_hn", _norm("_hv")))
+            gated = gated.withColumn("_nn", _norm("embedding"))
+            cond = ((gated["cell"] == h["_hcell"])
+                    & (F.round(_cos_pre(gated["embedding"], h["_hv"],
+                                        gated["_nn"], h["_hn"]), 4)
+                       >= semantic_threshold))
+            gated = (gated.join(h, cond, "left_outer")
+                     .filter(h["_hcell"].isNull())
+                     .drop("_hcell", "_hv", "_hn", "_nn"))
+        gated = gated.drop("embedding", "cell")
     deduped = (gated
                .withWatermark("ingest_ts", dedup_horizon)
                .dropDuplicatesWithinWatermark(["content_hash"]))

@@ -681,9 +681,123 @@ def test_staged_writer_survives_epoch_rerun(spark, tmpdir):
     assert glob.glob(f"{tmpdir}/stage/epoch=*") == []
 
 
-def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir):
-    """W2 end-to-end on the STAGED path: wipe the checkpoint after a full
-    run (every epoch replays from zero) — the ledger must skip every
+def test_staged_writer_raises_on_invisible_stage(spark, tmpdir, monkeypatch):
+    """ADVICE r4: on a multi-node cluster with a non-shared stage_dir the
+    driver globs nothing — the writer must RAISE before the ledger mark,
+    never commit an empty epoch that exactly-once then pins forever."""
+    import glob as _glob
+
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_staged_writer, inserter_projection)
+
+    db = f"{tmpdir}/guard.duckdb"
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    batch = inserter_projection(synthetic_flows(spark, 50, seed=47))
+    write_batch = exactly_once_staged_writer(
+        lambda: duckdb.connect(db), "flows_pg", f"{tmpdir}/guard_stage")
+    monkeypatch.setattr(_glob, "glob", lambda *a, **k: [])
+    with pytest.raises(RuntimeError, match="shared"):
+        write_batch(batch, 1)
+    con = duckdb.connect(db)
+    try:
+        marked = con.execute(
+            "SELECT count(*) FROM flows_pg_epoch_ledger "
+            "WHERE batch_id = 1").fetchone()[0]
+    except duckdb.CatalogException:
+        marked = 0                 # ledger never even created — fine
+    assert marked == 0, "epoch marked done despite invisible stage"
+    con.close()
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+# Derby's dialect maps StringType to CLOB — pin the two string columns
+# so stage types match the VARCHAR target
+DERBY_STAGE_TYPES = "src_ip VARCHAR(64), dst_ip VARCHAR(64)"
+
+
+def _derby_conn(spark, url):
+    jvm = spark._sc._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _derby_one(conn, sql):
+    st = conn.createStatement()
+    rs = st.executeQuery(sql)
+    rs.next()
+    v = rs.getLong(1)
+    rs.close()
+    return v
+
+
+def _derby_inserter_ddl(spark, url):
+    conn = _derby_conn(spark, url)
+    conn.createStatement().executeUpdate(
+        'CREATE TABLE flows_pg ('
+        '"date_inserted" TIMESTAMP, "time_flow" TIMESTAMP, '
+        '"type" INTEGER, "sampling_rate" INTEGER, '
+        '"src_ip" VARCHAR(64), "dst_ip" VARCHAR(64), '
+        '"bytes" BIGINT, "packets" BIGINT, '
+        '"src_port" INTEGER, "dst_port" INTEGER, '
+        '"etype" INTEGER, "proto" INTEGER, '
+        '"src_as" BIGINT, "dst_as" BIGINT, "batch_id" BIGINT)')
+    conn.close()
+
+
+def test_staged_jdbc_writer_survives_epoch_rerun(spark, tmpdir):
+    """W2, distributed form against a REAL JDBC database (embedded Derby
+    — the jar ships with Spark): executors stage each epoch into a
+    staging TABLE via df.write.jdbc, the driver txn does ledger +
+    INSERT..SELECT — the reference's literal Postgres shape
+    (inserter.go:95-106), same exactly-once contract as the parquet
+    transport."""
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_staged_jdbc_writer, inserter_projection)
+
+    url = f"jdbc:derby:{tmpdir}/jdbc_rerun_db;create=true"
+    _derby_inserter_ddl(spark, url)
+
+    batch = inserter_projection(
+        synthetic_flows(spark, 500, seed=41)).repartition(4)
+    write_batch = exactly_once_staged_jdbc_writer(
+        url, "flows_pg", driver=DERBY_DRIVER,
+        create_table_column_types=DERBY_STAGE_TYPES)
+
+    write_batch(batch, 7)
+    write_batch(batch, 7)          # crash-replay of the same epoch
+    write_batch(batch, 8)          # a genuinely new epoch still lands
+
+    conn = _derby_conn(spark, url)
+    assert _derby_one(
+        conn, 'SELECT count(*) FROM flows_pg WHERE "batch_id" = 7') == 500
+    assert _derby_one(conn, "SELECT count(*) FROM flows_pg") == 1000
+    # partial NON-transactional attempt for epoch 9 → replaced, not added
+    conn.createStatement().executeUpdate(
+        'INSERT INTO flows_pg SELECT "date_inserted", "time_flow", '
+        '"type", "sampling_rate", "src_ip", "dst_ip", "bytes", '
+        '"packets", "src_port", "dst_port", "etype", "proto", '
+        '"src_as", "dst_as", 9 FROM flows_pg '
+        'WHERE "batch_id" = 7 FETCH FIRST 50 ROWS ONLY')
+    conn.close()
+    write_batch(batch, 9)
+    conn = _derby_conn(spark, url)
+    assert _derby_one(
+        conn, 'SELECT count(*) FROM flows_pg WHERE "batch_id" = 9') == 500
+    assert _derby_one(
+        conn, "SELECT count(*) FROM flows_pg_epoch_ledger") == 3
+    conn.close()
+
+
+@pytest.mark.parametrize("transport", ["parquet", "jdbc"])
+def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir, transport):
+    """W2 end-to-end on the STAGED path, parameterized over BOTH staging
+    transports (shared-filesystem parquet + DuckDB ingest; JDBC staging
+    TABLE against embedded Derby): wipe the checkpoint after a full run
+    (every epoch replays from zero) — the ledger must skip every
     replayed epoch; zero duplicate rows."""
     import shutil
 
@@ -691,49 +805,82 @@ def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir):
     from flow_pipeline_spark.streaming.jobs import (
         start_transactional_inserter)
 
-    src = f"{tmpdir}/stg_src"
-    ckpt = f"{tmpdir}/stg_ckpt"
-    db = f"{tmpdir}/stg.duckdb"
+    src = f"{tmpdir}/stg_src_{transport}"
+    ckpt = f"{tmpdir}/stg_ckpt_{transport}"
     flows = synthetic_flows(spark, 3000, seed=43)
     for i in range(3):
         (flows.filter(F.col("SequenceNum") % 3 == i)
          .repartition(1).write.mode("append").parquet(src))
     schema = spark.read.parquet(src).schema
 
-    con = duckdb.connect(db)
-    _duckdb_inserter_ddl(con)
-    con.close()
+    if transport == "parquet":
+        db = f"{tmpdir}/stg.duckdb"
+        con = duckdb.connect(db)
+        _duckdb_inserter_ddl(con)
+        con.close()
+        kwargs = {"stage_dir": f"{tmpdir}/stg_stage"}
+
+        def con_factory():
+            return duckdb.connect(db)
+
+        def count(sql):
+            con = duckdb.connect(db)
+            try:
+                return con.execute(sql).fetchone()[0]
+            finally:
+                con.close()
+    else:
+        url = f"jdbc:derby:{tmpdir}/jdbc_restart_db;create=true"
+        _derby_inserter_ddl(spark, url)
+        kwargs = {"jdbc_stage": {
+            "url": url, "driver": DERBY_DRIVER,
+            "create_table_column_types": DERBY_STAGE_TYPES}}
+        con_factory = None
+
+        def count(sql):
+            conn = _derby_conn(spark, url)
+            try:
+                return _derby_one(conn, sql)
+            finally:
+                conn.close()
 
     def run_once():
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         q = start_transactional_inserter(
-            stream, lambda: duckdb.connect(db), "flows_pg", ckpt,
-            stage_dir=f"{tmpdir}/stg_stage",
-            trigger={"availableNow": True})
+            stream, con_factory, "flows_pg", ckpt,
+            trigger={"availableNow": True}, **kwargs)
         q.awaitTermination(120)
 
     run_once()
-    con = duckdb.connect(db)
-    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 3000
-    con.close()
+    assert count("SELECT count(*) FROM flows_pg") == 3000
 
     shutil.rmtree(ckpt)            # forget all progress → full redelivery
     run_once()
-    con = duckdb.connect(db)
-    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 3000
+    assert count("SELECT count(*) FROM flows_pg") == 3000
     # every epoch appears exactly once in the ledger
-    assert con.execute(
-        "SELECT count(*) = count(DISTINCT batch_id) "
-        "FROM flows_pg_epoch_ledger").fetchone()[0]
-    con.close()
+    if transport == "parquet":
+        assert count(
+            "SELECT count(*) = count(DISTINCT batch_id) "
+            "FROM flows_pg_epoch_ledger")
+    else:
+        assert count(
+            'SELECT count(*) - count(DISTINCT "batch_id") '
+            "FROM flows_pg_epoch_ledger") == 0
 
 
-def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir):
+@pytest.mark.parametrize("gate_form", ["driver", "distributed"])
+def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir,
+                                                        gate_form):
     """Semantic stage of the curation stream: near-copies of the curated
     corpus (changed tail — digest anti-join CANNOT catch them) are
     dropped by same-cell cosine against the persisted semantic store;
-    the survivor set equals the batch pipeline's exactly."""
+    the survivor set equals the batch pipeline's exactly. Parameterized
+    over BOTH gate forms: the driver-collected pandas-UDF gate and the
+    distributed stream-static anti-join the stream switches to when the
+    store exceeds semantic_driver_max_store_rows (forced here with a
+    1-row threshold — the store never touches the driver on that
+    path)."""
     from flow_pipeline_spark.operators.similarity import (
         hashed_tf_embed_native, incremental_semantic_dedup, semantic_store)
     from flow_pipeline_spark.operators.text import (classifier_z_e4,
@@ -758,16 +905,20 @@ def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir):
                     .alias("text")))
     fresh = docs.filter(F.col("doc_id") >= 300)
     stream_docs = near.unionByName(fresh)
-    src = f"{tmpdir}/qcs_src"
+    src = f"{tmpdir}/qcs_src_{gate_form}"
     stream_docs.repartition(1).write.parquet(src)
 
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    out, ckpt = f"{tmpdir}/qcs_out", f"{tmpdir}/qcs_ckpt"
+    out = f"{tmpdir}/qcs_out_{gate_form}"
+    ckpt = f"{tmpdir}/qcs_ckpt_{gate_form}"
+    max_store = 10**9 if gate_form == "driver" else 1
     q = start_document_qc_stream(
         stream, out, ckpt, history=history,
         semantic_store=store, semantic_centroids=cents,
-        semantic_threshold=0.98, trigger={"availableNow": True})
+        semantic_threshold=0.98,
+        semantic_driver_max_store_rows=max_store,
+        trigger={"availableNow": True})
     q.awaitTermination(120)
     got = {r[0] for r in
            spark.read.parquet(out).select("doc_id").collect()}

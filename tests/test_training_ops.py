@@ -664,6 +664,42 @@ def test_repeated_span_recovery(spark):
     assert len(all_spans) == 6
 
 
+def test_repeated_span_within_doc_scope(spark):
+    """ADVICE r4: the full ExactSubstr rule (Lee et al. 2022) also removes
+    spans repeated WITHIN one document. Default scope stays cross-doc
+    (oracle-pinned); include_within_doc=True flags the self-repeat's
+    later occurrence while keeping the globally-first one."""
+    lit = ["w%d" % j for j in range(12)]
+    toks = ["d7t%d" % j for j in range(40)]
+    text = " ".join(toks[:8] + lit + toks[8:30] + lit + toks[30:])
+    corpus = _span_corpus(spark).unionByName(
+        spark.createDataFrame([(7, text)], "doc_id long, text string"))
+
+    # default cross-doc scope: the self-repeat is invisible
+    assert (D.repeated_span_table(corpus, k=8)
+            .filter("doc_id = 7").count() == 0)
+
+    spans = {(r["doc_id"], r["span_start"], r["span_len"])
+             for r in D.repeated_span_table(
+                 corpus, k=8, include_within_doc=True).collect()}
+    # the SECOND in-doc occurrence flagged (tokens 43-54), first kept:
+    # 8 lead + 12 lit + 22 mid = 42 tokens before it, 1-based start 43
+    assert {s for s in spans if s[0] == 7} == {(7, 43, 12)}
+    # cross-doc behavior unchanged: same five spans as the default scope,
+    # canonical doc 2 still never flagged
+    assert all(d != 2 for d, _, _ in spans)
+    assert {(3, 21, 12), (4, 6, 12), (5, 31, 12),
+            (6, 9, 12), (6, 43, 12)} <= spans
+    assert len(spans) == 6
+    # scrub under the widened scope: doc 7 keeps exactly one copy
+    scrubbed = D.remove_repeated_spans(
+        corpus, D.repeated_span_table(corpus, k=8,
+                                      include_within_doc=True))
+    t7 = {r["doc_id"]: r["text"] for r in scrubbed.collect()}[7]
+    assert t7.split().count("w0") == 1
+    assert [w for w in t7.split() if not w.startswith("w")] == toks
+
+
 def test_remove_repeated_spans_round_trip(spark):
     """Scrubbing removes exactly the flagged tokens; the canonical copy
     survives; a second pass finds nothing left to remove."""
@@ -1067,7 +1103,8 @@ def test_incremental_store_lifecycle_end_to_end(spark, docs, tmp_path):
         .unionByName(echoes.select(*b2_fresh.columns))
 
     digests = spark.read.parquet(digest_p)
-    survivors = D.incremental_dedup(batch2, digests)
+    survivors = D.incremental_dedup(batch2, digests,
+                                    history_is_digests=True)
     ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
     assert not any(200000 > i >= 100000 and i < 110000 for i in ids)
     assert all(i not in ids for i in range(100000, 100010)), \
@@ -1106,7 +1143,7 @@ def test_incremental_store_lifecycle_end_to_end(spark, docs, tmp_path):
                    .withColumn("doc_id", F.col("doc_id") + 200000))
     batch3 = b3_fresh.unionByName(replay_of_2)
     survivors3 = D.incremental_dedup(
-        batch3, spark.read.parquet(digest_p))
+        batch3, spark.read.parquet(digest_p), history_is_digests=True)
     ids3 = {r["doc_id"] for r in survivors3.select("doc_id").collect()}
     assert all(i < 200000 for i in ids3), \
         "a replay of batch 2 survived the appended digest store"
