@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "doc_perplexity",        # unigram-LM gate (vocab broadcast, CCNet filter)
     # round-4 addition:
     "exact_substring_spans",  # ExactSubstr span dedup (stride-1 fp groupBy)
+    # round-5 addition:
+    "bpe_encode_corpus",     # vocab-table BPE encode (corpus stays JVM-side)
 ]
 
 
@@ -61,13 +63,22 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _await_idle_host(max_load: float = 4.0, retries: int = 6,
+# Publish gate (VERDICT r4 item #1): BENCH_r04 published under host
+# contention (start-load 3.91 rising to 16.5; uniform ~1.2x slowdown on
+# unchanged code) and could not prove the round didn't regress. The gate
+# is now refuse-and-retry, not warn-and-publish: sections re-run with
+# backoff while the host is loaded, and the record carries an explicit
+# `contaminated` verdict when every bounded attempt stayed loaded.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
+
+
+def _await_idle_host(max_load: float = MAX_LOAD, retries: int = 20,
                      wait_sec: float = 30.0) -> dict:
     """Idleness guard: concurrent Spark sessions on this host skew ingest
     5x and queries ~25% (documented round-2 contamination). If the 1-min
-    load average exceeds ``max_load``, warn on stderr and wait, up to
-    ``retries`` times; always RECORDS what it saw so a judged run carries
-    its own measurement-validity evidence."""
+    load average exceeds ``max_load``, wait-with-retry up to ``retries``
+    times (10 min at the defaults); always RECORDS what it saw so a
+    judged run carries its own measurement-validity evidence."""
     waited = 0
     load1 = os.getloadavg()[0]
     while load1 > max_load and waited < retries:
@@ -78,8 +89,9 @@ def _await_idle_host(max_load: float = 4.0, retries: int = 6,
         waited += 1
         load1 = os.getloadavg()[0]
     if load1 > max_load:
-        print(f"bench: proceeding on a BUSY host (load1={load1:.1f}) — "
-              f"treat results as lower bounds", file=sys.stderr)
+        print(f"bench: proceeding on a BUSY host (load1={load1:.1f}) "
+              f"after {waited} waits — results will be marked "
+              f"contaminated", file=sys.stderr)
     return {"load1_at_start": round(load1, 2), "busy_waits": waited,
             "proceeded_busy": load1 > max_load}
 
@@ -157,24 +169,37 @@ def _ingest_throughput(spark) -> dict[str, float]:
         # load1 sampled at the START of each warm run: a dip sample with
         # elevated start-load is host contention; a dip at normal load is
         # ours (GC / page-cache writeback) — the attribution the r03
-        # anonymous min lacked
-        warm, warm_load = [], []
-        for _ in range(5):
-            warm_load.append(round(os.getloadavg()[0], 1))
-            warm.append(run_ingest())
-        out["ingest_warm_load1_at_start"] = warm_load
+        # anonymous min lacked. REFUSE-AND-RETRY (VERDICT r4): a warm
+        # floor >2x below the median means a contended sample landed in
+        # the record — re-run the whole warm section (bounded attempts,
+        # idleness re-check between attempts) instead of publishing it.
         import statistics
-        lo, med, peak = min(warm), statistics.median(warm), max(warm)
+        attempts = []
+        for attempt in range(3):
+            if attempt:
+                _await_idle_host(retries=6)
+            warm, warm_load = [], []
+            for _ in range(5):
+                warm_load.append(round(os.getloadavg()[0], 1))
+                warm.append(run_ingest())
+            lo, med, peak = (min(warm), statistics.median(warm),
+                             max(warm))
+            attempts.append({
+                "samples": [round(x) for x in warm],
+                "load1_at_start": warm_load,
+                "floor_ratio": round(med / max(lo, 1e-9), 2)})
+            if med <= 2 * lo:
+                break
+            print(f"bench: warm ingest floor {round(lo)} is >2x below "
+                  f"median {round(med)} (attempt {attempt + 1}/3) — "
+                  f"re-running the warm section", file=sys.stderr)
+        out["ingest_warm_attempts"] = attempts
+        out["ingest_warm_load1_at_start"] = warm_load
         out["ingest_rows_per_sec"] = round(med)
         out["ingest_rows_per_sec_min"] = round(lo)
         out["ingest_rows_per_sec_peak"] = round(peak)
         out["ingest_warm_samples"] = [round(x) for x in warm]
         out["ingest_warm_floor_ratio"] = round(med / max(lo, 1e-9), 2)
-        if med > 2 * lo:
-            print(f"bench: warm ingest floor {round(lo)} is >2x below "
-                  f"median {round(med)} — inspect ingest_warm_samples "
-                  f"and host load for the offending run",
-                  file=sys.stderr)
         # load DURING this section (bench start-time idleness can expire
         # mid-run; a high value here marks the medians as contended —
         # subtract ~32 for this bench's own executor threads)
@@ -202,13 +227,27 @@ def _ingest_throughput(spark) -> dict[str, float]:
         # than the JVM write path, but give C2 the same runway
         dec_warmup = [run_decode() for _ in range(2)]
         out["protobuf_decode_rows_per_sec_cold"] = round(dec_warmup[0])
-        dec_warm = [run_decode() for _ in range(3)]
-        lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
-                         max(dec_warm))
+        dec_attempts = []
+        for attempt in range(3):
+            if attempt:
+                _await_idle_host(retries=6)
+            dec_warm = [run_decode() for _ in range(3)]
+            lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
+                             max(dec_warm))
+            dec_attempts.append({
+                "samples": [round(x) for x in dec_warm],
+                "floor_ratio": round(med / max(lo, 1e-9), 2)})
+            if med <= 2 * lo:
+                break
+            print(f"bench: warm decode floor >2x below median "
+                  f"(attempt {attempt + 1}/3) — re-running",
+                  file=sys.stderr)
+        out["decode_warm_attempts"] = dec_attempts
         out["protobuf_decode_rows_per_sec"] = round(med)
         out["protobuf_decode_rows_per_sec_min"] = round(lo)
         out["protobuf_decode_rows_per_sec_peak"] = round(peak)
         out["decode_warm_samples"] = [round(x) for x in dec_warm]
+        out["decode_warm_floor_ratio"] = round(med / max(lo, 1e-9), 2)
         out["load1_after_decode_incl_self"] = round(os.getloadavg()[0], 1)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -239,7 +278,9 @@ def _rollup_routing(spark) -> dict[str, float]:
 
         # steady-state, like the headline loop: first run pays one-time
         # whole-stage-codegen compile, which otherwise dominates both arms
-        # and masks the routing win
+        # and masks the routing win. Idleness re-check first: the r4
+        # rollup_speedup figure was inflated by a contended raw arm.
+        _await_idle_host(retries=6)
         t_raw = _steady(lambda: route_traffic_query(raw, None, ["SrcAS"]))
         t_rollup = _steady(
             lambda: route_traffic_query(raw, rollup, ["SrcAS"]))
@@ -261,9 +302,11 @@ def main() -> None:
     _force(QUERIES["top_event_types"].spark(spark, SF_DIR))
 
     total = 0.0
+    query_load: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
+        query_load[name] = round(os.getloadavg()[0], 1)
         dt = round(_steady(lambda: QUERIES[name].spark(spark, SF_DIR)), 3)
         timings[name] = dt
         total += dt
@@ -273,11 +316,25 @@ def main() -> None:
     # end-of-run load includes this bench's own 32 executor threads — high
     # is normal; the contamination signal is load1_at_start
     host["load1_at_end_incl_self"] = round(os.getloadavg()[0], 2)
+    # publish verdict: contaminated iff the host never went idle at start
+    # OR a warm section exhausted its re-run attempts still >2x spread.
+    # (Mid-run load1 reflects this bench's own executors, so per-query
+    # loads are recorded for attribution, not gated.)
+    contaminated = bool(
+        host.get("proceeded_busy")
+        or ingest.get("ingest_warm_floor_ratio", 1.0) > 2
+        or ingest.get("decode_warm_floor_ratio", 1.0) > 2)
+    host["contaminated"] = contaminated
+    if contaminated:
+        print("bench: PUBLISHING A CONTAMINATED RUN (see host/ingest "
+              "fields) — numbers are lower bounds, do not quote",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_load1_at_start": query_load,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
         "rollup_routing": routing,

@@ -185,6 +185,57 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
 
+def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     out_col: str = "bpe_tokens") -> DataFrame:
+    """Vocab-table encoder — the SCALE form of :func:`bpe_encode`
+    (pytest-asserted equal): every production tokenizer encodes each
+    DISTINCT word once, not each occurrence. Corpus tokens never touch
+    Python:
+
+    1. one narrow pass explodes (id, pos, word) rows (JVM tokenize);
+    2. the DISTINCT-word table — the same vocab-bounded frame
+       ``bpe_train`` iterates on — encodes once per word through the
+       Python kernel (|vocab| invocations total, regardless of corpus
+       size; the real-tokenizer swap point, now off the hot path);
+    3. the word→subwords map broadcast-joins back to the corpus tokens
+       and per-doc arrays reassemble via sort-by-position + flatten.
+
+    Cost shape at 100 TB: the corpus pays one explode + one broadcast
+    hash join + one per-doc groupBy (the only shuffle, keyed on
+    ``id_col`` — which must be unique per row); Python work is
+    O(|vocab|·|merges|), corpus-size-independent. Empty/whitespace-only
+    documents get an empty array."""
+    toks = tokens(F.lower(F.col(text_col)))
+    words = (df.select(F.col(id_col),
+                       F.posexplode(toks).alias("_pos", "_word"))
+             .filter(F.col("_word") != ""))
+
+    merge_list = list(merges)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _enc_word(s: pd.Series) -> pd.Series:
+        def word_syms(w):
+            syms = list(w[:-1]) + [w[-1] + END] if w else []
+            for a, b in merge_list:
+                syms = _py_apply_merge(syms, a, b)
+            return syms
+        return s.map(word_syms)
+
+    vocab = (words.select(F.col("_word")).distinct()
+             .withColumn("_syms", _enc_word(F.col("_word"))))
+    per_doc = (words.join(F.broadcast(vocab), "_word")
+               .groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("_pos"), F.col("_syms")))),
+                   lambda x: x["_syms"])).alias(out_col)))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn(out_col,
+                        F.coalesce(F.col(out_col),
+                                   F.array().cast("array<string>"))))
+
+
 def _py_apply_merge(syms: list[str], a: str, b: str) -> list[str]:
     """Single-process reference of :func:`_apply_merge` — same
     left-to-right scan, same run semantics. Shared by bpe_encode and the

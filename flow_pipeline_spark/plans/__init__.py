@@ -117,6 +117,15 @@ _DEMOTED_VARIANTS = [
                               # devices (token counts, digest distinct,
                               # classifier margin, per-source agg) —
                               # same rationale as curation_full_pipeline
+    # round 5: ann_pq_adc_exact (compressed-domain ANN — integer-exact
+    # PQ/ADC, the first driver row for the PQ family) enters the window;
+    # displaced twin:
+    "approx_percentiles",     # W7 sketch twin of the WINDOWED
+                              # value_percentiles (same percentile
+                              # device over the metrics table; the
+                              # KLL/GK-style error bounds are
+                              # pytest-asserted) — stays DuckDB-oracled
+                              # every pytest run like every demotion
 ]
 
 

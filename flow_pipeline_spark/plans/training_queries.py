@@ -2179,6 +2179,34 @@ def bpe_merges(spark, sf_dir):
 
 
 @_q(
+    "bpe_encode_corpus",
+    None,  # encoding under trained merges — merges come from the
+    # iterative trainer (not SQL-expressible); encoder parity with the
+    # per-row reference kernel is pytest-asserted token-for-token
+    # (test_bpe_encode_vocab_matches_row_encoder).
+    doc="Corpus BPE encoding via the VOCAB-TABLE encoder "
+        "(operators/tokenizer.py:bpe_encode_vocab) — the scale form "
+        "every production tokenizer uses: each DISTINCT word encodes "
+        "once (|vocab| Python-kernel calls total, corpus-size-"
+        "independent — the real-tokenizer swap point, off the hot "
+        "path), then the word→subwords map broadcast-joins back to the "
+        "JVM-exploded corpus tokens and per-doc arrays reassemble by "
+        "position. Corpus tokens never touch Python; the only shuffle "
+        "is the per-doc reassembly groupBy. Returns per-doc subword "
+        "counts + the leading symbols.",
+)
+def bpe_encode_corpus(spark, sf_dir):
+    from ..operators import tokenizer as TOK
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = TOK.bpe_train(d.filter(F.col("doc_id") < 200), n_merges=8)
+    enc = TOK.bpe_encode_vocab(d, merges)
+    return (enc.select("doc_id",
+                       F.size("bpe_tokens").cast("long").alias("n_syms"),
+                       F.slice("bpe_tokens", 1, 5).alias("head_syms"))
+            .orderBy("doc_id"))
+
+
+@_q(
     "exact_substring_scrub",
     f"""
     WITH {_SPAN_CTES_SQL},
@@ -2289,6 +2317,108 @@ def ann_ivf_pq_knn(spark, sf_dir):
     return (S.ivf_pq_knn(e, e.filter(F.col("vec_id") < 10), k=5,
                          n_cells=16, nprobe=8, m=16, ks=64,
                          shortlist=40)
+            .orderBy("q", "rank"))
+
+
+@_q(
+    "ann_pq_adc_exact",
+    """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(CASE WHEN x >= 0
+                         THEN floor(CAST(x AS DOUBLE) * 16 + 0.5)
+                         ELSE -floor(-CAST(x AS DOUBLE) * 16 + 0.5)
+                    END AS BIGINT)) AS iv
+      FROM embeddings),
+    cent AS (SELECT vec_id AS cid, iv AS cv FROM iv WHERE vec_id < 8),
+    sub AS (SELECT unnest(range(0, 4)) AS j),
+    d2 AS (
+      SELECT v.vec_id, s.j, c.cid,
+             CAST(list_aggregate(list_transform(range(1, 17), i ->
+               (v.iv[s.j*16 + i] - c.cv[s.j*16 + i])
+               * (v.iv[s.j*16 + i] - c.cv[s.j*16 + i])), 'sum')
+               AS BIGINT) AS d2
+      FROM iv v, cent c, sub s),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    q AS (SELECT vec_id AS q, iv AS qv FROM iv WHERE vec_id < 10),
+    parts AS (
+      SELECT q.q, c0.vec_id AS n,
+             CAST(list_aggregate(list_transform(range(1, 17), i ->
+               q.qv[c0.j*16 + i] * ct.cv[c0.j*16 + i]), 'sum')
+               AS BIGINT) AS p
+      FROM codes c0 JOIN cent ct ON ct.cid = c0.cid CROSS JOIN q),
+    scored AS (
+      SELECT q, n, CAST(sum(p) AS BIGINT) AS score
+      FROM parts WHERE n <> q GROUP BY q, n),
+    ranked AS (
+      SELECT q, n, score,
+             CAST(row_number() OVER (PARTITION BY q
+                                     ORDER BY score DESC, n ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT q, n, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY q, rank
+    """,
+    doc="Compressed-domain ANN (the PQ/ADC device of Jégou et al. 2011), "
+        "made CROSS-ENGINE EXACT so the driver can hash-verify it: "
+        "embeddings quantize to integers (sign-aware HALF-UP at scale "
+        "16 — float32→double is exact, ×16 is a power-of-two shift, so "
+        "both engines produce identical ints), fixed deterministic "
+        "codebooks (the first 8 int vectors, subvector-sliced — the "
+        "kmeans-seed device without the float iteration), m=4 "
+        "subspaces × ks=8 codes by integer-L2 argmin (ties → lowest "
+        "code id), then asymmetric distance computation: each corpus "
+        "vector scores as m integer LUT dot products against the "
+        "query's subvectors — never decompressed. ALL arithmetic is "
+        "exact integer, so Spark and DuckDB agree bitwise (the "
+        "dataset_card discipline applied to the ANN tier; the "
+        "float-codebook production path is ann_pq_knn/ann_ivf_pq_knn "
+        "with pytest recall bounds). Spark plan: quantize map-side, "
+        "codebooks broadcast, one (vec, subspace, code) argmin window, "
+        "ADC join + per-(q,n) sum, two-phase top-k — the codes table "
+        "never shuffles wider than its own group-by.",
+)
+def ann_pq_adc_exact(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    half_up16 = ("transform(embedding, x -> CAST(CASE WHEN x >= 0 "
+                 "THEN floor(CAST(x AS DOUBLE) * 16 + 0.5D) "
+                 "ELSE -floor(-CAST(x AS DOUBLE) * 16 + 0.5D) END "
+                 "AS BIGINT))")
+    iv = e.select("vec_id", F.expr(half_up16).alias("iv"))
+    cent = (iv.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv")))
+    sub = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    d2 = (iv.crossJoin(F.broadcast(cent)).crossJoin(F.broadcast(sub))
+          .withColumn("d2", F.expr(
+              "CAST(aggregate(zip_with("
+              "slice(iv, j*16 + 1, 16), slice(cv, j*16 + 1, 16), "
+              "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v) "
+              "AS BIGINT)")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("vec_id", "j").orderBy("d2", "cid")
+    codes = (d2.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("vec_id", "j", "cid"))
+    q = (iv.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q"), F.col("iv").alias("qv")))
+    parts = (codes.join(F.broadcast(cent), "cid")
+             .crossJoin(F.broadcast(q))
+             .withColumn("p", F.expr(
+                 "CAST(aggregate(zip_with("
+                 "slice(qv, j*16 + 1, 16), slice(cv, j*16 + 1, 16), "
+                 "(x, y) -> x * y), 0L, (a, v) -> a + v) AS BIGINT)")))
+    scored = (parts.filter(F.col("vec_id") != F.col("q"))
+              .groupBy("q", F.col("vec_id").alias("n"))
+              .agg(F.sum("p").cast("long").alias("score")))
+    w2 = W.partitionBy("q").orderBy(F.desc("score"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w2)
+                              .cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("q", "n", "score", "rank")
             .orderBy("q", "rank"))
 
 

@@ -704,6 +704,7 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              semantic_centroids: list | None = None,
                              semantic_threshold: float = 0.999,
                              semantic_driver_max_store_rows: int = 100_000,
+                             span_scrub_k: int | None = None,
                              trigger: dict | None = None) -> StreamingQuery:
     """Continuous corpus curation — the training-data analog of the flows
     MV cascade: a document stream (crawl batches landing continuously)
@@ -758,6 +759,23 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
       foreachBatch epoch-directory fallback needed. Per micro-batch the
       store side shuffles (or partition-prunes, when persisted
       partitioned by cell) only the probed cells' rows.
+
+    Pass ``span_scrub_k`` to ALSO run the ExactSubstr span stage
+    (operators/dedup.py repeated_span_table + remove_repeated_spans,
+    the Lee et al. 2022 pass the batch ``curation_full_pipeline``
+    composes) over each micro-batch: cross-document repeated ≥k-token
+    spans WITHIN the batch are scrubbed (boilerplate/license blocks a
+    crawl batch shares), documents falling under ``min_tokens`` after
+    scrubbing are dropped, and the batch writes to a per-epoch
+    directory. Scope is deliberately batch-local — the span table is a
+    corpus-wide aggregate, so cross-batch span state belongs to the
+    periodic BATCH ExactSubstr pass over the accumulated corpus, not to
+    stream state (same division of labor as compaction vs the rollup
+    stream). Because the span stage needs its own aggregation after the
+    stateful dedup, this path sinks via foreachBatch writing
+    ``out_dir/epoch=N`` with overwrite (idempotent on replay — the same
+    exactly-once contract, epoch-granular); readers see an extra
+    ``epoch`` partition column.
 
     Delivery: checkpointed file sink — exactly-once per batch id; a
     replayed micro-batch rewrites the same files.
@@ -821,13 +839,37 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
     deduped = (gated
                .withWatermark("ingest_ts", dedup_horizon)
                .dropDuplicatesWithinWatermark(["content_hash"]))
-    writer = (
-        deduped.drop("ingest_ts", "score_e4")
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("source")
-        .outputMode("append")
-    )
+    sink_df = deduped.drop("ingest_ts", "score_e4")
+    if span_scrub_k is not None:
+        from ..operators.dedup import (remove_repeated_spans,
+                                       repeated_span_table)
+        k = span_scrub_k
+
+        def write_scrubbed(batch_df: DataFrame, batch_id: int) -> None:
+            docs = batch_df.select("doc_id", "text")
+            spans = repeated_span_table(docs, k=k)
+            scrub = remove_repeated_spans(docs, spans)
+            out = (batch_df.drop("text", "n_tokens")
+                   .join(scrub, "doc_id")
+                   .withColumn("n_tokens",
+                               F.when(F.length("text") == 0, F.lit(0))
+                               .otherwise(token_count(F.col("text"))))
+                   .filter(F.col("n_tokens") >= min_tokens))
+            (out.write.mode("overwrite").partitionBy("source")
+             .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+
+        writer = (sink_df.writeStream
+                  .foreachBatch(write_scrubbed)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+    else:
+        writer = (
+            sink_df
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("source")
+            .outputMode("append")
+        )
     writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
     return writer.start()

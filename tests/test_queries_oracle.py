@@ -34,9 +34,13 @@ def test_registry_window_ordering():
     for flagship in ["minhash_lsh_dedup", "dedup_clusters", "corpus_curation",
                      "embedding_near_dup", "simhash_near_dup",
                      "train_val_split", "metrics_rate_sum_by",
-                     "flows_pg_src_ip_panel", "approx_percentiles",
+                     "flows_pg_src_ip_panel", "value_percentiles",
                      "incremental_dedup", "quality_classifier",
-                     "semantic_dedup", "exact_substring_spans"]:
+                     "semantic_dedup", "exact_substring_spans",
+                     # round 5: the compressed-domain ANN class lands its
+                     # driver row (approx_percentiles demoted, the W7
+                     # sketch twin of windowed value_percentiles)
+                     "ann_pq_adc_exact"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

@@ -633,6 +633,69 @@ def test_document_qc_stream_drops_history(spark, tmpdir):
     assert got.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_document_qc_stream_span_scrub_matches_batch(spark, tmpdir):
+    """Span stage of the curation stream (span_scrub_k): boilerplate
+    tails shared by documents of one crawl batch are scrubbed per
+    micro-batch; survivors (doc ids AND scrubbed texts) equal the batch
+    replica of the same cascade exactly."""
+    from flow_pipeline_spark.operators.dedup import (remove_repeated_spans,
+                                                     repeated_span_table)
+    from flow_pipeline_spark.operators.text import (classifier_z_e4,
+                                                    normalize_text,
+                                                    scrub_pii, token_count)
+    from flow_pipeline_spark.streaming.jobs import start_document_qc_stream
+
+    lit = ("alpha bravo charlie delta echo foxtrot "
+           "golf hotel india juliet kilo lima")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    tailed = (docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "source",
+                      F.concat("text", F.lit(" " + lit)).alias("text")))
+    stream_docs = docs.filter(F.col("doc_id") < 100).unionByName(tailed)
+    src = f"{tmpdir}/qcsp_src"
+    stream_docs.repartition(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out, ckpt = f"{tmpdir}/qcsp_out", f"{tmpdir}/qcsp_ckpt"
+    q = start_document_qc_stream(stream, out, ckpt, span_scrub_k=8,
+                                 trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # foreachBatch epoch sink: extra partition column, one epoch here
+    assert "epoch" in got.columns
+
+    # batch replica: scrub→gates→digest dedup→span scrub→length re-gate
+    gates = (stream_docs.withColumn("text", scrub_pii(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter((F.col("n_tokens") >= 5)
+                     & (classifier_z_e4(F.col("text")) >= 0))
+             .withColumn("content_hash",
+                         F.md5(normalize_text(F.col("text"))))
+             .dropDuplicates(["content_hash"]))
+    d = gates.select("doc_id", "text")
+    scrub = remove_repeated_spans(d, repeated_span_table(d, k=8))
+    want = {(r["doc_id"], r["text"]) for r in
+            scrub.withColumn(
+                "n",
+                F.when(F.length("text") == 0, F.lit(0))
+                .otherwise(token_count(F.col("text"))))
+            .filter(F.col("n") >= 5).collect()}
+    got_rows = {(r["doc_id"], r["text"]) for r in
+                got.select("doc_id", "text").collect()}
+    assert got_rows == want
+    # keep_first semantics within the batch: the shared tail's canonical
+    # host is the min tailed doc (100010) — every OTHER tailed survivor
+    # lost the tail (bodies survive only where the original was dropped
+    # by the quality gates, so the body k-grams no longer repeat)
+    tailed_got = {(d, t) for d, t in got_rows if d >= 100000}
+    assert (100010, lit) in tailed_got
+    for d, t in tailed_got:
+        if d != 100010:
+            assert "alpha bravo" not in t, d
+
+
 def test_staged_writer_survives_epoch_rerun(spark, tmpdir):
     """W2, distributed form: the staged writer (executors stage parquet,
     driver txn does ledger + INSERT..SELECT) must land every epoch

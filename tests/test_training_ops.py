@@ -853,6 +853,32 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_bpe_encode_vocab_matches_row_encoder(spark, docs):
+    """VERDICT r4 item #3: the vocab-table encoder (distinct words encode
+    once in Python, corpus tokens stay JVM-side) must equal the per-row
+    Arrow encoder token-for-token, including empty/whitespace-only docs
+    and Unicode-whitespace edges."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    sample = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    merges = TOK.bpe_train(sample, n_merges=6)
+
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "hello hello world"),
+         (9004, "foo bar baz"), (9005, "a　b")],
+        "doc_id long, text string")
+    corpus = sample.unionByName(edge)
+
+    a = {r["doc_id"]: r["bpe_tokens"]
+         for r in TOK.bpe_encode(corpus, merges).collect()}
+    b = {r["doc_id"]: r["bpe_tokens"]
+         for r in TOK.bpe_encode_vocab(corpus, merges).collect()}
+    assert a.keys() == b.keys()
+    for did in a:
+        assert a[did] == b[did], did
+    assert b[9001] == [] and b[9002] == []
+
+
 def test_bpe_merge_fold_property(spark):
     """Property: the Spark fold-expression merge (_apply_merge) equals
     the single-process reference on arbitrary symbol sequences,

@@ -52,6 +52,9 @@ NOTES = {
   "incremental_semantic_dedup": "new batch assigns map-side against the centroid literal; the verify join shuffles on the cell id against the STORE — history never re-embeds or re-assigns",
   "gopher_rules": "all five rules are one codegen'd projection over the scan — zero shuffle, zero UDF",
   "c4_line_filter": "split-lines -> per-line rules -> reassemble, one per-row projection; the only exchange is the final ORDER BY for the oracle",
+  "curation_full_pipeline": "per-row gates fuse into the scan; the ExactSubstr stage adds ONE corpus-wide shuffle (partial-aggregated fp groupBy) + a hits-only window; then the digest dedup shuffle, broadcast benchmark shingles, 2-group aggregate",
+  "ann_pq_adc_exact": "quantize is a map-side projection; codebooks and queries broadcast (8 + 10 rows); codes come from a (vec, subspace) window over |corpus|*ks*m tiny rows; ADC join ships (vec, j, code) rows only — the corpus embedding column never shuffles",
+  "bpe_encode_corpus": "corpus tokens stay JVM-side: explode -> broadcast word->subwords join -> per-doc reassembly groupBy (the only shuffle); Python runs once per DISTINCT word in the vocab frame",
 }
 
 

@@ -243,6 +243,21 @@ def main() -> None:
             record("bpe_train_4merges", n, time.perf_counter() - t0,
                    planted_ok=(len(merges) == 4))
 
+        # vocab-table BPE ENCODER (round 5, tokenizer.py:bpe_encode_vocab):
+        # Python cost is |vocab|-bounded (each DISTINCT word encodes once)
+        # while corpus tokens stay JVM-side — per-doc encode throughput
+        # must hold or rise as the corpus grows 12x over a fixed vocab.
+        from flow_pipeline_spark.operators.tokenizer import bpe_encode_vocab
+        enc_merges = bpe_train(
+            synth_docs(spark, doc_steps[0], planted=0), n_merges=4)
+        for n in doc_steps[:3]:
+            docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                eager=True)
+            sec = median_timed(lambda: force(
+                bpe_encode_vocab(docs, enc_merges)
+                .select("doc_id", F.size("bpe_tokens").alias("n_syms"))))
+            record("bpe_encode_vocab", n, sec)
+
         # product-quantization ANN: codebooks train once per step (m=16
         # subspaces in one mapInPandas pass per round), the corpus scans
         # as 16-byte codes. Measures the ADC+refine query path; recall
