@@ -511,6 +511,80 @@ def score_with_lm(docs: DataFrame, lm: DataFrame,
                      / 10000.0).alias("avg_nll_bits")))
 
 
+def dsir_log_ratio(docs: DataFrame, target_lm: DataFrame,
+                   raw_lm: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance log-ratio (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each document by
+    how much more a TARGET-domain language model likes it than the RAW
+    crawl's model — avg_t [log2 p_target(t) − log2 p_raw(t)] per token.
+    DSIR selects pretraining data matching a target domain (books,
+    Wikipedia, code) from a raw crawl by resampling on exactly this
+    ratio; both models here are the hashed/unigram stand-ins the paper
+    itself uses (hashed n-gram models, not neural LMs).
+
+    Both LMs are :func:`train_unigram_lm` tables (persist-then-score —
+    train once on the domain sample and the raw sample, score every
+    future crawl batch). Arithmetic rides the SAME fixed-point device as
+    :func:`score_with_lm`: each model's per-token nll rounds HALF-UP to
+    integer millionths, the ratio is the EXACT integer difference of the
+    two pinned integers (llr_e6 = nll_raw − nll_target), and the per-doc
+    average is one integer division (truncating toward zero in both
+    Spark and DuckDB — the dataset_card device), so scores are
+    bit-reproducible cross-engine. Returns (id, n_tokens,
+    avg_llr_bits) — positive means the target model prefers the doc.
+
+    Scale: both LM tables broadcast to the scoring join (vocab-bounded);
+    the exploded corpus never shuffles on the token; the only wide op is
+    the per-doc partial aggregate — the doc_perplexity plan with one
+    extra broadcast."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+
+    def nll_e6(c: Column, n: Column) -> Column:
+        nll = -F.log(F.coalesce(c, F.lit(1)) / n) / F.log(F.lit(2.0))
+        return F.floor(nll * 1e6 + F.lit(0.5)).cast("long")
+
+    t_total = F.broadcast(target_lm.agg(F.max("n_total").alias("_nt")))
+    r_total = F.broadcast(raw_lm.agg(F.max("n_total").alias("_nr")))
+    t_vocab = target_lm.select("tok", F.col("c").alias("_ct"))
+    r_vocab = raw_lm.select("tok", F.col("c").alias("_cr"))
+    llr = (nll_e6(F.col("_cr"), F.col("_nr"))
+           - nll_e6(F.col("_ct"), F.col("_nt")))
+    return (toks.join(F.broadcast(t_vocab), "tok", "left")
+            .join(F.broadcast(r_vocab), "tok", "left")
+            .crossJoin(t_total).crossJoin(r_total)
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(llr).alias("_s"))
+            .select(id_col, "n_tokens",
+                    # truncate-toward-zero integer division — identical
+                    # in Spark `div` and DuckDB `//` for either sign
+                    # (HALF-UP when non-negative; see dataset_card)
+                    (F.expr("(2 * _s + 100 * n_tokens) "
+                            "div (200 * n_tokens)") / 10000.0)
+                    .alias("avg_llr_bits")))
+
+
+def dsir_top_k(docs: DataFrame, target_lm: DataFrame, raw_lm: DataFrame,
+               k: int, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DSIR selection: the top-``k`` documents by
+    importance log-ratio (ties → lowest id). The paper resamples with
+    Gumbel noise for diversity; the Gumbel transform needs libm ``ln``
+    of a hash-derived uniform — a cross-engine last-ulp lottery this
+    repo's oracle discipline avoids — so the shipped selector is the
+    deterministic top-k analog, and a production deployment wanting the
+    stochastic form adds md5-derived Gumbel keys at its own risk.
+    Plan: the score table is per-doc (tiny vs the corpus); top-k is
+    TakeOrdered, no global sort."""
+    scored = dsir_log_ratio(docs, target_lm, raw_lm,
+                            text_col=text_col, id_col=id_col)
+    return (scored.orderBy(F.desc("avg_llr_bits"), F.asc(id_col))
+            .limit(k))
+
+
 # --- compression-ratio QC ----------------------------------------------------
 
 def compression_ratio(text: Column) -> Column:

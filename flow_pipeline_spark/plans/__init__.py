@@ -126,6 +126,16 @@ _DEMOTED_VARIANTS = [
                               # KLL/GK-style error bounds are
                               # pytest-asserted) — stays DuckDB-oracled
                               # every pytest run like every demotion
+    # round 5: dsir_importance (DSIR domain-matching selection — a new
+    # operator class: importance resampling) enters the window;
+    # displaced twin:
+    "doc_chunks",             # stride-generator device; the class is
+                              # windowed via exact_substring_spans
+                              # (the same sequence→slice→md5 generator
+                              # at stride 1, plus the span machinery on
+                              # top) and vocab_top_bigrams covers the
+                              # explode→bounded-agg side — stays
+                              # pytest-oracled
 ]
 
 

@@ -2321,6 +2321,65 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    t_toks AS (SELECT tok FROM toks WHERE doc_id < 100),
+    t_tot AS (SELECT count(*) AS n FROM t_toks),
+    t_vocab AS (
+      SELECT tok, count(*) AS c FROM t_toks
+      GROUP BY tok ORDER BY c DESC, tok LIMIT 2000),
+    r_tot AS (SELECT count(*) AS n FROM toks),
+    r_vocab AS (
+      SELECT tok, count(*) AS c FROM toks
+      GROUP BY tok ORDER BY c DESC, tok LIMIT 2000),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor((-ln(coalesce(vr.c, 1) / (SELECT n FROM r_tot))
+                         / ln(2)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor((-ln(coalesce(vt.c, 1) / (SELECT n FROM t_tot))
+                           / ln(2)) * 1000000 + 0.5) AS BIGINT) AS llr_e6
+      FROM toks t
+      LEFT JOIN t_vocab vt USING (tok)
+      LEFT JOIN r_vocab vr USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ((2 * sum(llr_e6) + 100 * count(*)) // (200 * count(*)))
+             / 10000.0 AS avg_llr_bits,
+           ((2 * sum(llr_e6) + 100 * count(*)) // (200 * count(*)))
+             >= 0 AS keep
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023 — select pretraining "
+        "data matching a TARGET domain from a raw crawl; "
+        "operators/text.py dsir_log_ratio/dsir_top_k): every document "
+        "scores as the per-token average of log2 p_target − log2 p_raw "
+        "under two unigram LMs (the paper's own hashed-n-gram model "
+        "class), here target = docs 0-99 as the domain sample, raw = the "
+        "full corpus, with the keep flag at ratio ≥ 0. Cross-engine "
+        "exactness rides the doc_perplexity device twice: each model's "
+        "per-token nll pins HALF-UP to integer millionths, the ratio is "
+        "the EXACT integer difference of the two pinned integers, and "
+        "the per-doc average is one truncate-toward-zero integer "
+        "division (identical in Spark div and DuckDB //). Scale: both "
+        "LM tables broadcast (vocab-bounded); the exploded corpus never "
+        "shuffles on the token; the only wide op is the per-doc partial "
+        "aggregate — in production both LMs are persisted "
+        "train_unigram_lm artifacts and every crawl batch scores "
+        "against them without retraining.",
+)
+def dsir_importance(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t_lm = TX.train_unigram_lm(d.filter(F.col("doc_id") < 100))
+    r_lm = TX.train_unigram_lm(d)
+    scored = TX.dsir_log_ratio(d, t_lm, r_lm)
+    return (scored.select(
+        "doc_id", "n_tokens", "avg_llr_bits",
+        (F.col("avg_llr_bits") >= 0).alias("keep"))
+        .orderBy("doc_id"))
+
+
+@_q(
     "ann_pq_adc_exact",
     """
     WITH iv AS (

@@ -55,6 +55,7 @@ NOTES = {
   "curation_full_pipeline": "per-row gates fuse into the scan; the ExactSubstr stage adds ONE corpus-wide shuffle (partial-aggregated fp groupBy) + a hits-only window; then the digest dedup shuffle, broadcast benchmark shingles, 2-group aggregate",
   "ann_pq_adc_exact": "quantize is a map-side projection; codebooks and queries broadcast (8 + 10 rows); codes come from a (vec, subspace) window over |corpus|*ks*m tiny rows; ADC join ships (vec, j, code) rows only — the corpus embedding column never shuffles",
   "bpe_encode_corpus": "corpus tokens stay JVM-side: explode -> broadcast word->subwords join -> per-doc reassembly groupBy (the only shuffle); Python runs once per DISTINCT word in the vocab frame",
+  "dsir_importance": "both LM vocab tables broadcast to the scoring join; the exploded corpus never shuffles on the token — the only wide ops are the two vocab-bounded LM aggregates and the per-doc partial aggregate",
 }
 
 
