@@ -629,6 +629,70 @@ def remove_repeated_spans(df: DataFrame, spans: DataFrame,
     return joined.withColumn(text_col, scrubbed).drop("_spans")
 
 
+# --- line-level dedup (RefinedWeb line-wise corrections) ----------------------
+# Penedo et al. 2023 (RefinedWeb) run LINE-level dedup alongside document
+# and span dedup: lines repeated across many pages of a crawl (nav menus,
+# cookie banners, "all rights reserved" footers) are removed from every
+# page while the pages themselves survive. Granularity sits between the
+# C4 per-line RULES (content-blind) and ExactSubstr spans (position-
+# level): the unit is the whole line, the signal is cross-document
+# frequency.
+
+
+def line_doc_frequency(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(line, df) — each normalized (lowercased, whitespace-collapsed)
+    line with the number of DISTINCT documents containing it. Scale: the
+    only shuffle carries (doc, line) pairs already deduped map-side by
+    the distinct; the aggregate is bounded by |distinct lines|."""
+    lines = df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), "\n"))
+                      .alias("_l"))
+    norm = F.regexp_replace(F.lower(F.trim("_l")), r"\s+", " ")
+    return (lines.select(id_col, norm.alias("line"))
+            .filter(F.col("line") != "")
+            .distinct()
+            .groupBy("line").agg(F.count("*").alias("df")))
+
+
+def dedup_lines(df: DataFrame, min_doc_freq: int = 2,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Remove every line that appears in ≥ ``min_doc_freq`` distinct
+    documents (ALL copies — boilerplate is noise wherever it appears,
+    unlike span dedup's keep-one-occurrence rule; RefinedWeb's line-wise
+    correction). Line identity is the normalized form; removal keeps
+    each surviving line's ORIGINAL text. Documents with no duplicated
+    lines pass through verbatim.
+
+    Scale shape: the line-frequency aggregate is the one corpus-wide
+    shuffle (line-bounded); the duplicated-line set per document ships
+    back as one small array via a join on the doc id, and the line
+    filter is a per-row higher-order function — documents never shuffle
+    whole, and the global duplicated-line set is never collected or
+    broadcast (it can be crawl-sized; the per-doc join prunes it to
+    each doc's own lines)."""
+    dup = (line_doc_frequency(df, text_col, id_col)
+           .filter(F.col("df") >= min_doc_freq).select("line"))
+    lines = df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), "\n"))
+                      .alias("_l"))
+    norm = F.regexp_replace(F.lower(F.trim("_l")), r"\s+", " ")
+    per_doc = (lines.select(id_col, norm.alias("line")).distinct()
+               .join(dup, "line")
+               .groupBy(id_col)
+               .agg(F.collect_set("line").alias("_dup")))
+    lam = lambda l: ~F.array_contains(  # noqa: E731
+        F.col("_dup"),
+        F.regexp_replace(F.lower(F.trim(l)), r"\s+", " "))
+    scrubbed = F.when(
+        F.col("_dup").isNull(), F.col(text_col)
+    ).otherwise(
+        F.array_join(F.filter(F.split(F.col(text_col), "\n"), lam), "\n"))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn(text_col, scrubbed).drop("_dup"))
+
+
 def incremental_dedup(new_batch: DataFrame, history: DataFrame, *,
                       text_col: str = "text",
                       hash_col: str = "content_hash",

@@ -136,6 +136,15 @@ _DEMOTED_VARIANTS = [
                               # top) and vocab_top_bigrams covers the
                               # explode→bounded-agg side — stays
                               # pytest-oracled
+    # round 5: line_dedup (RefinedWeb line-wise correction — line-
+    # granular cross-doc dedup, a distinct granularity from spans and
+    # documents) enters the window; displaced twin:
+    "text_quality",           # per-row QC stats table; the per-row
+                              # text-QC class keeps TWO window rows
+                              # (quality_classifier — the model-scored
+                              # gate over the same features — and
+                              # lang_id) plus the pytest-oracled
+                              # c4/gopher/repetition variants
 ]
 
 

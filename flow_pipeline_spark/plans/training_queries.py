@@ -2321,6 +2321,91 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "line_dedup",
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             'Unique lead line ' || CAST(doc_id AS VARCHAR) || '.'
+             || chr(10) || text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'All rights reserved.' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'Subscribe  to our newsletter.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'subscribe to OUR newsletter.'
+                     ELSE '' END AS page
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(string_split(page, chr(10))) AS l
+      FROM pages),
+    norm AS (
+      SELECT DISTINCT doc_id,
+             regexp_replace(lower(trim(l)), '\s+', ' ', 'g') AS line
+      FROM lines
+      WHERE regexp_replace(lower(trim(l)), '\s+', ' ', 'g') <> ''),
+    docfreq AS (SELECT line, count(*) AS df FROM norm GROUP BY line),
+    dup AS (SELECT line FROM docfreq WHERE df >= 2),
+    perdoc AS (
+      SELECT n.doc_id, list(n.line) AS dl
+      FROM norm n JOIN dup d USING (line) GROUP BY n.doc_id),
+    scrub AS (
+      SELECT p.doc_id, p.page,
+             CASE WHEN pd.dl IS NULL THEN p.page
+                  ELSE array_to_string(
+                    list_filter(string_split(p.page, chr(10)), l ->
+                      NOT list_contains(pd.dl,
+                        regexp_replace(lower(trim(l)), '\s+', ' ', 'g'))),
+                    chr(10))
+             END AS kept
+      FROM pages p LEFT JOIN perdoc pd USING (doc_id))
+    SELECT doc_id,
+           CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(kept, chr(10))) AS BIGINT) AS n_kept,
+           md5(kept) AS kept_md5
+    FROM scrub ORDER BY doc_id
+    """,
+    doc="Line-level dedup — RefinedWeb's line-wise correction (Penedo et "
+        "al. 2023; operators/dedup.py line_doc_frequency/dedup_lines): "
+        "lines appearing in ≥2 DISTINCT documents (nav menus, cookie "
+        "banners, rights footers) are removed from EVERY page — all "
+        "copies, unlike span dedup's keep-one rule — while pages "
+        "survive. Line identity is the normalized form (lowercase, "
+        "whitespace-collapsed: the planted 'subscribe to OUR "
+        "newsletter.' case-variant merges with its twin and both "
+        "vanish), removal preserves each kept line's original text, and "
+        "untouched documents pass through verbatim. Scale: one "
+        "line-bounded frequency shuffle (map-side distinct first); each "
+        "doc's OWN duplicated lines come back as one small array via a "
+        "doc-id join — the global duplicated-line set is never "
+        "collected or broadcast; the line filter is a per-row "
+        "higher-order function.",
+)
+def line_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("Unique lead line "), F.col("doc_id").cast("string"),
+        F.lit(".\n"), F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, "\nAll rights reserved.")
+        .otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "\nSubscribe  to our newsletter.")
+        .otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "\nsubscribe to OUR newsletter.")
+        .otherwise(""))
+    pages = d.select("doc_id", page.alias("text"))
+    scrub = D.dedup_lines(pages, min_doc_freq=2)
+    return (pages.select("doc_id",
+                         F.size(F.split("text", "\n")).cast("long")
+                         .alias("n_lines"))
+            .join(scrub.select(
+                "doc_id",
+                F.size(F.split("text", "\n")).cast("long")
+                .alias("n_kept"),
+                F.md5(F.col("text")).alias("kept_md5")), "doc_id")
+            .orderBy("doc_id"))
+
+
+@_q(
     "dsir_importance",
     f"""
     WITH toks AS (

@@ -853,6 +853,31 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    """RefinedWeb line-wise correction: lines in ≥min_doc_freq distinct
+    docs vanish from EVERY doc (all copies, normalized identity — case
+    and whitespace variants merge); unique lines keep their original
+    text; untouched docs pass through verbatim."""
+    rows = [
+        (1, "Alpha body one.\nAll Rights Reserved.\nunique tail 1"),
+        (2, "Beta body two.\nall  rights reserved.\nunique tail 2"),
+        # doc 3 contains the banner TWICE — both in-doc copies go
+        (3, "All Rights Reserved.\nGamma body three.\nall rights reserved."),
+        (4, "Delta body four.\nno banner here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in D.dedup_lines(df, min_doc_freq=2).collect()}
+    assert got[1] == "Alpha body one.\nunique tail 1"
+    assert got[2] == "Beta body two.\nunique tail 2"
+    assert got[3] == "Gamma body three."
+    assert got[4] == rows[3][1]          # verbatim passthrough
+    # frequency table: normalized banner counted once per doc
+    freq = {r["line"]: r["df"]
+            for r in D.line_doc_frequency(df).collect()}
+    assert freq["all rights reserved."] == 3
+
+
 def test_dsir_selects_target_domain(spark):
     """DSIR (Xie et al. 2023): documents drawn from the target domain's
     vocabulary must score a higher importance log-ratio than off-domain
