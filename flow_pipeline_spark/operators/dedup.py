@@ -19,8 +19,10 @@ strings are lexicographic in both Spark and DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import normalize_text, shingles, tokens
 
@@ -627,6 +629,183 @@ def remove_repeated_spans(df: DataFrame, spans: DataFrame,
     ).otherwise(
         F.concat_ws(" ", F.filter(toks, lambda t, i: ~covered(t, i))))
     return joined.withColumn(text_col, scrubbed).drop("_spans")
+
+
+# --- Bloom-filter incremental dedup (the Dolma design) ------------------------
+# Soldaini et al. 2024 (Dolma) deduplicate web-scale corpora against a
+# BLOOM FILTER of previously-seen content instead of the exact digest
+# store: membership state is a fixed-size bitmap (1.2 GB for 1e9 items at
+# 1% FP) that BROADCASTS, replacing the anti-join shuffle entirely. The
+# trade is explicit and one-sided: NO false negatives (every true replay
+# is dropped — the dedup guarantee holds exactly) at the cost of an ~fpp
+# share of fresh documents falsely dropped (harmless over-filtering for
+# training data). Complements the exact incremental triptych (digest /
+# band / semantic stores) as the bounded-memory fallback when even the
+# distinct-digest table is too hot to join per ingest.
+
+
+def _bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2)."""
+    import math
+    n = max(n_items, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round((m / n) * math.log(2)))
+    return m, k
+
+
+def _bloom_probe_positions(digest_hex: str, m_bits: int, k: int):
+    """k bit positions via Kirsch-Mitzenmacher double hashing over the
+    md5 digest's own hex (h1 + i·h2 mod m) — no extra hashing, fully
+    deterministic across engines/partitionings."""
+    h1 = int(digest_hex[:15], 16)
+    h2 = int(digest_hex[15:30], 16) | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_build(history: DataFrame, hash_col: str = "content_hash", *,
+                n_items: int | None = None, fpp: float = 0.01
+                ) -> tuple[bytes, int, int]:
+    """Build the Bloom bitmap over a digest column. Returns
+    (bitmap_bytes, m_bits, k) — the persistable membership artifact.
+
+    Scale shape: each partition fills a LOCAL fixed-size bitmap and the
+    bitmaps OR together up a tree (``treeAggregate`` — the one legit
+    RDD use here: per-partition imperative state with a fixed-size
+    mergeable summary). Nothing row-shaped ever reaches the driver;
+    the reduction traffic is |partitions| × m/8 bytes regardless of
+    corpus size."""
+    import numpy as np
+
+    n = n_items if n_items is not None else history.count()
+    m_bits, k = _bloom_geometry(n, fpp)
+    nbytes = (m_bits + 7) // 8
+
+    def seq_op(acc, row):
+        d = row[0]
+        if d:
+            for p in _bloom_probe_positions(d, m_bits, k):
+                acc[p >> 3] |= (1 << (p & 7))
+        return acc
+
+    def comb_op(a, b):
+        return np.bitwise_or(a, b)
+
+    bitmap = (history.select(hash_col).rdd
+              .treeAggregate(np.zeros(nbytes, dtype=np.uint8),
+                             seq_op, comb_op))
+    return bitmap.tobytes(), m_bits, k
+
+
+def bloom_incremental_dedup(new_batch: DataFrame,
+                            bloom: tuple[bytes, int, int], *,
+                            text_col: str = "text",
+                            hash_col: str = "content_hash") -> DataFrame:
+    """Drop every new-batch document whose normalized-content digest the
+    Bloom filter recognizes — the approximate form of
+    :func:`incremental_dedup`: zero shuffle (the bitmap broadcasts in
+    the UDF closure; membership is a per-row probe), no false negatives
+    (replays always drop), ~fpp fresh docs over-dropped. Returns
+    ``new_batch`` + ``hash_col`` filtered to unseen content."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap_bytes, m_bits, k = bloom
+    arr = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+
+    @pandas_udf(T.BooleanType())
+    def _seen(s: pd.Series) -> pd.Series:
+        def probe(d):
+            if not d:
+                return False
+            return all(arr[p >> 3] & (1 << (p & 7))
+                       for p in _bloom_probe_positions(d, m_bits, k))
+        return s.map(probe)
+
+    digest = F.md5(normalize_text(F.col(text_col)))
+    return (new_batch.withColumn(hash_col, digest)
+            .filter(~_seen(F.col(hash_col))))
+
+
+def bloom_paragraph_dedup(new_batch: DataFrame,
+                          bloom: tuple[bytes, int, int], *,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = "\n\n") -> DataFrame:
+    """Dolma's actual granularity: scrub PARAGRAPHS the corpus has seen
+    before (Bloom over paragraph digests) while the host documents
+    survive — the incremental sibling of :func:`dedup_lines` one level
+    up. Paragraph identity is the normalized form; surviving paragraphs
+    keep their original text; documents whose every paragraph is new
+    pass through verbatim (``_n_dropped_paras`` reports the scrub).
+    Zero shuffle: split, per-paragraph probe, reassemble — all per-row;
+    the history's paragraph-digest Bloom broadcasts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap_bytes, m_bits, k = bloom
+    arr = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+
+    out_schema = T.StructType([
+        T.StructField("_kept_text", T.StringType()),
+        T.StructField("_n_dropped_paras", T.IntegerType()),
+    ])
+
+    @pandas_udf(out_schema)
+    def _scrub(s: pd.Series) -> pd.DataFrame:
+        import hashlib
+        import re
+
+        # JVM parity (the ascii_words lesson, text.py:51): Spark SQL
+        # trim() strips SPACES only and Java regex \s is ASCII — a
+        # Python str.strip()/unicode-\s normalization would digest
+        # differently on tab/NBSP-bearing text and silently miss the
+        # store (pinned against paragraph_digests in pytest)
+        trim_re = re.compile(r"^ +| +$")
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def probe_hex(d):
+            return all(arr[p >> 3] & (1 << (p & 7))
+                       for p in _bloom_probe_positions(d, m_bits, k))
+
+        def scrub(t):
+            if not t:
+                return t, 0
+            paras = t.split(sep)
+            kept, dropped = [], 0
+            for p in paras:
+                norm = ws_re.sub(" ", trim_re.sub("", p).lower())
+                d = hashlib.md5(norm.encode("utf-8")).hexdigest()
+                if norm and probe_hex(d):
+                    dropped += 1
+                else:
+                    kept.append(p)
+            return sep.join(kept), dropped
+
+        out = s.map(scrub)
+        return pd.DataFrame({"_kept_text": out.map(lambda x: x[0]),
+                             "_n_dropped_paras": out.map(lambda x: x[1])})
+
+    res = new_batch.withColumn("_s", _scrub(F.col(text_col)))
+    return (res.withColumn(text_col, F.col("_s._kept_text"))
+            .withColumn("n_dropped_paras", F.col("_s._n_dropped_paras"))
+            .drop("_s"))
+
+
+def paragraph_digests(df: DataFrame, text_col: str = "text",
+                      sep: str = "\n\n") -> DataFrame:
+    """(content_hash) — one row per distinct normalized paragraph; the
+    frame :func:`bloom_build` consumes to build the paragraph-level
+    store. Pure expressions: split → explode → normalize → md5."""
+    para = F.explode(F.split(F.col(text_col),
+                             sep.replace("\n", r"\n"))).alias("_p")
+    norm = F.regexp_replace(F.lower(F.trim("_p")), r"\s+", " ")
+    return (df.select(para)
+            .select(F.md5(norm).alias("content_hash"),
+                    norm.alias("_n"))
+            .filter(F.col("_n") != "")
+            .select("content_hash").distinct())
 
 
 # --- line-level dedup (RefinedWeb line-wise corrections) ----------------------

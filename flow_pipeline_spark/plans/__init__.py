@@ -145,6 +145,14 @@ _DEMOTED_VARIANTS = [
                               # gate over the same features — and
                               # lang_id) plus the pytest-oracled
                               # c4/gopher/repetition variants
+    # round 5: bloom_dedup (Bloom-filter membership dedup, the Dolma
+    # bounded-memory store — a new operator class: approximate
+    # membership, exactly oracled including its false positives)
+    # enters the window; displaced twin:
+    "conditional_class",      # P7 conditional-expression device; the
+                              # class stays windowed via
+                              # event_type_pivot (conditional agg) and
+                              # quality_classifier (nested CASE gate)
 ]
 
 

@@ -2321,6 +2321,77 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "bloom_dedup",
+    r"""
+    WITH hist AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g')) AS d
+      FROM documents WHERE doc_id < 300),
+    hh AS (
+      SELECT ('0x' || substring(d, 1, 15))::BIGINT AS h1,
+             (('0x' || substring(d, 16, 15))::BIGINT // 2) * 2 + 1 AS h2
+      FROM hist),
+    bits AS (
+      SELECT DISTINCT (h1 + i * h2) % 2875 AS p
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+    batch AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS content_hash
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 300
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id < 50)),
+    bh AS (
+      SELECT doc_id, content_hash,
+             ('0x' || substring(content_hash, 1, 15))::BIGINT AS h1,
+             (('0x' || substring(content_hash, 16, 15))::BIGINT // 2) * 2
+               + 1 AS h2
+      FROM batch),
+    probes AS (
+      SELECT doc_id, (h1 + i * h2) % 2875 AS p
+      FROM bh CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+    seen AS (
+      SELECT pr.doc_id, count(*) AS n_hit
+      FROM probes pr JOIN bits b ON b.p = pr.p
+      GROUP BY pr.doc_id HAVING count(*) = 7)
+    SELECT doc_id, content_hash FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM seen)
+    ORDER BY doc_id
+    """,
+    doc="Bloom-filter incremental dedup — the Dolma design (Soldaini et "
+        "al. 2024; operators/dedup.py bloom_build/"
+        "bloom_incremental_dedup): membership state is a FIXED-SIZE "
+        "bitmap (m=2875 bits, k=7 for the 300-doc history at fpp 0.01) "
+        "built by per-partition bitmaps OR-ed up a treeAggregate and "
+        "broadcast to a per-row probe — replacing the digest anti-join "
+        "shuffle entirely; 1e9 digests at 1% fit ~1.2 GB. The guarantee "
+        "is one-sided: every true replay drops (the 50 planted replays "
+        "all vanish), an ~fpp share of fresh docs over-drops. The "
+        "bitmap math is DETERMINISTIC (Kirsch-Mitzenmacher double "
+        "hashing h1+i·h2 over the digest's own hex — no extra hash, no "
+        "RNG), so the DuckDB oracle reproduces the exact survivor set "
+        "INCLUDING the false positives set-theoretically (distinct "
+        "set-bit positions ⋈ per-doc probe positions, all-7-hit = "
+        "seen) — the approximate operator is exactly verified.",
+)
+def bloom_dedup(spark, sf_dir):
+    from ..operators.text import normalize_text
+    d = _docs(spark, sf_dir)
+    hist_digests = (d.filter(F.col("doc_id") < 300)
+                    .select(F.md5(normalize_text(F.col("text")))
+                            .alias("content_hash")))
+    bloom = D.bloom_build(hist_digests, n_items=300, fpp=0.01)
+    replays = (d.filter(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    fresh = d.filter(F.col("doc_id") >= 300).select("doc_id", "text")
+    batch = fresh.unionByName(replays)
+    return (D.bloom_incremental_dedup(batch, bloom)
+            .select("doc_id", "content_hash")
+            .orderBy("doc_id"))
+
+
+@_q(
     "line_dedup",
     r"""
     WITH pages AS (

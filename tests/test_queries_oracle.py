@@ -40,7 +40,12 @@ def test_registry_window_ordering():
                      # round 5: the compressed-domain ANN class lands its
                      # driver row (approx_percentiles demoted, the W7
                      # sketch twin of windowed value_percentiles)
-                     "ann_pq_adc_exact"]:
+                     "ann_pq_adc_exact",
+                     # round 5: importance resampling, line-granular
+                     # dedup, and Bloom membership dedup each land a
+                     # driver row (doc_chunks / text_quality /
+                     # conditional_class demoted — see plans/__init__)
+                     "dsir_importance", "line_dedup", "bloom_dedup"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

@@ -853,6 +853,66 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_bloom_incremental_dedup_no_false_negatives(spark, docs):
+    """Dolma-style Bloom dedup: the guarantee is one-sided — EVERY true
+    replay drops (no false negatives), fresh content survives up to the
+    configured fpp. The bitmap is the fixed-size broadcastable store."""
+    from flow_pipeline_spark.operators.text import normalize_text
+
+    history = docs.filter(F.col("doc_id") < 300)
+    hist_digests = history.select(
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+    bloom = D.bloom_build(hist_digests, fpp=0.01)
+    bitmap, m_bits, k = bloom
+    assert len(bitmap) == (m_bits + 7) // 8 and k >= 1
+
+    replays = (history.filter(F.col("doc_id") < 50)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    fresh = docs.filter(F.col("doc_id") >= 300)
+    batch = fresh.unionByName(replays.select(*fresh.columns))
+    kept = {r["doc_id"]
+            for r in D.bloom_incremental_dedup(batch, bloom).collect()}
+    assert not any(i >= 100000 for i in kept), \
+        "a replayed document escaped the Bloom store (false negative)"
+    n_fresh = fresh.count()
+    # deterministic corpus → deterministic FP count (7/200 here; the
+    # Kirsch-Mitzenmacher two-hash scheme has higher FP variance than
+    # independent hashes at small m — fill factor verified on theory,
+    # 0.514 vs ideal 0.518). Bound at 5%: an implementation bug (wrong
+    # geometry, saturated bitmap) blows far past it
+    assert len(kept) >= n_fresh - max(3, int(0.05 * n_fresh)), \
+        "false-positive rate far above the configured fpp"
+
+
+def test_bloom_paragraph_dedup_scrubs_seen(spark):
+    """Paragraph-granular Bloom dedup (Dolma's unit): previously-seen
+    paragraphs scrub out of new documents (case/whitespace variants
+    merge — the Python kernel's normalization is pinned to the JVM
+    paragraph_digests form), unseen paragraphs keep their original
+    text, and all-new documents pass through verbatim."""
+    hist = spark.createDataFrame(
+        [(1, "Shared banner paragraph.\n\nUnique history body one."),
+         (2, "Another history body.\n\nCall to action today!")],
+        "doc_id long, text string")
+    store = D.paragraph_digests(hist)
+    # JVM-side digest of the banner must equal the Python kernel's
+    import hashlib
+    want = hashlib.md5(b"shared banner paragraph.").hexdigest()
+    assert want in {r[0] for r in store.collect()}
+    bloom = D.bloom_build(store, fpp=0.001)
+
+    new = spark.createDataFrame(
+        [(10, "SHARED  banner\tparagraph.\n\nGenuinely new body ten."),
+         (11, "call to action today!\n\nAnother new body eleven."),
+         (12, "Totally fresh paragraph.\n\nAnd a second fresh one.")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_dropped_paras"])
+           for r in D.bloom_paragraph_dedup(new, bloom).collect()}
+    assert got[10] == ("Genuinely new body ten.", 1)
+    assert got[11] == ("Another new body eleven.", 1)
+    assert got[12] == ("Totally fresh paragraph.\n\nAnd a second fresh one.", 0)
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate(spark):
     """RefinedWeb line-wise correction: lines in ≥min_doc_freq distinct
     docs vanish from EVERY doc (all copies, normalized identity — case

@@ -57,6 +57,7 @@ NOTES = {
   "bpe_encode_corpus": "corpus tokens stay JVM-side: explode -> broadcast word->subwords join -> per-doc reassembly groupBy (the only shuffle); Python runs once per DISTINCT word in the vocab frame",
   "dsir_importance": "both LM vocab tables broadcast to the scoring join; the exploded corpus never shuffles on the token — the only wide ops are the two vocab-bounded LM aggregates and the per-doc partial aggregate",
   "line_dedup": "one line-bounded frequency shuffle (map-side distinct first); each doc's own duplicated lines come back as a small array on a doc-id join; the line filter is a per-row higher-order function — the global dup-line set never collects or broadcasts",
+  "bloom_dedup": "ZERO-shuffle query plan: the bitmap (built once via treeAggregate, outside this plan) rides the probe UDF closure; membership is a per-row ArrowEvalPython filter over the scan — the anti-join exchange is gone entirely",
 }
 
 
