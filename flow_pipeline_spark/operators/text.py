@@ -511,6 +511,109 @@ def score_with_lm(docs: DataFrame, lm: DataFrame,
                      / 10000.0).alias("avg_nll_bits")))
 
 
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    vocab_size: int = 2000,
+                    bigram_size: int = 5000
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Train a bigram LM with unigram backoff — one n-gram order up from
+    :func:`train_unigram_lm`, the step toward CCNet's KenLM 5-gram.
+    Returns (unigram_table, bigram_table):
+
+    - unigram: the :func:`train_unigram_lm` artifact (tok, c, n_total);
+    - bigram: top-``bigram_size`` adjacent pairs (a, b, c2, c1) whose
+      LEFT token is in the unigram vocab, with c1 = count(a) stamped on
+      the row so the table is self-contained (p(b|a) = c2/c1 needs no
+      join at scoring time).
+
+    Both tables are the persistable model. Scale: the pair aggregate is
+    bounded by |distinct bigrams| (map-side partials, the
+    vocab_top_bigrams shape); top-K is TakeOrdered with the
+    deterministic (count desc, a, b) total order."""
+    toks_arr = tokens(F.lower(F.col(text_col)))
+    uni = train_unigram_lm(docs, text_col, vocab_size)
+    n = F.size(toks_arr)
+    pairs = F.zip_with(
+        F.slice(toks_arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    bic = (docs.select(F.explode(pairs).alias("p"))
+           .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .agg(F.count("*").alias("c2")))
+    bi = (bic.join(uni.select(F.col("tok").alias("a"),
+                              F.col("c").alias("c1")), "a")
+          .orderBy(F.desc("c2"), F.asc("a"), F.asc("b"))
+          .limit(bigram_size))
+    return uni, bi
+
+
+def score_with_bigram_lm(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         alpha: float = 0.4) -> DataFrame:
+    """Score documents under a trained bigram-backoff LM (stupid
+    backoff, Brants et al. 2007): position 1 scores under the unigram;
+    position i ≥ 2 scores p(b|a) = c2/c1 when the bigram is in the
+    table, else α·p_uni(b) (α = 0.4, the paper's constant; count-1 OOV
+    floor as everywhere). Scores are the usual FIXED-POINT per-token
+    nll (HALF-UP integer millionths, exact integer-division average) so
+    both engines agree bitwise given the same tables. Returns (id,
+    n_tokens, avg_nll_bits, n_backoff) — n_backoff counts positions
+    that fell to the unigram.
+
+    Scale: both tables broadcast to the scoring joins; the exploded
+    pair stream never shuffles on the token; the only wide op is the
+    per-doc partial aggregate."""
+    toks_arr = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks_arr)
+    pairs = F.zip_with(
+        F.slice(toks_arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    pr = (docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+          .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    total = F.broadcast(uni.agg(F.max("n_total").alias("_n")))
+    uvoc = uni.select(F.col("tok").alias("b"), F.col("c").alias("_cb"))
+    btab = bi.select("a", "b", "c2", "c1")
+
+    def e6(nll: Column) -> Column:
+        return F.floor(nll * 1e6 + F.lit(0.5)).cast("long")
+
+    ln2 = F.log(F.lit(2.0))
+    pair_rows = (pr.join(F.broadcast(btab), ["a", "b"], "left")
+                 .join(F.broadcast(uvoc), "b", "left")
+                 .crossJoin(total)
+                 .select(
+                     F.col(id_col),
+                     F.when(F.col("c2").isNotNull(),
+                            e6(-F.log(F.col("c2") / F.col("c1")) / ln2))
+                     .otherwise(
+                         e6(-F.log(F.lit(alpha)
+                                   * F.coalesce(F.col("_cb"), F.lit(1))
+                                   / F.col("_n")) / ln2))
+                     .alias("nll_e6"),
+                     F.when(F.col("c2").isNull(), 1).otherwise(0)
+                     .alias("backoff")))
+    first = (docs.select(F.col(id_col),
+                         F.element_at(toks_arr, 1).alias("b"))
+             .filter(F.col("b").isNotNull())
+             .join(F.broadcast(uvoc), "b", "left")
+             .crossJoin(total)
+             .select(F.col(id_col),
+                     e6(-F.log(F.coalesce(F.col("_cb"), F.lit(1))
+                               / F.col("_n")) / ln2).alias("nll_e6"),
+                     F.lit(0).alias("backoff")))
+    return (pair_rows.unionByName(first)
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("nll_e6").alias("_s"),
+                 F.sum("backoff").cast("long").alias("n_backoff"))
+            .select(id_col, "n_tokens",
+                    (F.expr("(2 * _s + 100 * n_tokens) "
+                            "div (200 * n_tokens)") / 10000.0)
+                    .alias("avg_nll_bits"),
+                    "n_backoff"))
+
+
 def dsir_log_ratio(docs: DataFrame, target_lm: DataFrame,
                    raw_lm: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

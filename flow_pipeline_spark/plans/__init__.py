@@ -153,6 +153,12 @@ _DEMOTED_VARIANTS = [
                               # class stays windowed via
                               # event_type_pivot (conditional agg) and
                               # quality_classifier (nested CASE gate)
+    "bigram_perplexity",      # n-gram extension of the WINDOWED
+                              # doc_perplexity class (same LM-gate
+                              # device + fixed-point discipline, one
+                              # order up with stupid backoff) —
+                              # registers directly as a pytest-oracled
+                              # variant, no window churn
 ]
 
 

@@ -2321,6 +2321,77 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "bigram_perplexity",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+    tot AS (SELECT count(*) AS n FROM toks),
+    uni AS (
+      SELECT tok, count(*) AS c FROM toks
+      GROUP BY tok ORDER BY c DESC, tok LIMIT 2000),
+    pr AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+               struct_pack(a := t[i], b := t[i+1]))) AS p
+      FROM tk WHERE len(t) >= 2),
+    bic AS (
+      SELECT p.a AS a, p.b AS b, count(*) AS c2 FROM pr
+      GROUP BY p.a, p.b),
+    bi AS (
+      SELECT b0.a, b0.b, b0.c2, u.c AS c1
+      FROM bic b0 JOIN uni u ON u.tok = b0.a
+      ORDER BY b0.c2 DESC, b0.a, b0.b LIMIT 500),
+    scored_pairs AS (
+      SELECT pr.doc_id,
+             CASE WHEN bi.c2 IS NOT NULL
+                  THEN CAST(floor((-ln(bi.c2 / bi.c1) / ln(2))
+                                  * 1000000 + 0.5) AS BIGINT)
+                  ELSE CAST(floor((-ln(0.4 * coalesce(u2.c, 1)
+                                       / (SELECT n FROM tot)) / ln(2))
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS nll_e6,
+             CASE WHEN bi.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM pr
+      LEFT JOIN bi ON bi.a = pr.p.a AND bi.b = pr.p.b
+      LEFT JOIN uni u2 ON u2.tok = pr.p.b),
+    first_tok AS (
+      SELECT tk.doc_id,
+             CAST(floor((-ln(coalesce(u.c, 1) / (SELECT n FROM tot))
+                         / ln(2)) * 1000000 + 0.5) AS BIGINT) AS nll_e6,
+             0 AS backoff
+      FROM tk LEFT JOIN uni u ON u.tok = t[1] WHERE len(t) >= 1),
+    allrows AS (
+      SELECT * FROM scored_pairs UNION ALL SELECT * FROM first_tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ((2 * sum(nll_e6) + 100 * count(*)) // (200 * count(*)))
+             / 10000.0 AS avg_nll_bits,
+           CAST(sum(backoff) AS BIGINT) AS n_backoff
+    FROM allrows GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bigram-LM perplexity gate with stupid backoff (Brants et al. "
+        "2007 α=0.4; operators/text.py train_bigram_lm/"
+        "score_with_bigram_lm) — one n-gram order up from "
+        "doc_perplexity, the step toward CCNet's KenLM: position 1 "
+        "scores under the unigram, later positions score p(b|a)=c2/c1 "
+        "from the top-5000 bigram table (left token vocab-bound, c1 "
+        "stamped on the row so scoring needs no extra join) and fall "
+        "back to α·p_uni(b) otherwise; n_backoff reports the fallback "
+        "count per doc. Same fixed-point discipline (per-token nll "
+        "HALF-UP to integer millionths, exact integer-division "
+        "average). Scale: the pair aggregate is |distinct "
+        "bigrams|-bounded with map-side partials; both model tables "
+        "broadcast to the scoring joins; the exploded pair stream "
+        "never shuffles on the token.",
+)
+def bigram_perplexity(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    # bigram_size=500 < the corpus's 916 distinct bigrams, so BOTH
+    # scoring branches (bigram hit AND stupid-backoff fallback) are
+    # exercised and hash-verified cross-engine
+    uni, bi = TX.train_bigram_lm(d, bigram_size=500)
+    return (TX.score_with_bigram_lm(d, uni, bi).orderBy("doc_id"))
+
+
+@_q(
     "bloom_dedup",
     r"""
     WITH hist AS (

@@ -853,6 +853,42 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_bigram_lm_persist_score_and_backoff(spark, docs, tmp_path):
+    """Bigram-backoff LM: both model tables persist and score a LATER
+    batch identically after read-back; the backoff branch fires for
+    unseen pairs; a document made of the corpus's most frequent bigram
+    scores lower nll than one of never-seen pairs."""
+    from flow_pipeline_spark.operators.text import (score_with_bigram_lm,
+                                                    train_bigram_lm)
+
+    b1 = docs.filter(F.col("doc_id") < 200)
+    b2 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    uni, bi = train_bigram_lm(b1, bigram_size=300)
+
+    up, bp = str(tmp_path / "uni"), str(tmp_path / "bi")
+    uni.write.parquet(up)
+    bi.write.parquet(bp)
+    live = {r["doc_id"]: (r["avg_nll_bits"], r["n_backoff"])
+            for r in score_with_bigram_lm(b2, uni, bi).collect()}
+    back = {r["doc_id"]: (r["avg_nll_bits"], r["n_backoff"])
+            for r in score_with_bigram_lm(
+                b2, spark.read.parquet(up),
+                spark.read.parquet(bp)).collect()}
+    assert live == back, "persisted tables score differently"
+    assert sum(nb for _, nb in live.values()) > 0, \
+        "no pair ever hit the backoff branch — fixture too small?"
+
+    top = bi.orderBy(F.desc("c2"), "a", "b").first()
+    frequent = " ".join([top["a"], top["b"]] * 10)
+    unseen = " ".join(f"zq{i}x zq{i}y" for i in range(10))
+    probe = spark.createDataFrame(
+        [(1, frequent), (2, unseen)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           score_with_bigram_lm(probe, uni, bi).collect()}
+    assert got[1]["avg_nll_bits"] < got[2]["avg_nll_bits"]
+    assert got[2]["n_backoff"] == 19     # every pair of the unseen doc
+
+
 def test_bloom_incremental_dedup_no_false_negatives(spark, docs):
     """Dolma-style Bloom dedup: the guarantee is one-sided — EVERY true
     replay drops (no false negatives), fresh content survives up to the
