@@ -1187,6 +1187,63 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             .select("q", "n", "cos", "rank"))
 
 
+def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
+               lam: float = 0.5, *, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — the standard diversification pass over a retrieval
+    shortlist: greedily pick the candidate maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)``, so near-
+    duplicate results stop crowding out coverage. Returns (rank, id,
+    relevance, score) for the k selections in pick order.
+
+    Determinism: relevance, penalty, and score all HALF-UP round at 4dp
+    before comparison, ties break on the lowest id — identical output
+    on any partitioning.
+
+    Shape: k driver-coordinated rounds (the kmeans/BPE-argmax
+    contract — one 1-row collect per round); each round is one scan of
+    the candidate frame with the last selection riding a broadcast
+    literal, and the running penalty column updates incrementally
+    (``greatest(pen, cos(d, new_sel))``) so round cost never grows with
+    |selected|. Production deployments run MMR over an ANN SHORTLIST
+    (|candidates| ≈ 10–100·k — compose with brute_knn/ivf_pq_knn), not
+    the raw corpus; the loop is latency-bound, not throughput-bound."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(sum(x * x for x in query_vec) ** 0.5) or 1e-300
+    cand = (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+            .withColumn("_vn", _norm("_v"))
+            .withColumn("_rel", F.round(
+                _dot("_v", q) / (F.col("_vn") * F.lit(qn)), 4))
+            .withColumn("_pen", F.lit(0.0))
+            .localCheckpoint(eager=False))
+    picked = []
+    for rank in range(1, k + 1):
+        score = F.round(F.lit(lam) * F.col("_rel")
+                        - F.lit(1.0 - lam) * F.col("_pen"), 4)
+        rows = (cand.withColumn("_score", score)
+                .orderBy(F.desc("_score"), F.asc("_id")).limit(1)
+                .collect())
+        if not rows:
+            break
+        top = rows[0]
+        picked.append((rank, int(top["_id"]), float(top["_rel"]),
+                       float(top["_score"])))
+        sel = F.array(*[F.lit(float(x)) for x in top["_v"]])
+        seln = float(sum(float(x) ** 2 for x in top["_v"]) ** 0.5) \
+            or 1e-300
+        cand = (cand.filter(F.col("_id") != int(top["_id"]))
+                .withColumn("_pen", F.greatest(
+                    F.col("_pen"),
+                    F.round(_dot("_v", sel)
+                            / (F.col("_vn") * F.lit(seln)), 4)))
+                .localCheckpoint(eager=False))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, relevance double, score double")
+
+
 def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
     """Map-side semantic-duplicate gate for STREAMING pipelines: collect
     the (cell, embedding) store once (grouped by cell, RAW — not

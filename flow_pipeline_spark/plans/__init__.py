@@ -159,6 +159,11 @@ _DEMOTED_VARIANTS = [
                               # order up with stupid backoff) —
                               # registers directly as a pytest-oracled
                               # variant, no window churn
+    "filtered_knn",           # metadata-filtered variant of the
+                              # WINDOWED knn_cosine (same brute scoring
+                              # + two-phase top-k, label equi-join
+                              # filter composed before scoring) — same
+                              # direct-to-pytest-oracled registration
 ]
 
 

@@ -358,6 +358,61 @@ def knn_cosine(spark, sf_dir):
 
 
 @_q(
+    "filtered_knn",
+    f"""
+    WITH e AS ({_EMB_EXPLODED.format(src='embeddings')}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    scored AS (
+      SELECT qe.vec_id AS q, ce.vec_id AS n,
+             round(sum(qe.v * ce.v) /
+                   (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))), 4)
+               AS cos
+      FROM e qe
+      JOIN e ce ON qe.i = ce.i AND qe.vec_id < 10
+               AND ce.vec_id != qe.vec_id
+      JOIN lab ql ON ql.vec_id = qe.vec_id
+      JOIN lab cl ON cl.vec_id = ce.vec_id AND cl.label = ql.label
+      GROUP BY qe.vec_id, ce.vec_id),
+    ranked AS (
+      SELECT q, n, cos,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY cos DESC, n ASC) AS rank
+      FROM scored)
+    SELECT q, n, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q, rank
+    """,
+    doc="METADATA-FILTERED vector search — the hybrid-search feature "
+        "every production vector store exposes (FAISS IDSelector, "
+        "vector-DB metadata filters): each query retrieves its top-5 "
+        "neighbors among corpus vectors sharing ITS OWN label "
+        "(same-language / same-domain / same-license retrieval). The "
+        "filter composes BEFORE scoring as a label equi-join, so "
+        "Catalyst prunes the scan to matching rows — at 100 TB the "
+        "corpus is stored PARTITIONED BY the filter column and the "
+        "equi-join becomes partition pruning; the ANN variants compose "
+        "the same way (the IVF codes table gains the label as a second "
+        "partition key). Queries broadcast; scoring and two-phase "
+        "top-k as in knn_cosine.",
+)
+def filtered_knn(spark, sf_dir):
+    from ..operators.similarity import _cos_pre, _norm, _topk_per_query
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q"), "label",
+                 F.col("embedding").alias("qv"),
+                 _norm("embedding").alias("qn")))
+    c = e.select(F.col("vec_id").alias("n"), "label",
+                 F.col("embedding").alias("nv"),
+                 _norm("embedding").alias("nn"))
+    scored = (c.join(F.broadcast(q), "label")
+              .filter(F.col("n") != F.col("q"))
+              .select("q", "n",
+                      F.round(_cos_pre("qv", "nv",
+                                       F.col("qn"), F.col("nn")), 4)
+                      .alias("cos")))
+    return _topk_per_query(scored, 5).orderBy("q", "rank")
+
+
+@_q(
     "embedding_near_dup",
     f"""
     WITH corpus AS (
@@ -2318,6 +2373,41 @@ def ann_ivf_pq_knn(spark, sf_dir):
                          n_cells=16, nprobe=8, m=16, ks=64,
                          shortlist=40)
             .orderBy("q", "rank"))
+
+
+@_q(
+    "mmr_diverse_knn",
+    None,  # k driver-coordinated greedy rounds — not SQL-expressible as
+    # one query; the diversification property (clones of the top hit
+    # are demoted below distinct candidates) and determinism are
+    # pytest-asserted (test_mmr_diversifies_clone_results).
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+        "1998; operators/similarity.py mmr_select) — the "
+        "diversification pass production retrieval runs over an ANN "
+        "shortlist: greedy argmax of λ·sim(q,d) − (1−λ)·max sim(d, "
+        "selected), so near-duplicate results stop crowding out "
+        "coverage (here the corpus carries planted exact copies of "
+        "likely top hits — plain top-k returns the clones "
+        "back-to-back, MMR returns each cluster once). Deterministic: "
+        "4dp HALF-UP on relevance/penalty/score, lowest-id ties. "
+        "Scale: k driver rounds of one scan each with the last pick "
+        "riding a broadcast literal and an incrementally-updated "
+        "penalty column (round cost flat in |selected|); run over the "
+        "ANN shortlist, not the corpus.",
+)
+def mmr_diverse_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # clone the query's two top hits (vec 0's true nearest neighbors):
+    # plain top-k returns each clone right next to its original; MMR's
+    # penalty (cos 1.0 to the already-picked original) excludes them
+    copies = (e.filter(F.col("vec_id").isin(365, 73))
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    corpus = e.unionByName(copies)
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.mmr_select(corpus.filter(F.col("vec_id") != 0), qv,
+                        k=8, lam=0.7)
 
 
 @_q(

@@ -853,6 +853,42 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_mmr_diversifies_clone_results(spark):
+    """MMR (Carbonell & Goldstein 1998): plain top-3 returns the three
+    near-identical clones back-to-back; MMR keeps the best clone and
+    promotes DISTINCT candidates over the other clones."""
+    rows = [
+        # cluster A (mutually ~identical, best relevance ~0.90)
+        (1, [0.900, 0.436, 0.0, 0.0]),
+        (2, [0.900, 0.437, 0.0, 0.0]),
+        (3, [0.899, 0.436, 0.0, 0.0]),
+        # two DISTINCT directions, slightly less relevant
+        (4, [0.880, 0.0, 0.475, 0.0]),
+        (5, [0.870, 0.0, 0.0, 0.493]),
+        (6, [0.0, 1.0, 0.0, 0.0]),     # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+
+    plain = [r["n"] for r in S.brute_knn(
+        df, spark.createDataFrame([(99, q)],
+                                  "vec_id long, embedding array<double>"),
+        k=3).orderBy("rank").collect()]
+    assert set(plain) == {1, 2, 3}, plain  # cluster A crowds out all
+
+    got = S.mmr_select(df, q, k=3, lam=0.5).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 1                     # best of cluster A first
+    assert set(ids[1:]) == {4, 5}, ids     # then one per direction —
+    #                                        the remaining A members'
+    #                                        pen≈1 demotes them
+    # determinism: same output on a different partitioning
+    ids2 = [r["vec_id"] for r in
+            S.mmr_select(df.repartition(5), q, k=3, lam=0.5)
+            .orderBy("rank").collect()]
+    assert ids == ids2
+
+
 def test_bigram_lm_persist_score_and_backoff(spark, docs, tmp_path):
     """Bigram-backoff LM: both model tables persist and score a LATER
     batch identically after read-back; the backoff branch fires for

@@ -243,6 +243,49 @@ def main() -> None:
             record("bpe_train_4merges", n, time.perf_counter() - t0,
                    planted_ok=(len(merges) == 4))
 
+        # Bloom membership dedup (round 5, dedup.py:bloom_build/
+        # bloom_incremental_dedup): the bitmap is FIXED-SIZE per fpp —
+        # build cost is one treeAggregate pass, probe cost is per-row
+        # with zero shuffle. Probed with the whole corpus as replays
+        # (everything must drop — the no-false-negative side).
+        from flow_pipeline_spark.operators.dedup import (
+            bloom_build, bloom_incremental_dedup)
+        from flow_pipeline_spark.operators.text import normalize_text
+        for n in doc_steps[:3]:
+            docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                eager=True)
+            digests = docs.select(
+                F.md5(normalize_text(F.col("text")))
+                .alias("content_hash")).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            bloom = bloom_build(digests, n_items=n, fpp=0.01)
+            build_sec = time.perf_counter() - t0
+            record("bloom_build", n, build_sec)
+            sec = median_timed(lambda: force(
+                bloom_incremental_dedup(docs, bloom)))
+            survivors = bloom_incremental_dedup(docs, bloom).count()
+            record("bloom_probe_replays", n, sec,
+                   planted_ok=(survivors == 0))
+
+        # line-level dedup (round 5, dedup.py:dedup_lines): shared
+        # boilerplate lines planted on every doc; the frequency shuffle
+        # is |distinct lines|-bounded, the scrub per-row.
+        from flow_pipeline_spark.operators.dedup import dedup_lines
+        for n in doc_steps[:3]:
+            pages = (synth_docs(spark, n, planted=0)
+                     .withColumn("text", F.concat(
+                         F.col("text"),
+                         F.lit("\nAll rights reserved."),
+                         F.when(F.col("doc_id") % 3 == 0,
+                                "\nSubscribe to our newsletter.")
+                         .otherwise("")))
+                     .localCheckpoint(eager=True))
+            sec = median_timed(lambda: force(dedup_lines(pages)))
+            leaked = (dedup_lines(pages)
+                      .filter(F.col("text").contains("rights reserved"))
+                      .count())
+            record("line_dedup", n, sec, planted_ok=(leaked == 0))
+
         # vocab-table BPE ENCODER (round 5, tokenizer.py:bpe_encode_vocab):
         # Python cost is |vocab|-bounded (each DISTINCT word encodes once)
         # while corpus tokens stay JVM-side — per-doc encode throughput
