@@ -696,18 +696,14 @@ def bloom_build(history: DataFrame, hash_col: str = "content_hash", *,
     return bitmap.tobytes(), m_bits, k
 
 
-def bloom_incremental_dedup(new_batch: DataFrame,
-                            bloom: tuple[bytes, int, int], *,
-                            text_col: str = "text",
-                            hash_col: str = "content_hash") -> DataFrame:
-    """Drop every new-batch document whose normalized-content digest the
-    Bloom filter recognizes — the approximate form of
-    :func:`incremental_dedup`: zero shuffle (the bitmap broadcasts in
-    the UDF closure; membership is a per-row probe), no false negatives
-    (replays always drop), ~fpp fresh docs over-dropped. Returns
-    ``new_batch`` + ``hash_col`` filtered to unseen content."""
+def bloom_seen_udf(bloom: tuple[bytes, int, int]):
+    """Pandas UDF ``digest_hex -> bool`` probing a :func:`bloom_build`
+    bitmap (broadcast in the closure) — the reusable membership gate:
+    :func:`bloom_incremental_dedup` filters batches with it, and the
+    streaming curation MV (``start_document_qc_stream``'s
+    ``history_bloom``) applies the same gate per micro-batch with zero
+    per-batch join cost."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     bitmap_bytes, m_bits, k = bloom
@@ -722,6 +718,20 @@ def bloom_incremental_dedup(new_batch: DataFrame,
                        for p in _bloom_probe_positions(d, m_bits, k))
         return s.map(probe)
 
+    return _seen
+
+
+def bloom_incremental_dedup(new_batch: DataFrame,
+                            bloom: tuple[bytes, int, int], *,
+                            text_col: str = "text",
+                            hash_col: str = "content_hash") -> DataFrame:
+    """Drop every new-batch document whose normalized-content digest the
+    Bloom filter recognizes — the approximate form of
+    :func:`incremental_dedup`: zero shuffle (the bitmap broadcasts in
+    the UDF closure; membership is a per-row probe), no false negatives
+    (replays always drop), ~fpp fresh docs over-dropped. Returns
+    ``new_batch`` + ``hash_col`` filtered to unseen content."""
+    _seen = bloom_seen_udf(bloom)
     digest = F.md5(normalize_text(F.col(text_col)))
     return (new_batch.withColumn(hash_col, digest)
             .filter(~_seen(F.col(hash_col))))

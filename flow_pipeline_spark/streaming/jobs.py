@@ -700,6 +700,7 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              min_tokens: int = 5,
                              dedup_horizon: str = "10 minutes",
                              history: DataFrame | None = None,
+                             history_bloom: tuple | None = None,
                              semantic_store: DataFrame | None = None,
                              semantic_centroids: list | None = None,
                              semantic_threshold: float = 0.999,
@@ -730,6 +731,12 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
     stream. Watermark state stays bounded either way — history lives in
     the static table, not the state store (the batch
     `incremental_dedup` is the same contract, one batch at a time).
+    ``history_bloom`` (a ``bloom_build`` artifact) is the bounded-memory
+    alternative: the bitmap broadcasts once and each micro-batch pays a
+    per-row probe instead of the stream-static join — no false
+    negatives, ~fpp fresh docs over-dropped (the Dolma trade); it
+    composes with ``history`` (exact store for the hot window, Bloom
+    for deep history).
 
     Pass ``semantic_store`` (the (id, cell, embedding) artifact from
     ``operators.similarity.semantic_store``) + ``semantic_centroids``
@@ -803,6 +810,17 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
         gated = (gated.join(hist, "content_hash", "left_outer")
                  .filter(F.col("_in_history").isNull())
                  .drop("_in_history"))
+    if history_bloom is not None:
+        # Bloom form of the history gate (the Dolma store,
+        # operators/dedup.py:bloom_build): the bitmap broadcasts in the
+        # UDF closure, so the per-micro-batch cost is a per-row probe —
+        # no stream-static join at all. One-sided like the batch form:
+        # every true replay drops; ~fpp fresh docs over-drop. Composes
+        # WITH the exact `history` gate (exact store for the recent
+        # hot window, Bloom for deep history) or replaces it.
+        from ..operators.dedup import bloom_seen_udf
+        _seen = bloom_seen_udf(history_bloom)
+        gated = gated.filter(~_seen(F.col("content_hash")))
     if semantic_store is not None:
         from ..operators.similarity import (_cos_pre, _norm,
                                             assign_nearest_centroid,

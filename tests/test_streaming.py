@@ -633,6 +633,58 @@ def test_document_qc_stream_drops_history(spark, tmpdir):
     assert got.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_document_qc_stream_bloom_history_gate(spark, tmpdir):
+    """Bloom form of the history gate: the bitmap broadcasts once, every
+    re-crawl of curated history drops (no false negatives), fresh
+    content survives, and the survivor set equals the batch Bloom
+    operator's exactly."""
+    from flow_pipeline_spark.operators.dedup import (
+        bloom_build, bloom_incremental_dedup)
+    from flow_pipeline_spark.operators.text import (classifier_z_e4,
+                                                    normalize_text,
+                                                    scrub_pii, token_count)
+    from flow_pipeline_spark.streaming.jobs import start_document_qc_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    history = docs.filter(F.col("doc_id") < 250)
+    bloom = bloom_build(history.select(
+        F.md5(normalize_text(F.col("text"))).alias("content_hash")),
+        fpp=0.001)
+
+    stream_docs = (
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .unionByName(docs.filter(F.col("doc_id") >= 250)))
+    src = f"{tmpdir}/qcb_src"
+    stream_docs.repartition(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out, ckpt = f"{tmpdir}/qcb_out", f"{tmpdir}/qcb_ckpt"
+    q = start_document_qc_stream(stream, out, ckpt, history_bloom=bloom,
+                                 trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = {r[0] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    assert not any(i >= 100000 for i in got), "a replay escaped the bloom"
+
+    # batch replica: gates → the batch Bloom operator → exact dedup
+    gates = (stream_docs.withColumn("text", scrub_pii(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .filter((F.col("n_tokens") >= 5)
+                     & (classifier_z_e4(F.col("text")) >= 0)))
+    want = {r["doc_id"] for r in
+            bloom_incremental_dedup(gates, bloom)
+            .dropDuplicates(["content_hash"]).collect()}
+    assert got == want
+    # compare against the GATE-surviving fresh count — the quality
+    # gates drop ~40% of this corpus regardless of the history store
+    n_fresh_gated = gates.filter(F.col("doc_id") < 100000).count()
+    assert len(got) >= n_fresh_gated - max(2, int(0.02 * n_fresh_gated)), \
+        "far more fresh docs dropped than the configured fpp"
+
+
 def test_document_qc_stream_span_scrub_matches_batch(spark, tmpdir):
     """Span stage of the curation stream (span_scrub_k): boilerplate
     tails shared by documents of one crawl batch are scrubbed per

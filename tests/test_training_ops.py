@@ -985,6 +985,36 @@ def test_bloom_paragraph_dedup_scrubs_seen(spark):
     assert got[12] == ("Totally fresh paragraph.\n\nAnd a second fresh one.", 0)
 
 
+def test_bloom_paragraph_norm_parity_edges(spark):
+    """The paragraph kernel's Python normalization must agree with the
+    JVM paragraph_digests form on the nasty edges: Spark trim() strips
+    SPACES only (a tab survives into the digest as a leading space),
+    Java regex \\s is ASCII (NBSP/ideographic space are NOT collapsed),
+    case and ASCII-whitespace runs merge."""
+    hist = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo\u00a0bar"), (3, "\tfoo")],
+        "doc_id long, text string")
+    bloom = D.bloom_build(D.paragraph_digests(hist), fpp=0.0001)
+
+    cases = [
+        ("foo  bar", 1),         # ASCII run collapses -> stored form
+        (" FOO bar ", 1),        # trim spaces + lowercase -> stored form
+        ("foo\tbar", 1),         # tab is ASCII \\s -> collapses to space
+        ("foo\u00a0bar", 1),     # NBSP preserved BOTH sides -> matches
+        ("foo\u3000bar", 0),     # ideographic space != NBSP != space
+        ("\tfoo", 1),            # normalizes to ' foo' both sides
+        (" foo", 0),             # trims to 'foo' != stored ' foo'
+        ("foo", 0),
+    ]
+    new = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_dropped_paras"]
+           for r in D.bloom_paragraph_dedup(new, bloom).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (i, repr(t), got[i], want)
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate(spark):
     """RefinedWeb line-wise correction: lines in ≥min_doc_freq distinct
     docs vanish from EVERY doc (all copies, normalized identity — case
