@@ -1,0 +1,98 @@
+"""Data profiling and drift monitoring — the operational tier every
+long-running ingest pipeline runs beside the data path (Deequ/
+dbt-style column profiles; PSI drift between snapshots).
+
+Reference parity: no analog in /root/reference (the flow pipeline trusts
+its protobuf schema end to end); this extends the training-data tier —
+crawl snapshots drift (new sources, changed scrapers, encoding bugs),
+and the profile/drift tables are what a curation pipeline alerts on.
+
+Cross-engine discipline as everywhere: counts are exact integers; the
+PSI transcendental pins per-bin to integer millionths (the
+doc_perplexity device); add-one smoothing keeps every ratio a ratio of
+positive integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame,
+                    cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) — the Deequ/dbt-docs column profile. min/max
+    render as strings so the schema is uniform across column types
+    (callers profiling float columns should expect engine-specific
+    float formatting; integer/string/date columns render identically
+    everywhere).
+
+    Scale: ONE pass — every column's aggregates compute in a single
+    partial+final aggregate over one scan (count_distinct is the exact
+    form; swap approx_count_distinct per column at 100 TB, the
+    approx_distinct_users trade); the per-column rows then unpivot
+    driver-side from the 1-row aggregate."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [f"'{c}'", f"`__n_{c}`", f"`__null_{c}`",
+                       f"`__dist_{c}`", f"`__min_{c}`", f"`__max_{c}`"]
+    return row.select(F.expr(
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        f"(column, n_rows, n_null, n_distinct, min_value, max_value)"))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, bin_col,
+              n_bins: int) -> DataFrame:
+    """Population Stability Index between two snapshots over a shared
+    integer binning: per bin, ``term = (p − q)·ln(p/q)`` with add-one
+    smoothing ``p_i = (c_ref_i + 1)/(n_ref + B)`` (every ratio a ratio
+    of positive integers — zero-count bins stay finite, the standard
+    Laplace fix), pinned HALF-UP to integer millionths; ``psi_e6`` is
+    the exact integer sum stamped on every row. The classic alert
+    thresholds read on psi_e6/1e6: <0.1 stable, 0.1–0.25 drifting,
+    >0.25 shifted.
+
+    ``bin_col`` is a Column expression evaluating to ints in
+    [0, n_bins) on BOTH frames — binning must be deterministic and
+    shared (fixed-width or fixed-quantile edges computed ONCE and
+    reused, never re-estimated per snapshot, or the drift measures the
+    binning). Scale: two n_bins-bounded aggregates + a broadcast-sized
+    join; snapshots never co-shuffle."""
+    r = (ref.select(bin_col.alias("bin"))
+         .groupBy("bin").agg(F.count("*").alias("c_ref")))
+    c = (cur.select(bin_col.alias("bin"))
+         .groupBy("bin").agg(F.count("*").alias("c_cur")))
+    bins = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    j = (bins.join(r, "bin", "left").join(c, "bin", "left")
+         .select("bin",
+                 F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+                 F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur")))
+    # totals ride one tiny broadcast aggregate (n_bins rows in, 1 out)
+    tot = F.broadcast(j.agg(F.sum("c_ref").alias("_nr"),
+                            F.sum("c_cur").alias("_nc")))
+    p = (F.col("c_ref") + 1) / (F.col("_nr") + F.lit(n_bins))
+    q = (F.col("c_cur") + 1) / (F.col("_nc") + F.lit(n_bins))
+    term = (p - q) * F.log(p / q)
+    term_e6 = (F.signum(term)
+               * F.floor(F.abs(term) * 1e6 + F.lit(0.5))).cast("long")
+    out = (j.crossJoin(tot)
+           .withColumn("term_e6", term_e6)
+           .select("bin", "c_ref", "c_cur", "term_e6"))
+    total = F.broadcast(out.agg(F.sum("term_e6").alias("psi_e6")))
+    return (out.crossJoin(total)
+            .select("bin", "c_ref", "c_cur", "term_e6", "psi_e6")
+            .orderBy("bin"))

@@ -164,6 +164,17 @@ _DEMOTED_VARIANTS = [
                               # + two-phase top-k, label equi-join
                               # filter composed before scoring) — same
                               # direct-to-pytest-oracled registration
+    # round 5: table_profile (Deequ-style column profiling) and
+    # token_length_drift (PSI snapshot drift) enter the window — two
+    # new operator classes (data-quality profiling, drift monitoring);
+    # displaced twins:
+    "late_order_priority",    # J2+ correlated-EXISTS twin; the set-op/
+                              # semi-join class stays windowed via
+                              # set_ops (UNION/INTERSECT/EXCEPT row)
+    "window_latest_event",    # J3 lag/latest device; the window class
+                              # stays windowed via user_sessions
+                              # (lag + cumulative sum) and
+                              # metrics_rate_sum_by (lag + frames)
 ]
 
 

@@ -2376,6 +2376,134 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "table_profile",
+    """
+    SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_value,
+           CAST(max(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR),
+           CAST(max(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    ORDER BY "column"
+    """,
+    doc="Column profiling — the Deequ/dbt-docs operational report a "
+        "pipeline runs beside every ingest (operators/profile.py:"
+        "profile_columns): per column, row/null/distinct counts and "
+        "min/max rendered to a uniform string schema. Spark plan: ONE "
+        "scan — all five columns' aggregates compute in a single "
+        "partial+final aggregate, then the 1-row result unpivots via "
+        "stack(); the oracle takes the five-scan UNION ALL road to the "
+        "same numbers. count(DISTINCT) is the exact form; at 100 TB "
+        "swap per-column approx_count_distinct (the "
+        "approx_distinct_users trade).",
+)
+def table_profile(spark, sf_dir):
+    from ..operators.profile import profile_columns
+    orders = load_table(spark, sf_dir, "orders")
+    return (profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority"])
+        .orderBy("column"))
+
+
+@_q(
+    "token_length_drift",
+    f"""
+    WITH ref AS (
+      SELECT least(len({_TOKS}) // 8, 9) AS bin
+      FROM documents WHERE doc_id < 250),
+    cur AS (
+      SELECT least(len({_TOKS}) // 8, 9) AS bin
+      FROM documents WHERE doc_id >= 250),
+    bins AS (SELECT unnest(range(0, 10)) AS bin),
+    rc AS (SELECT bin, count(*) AS c_ref FROM ref GROUP BY bin),
+    cc AS (SELECT bin, count(*) AS c_cur FROM cur GROUP BY bin),
+    j AS (
+      SELECT b.bin,
+             CAST(coalesce(rc.c_ref, 0) AS BIGINT) AS c_ref,
+             CAST(coalesce(cc.c_cur, 0) AS BIGINT) AS c_cur
+      FROM bins b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+    tot AS (SELECT sum(c_ref) AS nr, sum(c_cur) AS nc FROM j),
+    terms AS (
+      SELECT j.bin, j.c_ref, j.c_cur,
+             CAST(CASE WHEN ((j.c_ref + 1) / (t.nr + 10)
+                             - (j.c_cur + 1) / (t.nc + 10))
+                            * ln(((j.c_ref + 1) / (t.nr + 10))
+                                 / ((j.c_cur + 1) / (t.nc + 10))) >= 0
+                  THEN floor(((j.c_ref + 1) / (t.nr + 10)
+                              - (j.c_cur + 1) / (t.nc + 10))
+                             * ln(((j.c_ref + 1) / (t.nr + 10))
+                                  / ((j.c_cur + 1) / (t.nc + 10)))
+                             * 1000000 + 0.5)
+                  ELSE -floor(-((j.c_ref + 1) / (t.nr + 10)
+                                - (j.c_cur + 1) / (t.nc + 10))
+                              * ln(((j.c_ref + 1) / (t.nr + 10))
+                                   / ((j.c_cur + 1) / (t.nc + 10)))
+                              * 1000000 + 0.5)
+             END AS BIGINT) AS term_e6
+      FROM j, tot t)
+    SELECT bin, c_ref, c_cur, term_e6,
+           CAST(sum(term_e6) OVER () AS BIGINT) AS psi_e6
+    FROM terms ORDER BY bin
+    """,
+    doc="Snapshot drift monitoring via Population Stability Index "
+        "(operators/profile.py:psi_drift) — the alerting metric "
+        "model/data-ops runs between crawl snapshots: token-length "
+        "distributions of docs 0-249 vs 250+ over 10 fixed-width bins, "
+        "per-bin term (p−q)·ln(p/q) with add-one smoothing (every "
+        "ratio a ratio of positive integers — empty bins stay finite), "
+        "pinned HALF-UP to integer millionths, with the exact integer "
+        "PSI total stamped on every row (read thresholds at psi_e6/1e6: "
+        "<0.1 stable, >0.25 shifted). Binning MUST be fixed and shared "
+        "across snapshots or the drift measures the binning. Scale: "
+        "two bin-bounded aggregates + broadcast joins; snapshots never "
+        "co-shuffle.",
+)
+def token_length_drift(spark, sf_dir):
+    from ..operators.profile import psi_drift
+    from ..operators.text import token_count
+    d = _docs(spark, sf_dir)
+    bin_col = F.least(F.floor(token_count(F.col("text")) / 8),
+                      F.lit(9)).cast("int")
+    return psi_drift(d.filter(F.col("doc_id") < 250),
+                     d.filter(F.col("doc_id") >= 250),
+                     bin_col, 10)
+
+
+@_q(
     "mmr_diverse_knn",
     None,  # k driver-coordinated greedy rounds — not SQL-expressible as
     # one query; the diversification property (clones of the top hit

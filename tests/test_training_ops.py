@@ -853,6 +853,42 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_psi_drift_zero_on_identical_and_flags_shift(spark):
+    """PSI sanity: identical snapshots score EXACTLY zero (p == q per
+    bin → every term is 0, no float residue survives the integer
+    pinning); concentrating half the mass into one bin blows past the
+    0.25 'shifted' alert threshold; totals are consistent."""
+    from flow_pipeline_spark.operators.profile import psi_drift
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 10).cast("int").alias("v"))
+    same = psi_drift(ref, ref, F.col("v"), 10).collect()
+    assert all(r["term_e6"] == 0 for r in same)
+    assert same[0]["psi_e6"] == 0
+
+    cur = spark.range(1000).select(
+        F.when(F.col("id") < 500, 0)
+        .otherwise((F.col("id") % 10)).cast("int").alias("v"))
+    drift = psi_drift(ref, cur, F.col("v"), 10).collect()
+    assert drift[0]["psi_e6"] == sum(r["term_e6"] for r in drift)
+    assert drift[0]["psi_e6"] > 250_000, drift[0]["psi_e6"]
+    assert sum(r["c_cur"] for r in drift) == 1000
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from flow_pipeline_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, s string")
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "3")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
+
+
 def test_mmr_diversifies_clone_results(spark):
     """MMR (Carbonell & Goldstein 1998): plain top-3 returns the three
     near-identical clones back-to-back; MMR keeps the best clone and
