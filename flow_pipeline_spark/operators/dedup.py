@@ -807,9 +807,15 @@ def paragraph_digests(df: DataFrame, text_col: str = "text",
                       sep: str = "\n\n") -> DataFrame:
     """(content_hash) — one row per distinct normalized paragraph; the
     frame :func:`bloom_build` consumes to build the paragraph-level
-    store. Pure expressions: split → explode → normalize → md5."""
-    para = F.explode(F.split(F.col(text_col),
-                             sep.replace("\n", r"\n"))).alias("_p")
+    store. Pure expressions: split → explode → normalize → md5.
+    ``sep`` is a LITERAL separator (quoted with \\Q..\\E for the JVM
+    regex split), matching the Python kernel's literal ``str.split`` in
+    :func:`bloom_paragraph_dedup` — a raw-regex sep would silently
+    digest different fragments than the probe side splits
+    (pytest-pinned with a regex-metacharacter sep)."""
+    # java.util.regex.Pattern.quote semantics, embedded \E included
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    para = F.explode(F.split(F.col(text_col), quoted)).alias("_p")
     norm = F.regexp_replace(F.lower(F.trim("_p")), r"\s+", " ")
     return (df.select(para)
             .select(F.md5(norm).alias("content_hash"),

@@ -34,24 +34,34 @@ def profile_columns(df: DataFrame,
     approx_distinct_users trade); the per-column rows then unpivot
     driver-side from the 1-row aggregate."""
     cols = cols or df.columns
+    # aliases are POSITIONAL tokens (never derived from column names) and
+    # source columns are referenced through backtick-escaped F.col — no
+    # SQL-string interpolation, so names with quotes/backticks/dots work
+
+    def src(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long").alias(f"__null_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(F.when(src(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null_{i}"),
+            F.countDistinct(src(c)).alias(f"__dist_{i}"),
+            F.min(src(c)).cast("string").alias(f"__min_{i}"),
+            F.max(src(c)).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
-    stack_args = []
-    for c in cols:
-        stack_args += [f"'{c}'", f"`__n_{c}`", f"`__null_{c}`",
-                       f"`__dist_{c}`", f"`__min_{c}`", f"`__max_{c}`"]
-    return row.select(F.expr(
-        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
-        f"(column, n_rows, n_null, n_distinct, min_value, max_value)"))
+    structs = [
+        F.struct(F.lit(c).alias("column"),
+                 row[f"__n_{i}"].alias("n_rows"),
+                 row[f"__null_{i}"].alias("n_null"),
+                 row[f"__dist_{i}"].alias("n_distinct"),
+                 row[f"__min_{i}"].alias("min_value"),
+                 row[f"__max_{i}"].alias("max_value"))
+        for i, c in enumerate(cols)]
+    return (row.select(F.explode(F.array(*structs)).alias("_s"))
+            .select("_s.*"))
 
 
 def psi_drift(ref: DataFrame, cur: DataFrame, bin_col,

@@ -1228,20 +1228,27 @@ def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
         if not rows:
             break
         top = rows[0]
-        picked.append((rank, int(top["_id"]), float(top["_rel"]),
+        # id values pass through untouched — id_col may be any orderable
+        # type (string doc ids included), never coerced to int
+        picked.append((rank, top["_id"], float(top["_rel"]),
                        float(top["_score"])))
         sel = F.array(*[F.lit(float(x)) for x in top["_v"]])
         seln = float(sum(float(x) ** 2 for x in top["_v"]) ** 0.5) \
             or 1e-300
-        cand = (cand.filter(F.col("_id") != int(top["_id"]))
+        cand = (cand.filter(F.col("_id") != F.lit(top["_id"]))
                 .withColumn("_pen", F.greatest(
                     F.col("_pen"),
                     F.round(_dot("_v", sel)
                             / (F.col("_vn") * F.lit(seln)), 4)))
                 .localCheckpoint(eager=False))
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        picked, "rank long, vec_id long, relevance double, score double")
+    out_schema = T.StructType([
+        T.StructField("rank", T.LongType()),
+        T.StructField(id_col, corpus.schema[id_col].dataType),
+        T.StructField("relevance", T.DoubleType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    return spark.createDataFrame(picked, out_schema)
 
 
 def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):

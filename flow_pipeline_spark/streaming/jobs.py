@@ -420,6 +420,23 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
             w.save()
         conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
         try:
+            # ledger DDL runs in its OWN auto-committed statement BEFORE
+            # the ledger transaction opens: PostgreSQL aborts the whole
+            # transaction on any failed statement (a swallowed
+            # "already exists" would poison every subsequent statement
+            # with "current transaction is aborted"), while Derby aborts
+            # only the statement — creating it outside the txn is the
+            # dialect-safe form for both
+            st0 = conn.createStatement()
+            try:
+                st0.executeUpdate(
+                    f'CREATE TABLE {ledger} ("batch_id" BIGINT '
+                    f'PRIMARY KEY, "committed_at" TIMESTAMP)')
+            except Exception as e:  # no IF NOT EXISTS in Derby
+                if "X0Y32" not in str(e) and "already exists" not in str(e):
+                    raise
+            finally:
+                st0.close()
             conn.setAutoCommit(False)
             st = conn.createStatement()
 
@@ -430,13 +447,6 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
                 rs.close()
                 return v
 
-            try:
-                st.executeUpdate(
-                    f'CREATE TABLE {ledger} ("batch_id" BIGINT '
-                    f'PRIMARY KEY, "committed_at" TIMESTAMP)')
-            except Exception as e:  # no IF NOT EXISTS in Derby
-                if "X0Y32" not in str(e) and "already exists" not in str(e):
-                    raise
             seen = one(f'SELECT count(*) FROM {ledger} '
                        f'WHERE "batch_id" = {int(batch_id)}')
             if seen:

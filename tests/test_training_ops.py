@@ -853,6 +853,46 @@ def test_bpe_encode_and_stats_consistent(spark, docs):
     assert merged_syms & produced, "no merged symbol ever used"
 
 
+def test_review_fix_edges(spark):
+    """Round-5 review findings pinned: (a) mmr_select works with string
+    ids under a custom id_col name; (b) paragraph_digests splits sep
+    LITERALLY (regex metacharacters don't change the digests) so the
+    store/probe pair agree on custom separators; (c) profile_columns
+    handles column names containing quotes/backticks."""
+    # (a) string ids + custom id_col
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.9, 0.436]),
+         ("doc-c", [0.3, 0.954])],
+        "doc_id string, embedding array<double>")
+    # λ=0.4 weights diversity: doc-b (rel≈pen≈0.90 → score −0.18)
+    # loses to doc-c (rel≈pen≈0.30 → score −0.06)
+    got = S.mmr_select(df, [1.0, 0.0], k=2, lam=0.4,
+                       id_col="doc_id").collect()
+    assert [r["doc_id"] for r in got] == ["doc-a", "doc-c"]
+    assert got[0]["rank"] == 1
+
+    # (b) regex-metacharacter separator: '||' as literal
+    hist = spark.createDataFrame(
+        [(1, "shared banner||unique one")], "doc_id long, text string")
+    store = D.paragraph_digests(hist, sep="||")
+    import hashlib
+    digs = {r[0] for r in store.collect()}
+    assert hashlib.md5(b"shared banner").hexdigest() in digs
+    bloom = D.bloom_build(store, fpp=0.0001)
+    new = spark.createDataFrame(
+        [(2, "shared banner||fresh text here")],
+        "doc_id long, text string")
+    out = D.bloom_paragraph_dedup(new, bloom, sep="||").first()
+    assert out["text"] == "fresh text here"
+    assert out["n_dropped_paras"] == 1
+
+    # (c) hostile column names
+    wdf = spark.createDataFrame([(1, 2)]).toDF("it's", "a`b")
+    from flow_pipeline_spark.operators.profile import profile_columns
+    prof = {r["column"]: r for r in profile_columns(wdf).collect()}
+    assert prof["it's"]["n_rows"] == 1 and prof["a`b"]["n_distinct"] == 1
+
+
 def test_psi_drift_zero_on_identical_and_flags_shift(spark):
     """PSI sanity: identical snapshots score EXACTLY zero (p == q per
     bin → every term is 0, no float residue survives the integer
