@@ -64,6 +64,38 @@ def profile_columns(df: DataFrame,
             .select("_s.*"))
 
 
+def check_constraints(df: DataFrame,
+                      checks: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Deequ-style constraint verification: each check is (name,
+    boolean Column meaning "this row PASSES"); returns one row per
+    check — (check, n_rows, n_violations, pass_fraction_e4, passed) —
+    with the pass fraction in exact integer ten-thousandths (HALF-UP,
+    the _ratio_e4 device) so reports compare bitwise across engines.
+
+    All checks evaluate in ONE aggregate over one scan (a null check
+    result counts as a violation — unknown is not a pass). Referential
+    checks (orphan foreign keys) are expressed by the caller as an
+    anti-join flag column before calling — see the
+    constraint_checks registry query for the TPC-H shape."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, cond) in enumerate(checks):
+        aggs.append(F.sum(F.when(cond, 0).otherwise(1))
+                    .cast("long").alias(f"__v_{i}"))
+    row = df.agg(*aggs)
+    structs = []
+    for i, (name, _) in enumerate(checks):
+        n, v = row["__n"], row[f"__v_{i}"]
+        frac_e4 = F.expr(f"(20000 * (__n - __v_{i}) + __n) div (2 * __n)")
+        structs.append(F.struct(
+            F.lit(name).alias("check"),
+            n.alias("n_rows"),
+            v.alias("n_violations"),
+            frac_e4.cast("long").alias("pass_fraction_e4"),
+            (v == 0).alias("passed")))
+    return (row.select(F.explode(F.array(*structs)).alias("_s"))
+            .select("_s.*"))
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, bin_col,
               n_bins: int) -> DataFrame:
     """Population Stability Index between two snapshots over a shared

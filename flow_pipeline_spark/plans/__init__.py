@@ -171,6 +171,11 @@ _DEMOTED_VARIANTS = [
     "late_order_priority",    # J2+ correlated-EXISTS twin; the set-op/
                               # semi-join class stays windowed via
                               # set_ops (UNION/INTERSECT/EXCEPT row)
+    "constraint_checks",      # Deequ-style checks — same operational-
+                              # profiling class as the WINDOWED
+                              # table_profile (one-scan aggregate +
+                              # struct unpivot device) — registers
+                              # directly as a pytest-oracled variant
     "window_latest_event",    # J3 lag/latest device; the window class
                               # stays windowed via user_sessions
                               # (lag + cumulative sum) and

@@ -2376,6 +2376,91 @@ def ann_ivf_pq_knn(spark, sf_dir):
 
 
 @_q(
+    "constraint_checks",
+    """
+    WITH corpus AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      UNION ALL               -- duplicate keys (uniqueness violations)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 20
+      UNION ALL               -- orphan custkey, bad status, bad price
+      SELECT o_orderkey + 10000000, -1, 'X', -1.0
+      FROM orders WHERE o_orderkey < 20),
+    keyc AS (
+      SELECT o_orderkey AS k, count(*) AS kc FROM corpus
+      GROUP BY o_orderkey),
+    flags AS (
+      SELECT c.*, kc, (cu.c_custkey IS NOT NULL) AS cust_ok
+      FROM corpus c
+      JOIN keyc ON keyc.k = c.o_orderkey
+      LEFT JOIN customer cu ON cu.c_custkey = c.o_custkey),
+    agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_nn,
+             CAST(sum(CASE WHEN kc = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_uq,
+             CAST(sum(CASE WHEN cust_ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS v_fk,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_st,
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_tp
+      FROM flags)
+    SELECT ck AS "check", n AS n_rows, v AS n_violations,
+           (20000 * (n - v) + n) // (2 * n) AS pass_fraction_e4,
+           v = 0 AS passed
+    FROM (
+      SELECT 'custkey_resolves' AS ck, n, v_fk AS v FROM agg
+      UNION ALL SELECT 'orderkey_not_null', n, v_nn FROM agg
+      UNION ALL SELECT 'orderkey_unique', n, v_uq FROM agg
+      UNION ALL SELECT 'status_in_domain', n, v_st FROM agg
+      UNION ALL SELECT 'totalprice_positive', n, v_tp FROM agg)
+    ORDER BY ck
+    """,
+    doc="Constraint verification — the Deequ checks a pipeline gates "
+        "deploys on (operators/profile.py:check_constraints): "
+        "completeness (orderkey not null), uniqueness (key count = 1 — "
+        "the 20 planted duplicate keys flag BOTH copies), referential "
+        "integrity (custkey resolves against customer — the 20 planted "
+        "orphans fail, expressed as a left-join flag BEFORE the "
+        "check), domain membership (status ∈ {O,F,P}), and a value "
+        "range (totalprice > 0); each reports violations and an exact "
+        "integer-e4 pass fraction. Spark plan: every check evaluates "
+        "in ONE aggregate over one scan of the flagged frame; the "
+        "flag-building joins are the only wide ops (key-count "
+        "aggregate + broadcast customer dim).",
+)
+def constraint_checks(spark, sf_dir):
+    from ..operators.profile import check_constraints
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    dups = o.filter(F.col("o_orderkey") < 20)
+    bad = (o.filter(F.col("o_orderkey") < 20)
+           .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                   F.lit(-1).cast("long").alias("o_custkey"),
+                   F.lit("X").alias("o_orderstatus"),
+                   F.lit(-1.0).alias("o_totalprice")))
+    corpus = o.unionByName(dups).unionByName(bad)
+    keyc = (corpus.groupBy("o_orderkey")
+            .agg(F.count("*").alias("kc")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"))
+            .withColumn("_cust_ok", F.lit(True)))
+    flags = (corpus.join(keyc, "o_orderkey")
+             .join(F.broadcast(cust), "o_custkey", "left"))
+    checks = [
+        ("custkey_resolves", F.col("_cust_ok").isNotNull()),
+        ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        ("orderkey_unique", F.col("kc") == 1),
+        ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+    ]
+    return check_constraints(flags, checks).orderBy("check")
+
+
+@_q(
     "table_profile",
     """
     SELECT 'o_custkey' AS "column", count(*) AS n_rows,

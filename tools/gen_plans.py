@@ -58,6 +58,9 @@ NOTES = {
   "dsir_importance": "both LM vocab tables broadcast to the scoring join; the exploded corpus never shuffles on the token — the only wide ops are the two vocab-bounded LM aggregates and the per-doc partial aggregate",
   "line_dedup": "one line-bounded frequency shuffle (map-side distinct first); each doc's own duplicated lines come back as a small array on a doc-id join; the line filter is a per-row higher-order function — the global dup-line set never collects or broadcasts",
   "bloom_dedup": "ZERO-shuffle query plan: the bitmap (built once via treeAggregate, outside this plan) rides the probe UDF closure; membership is a per-row ArrowEvalPython filter over the scan — the anti-join exchange is gone entirely",
+  "table_profile": "ALL five columns' aggregates compute in ONE partial+final aggregate over one scan; the per-column rows unpivot from the 1-row result (explode of a struct array) — no per-column rescans",
+  "token_length_drift": "two bin-bounded aggregates (10 rows each) + broadcast joins for the totals — the snapshots never co-shuffle; the PSI arithmetic is a codegen'd projection over 10 rows",
+  "filtered_knn": "label equi-join composes BEFORE scoring (broadcast queries); at scale the corpus partitions by the filter column so the join becomes partition pruning; two-phase top-k as in knn_cosine",
 }
 
 
