@@ -113,13 +113,29 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bin_col,
     reused, never re-estimated per snapshot, or the drift measures the
     binning). Scale: two n_bins-bounded aggregates + a broadcast-sized
     join; snapshots never co-shuffle."""
-    r = (ref.select(bin_col.alias("bin"))
-         .groupBy("bin").agg(F.count("*").alias("c_ref")))
-    c = (cur.select(bin_col.alias("bin"))
-         .groupBy("bin").agg(F.count("*").alias("c_cur")))
-    bins = ref.sparkSession.range(n_bins).select(
-        F.col("id").cast("int").alias("bin"))
-    j = (bins.join(r, "bin", "left").join(c, "bin", "left")
+    r = bin_histogram(ref, bin_col).withColumnRenamed("c", "c_ref")
+    c = bin_histogram(cur, bin_col).withColumnRenamed("c", "c_cur")
+    return psi_from_counts(r, c, n_bins)
+
+
+def bin_histogram(df: DataFrame, bin_col) -> DataFrame:
+    """(bin, c) counts under a shared binning — the persistable
+    REFERENCE-profile artifact the streaming drift monitor probes every
+    micro-batch against (train once on the accepted snapshot, store,
+    compare forever)."""
+    return (df.select(bin_col.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("c")))
+
+
+def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame,
+                    n_bins: int) -> DataFrame:
+    """PSI from two pre-binned count tables (columns (bin, c_ref) and
+    (bin, c_cur)) — the core :func:`psi_drift` and the streaming drift
+    monitor share; missing bins fill with zero before smoothing."""
+    spark = ref_counts.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = (bins.join(ref_counts, "bin", "left")
+         .join(cur_counts, "bin", "left")
          .select("bin",
                  F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
                  F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur")))

@@ -705,6 +705,51 @@ def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
     return writer.start()
 
 
+def start_drift_monitor_stream(docs_stream: DataFrame,
+                               ref_counts: DataFrame, bin_col,
+                               n_bins: int, out_dir: str,
+                               checkpoint_dir: str, *,
+                               trigger: dict | None = None
+                               ) -> StreamingQuery:
+    """Continuous drift monitoring — the streaming form of
+    :func:`~..operators.profile.psi_drift`: every micro-batch bins under
+    the SHARED binning (``bin_col`` must be the same expression that
+    built ``ref_counts`` via ``bin_histogram`` — persisted once from
+    the accepted reference snapshot) and scores its PSI against the
+    stored reference histogram; one (batch_id, n_docs, psi_e6) row
+    appends per epoch, the table a dashboard alerts on (psi_e6/1e6 >
+    0.25 = the crawl shifted — new source mix, changed scraper,
+    encoding bug — BEFORE the bad batch pollutes the corpus).
+
+    Per-epoch directories with overwrite keep the sink idempotent on
+    replay (the staged-writer contract); readers see an ``epoch``
+    partition column. Scale: per batch, one n_bins-bounded aggregate +
+    the broadcast-sized reference join — the monitor's cost is
+    independent of corpus history."""
+    from ..operators.profile import psi_from_counts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (batch_df.select(bin_col.alias("bin"))
+               .groupBy("bin").agg(F.count("*").alias("c_cur")))
+        rows = (psi_from_counts(ref_counts, cur, n_bins)
+                .agg(F.max("psi_e6").alias("psi_e6"),
+                     F.sum("c_cur").alias("n_docs")).first())
+        spark = batch_df.sparkSession
+        (spark.createDataFrame(
+            [(int(batch_id), int(rows["n_docs"] or 0),
+              int(rows["psi_e6"] or 0))],
+            "batch_id long, n_docs long, psi_e6 long")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+
+    writer = (docs_stream.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
 def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
                              checkpoint_dir: str, *,
                              min_tokens: int = 5,

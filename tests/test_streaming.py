@@ -633,6 +633,56 @@ def test_document_qc_stream_drops_history(spark, tmpdir):
     assert got.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_drift_monitor_stream_flags_shifted_batch(spark, tmpdir):
+    """Streaming PSI monitor: a micro-batch drawn from the reference
+    distribution scores stable (<0.1); a batch with its token-length
+    mass concentrated scores past the 0.25 alert; every epoch's score
+    equals the batch psi_drift over the same rows."""
+    from flow_pipeline_spark.operators.profile import (bin_histogram,
+                                                       psi_drift)
+    from flow_pipeline_spark.operators.text import token_count
+    from flow_pipeline_spark.streaming.jobs import (
+        start_drift_monitor_stream)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    bin_col = F.least(F.floor(token_count(F.col("text")) / 8),
+                      F.lit(9)).cast("int")
+    ref = docs.filter(F.col("doc_id") < 250)
+    ref_counts = (bin_histogram(ref, bin_col)
+                  .withColumnRenamed("c", "c_ref").localCheckpoint())
+
+    ok_batch = docs.filter(F.col("doc_id") >= 250)
+    # shifted batch: truncate every text to 3 tokens → all mass in bin 0
+    bad_batch = (docs.filter(F.col("doc_id") >= 250)
+                 .select((F.col("doc_id") + 1000).alias("doc_id"),
+                         F.concat_ws(" ", F.slice(
+                             F.split(F.trim("text"), r"\s+"), 1, 3))
+                         .alias("text")))
+    src = f"{tmpdir}/drift_src"
+    ok_batch.repartition(1).write.parquet(src)
+    bad_batch.repartition(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ckpt = f"{tmpdir}/drift_out", f"{tmpdir}/drift_ckpt"
+    q = start_drift_monitor_stream(stream, ref_counts, bin_col, 10,
+                                   out, ckpt,
+                                   trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    got = {r["batch_id"]: r["psi_e6"] for r in rows}
+    assert len(got) == 2 and all(r["n_docs"] == 250 for r in rows)
+    scores = sorted(got.values())
+    assert scores[0] < 100_000, "in-distribution batch flagged"
+    assert scores[-1] > 250_000, "shifted batch not flagged"
+    # epoch score ≡ the batch operator over the same rows
+    want_bad = psi_drift(ref, bad_batch, bin_col, 10).first()["psi_e6"]
+    assert scores[-1] == want_bad
+
+
 def test_document_qc_stream_bloom_history_gate(spark, tmpdir):
     """Bloom form of the history gate: the bitmap broadcasts once, every
     re-crawl of curated history drops (no false negatives), fresh
