@@ -96,6 +96,26 @@ def _await_idle_host(max_load: float = MAX_LOAD, retries: int = 20,
             "proceeded_busy": load1 > max_load}
 
 
+def _io_calibration(size_mb: int = 512) -> float:
+    """Raw page-cache write throughput (MB/s) of the filesystem the
+    ingest sections write to — recorded for ATTRIBUTION: the ingest
+    figures are write-bound, and observed cross-run swings (2.1M vs
+    0.34M rows/s at similar load1, both 'idle') track storage/page-cache
+    state that load average cannot see. A low calibration number marks
+    the run's ingest medians as I/O-contended; query timings (CPU-bound,
+    data already cached) are unaffected."""
+    import tempfile
+    buf = b"\0" * (1 << 20)
+    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+        t0 = time.perf_counter()
+        for _ in range(size_mb):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+        dt = time.perf_counter() - t0
+    return round(size_mb / dt, 1)
+
+
 def _steady(build, runs: int = 2) -> float:
     """Steady-state seconds for a query builder: one warm run pays the
     one-time whole-stage-codegen compile, then min over `runs` measured
@@ -204,6 +224,10 @@ def _ingest_throughput(spark) -> dict[str, float]:
         # mid-run; a high value here marks the medians as contended —
         # subtract ~32 for this bench's own executor threads)
         out["load1_after_ingest_incl_self"] = round(os.getloadavg()[0], 1)
+        # second calibration DURING the ingest section: if this dropped
+        # vs host.io_calibration_mb_per_sec, the medians above are
+        # I/O-contended regardless of load1
+        out["io_calibration_after_ingest_mb_per_sec"] = _io_calibration(256)
 
         n2 = 1_000_000
         enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
@@ -294,6 +318,7 @@ def _rollup_routing(spark) -> dict[str, float]:
 
 def main() -> None:
     host = _await_idle_host()
+    host["io_calibration_mb_per_sec"] = _io_calibration()
     spark = get_spark("flow-pipeline-bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
