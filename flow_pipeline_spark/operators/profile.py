@@ -84,8 +84,13 @@ def check_constraints(df: DataFrame,
     row = df.agg(*aggs)
     structs = []
     for i, (name, _) in enumerate(checks):
-        n, v = row["__n"], row[f"__v_{i}"]
-        frac_e4 = F.expr(f"(20000 * (__n - __v_{i}) + __n) div (2 * __n)")
+        # empty frame: sum() is null and the e4 division is by zero —
+        # report 0 violations over 0 rows as vacuously passed (10000),
+        # the Deequ convention, instead of a null row
+        n = row["__n"]
+        v = F.coalesce(row[f"__v_{i}"], F.lit(0).cast("long"))
+        frac_e4 = F.when(n == 0, F.lit(10000)).otherwise(
+            F.expr(f"(20000 * (__n - __v_{i}) + __n) div (2 * __n)"))
         structs.append(F.struct(
             F.lit(name).alias("check"),
             n.alias("n_rows"),

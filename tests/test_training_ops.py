@@ -929,6 +929,24 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
 
 
+def test_check_constraints_empty_frame_vacuously_passes(spark):
+    """Zero-row frame: every check reports (0 rows, 0 violations,
+    passed, pass_fraction_e4 = 10000) — the Deequ vacuous-truth
+    convention — instead of a null row from sum()=null and the e4
+    division by zero."""
+    from flow_pipeline_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame([], "k long, s string").filter("1=0")
+    got = check_constraints(df, [
+        ("k_not_null", F.col("k").isNotNull()),
+        ("s_in_domain", F.col("s").isin("a", "b")),
+    ]).collect()
+    assert len(got) == 2
+    for r in got:
+        assert (r["n_rows"], r["n_violations"]) == (0, 0)
+        assert r["pass_fraction_e4"] == 10000 and r["passed"] is True
+
+
 def test_mmr_diversifies_clone_results(spark):
     """MMR (Carbonell & Goldstein 1998): plain top-3 returns the three
     near-identical clones back-to-back; MMR keeps the best clone and
