@@ -180,6 +180,31 @@ _DEMOTED_VARIANTS = [
                               # stays windowed via user_sessions
                               # (lag + cumulative sum) and
                               # metrics_rate_sum_by (lag + frames)
+    # round 5: bm25_search (BM25 ranked retrieval — a new operator
+    # class: term-query search over a postings index) enters the
+    # window; displaced twin:
+    "ngram_jaccard_dups",     # shingle→LSH-candidates→exact-Jaccard
+                              # verify; the banding device is windowed
+                              # via minhash_lsh_dedup (same band join +
+                              # verify composition) and the shingle
+                              # generator via exact_substring_spans —
+                              # stays DuckDB-oracled every pytest run
+    "tfidf_top_terms",        # per-doc top-k sibling of the WINDOWED
+                              # bm25_search (same postings build and
+                              # smoothed idf; adds the per-doc window
+                              # device already windowed via
+                              # user_sessions/top_talkers) — registers
+                              # directly as a pytest-oracled variant
+    # round 5: phrase_match (positional-index exact-phrase search — a
+    # new operator class: the verbatim decontamination primitive, with
+    # a genuinely independent direct-scan oracle) enters the window;
+    # displaced twin:
+    "pair_matrix",            # A4 pair-key group-by; the multi-key-agg
+                              # class keeps rollup_5m (4-part key) and
+                              # traffic_cube (CUBE over the same pair
+                              # keys, strictly more general) in the
+                              # window — stays DuckDB-oracled every
+                              # pytest run
 ]
 
 

@@ -3086,3 +3086,154 @@ def dataset_card(spark, sf_dir):
                  (F.expr("(2 * sum(z_e4) + count(*)) div (2 * count(*))")
                   / 10000.0).alias("avg_margin"))
             .orderBy("source"))
+
+
+# --- ranked keyword retrieval (BM25 / tf-idf) --------------------------------
+# operators/retrieval.py — Robertson & Zaragoza 2009; Lucene's non-negative
+# idf. The probe query below hits high-df terms of the synthetic vocabulary,
+# so ranking is decided by tf and length normalization, exactly the BM25
+# moving parts. The single libm call (ln) is absorbed by the doc_perplexity
+# fixed-point device: each (term, doc) contribution HALF-UP at integer
+# millionths, rank on the exact integer sum.
+
+_BM25_TERMS = ["hash", "join", "spark", "window"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_q(
+    "bm25_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl,
+             unnest({_TOKS}) AS term
+      FROM documents),
+    postings AS (
+      SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY term, doc_id, dl),
+    stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(tf) AS BIGINT) AS total_len
+      FROM postings),
+    hits AS (
+      SELECT * FROM postings WHERE term IN ({_BM25_TERMS_SQL})),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    contrib AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * (h.tf * 2.2)
+                / (h.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * (h.dl * s.n_docs) / s.total_len)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_e6
+      FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score_e6 / 1000000.0 AS score
+    FROM scored ORDER BY score_e6 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene idf "
+        "form): top-10 documents for a term probe — the targeted-"
+        "retrieval pass a curation pipeline runs for contamination "
+        "audits, topic-quota checks, and eval-slice construction. The "
+        "index is a postings table (term, doc, tf, dl), the persistable "
+        "artifact (bucket it BY TERM and a stored-index query reads "
+        "|query terms| buckets); search filters postings to the query's "
+        "terms FIRST (literal isin — a pushed parquet filter on a "
+        "stored index), corpus stats ride 1-row broadcasts, per-term "
+        "document frequencies a |terms|-row broadcast join, and the "
+        "final ranking is a TakeOrdered top-k — nothing corpus-wide "
+        "shuffles at query time beyond the one index-build groupBy. "
+        "Cross-engine: each (term, doc) contribution is fixed-pointed "
+        "HALF-UP at integer millionths before summing (the "
+        "doc_perplexity device) and ranking compares the exact integer, "
+        "so the JVM-vs-libm ln lottery cannot flip a rank.",
+)
+def bm25_search(spark, sf_dir):
+    from ..operators.retrieval import bm25_search as _bm25
+    return _bm25(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term
+      FROM documents WHERE doc_id < 40),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY term, doc_id),
+    stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM postings),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM postings GROUP BY term),
+    w AS (
+      SELECT p.doc_id, p.term,
+             CAST(floor(p.tf * ln(1.0 + (s.n_docs - d.df + 0.5)
+                                  / (d.df + 0.5)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS w_e6
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s),
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY w_e6 DESC, term) AS INT)
+               AS rank,
+             term, w_e6
+      FROM w)
+    SELECT doc_id, rank, term, w_e6 / 1000000.0 AS tfidf
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="tf-idf keyword extraction: top-3 characteristic terms per "
+        "document (topic labeling, cluster naming, dominant-term quota "
+        "audits) over a 40-doc slice. Same postings build and smoothed "
+        "idf as bm25_search — the ranked-retrieval class's per-doc "
+        "top-k sibling, registered per the window discipline as a "
+        "pytest-oracled variant; df(term) is a vocab-bounded aggregate "
+        "broadcast back onto postings, the per-doc top-k window "
+        "partitions by document. Fixed-point at e6 on the exact "
+        "integer weight before ranking, like every ln-bearing query.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from ..operators.retrieval import tfidf_top_terms as _tfidf
+    return _tfidf(_docs(spark, sf_dir).filter(F.col("doc_id") < 40), k=3)
+
+
+@_q(
+    "phrase_match",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(t)),
+                  i -> t[i] = 'hash' AND t[i+1] = 'join')) AS BIGINT)
+               AS n_matches
+      FROM d)
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id
+    """,
+    doc="Exact consecutive-phrase search over a positional inverted "
+        "index (retrieval.py:phrase_match) — THE decontamination "
+        "primitive: find training documents containing a probe string "
+        "verbatim (n-gram-overlap dedup only bounds this "
+        "probabilistically; GPT-3's 13-gram scrub is this device at "
+        "n=13). Spark device: each phrase slot i joins the index on its "
+        "term and shifts that term's positions by -i, so a document "
+        "matches where the per-slot candidate-START sets intersect; "
+        "occurrence count = |intersection| (overlapping matches "
+        "included; repeated phrase words each contribute their own "
+        "slot). The DuckDB oracle is a genuinely INDEPENDENT "
+        "implementation — a direct token-window scan (list_filter over "
+        "range) with no index — so agreement checks the algorithm, not "
+        "a transliteration. Scale: the slot table (|phrase| rows) "
+        "broadcasts onto the index build's one corpus-wide groupBy; "
+        "only docs containing >=1 phrase term reach the per-doc "
+        "aggregate, carrying position arrays, never text; against a "
+        "STORED index the term filter is a pushed predicate over term "
+        "buckets.",
+)
+def phrase_match(spark, sf_dir):
+    from ..operators.retrieval import phrase_match as _pm
+    return (_pm(_docs(spark, sf_dir), ["hash", "join"])
+            .select("doc_id", F.col("n_matches").cast("long")
+                    .alias("n_matches")))

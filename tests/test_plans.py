@@ -274,3 +274,15 @@ def test_routed_query_scans_stored_rollup_not_raw(spark, tmp_path):
     assert "TimeReceived" not in p
     unrouted = route_traffic_query(raw, None, ["SrcAS"], interval_s=600)
     assert "TimeReceived" in _executed_plan(unrouted)
+
+
+def test_bm25_broadcasts_stats_and_df_takeordered_topk(plans):
+    """BM25: the per-term df table and the 1-row corpus stats must ride
+    broadcasts (a SortMergeJoin here shuffles the postings once per
+    lookup side at scale) and the final ranking must be
+    TakeOrderedAndProject, not a global sort."""
+    p = plans("bm25_search")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1  # df(term) lookup

@@ -1491,3 +1491,142 @@ def test_incremental_store_lifecycle_end_to_end(spark, docs, tmp_path):
     assert all(i < 200000 for i in ids3), \
         "a replay of batch 2 survived the appended digest store"
     assert {r["doc_id"] for r in b3_fresh.collect()} <= ids3
+
+
+# --- ranked retrieval: BM25 / tf-idf -----------------------------------------
+
+
+def _bm25_reference(texts: dict[int, str], terms: list[str],
+                    k1: float = 1.2, b: float = 0.75) -> dict[int, int]:
+    """Independent single-process BM25 (same fixed-point contract):
+    doc_id -> score_e6, docs with no query-term hit absent."""
+    import math
+    toks = {d: t.strip().lower().split() for d, t in texts.items()}
+    n = len(toks)
+    total = sum(len(v) for v in toks.values())
+    df = {t: sum(1 for v in toks.values() if t in v) for t in set(terms)}
+    out: dict[int, int] = {}
+    for d, v in toks.items():
+        s = 0
+        for t in set(terms):
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            denom = tf + k1 * (1.0 - b + b * (len(v) * n) / total)
+            s += math.floor(idf * (tf * (k1 + 1.0)) / denom * 1e6 + 0.5)
+        if s:
+            out[d] = s
+    return out
+
+
+def test_bm25_postings_tf_and_dl(spark):
+    from flow_pipeline_spark.operators.retrieval import bm25_postings
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "  dog  ")],
+        "doc_id long, text string")
+    got = {(r.term, r.doc_id): (r.tf, r.dl)
+           for r in bm25_postings(docs).collect()}
+    assert got == {("cat", 1): (2, 3), ("dog", 1): (1, 3),
+                   ("dog", 2): (1, 1)}
+
+
+def test_bm25_search_matches_independent_reference(spark):
+    """Ranking and e6 scores equal an independent single-process BM25
+    with the same fixed-point contract; the no-hit doc is absent; the
+    length-normalization behavior (tf=1 in a 1-token doc outranks tf=2
+    in a 3-token doc at these stats) is asserted explicitly."""
+    from flow_pipeline_spark.operators.retrieval import bm25_search
+
+    texts = {1: "cat dog cat", 2: "cat dog bird fish", 3: "cat",
+             4: "dog bird"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    ref = _bm25_reference(texts, ["cat"])
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = bm25_search(docs, ["cat"], k=10).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    assert [round(r.score * 1e6) for r in got] == [s for _, s in want]
+    assert 4 not in {r.doc_id for r in got}
+    assert [r.doc_id for r in got][0] == 3  # length norm beats raw tf here
+
+    # multi-term query: per-term contributions add up
+    ref2 = _bm25_reference(texts, ["cat", "bird"])
+    got2 = bm25_search(docs, ["cat", "bird"], k=10).collect()
+    want2 = sorted(ref2.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.doc_id, round(r.score * 1e6)) for r in got2] == want2
+
+
+def test_tfidf_top_terms_surfaces_planted_rare_term(spark):
+    """A term unique to one doc gets maximal idf and must rank first for
+    that doc; ubiquitous terms (df=N) keep near-zero weight."""
+    from flow_pipeline_spark.operators.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma zephyr zephyr"),
+        (2, "alpha beta gamma"),
+        (3, "alpha beta gamma delta"),
+    ], "doc_id long, text string")
+    got = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    assert [t for _, t, _ in sorted(by_doc[1])][0] == "zephyr"
+    assert [t for _, t, _ in sorted(by_doc[3])][0] == "delta"
+    # ranks are 1..k per doc, weights non-increasing within a doc
+    for d, rows in by_doc.items():
+        rows = sorted(rows)
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i][2] >= rows[i + 1][2]
+                   for i in range(len(rows) - 1))
+
+
+def test_phrase_match_counts_overlaps_and_repeated_words(spark):
+    """Planted phrases: overlapping occurrences each count; a phrase
+    with a repeated word needs every slot satisfied; docs missing any
+    slot term (or with the terms non-adjacent) are absent."""
+    from flow_pipeline_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame([
+        (1, "a b a b a"),       # "a b" at 0 and 2; "a b a" at 0 and 2
+        (2, "a x b a"),         # has a and b, never adjacent
+        (3, "b a b"),           # "a b" at 1
+        (4, "c c c"),           # no phrase terms at all
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.n_matches
+           for r in phrase_match(docs, ["a", "b"]).collect()}
+    assert got == {1: 2, 3: 1}
+    got3 = {r.doc_id: r.n_matches
+            for r in phrase_match(docs, ["a", "b", "a"]).collect()}
+    assert got3 == {1: 2}
+    got_rep = {r.doc_id: r.n_matches
+               for r in phrase_match(docs, ["b", "a", "b"]).collect()}
+    assert got_rep == {1: 1, 3: 1}
+
+
+def test_phrase_match_agrees_with_direct_scan(spark):
+    """Index-walk result equals a direct Python sliding-window scan on a
+    seeded random corpus — the same independence argument as the DuckDB
+    oracle, in-process."""
+    import random
+
+    from flow_pipeline_spark.operators.retrieval import phrase_match
+
+    rng = random.Random(7)
+    vocab = list("abcdef")
+    texts = {i: " ".join(rng.choice(vocab) for _ in range(30))
+             for i in range(40)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    for phrase in (["a", "b"], ["c", "a", "c"], ["e"], ["f", "f"]):
+        want = {}
+        for d, t in texts.items():
+            toks = t.split()
+            c = sum(1 for i in range(len(toks) - len(phrase) + 1)
+                    if toks[i:i + len(phrase)] == phrase)
+            if c:
+                want[d] = c
+        got = {r.doc_id: r.n_matches
+               for r in phrase_match(docs, phrase).collect()}
+        assert got == want, phrase

@@ -61,6 +61,8 @@ NOTES = {
   "table_profile": "ALL five columns' aggregates compute in ONE partial+final aggregate over one scan; the per-column rows unpivot from the 1-row result (explode of a struct array) — no per-column rescans",
   "token_length_drift": "two bin-bounded aggregates (10 rows each) + broadcast joins for the totals — the snapshots never co-shuffle; the PSI arithmetic is a codegen'd projection over 10 rows",
   "filtered_knn": "label equi-join composes BEFORE scoring (broadcast queries); at scale the corpus partitions by the filter column so the join becomes partition pruning; two-phase top-k as in knn_cosine",
+  "bm25_search": "postings build is the one corpus-wide shuffle (partial-aggregated (term,doc) groupBy); the query-term filter cuts before scoring (a pushed parquet filter on a STORED index), df and corpus stats ride broadcasts, ranking is TakeOrderedAndProject",
+  "phrase_match": "slot table (|phrase| rows) broadcasts onto the positional index; only docs containing a phrase term reach the per-doc aggregate, carrying position arrays, never text — the start-set intersection is a fold over <=|phrase| small arrays per doc",
 }
 
 
