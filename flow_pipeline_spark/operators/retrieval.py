@@ -83,7 +83,8 @@ def _contribution_e6(tf: Column, dl: Column, df_t: Column, n_docs: Column,
 
 def bm25_score(postings: DataFrame, query_terms: list[str], *,
                id_col: str = "doc_id", k1: float = 1.2,
-               b: float = 0.75) -> DataFrame:
+               b: float = 0.75,
+               corpus_stats: tuple[int, int] | None = None) -> DataFrame:
     """Score every document matching ≥1 query term against the query.
 
     Returns ``(<id_col>, score_e6, score)`` — ``score_e6`` is the exact
@@ -93,14 +94,25 @@ def bm25_score(postings: DataFrame, query_terms: list[str], *,
     Scale: postings filter to the query's terms first (literal ``isin``
     — a pushed parquet filter on a stored index); N and total-length
     ride 1-row broadcasts; per-term df is a |query terms|-row broadcast
-    join. Nothing corpus-wide shuffles at query time."""
+    join. Nothing corpus-wide shuffles at query time — EXCEPT the
+    corpus-stats aggregate when ``corpus_stats`` is None: a production
+    deployment stores (n_docs, total_token_len) next to the index at
+    build time and passes it here, making query cost independent of
+    index size; the in-plan aggregate is the self-contained fallback."""
     q = sorted(set(query_terms))
     hits = postings.filter(F.col("term").isin(q))
-    # corpus stats from the FULL postings table (1-row broadcast each);
-    # stats stay in the plan — no driver-side count at build time
-    stats = F.broadcast(postings.agg(
-        F.countDistinct(id_col).cast("long").alias("_n_docs"),
-        F.sum("tf").cast("long").alias("_total_len")))
+    if corpus_stats is not None:
+        n_docs, total_len = corpus_stats
+        stats = F.broadcast(
+            postings.sparkSession.createDataFrame(
+                [(int(n_docs), int(total_len))],
+                "_n_docs long, _total_len long"))
+    else:
+        # corpus stats from the FULL postings table (1-row broadcast);
+        # stats stay in the plan — no driver-side count at build time
+        stats = F.broadcast(postings.agg(
+            F.countDistinct(id_col).cast("long").alias("_n_docs"),
+            F.sum("tf").cast("long").alias("_total_len")))
     dfreq = F.broadcast(hits.groupBy("term")
                         .agg(F.count("*").cast("long").alias("_df")))
     contrib = _contribution_e6(

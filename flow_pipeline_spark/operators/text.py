@@ -391,6 +391,33 @@ def c4_page_dropped(text: Column, min_kept_lines: int = 5,
             | (F.size(c4_clean_lines(text, min_words)) < min_kept_lines))
 
 
+def blocklist_page_flag(text: Column, blocklist: list[str]) -> Column:
+    """C4's remaining §2.2 page rule: True iff the page contains any
+    term from a blocklist (the paper uses the public 'List of Dirty,
+    Naughty, Obscene or Otherwise Bad Words'; the list here is a
+    parameter — ship your deployment's list, this module hard-codes
+    none). Matching is TOKEN equality on the lowercased whitespace
+    tokenization — the STOPWORDS device — not substring containment,
+    so 'class' never trips a blocklist containing 'ass' (the known
+    false-positive C4 is criticized for; the deviation from the
+    paper's substring behavior is deliberate and documented here).
+
+    Scale: the blocklist folds into one constant-vectorized
+    ``arrays_overlap`` against a literal array — a pure per-row
+    expression, zero shuffle, zero UDF, fused into the scan like every
+    other page gate."""
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    return F.arrays_overlap(tokens(F.lower(text)), bl)
+
+
+def blocklist_filter(df: DataFrame, blocklist: list[str],
+                     text_col: str = "text") -> DataFrame:
+    """Apply :func:`blocklist_page_flag`: adds ``blocked`` (page
+    contains a blocklisted token)."""
+    return df.withColumn(
+        "blocked", blocklist_page_flag(F.col(text_col), blocklist))
+
+
 def c4_filter(df: DataFrame, text_col: str = "text",
               min_kept_lines: int = 5, min_words: int = 5) -> DataFrame:
     """Apply the C4 cleanup: per-line edit + page verdict. Adds

@@ -205,6 +205,12 @@ _DEMOTED_VARIANTS = [
                               # keys, strictly more general) in the
                               # window — stays DuckDB-oracled every
                               # pytest run
+    "blocklist_pages",        # per-row expression page gate (C4 §2.2
+                              # blocklist rule); the class is windowed
+                              # via quality_classifier + lang_id, with
+                              # c4_line_filter/gopher_rules its
+                              # pytest-oracled siblings — registers
+                              # directly as a demoted variant
 ]
 
 

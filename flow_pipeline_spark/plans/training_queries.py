@@ -3237,3 +3237,33 @@ def phrase_match(spark, sf_dir):
     return (_pm(_docs(spark, sf_dir), ["hash", "join"])
             .select("doc_id", F.col("n_matches").cast("long")
                     .alias("n_matches")))
+
+
+@_q(
+    "blocklist_pages",
+    f"""
+    SELECT doc_id,
+           len(list_filter({_TOKS},
+               x -> x IN ('merge', 'stream'))) > 0 AS blocked
+    FROM documents ORDER BY doc_id
+    """,
+    doc="C4's remaining §2.2 page rule (text.py:blocklist_page_flag): "
+        "drop pages containing any blocklisted term — the paper uses "
+        "the public 'Dirty, Naughty, Obscene or Otherwise Bad Words' "
+        "list; the operator takes the list as a parameter and matches "
+        "on TOKEN equality (lowercased whitespace tokens), not "
+        "substring containment, deliberately avoiding C4's documented "
+        "'class'-trips-'ass' false-positive mode (the probe list here "
+        "uses neutral synthetic-vocab terms). Scale: the list folds "
+        "into one arrays_overlap against a literal array — a pure "
+        "per-row expression, zero shuffle, zero UDF, fused into the "
+        "scan with the other page gates.",
+)
+def blocklist_pages(spark, sf_dir):
+    from ..operators.text import blocklist_page_flag
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    blocklist_page_flag(F.col("text"),
+                                        ["merge", "stream"])
+                    .alias("blocked"))
+            .orderBy("doc_id"))

@@ -1630,3 +1630,64 @@ def test_phrase_match_agrees_with_direct_scan(spark):
         got = {r.doc_id: r.n_matches
                for r in phrase_match(docs, phrase).collect()}
         assert got == want, phrase
+
+
+def test_blocklist_flag_is_token_equality_not_substring(spark):
+    """'class' must NOT trip a blocklist containing 'ass' (the C4
+    substring false positive this operator deliberately avoids); exact
+    tokens match case-insensitively."""
+    from flow_pipeline_spark.operators.text import blocklist_page_flag
+
+    docs = spark.createDataFrame([
+        (1, "the class is full"),     # substring only — clean
+        (2, "kick Ass move"),         # exact token, mixed case — blocked
+        (3, "nothing here"),          # clean
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.b for r in docs.select(
+        "doc_id", blocklist_page_flag(F.col("text"), ["ass"]).alias("b")
+    ).collect()}
+    assert got == {1: False, 2: True, 3: False}
+
+
+def test_bm25_stored_index_pushes_term_filter(spark, tmp_path):
+    """The 100 TB story for search: against a PERSISTED postings table
+    the query-term filter must reach the parquet scan (PushedFilters),
+    and scores from the stored index must equal the in-plan build."""
+    from flow_pipeline_spark.operators.retrieval import (bm25_postings,
+                                                         bm25_score)
+
+    docs = spark.createDataFrame(
+        [(i, f"cat dog w{i} bird" if i % 2 else f"dog w{i} fish")
+         for i in range(20)], "doc_id long, text string")
+    idx_path = str(tmp_path / "postings")
+    bm25_postings(docs).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    scored = bm25_score(stored, ["cat", "fish"])
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "In(term, [cat,fish])" in plan or "In(term" in plan, plan
+
+    want = {r.doc_id: r.score_e6
+            for r in bm25_score(bm25_postings(docs),
+                                ["cat", "fish"]).collect()}
+    got = {r.doc_id: r.score_e6 for r in scored.collect()}
+    assert got == want and len(got) == 20
+
+
+def test_bm25_precomputed_stats_matches_in_plan_aggregate(spark):
+    """Passing stored (n_docs, total_len) must reproduce the in-plan
+    aggregate's scores exactly — the production shortcut that makes
+    query cost independent of index size."""
+    from flow_pipeline_spark.operators.retrieval import (bm25_postings,
+                                                         bm25_score)
+
+    docs = spark.createDataFrame(
+        [(i, f"cat dog w{i}") for i in range(12)],
+        "doc_id long, text string")
+    post = bm25_postings(docs)
+    want = {r.doc_id: r.score_e6
+            for r in bm25_score(post, ["cat"]).collect()}
+    got = {r.doc_id: r.score_e6
+           for r in bm25_score(post, ["cat"],
+                               corpus_stats=(12, 36)).collect()}
+    assert got == want

@@ -301,6 +301,36 @@ def main() -> None:
                 .select("doc_id", F.size("bpe_tokens").alias("n_syms"))))
             record("bpe_encode_vocab", n, sec)
 
+        # ranked retrieval (round 5, operators/retrieval.py): the index
+        # build pays the one corpus-wide (term, doc) groupBy — linear.
+        # QUERY-time work against the PERSISTED index (the production
+        # shape: term filter = pushed parquet predicate) is bounded by
+        # the query terms' postings lists, so query seconds grow with
+        # |matching postings| (~0.8% of docs/term here), never with the
+        # index build. phrase_match is probed end-to-end (build + walk).
+        from flow_pipeline_spark.operators.retrieval import (
+            bm25_postings, bm25_score, phrase_match)
+        ret_d = tempfile.mkdtemp(prefix="fps_retr_")
+        try:
+            q_terms = ["w1", "w2", "w3", "w4"]
+            for n in doc_steps[:3]:
+                docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                    eager=True)
+                idx_dir = f"{ret_d}/postings_{n}"
+                sec = median_timed(
+                    lambda: bm25_postings(docs).write
+                    .mode("overwrite").parquet(idx_dir))
+                record("bm25_index_build", n, sec)
+                stored = spark.read.parquet(idx_dir)
+                sec = median_timed(
+                    lambda: force(bm25_score(stored, q_terms)))
+                record("bm25_query_stored_index", n, sec)
+                sec = median_timed(
+                    lambda: force(phrase_match(docs, q_terms[:2])))
+                record("phrase_match_build_walk", n, sec)
+        finally:
+            shutil.rmtree(ret_d, ignore_errors=True)
+
         # product-quantization ANN: codebooks train once per step (m=16
         # subspaces in one mapInPandas pass per round), the corpus scans
         # as 16-byte codes. Measures the ADC+refine query path; recall
