@@ -236,6 +236,254 @@ def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
                                    F.array().cast("array<string>"))))
 
 
+# --- Unigram LM tokenizer (SentencePiece, Kudo 2018) -----------------------
+#
+# The OTHER production tokenizer family: instead of learning merges
+# bottom-up, start from a large substring seed vocabulary and iterate
+# EM, keeping the pieces the corpus actually uses. This implementation
+# is the hard-EM (Viterbi) variant: the E-step assigns each word its
+# single best segmentation under the current piece counts, the M-step
+# re-counts pieces; pruning drops the least-used multi-character pieces
+# each round (real SentencePiece uses soft EM with forward-backward
+# expected counts and a loss-based prune — the deviation is deliberate
+# and documented here; hard EM keeps every comparison EXACT, see below).
+#
+# Determinism: Viterbi never touches floats. A segmentation's
+# probability is prod(count_p) / total^n, so two candidates compare
+# exactly by big-integer cross-multiplication
+# (p1·total^n2 <=> p2·total^n1); ties break on fewer pieces, then the
+# lexicographically smaller piece tuple. The learned model is identical
+# on any engine, cluster size, or partitioning — pytest-asserted equal
+# to an independent Fraction-arithmetic reference implementation.
+#
+# Scale shape (mirrors bpe_train): one corpus pass builds the
+# word-frequency table; every EM round touches only that vocab-bounded
+# table (the Python Viterbi kernel runs once per DISTINCT word), and the
+# per-round piece-count aggregate collects the MODEL (|pieces| rows, the
+# kmeans-centroid pattern) — never corpus rows.
+
+
+def substring_seed_table(df: DataFrame, max_piece_len: int = 6,
+                         text_col: str = "text") -> DataFrame:
+    """(piece, freq) — every substring of length 1..max_piece_len of
+    every word, weighted by word frequency (occurrence-counted: 'aaa'
+    contributes 'aa' twice). Pure JVM expressions over the word table;
+    the shuffle is bounded by |distinct substrings|."""
+    wf = word_freq_table(df, text_col)
+    w, n = F.col("word"), F.length("word")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+            lambda l: w.substr(i, l))))
+    return (wf.select(F.col("freq"), F.explode(subs).alias("piece"))
+            .groupBy("piece").agg(F.sum("freq").alias("freq")))
+
+
+def _viterbi_factory(counts: dict[str, int], max_piece_len: int):
+    """Shared exact-arithmetic Viterbi segmenter. Score of a prefix
+    state: (n_unknown, prod_of_counts, n_pieces, pieces) — fewer
+    unknown single-char fallbacks always wins, then the exact
+    probability prod/total^n via big-int cross-multiply, then fewer
+    pieces, then the lexicographically smaller tuple. Unknown characters
+    (never seen in training) emit themselves as OOV pieces."""
+    total = sum(counts.values()) or 1
+
+    def better(s1, s2):
+        u1, p1, n1, t1 = s1
+        u2, p2, n2, t2 = s2
+        if u1 != u2:
+            return u1 < u2
+        lhs, rhs = p1 * total ** n2, p2 * total ** n1
+        if lhs != rhs:
+            return lhs > rhs
+        if n1 != n2:
+            return n1 < n2
+        return t1 < t2
+
+    def segment(word: str) -> list[str]:
+        if not word:
+            return []
+        best: list = [None] * (len(word) + 1)
+        best[0] = (0, 1, 0, ())
+        for j in range(1, len(word) + 1):
+            for i in range(max(0, j - max_piece_len), j):
+                if best[i] is None:
+                    continue
+                piece = word[i:j]
+                c = counts.get(piece, 0)
+                u0, p0, n0, t0 = best[i]
+                if c > 0:
+                    cand = (u0, p0 * c, n0 + 1, t0 + (piece,))
+                elif j - i == 1:
+                    # unknown single char: OOV fallback, counted in the
+                    # unknown dimension so known pieces always dominate
+                    cand = (u0 + 1, p0, n0 + 1, t0 + (piece,))
+                else:
+                    continue
+                if best[j] is None or better(cand, best[j]):
+                    best[j] = cand
+        return list(best[len(word)][3])
+
+    return segment
+
+
+def _segment_word_udf(counts: dict[str, int], max_piece_len: int):
+    segment = _viterbi_factory(counts, max_piece_len)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(s: pd.Series) -> pd.Series:
+        return s.map(segment)
+
+    return _seg
+
+
+def unigram_train(df: DataFrame, *, n_iters: int = 3,
+                  vocab_size: int | None = None,
+                  max_piece_len: int = 6, seed_size: int = 2000,
+                  prune_frac: float = 0.2,
+                  text_col: str = "text") -> dict[str, int]:
+    """Learn a unigram-LM piece vocabulary from a document corpus.
+    Returns {piece: count} — the tokenizer model artifact (hard-EM
+    counts; piece probability = count/total).
+
+    Seed = top ``seed_size`` substrings by (freq desc, piece asc) PLUS
+    every single character (coverage: any training word stays
+    segmentable; single chars are never pruned). Each round: Viterbi-
+    segment every distinct word (exact integer scoring — see module
+    notes), re-count pieces weighted by word freq, drop zero-count
+    multi-char pieces, then prune the bottom ``prune_frac`` of
+    multi-char pieces by (count asc, piece asc), not below
+    ``vocab_size``."""
+    wf = (word_freq_table(df, text_col)
+          .localCheckpoint(eager=True))
+    seed = substring_seed_table(df, max_piece_len, text_col)
+    chars = seed.filter(F.length("piece") == 1)
+    top = (seed.filter(F.length("piece") > 1)
+           .orderBy(F.desc("freq"), F.asc("piece")).limit(seed_size))
+    counts = {r["piece"]: r["freq"]
+              for r in chars.unionByName(top).collect()}
+    char_set = {p for p in counts if len(p) == 1}
+
+    for _ in range(n_iters):
+        seg = _segment_word_udf(counts, max_piece_len)
+        new = (wf.select("freq", F.explode(seg(F.col("word")))
+                         .alias("piece"))
+               .groupBy("piece").agg(F.sum("freq").alias("freq"))
+               .collect())
+        counts = {r["piece"]: r["freq"] for r in new}
+        # coverage floor: a char squeezed out by larger pieces this
+        # round must stay segment-able next round / at encode time
+        for ch in char_set:
+            counts.setdefault(ch, 1)
+        multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                       key=lambda kv: (kv[1], kv[0]))
+        floor = vocab_size if vocab_size is not None else 0
+        n_prunable = max(0, len(counts) - max(floor, 0))
+        n_drop = min(int(len(multi) * prune_frac), n_prunable, len(multi))
+        for p, _c in multi[:n_drop]:
+            del counts[p]
+    return counts
+
+
+def unigram_encode_vocab(df: DataFrame, model: dict[str, int],
+                         *, max_piece_len: int = 6,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         out_col: str = "pieces") -> DataFrame:
+    """Encode documents under a trained unigram model — the vocab-table
+    scale form (the :func:`bpe_encode_vocab` shape): each DISTINCT word
+    Viterbi-segments once through the Python kernel (|vocab| calls,
+    corpus-size-independent), the word→pieces map broadcast-joins back
+    to the JVM-exploded corpus tokens, per-doc arrays reassemble by
+    position. Corpus tokens never touch Python; ``id_col`` must be
+    unique per row."""
+    toks = tokens(F.lower(F.col(text_col)))
+    words = (df.select(F.col(id_col),
+                       F.posexplode(toks).alias("_pos", "_word"))
+             .filter(F.col("_word") != ""))
+    seg = _segment_word_udf(model, max_piece_len)
+    vocab = (words.select("_word").distinct()
+             .withColumn("_syms", seg(F.col("_word"))))
+    per_doc = (words.join(F.broadcast(vocab), "_word")
+               .groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("_pos"), F.col("_syms")))),
+                   lambda x: x["_syms"])).alias(out_col)))
+    return (df.join(per_doc, id_col, "left")
+            .withColumn(out_col,
+                        F.coalesce(F.col(out_col),
+                                   F.array().cast("array<string>"))))
+
+
+def py_unigram_reference(word_freqs: dict[str, int], *, n_iters: int = 3,
+                         vocab_size: int | None = None,
+                         max_piece_len: int = 6, seed_size: int = 2000,
+                         prune_frac: float = 0.2) -> dict[str, int]:
+    """Independent single-process reference for :func:`unigram_train`
+    — the pytest oracle. Same seed, tie, coverage, and prune rules, but
+    the Viterbi uses ``fractions.Fraction`` probabilities (a different
+    arithmetic path than the trainer's big-int cross-multiply) so
+    agreement checks the algorithm, not a shared kernel."""
+    from fractions import Fraction
+
+    seed: dict[str, int] = {}
+    for w, f in word_freqs.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                seed[w[i:i + l]] = seed.get(w[i:i + l], 0) + f
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in seed.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    counts = dict(chars) | dict(multi)
+    char_set = set(chars)
+
+    def segment(word: str, cnt: dict[str, int]) -> list[str]:
+        total = sum(cnt.values()) or 1
+        best: list = [None] * (len(word) + 1)
+        # state: (n_unknown, Fraction prob, n_pieces, tuple)
+        best[0] = (0, Fraction(1), 0, ())
+        for j in range(1, len(word) + 1):
+            for i in range(max(0, j - max_piece_len), j):
+                if best[i] is None:
+                    continue
+                piece = word[i:j]
+                c = cnt.get(piece, 0)
+                u0, p0, n0, t0 = best[i]
+                if c > 0:
+                    cand = (u0, p0 * Fraction(c, total), n0 + 1,
+                            t0 + (piece,))
+                elif j - i == 1:
+                    cand = (u0 + 1, p0, n0 + 1, t0 + (piece,))
+                else:
+                    continue
+                cur = best[j]
+                if cur is None or (cand[0], -cand[1], cand[2], cand[3]) < \
+                        (cur[0], -cur[1], cur[2], cur[3]):
+                    best[j] = cand
+        return list(best[len(word)][3])
+
+    for _ in range(n_iters):
+        new: dict[str, int] = {}
+        for w, f in word_freqs.items():
+            if not w:
+                continue
+            for p in segment(w, counts):
+                new[p] = new.get(p, 0) + f
+        counts = new
+        for ch in char_set:
+            counts.setdefault(ch, 1)
+        multi_l = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                         key=lambda kv: (kv[1], kv[0]))
+        floor = vocab_size if vocab_size is not None else 0
+        n_prunable = max(0, len(counts) - max(floor, 0))
+        n_drop = min(int(len(multi_l) * prune_frac), n_prunable,
+                     len(multi_l))
+        for p, _c in multi_l[:n_drop]:
+            del counts[p]
+    return counts
+
+
 def _py_apply_merge(syms: list[str], a: str, b: str) -> list[str]:
     """Single-process reference of :func:`_apply_merge` — same
     left-to-right scan, same run semantics. Shared by bpe_encode and the

@@ -3267,3 +3267,62 @@ def blocklist_pages(spark, sf_dir):
                                         ["merge", "stream"])
                     .alias("blocked"))
             .orderBy("doc_id"))
+
+
+@_q(
+    "unigram_pieces",
+    None,  # iterative EM training — not SQL-expressible; the trainer is
+    # pytest-verified model-for-model against an independent
+    # Fraction-arithmetic reference implementation
+    # (tests/test_training_ops.py::test_unigram_train_matches_reference).
+    doc="Unigram-LM tokenizer induction (Kudo 2018, the SentencePiece "
+        "family; operators/tokenizer.py:unigram_train) — the OTHER "
+        "production tokenizer: seed with every substring ≤6 chars "
+        "(JVM explode over the vocab-bounded word table), then hard-EM "
+        "rounds — Viterbi-segment each DISTINCT word under current "
+        "piece counts (EXACT big-integer scoring: segmentations "
+        "compare by count-product cross-multiplication, never floats, "
+        "so the learned model is identical on any engine or "
+        "partitioning), re-count pieces weighted by word freq, prune "
+        "the least-used multi-char pieces (single chars never prune — "
+        "the coverage invariant). Per-round cost is vocab-bounded, "
+        "corpus-size-independent, the bpe_train shape; the per-round "
+        "collect is the MODEL (kmeans-centroid pattern), never corpus "
+        "rows. Returns the learned piece table.",
+)
+def unigram_pieces(spark, sf_dir):
+    from ..operators import tokenizer as TOK
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    model = TOK.unigram_train(d, n_iters=2, seed_size=500,
+                              vocab_size=300)
+    return spark.createDataFrame(
+        sorted(model.items(), key=lambda kv: (-kv[1], kv[0])),
+        "piece string, count long")
+
+
+@_q(
+    "unigram_encode_corpus",
+    None,  # encoding under the EM-trained model (not SQL-expressible);
+    # encoder parity with the reference Viterbi is pytest-asserted
+    # piece-for-piece
+    # (test_unigram_encode_matches_reference_segmentation).
+    doc="Corpus unigram-LM encoding via the vocab-table path "
+        "(operators/tokenizer.py:unigram_encode_vocab): each DISTINCT "
+        "word Viterbi-segments once through the Python kernel (|vocab| "
+        "calls, corpus-size-independent — the real-SentencePiece swap "
+        "point, off the hot path), the word→pieces map broadcast-joins "
+        "back to the JVM-exploded corpus tokens, per-doc arrays "
+        "reassemble by position. Same scale contract as "
+        "bpe_encode_corpus; unknown chars emit themselves as OOV "
+        "pieces. Returns per-doc piece counts + leading pieces.",
+)
+def unigram_encode_corpus(spark, sf_dir):
+    from ..operators import tokenizer as TOK
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    model = TOK.unigram_train(d.filter(F.col("doc_id") < 200),
+                              n_iters=2, seed_size=500, vocab_size=300)
+    enc = TOK.unigram_encode_vocab(d, model)
+    return (enc.select("doc_id",
+                       F.size("pieces").cast("long").alias("n_pieces"),
+                       F.slice("pieces", 1, 5).alias("head_pieces"))
+            .orderBy("doc_id"))

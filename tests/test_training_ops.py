@@ -1691,3 +1691,97 @@ def test_bm25_precomputed_stats_matches_in_plan_aggregate(spark):
            for r in bm25_score(post, ["cat"],
                                corpus_stats=(12, 36)).collect()}
     assert got == want
+
+
+# --- Unigram LM tokenizer (SentencePiece hard-EM) -----------------------
+
+
+def _unigram_corpus(spark):
+    rows = [
+        (1, "low lower lowest newer new"),
+        (2, "low low lower newest wider wide"),
+        (3, "new newer widest low wide wide"),
+        (4, "lowest newest new low lower wide"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_word_freqs(rows):
+    from flow_pipeline_spark.operators.text import ascii_words
+    wf: dict[str, int] = {}
+    for _i, t in rows:
+        for w in ascii_words(t.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def test_unigram_train_matches_reference(spark):
+    """The distributed hard-EM trainer must produce the exact same
+    {piece: count} model as the independent Fraction-arithmetic
+    reference — checks seed, Viterbi ties, coverage floor, and prune
+    rules all at once."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    docs = _unigram_corpus(spark)
+    wf = _py_word_freqs([(r.doc_id, r.text) for r in docs.collect()])
+    for kw in ({"n_iters": 1, "seed_size": 30},
+               {"n_iters": 3, "seed_size": 30, "prune_frac": 0.3},
+               {"n_iters": 2, "seed_size": 15, "vocab_size": 12,
+                "prune_frac": 0.5, "max_piece_len": 4}):
+        got = TOK.unigram_train(docs, **kw)
+        want = TOK.py_unigram_reference(wf, **kw)
+        assert got == want, kw
+
+
+def test_unigram_encode_matches_reference_segmentation(spark):
+    """Corpus encode through the vocab-table path must equal the
+    reference Viterbi applied word-by-word in document order."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+    from flow_pipeline_spark.operators.text import ascii_words
+
+    docs = _unigram_corpus(spark)
+    model = TOK.unigram_train(docs, n_iters=2, seed_size=30)
+    seg = TOK._viterbi_factory(model, 6)
+    want = {r.doc_id: [p for w in ascii_words(r.text.lower())
+                       for p in seg(w)]
+            for r in docs.collect()}
+    got = {r.doc_id: r.pieces
+           for r in TOK.unigram_encode_vocab(docs, model).collect()}
+    assert got == want
+    # every document reassembles to its original text when pieces concat
+    for r in docs.collect():
+        assert "".join(want[r.doc_id]) == "".join(
+            ascii_words(r.text.lower()))
+
+
+def test_unigram_encode_unknown_chars_and_empty_docs(spark):
+    """Characters never seen in training emit themselves as OOV pieces;
+    empty/whitespace-only documents encode to an empty array."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    train = _unigram_corpus(spark)
+    model = TOK.unigram_train(train, n_iters=1, seed_size=30)
+    probe = spark.createDataFrame(
+        [(10, "low zqz low"), (11, "   "), (12, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pieces
+           for r in TOK.unigram_encode_vocab(probe, model).collect()}
+    assert got[11] == [] and got[12] == []
+    # 'zqz': z and q unseen -> OOV singles; known pieces still segment
+    mid = got[10]
+    assert "z" in mid and "q" in mid
+    joined = "".join(mid)
+    assert joined == "lowzqzlow"
+
+
+def test_unigram_single_chars_survive_aggressive_prune(spark):
+    """Coverage invariant: the per-round prune may never remove a
+    single-character piece, so any training word stays segmentable."""
+    from flow_pipeline_spark.operators import tokenizer as TOK
+
+    docs = _unigram_corpus(spark)
+    model = TOK.unigram_train(docs, n_iters=3, seed_size=50,
+                              prune_frac=0.9, vocab_size=1)
+    chars = {c for r in docs.collect()
+             for w in r.text.lower().split() for c in w}
+    assert chars <= {p for p in model if len(p) == 1}
