@@ -159,3 +159,59 @@ def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame,
     return (out.crossJoin(total)
             .select("bin", "c_ref", "c_cur", "term_e6", "psi_e6")
             .orderBy("bin"))
+
+
+def ewma_spikes(df: DataFrame, *, ts_col: str = "ts",
+                key_col: str = "event_type", bucket_secs: int = 60,
+                lookback: int = 8, ratio: int = 2) -> DataFrame:
+    """Temporal anomaly flagging: per (key, time-bucket) event counts
+    against an exponentially-weighted baseline of the preceding
+    ``lookback`` buckets — the EWMA spike monitor every ingest
+    dashboard runs (a flows deployment alerts on per-AS traffic spikes
+    with exactly this shape).
+
+    EXACT cross-engine arithmetic throughout: the half-life-per-bucket
+    weight for a bucket ``d`` steps back is the INTEGER ``2^(lookback-d)``
+    (α=1/2 EWMA, finite horizon), so ``baseline = num/den`` is a ratio
+    of integers; a bucket is a spike iff ``cnt·den > ratio·num`` — an
+    integer comparison, no float ever enters the verdict.
+    ``baseline_e4`` reports the baseline in truncated integer
+    ten-thousandths (``div``, matching DuckDB ``//``). Buckets with no
+    preceding data in the horizon report a null baseline and never
+    flag. Gaps are handled correctly: absent buckets contribute
+    neither weight nor count (time-aligned, unlike a positional
+    ``lag`` window).
+
+    Scale: one corpus-wide partial+final count aggregate (|keys|·|buckets|
+    rows out); the baseline builds by exploding ``lookback`` (offset,
+    weight) literals over that AGGREGATED table and re-grouping — the
+    fixed-lag equi-join trick — so the raw table shuffles once and the
+    horizon never becomes a range join."""
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs) \
+        .cast("long")
+    agg = (df.groupBy(F.col(key_col).alias("k"), bucket.alias("bucket"))
+           .agg(F.count("*").alias("cnt")))
+    offs = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 F.lit(1 << (lookback - d)).cast("long").alias("w"))
+        for d in range(1, lookback + 1)])
+    contrib = (agg.select("k", "bucket", "cnt",
+                          F.explode(offs).alias("o"))
+               .select("k",
+                       (F.col("bucket") + F.col("o.d")).alias("tb"),
+                       (F.col("cnt") * F.col("o.w")).alias("wx"),
+                       F.col("o.w").alias("w")))
+    base = (contrib.groupBy(F.col("k").alias("bk"), "tb")
+            .agg(F.sum("wx").alias("num"), F.sum("w").alias("den")))
+    j = agg.join(base, (F.col("k") == F.col("bk")) &
+                 (F.col("bucket") == F.col("tb")), "left")
+    return (j.select(F.col("k").alias(key_col),
+                     F.col("bucket"),
+                     F.col("cnt"),
+                     F.expr("(num * 10000) div den").cast("long")
+                     .alias("baseline_e4"),
+                     F.coalesce(
+                         F.col("cnt") * F.col("den")
+                         > F.lit(int(ratio)) * F.col("num"),
+                         F.lit(False)).alias("is_spike"))
+            .orderBy(key_col, "bucket"))

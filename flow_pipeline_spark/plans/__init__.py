@@ -211,6 +211,18 @@ _DEMOTED_VARIANTS = [
                               # c4_line_filter/gopher_rules its
                               # pytest-oracled siblings — registers
                               # directly as a demoted variant
+    # round 5 cont.: traffic_spikes (EWMA temporal anomaly detection —
+    # a new operator class: time-aligned exponentially-weighted
+    # baseline + integer spike verdict; distinct from token_length_drift,
+    # which compares DISTRIBUTIONS between snapshots, not a series
+    # against its own history) enters the window; displaced twin:
+    "simhash_near_dup",       # signature-banding near-dup; the banding
+                              # class keeps TWO window rows
+                              # (minhash_lsh_dedup — banded minhash —
+                              # and embedding_near_dup — SRP banding)
+                              # plus the pytest-oracled
+                              # incremental_near_dup — stays
+                              # DuckDB-oracled every pytest run
 ]
 
 

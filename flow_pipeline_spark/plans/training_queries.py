@@ -3326,3 +3326,51 @@ def unigram_encode_corpus(spark, sf_dir):
                        F.size("pieces").cast("long").alias("n_pieces"),
                        F.slice("pieces", 1, 5).alias("head_pieces"))
             .orderBy("doc_id"))
+
+
+@_q(
+    "traffic_spikes",
+    """
+    WITH agg AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    contrib AS (
+      SELECT a.k, a.bucket + o.d AS tb,
+             a.cnt * (1 << (8 - o.d)) AS wx,
+             1 << (8 - o.d) AS w
+      FROM agg a, (SELECT unnest(range(1, 9)) AS d) o),
+    base AS (
+      SELECT k, tb, CAST(sum(wx) AS BIGINT) AS num,
+             CAST(sum(w) AS BIGINT) AS den
+      FROM contrib GROUP BY 1, 2)
+    SELECT a.k AS event_type,
+           a.bucket,
+           a.cnt,
+           CAST((b.num * 10000) // b.den AS BIGINT) AS baseline_e4,
+           coalesce(a.cnt * b.den > 2 * b.num, false) AS is_spike
+    FROM agg a LEFT JOIN base b ON b.k = a.k AND b.tb = a.bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="Temporal anomaly detection (operators/profile.py:ewma_spikes): "
+        "per-(event_type, minute) counts flagged against an "
+        "exponentially-weighted baseline of the 8 preceding minutes — "
+        "the EWMA spike monitor an ingest dashboard alerts on (a flows "
+        "deployment runs this per-AS). The α=1/2 finite-horizon weights "
+        "are the INTEGERS 2^(8-d), so baseline = num/den is a ratio of "
+        "integers and the spike verdict cnt*den > 2*num is pure integer "
+        "arithmetic — no float enters the comparison, hash-exact "
+        "cross-engine; baseline_e4 is truncated integer "
+        "ten-thousandths (Spark div = DuckDB //). Gap-correct: absent "
+        "buckets contribute neither weight nor count (time-aligned, "
+        "unlike positional lag). Scale: the raw table shuffles ONCE "
+        "(the count aggregate); the baseline explodes 8 (offset, "
+        "weight) literals over the AGGREGATED table and re-groups — "
+        "the fixed-lag equi-join trick, never a range join.",
+)
+def traffic_spikes(spark, sf_dir):
+    from ..operators.profile import ewma_spikes
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_spikes(ev, ts_col="ts", key_col="event_type",
+                       bucket_secs=60, lookback=8, ratio=2)

@@ -1785,3 +1785,46 @@ def test_unigram_single_chars_survive_aggressive_prune(spark):
     chars = {c for r in docs.collect()
              for w in r.text.lower().split() for c in w}
     assert chars <= {p for p in model if len(p) == 1}
+
+
+def test_ewma_spikes_flags_planted_burst_and_is_gap_correct(spark):
+    """A steady 2-events/minute series must not flag; a 10× burst must;
+    a bucket right after a GAP must weight only the buckets that exist
+    (time-aligned, not positional-lag)."""
+    from datetime import datetime, timedelta
+
+    from flow_pipeline_spark.operators.profile import ewma_spikes
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # steady: minutes 0..9, 2 events each; burst: minute 10, 20 events;
+    # gap: minutes 11-14 empty; resume: minute 15, 2 events
+    for m in range(10):
+        rows += [(t0 + timedelta(minutes=m, seconds=s), "a")
+                 for s in (5, 35)]
+    rows += [(t0 + timedelta(minutes=10, seconds=s), "a")
+             for s in range(20)]
+    rows += [(t0 + timedelta(minutes=15, seconds=s), "a") for s in (5, 35)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    out = {r.bucket: r for r in ewma_spikes(df).collect()}
+    base_min = int(t0.timestamp()) // 60
+    steady = out[base_min + 5]
+    assert not steady.is_spike and steady.baseline_e4 == 20000
+    burst = out[base_min + 10]
+    assert burst.is_spike and burst.cnt == 20 \
+        and burst.baseline_e4 == 20000
+    # the burst enters the NEXT minutes' baselines but nothing flags
+    # after it (no post-burst rows until minute 15)
+    resume = out[base_min + 15]
+    # horizon = minutes 7..14; present: 7(2),8(2),9(2),10(20) with
+    # weights 2^(8-d) for d = 15 - m
+    num = sum(c * (1 << (8 - d))
+              for m, c, d in [(7, 2, 8), (8, 2, 7), (9, 2, 6),
+                              (10, 20, 5)])
+    den = sum(1 << (8 - d) for d in (8, 7, 6, 5))
+    assert resume.baseline_e4 == num * 10000 // den
+    assert resume.is_spike == (2 * den > 2 * num) == False
+    # first bucket has no history: null baseline, never a spike
+    first = out[base_min]
+    assert first.baseline_e4 is None and not first.is_spike

@@ -29,7 +29,6 @@ NOTES = {
   "tpch_q1": "ship-date filter pushed to scan; 8 aggregates in one partial+final pass",
   "part_type_revenue": "part dimension broadcast; lineitem never shuffles before aggregation",
   "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
-  "flows_routed_traffic": "dashboard aggregate answered from the stored rollup, not raw",
   "local_supplier_volume": "6-table Q5 topology: broadcast supplier dim chain, co-nation residual, one orderkey/custkey shuffle spine",
   "embedding_near_dup": "SRP-bucketed pair join on the signature key — no CartesianProduct / all-pairs",
   "ngram_jaccard_dups": "LSH candidates verified with array_intersect on doc-id joins; no shuffle ever partitions on the shingle",
@@ -63,6 +62,7 @@ NOTES = {
   "filtered_knn": "label equi-join composes BEFORE scoring (broadcast queries); at scale the corpus partitions by the filter column so the join becomes partition pruning; two-phase top-k as in knn_cosine",
   "bm25_search": "postings build is the one corpus-wide shuffle (partial-aggregated (term,doc) groupBy); the query-term filter cuts before scoring (a pushed parquet filter on a STORED index), df and corpus stats ride broadcasts, ranking is TakeOrderedAndProject",
   "phrase_match": "slot table (|phrase| rows) broadcasts onto the positional index; only docs containing a phrase term reach the per-doc aggregate, carrying position arrays, never text — the start-set intersection is a fold over <=|phrase| small arrays per doc",
+  "traffic_spikes": "raw table shuffles ONCE (the count aggregate); the EWMA baseline explodes 8 (offset,weight) literals over the AGGREGATED table and re-groups — fixed-lag equi-join, never a range join; spike verdict is a codegen'd integer comparison",
 }
 
 
