@@ -249,3 +249,37 @@ def phrase_match(docs: DataFrame, phrase: list[str], *,
             .select(F.col(id_col), F.size(inter).alias("n_matches"))
             .filter(F.col("n_matches") > 0)
             .orderBy(id_col))
+
+
+def merge_postings(base: DataFrame, delta: DataFrame, *,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Incremental index maintenance: merge a delta postings table
+    (new or RE-CRAWLED documents, built by :func:`bm25_postings` over
+    the delta docs) into a stored base index. Delta wins per document —
+    every base row for a doc id present in the delta is dropped, so an
+    updated document's old terms disappear; merge ≡ full rebuild is the
+    pytest oracle.
+
+    Scale: the base never re-tokenizes and never shuffles on the term —
+    the only wide op is the doc-id anti-join, broadcast while the
+    delta's doc set is small (the common nightly-crawl shape). Persist
+    the result bucketed BY TERM like the original index; pair with
+    :func:`postings_stats` to refresh the stored (n_docs, total_len)
+    pair that makes query cost index-size-independent."""
+    upd = delta.select(id_col).distinct()
+    kept = (base.join(F.broadcast(upd), id_col, "left_anti")
+            .select(*base.columns))
+    return kept.unionByName(delta.select(*base.columns))
+
+
+def postings_stats(postings: DataFrame, *,
+                   id_col: str = "doc_id") -> tuple[int, int]:
+    """(n_docs, total_token_len) of a postings table — the stored
+    corpus-stats pair :func:`bm25_score` accepts to skip the in-plan
+    aggregate (store it next to the index at build/merge time). One
+    bounded aggregate; sum(tf) IS the total token count because the
+    index preserves term multiplicity."""
+    r = postings.agg(
+        F.countDistinct(id_col).cast("long").alias("n"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("t")).first()
+    return int(r["n"]), int(r["t"])

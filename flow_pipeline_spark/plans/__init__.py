@@ -223,6 +223,18 @@ _DEMOTED_VARIANTS = [
                               # plus the pytest-oracled
                               # incremental_near_dup — stays
                               # DuckDB-oracled every pytest run
+    # round 5 cont.: nation_trade_pagerank (iterative rank propagation
+    # — a new operator class: weighted PageRank with an exact integer
+    # recurrence, distinct from dedup_clusters' connected components)
+    # enters the window; displaced twin:
+    "rate_30s",               # A2 normalized-rate bucket agg; the rate
+                              # class stays windowed via
+                              # metrics_rate_sum_by (counter-reset-
+                              # adjusted rate + sliding frames —
+                              # strictly more general) and
+                              # instant_traffic_1m (the same
+                              # time-bucket agg shape) — stays
+                              # DuckDB-oracled every pytest run
 ]
 
 

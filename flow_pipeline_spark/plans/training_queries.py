@@ -3374,3 +3374,78 @@ def traffic_spikes(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ewma_spikes(ev, ts_col="ts", key_col="event_type",
                        bucket_secs=60, lookback=8, ratio=2)
+
+
+_PR_ITER_SQL = """
+  SELECT nd.node,
+         CAST((15 * (1000000000 // (SELECT n FROM nn))
+               + 85 * coalesce(i.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((p.r * e.w) // o.s) AS BIGINT) AS m
+    FROM cedges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1) i ON i.node = nd.node
+"""
+
+
+@_q(
+    "nation_trade_pagerank",
+    f"""
+    WITH cedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS s
+             FROM cedges GROUP BY 1),
+    nodes AS (SELECT DISTINCT v AS node FROM
+      (SELECT src AS v FROM cedges UNION SELECT dst FROM cedges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node,
+                  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+           FROM nodes),
+    r1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+    r2 AS ({_PR_ITER_SQL.format(prev="r1")}),
+    r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+    SELECT CAST(node AS BIGINT) AS nationkey, r AS rank_e9
+    FROM r3 ORDER BY rank_e9 DESC, nationkey
+    """,
+    doc="Iterative rank propagation (operators/graph.py:pagerank): "
+        "weighted PageRank over the customer-nation → supplier-nation "
+        "trade graph (edge weight = lineitem count), 3 rounds, damping "
+        "85/100 — the graph-centrality source-weighting device web "
+        "curation uses (Common Crawl publishes exactly such domain "
+        "ranks) and an AS-graph rank for the flows tier. EXACT integer "
+        "recurrence (ranks in e9 billionths; every step integer "
+        "mul/div/sum — independent of float summation order, "
+        "partitioning, engine), driver-oracled against the SAME "
+        "recurrence unrolled through DuckDB CTEs. Scale: per round ONE "
+        "edge shuffle (incoming-mass groupBy) + broadcast rank vector; "
+        "out-weights compute once; lineage cut per round à la "
+        "kmeans_fit.",
+)
+def nation_trade_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey")
+    edges = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+             .join(cust, orders["o_custkey"] == cust["c_custkey"])
+             .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+             .groupBy(cust["c_nationkey"].alias("src"),
+                      supp["s_nationkey"].alias("dst"))
+             .agg(F.count("*").cast("long").alias("w")))
+    pr = pagerank(edges, n_iters=3, weight="w")
+    return (pr.select(F.col("node").cast("long").alias("nationkey"),
+                      "rank_e9")
+            .orderBy(F.desc("rank_e9"), "nationkey"))

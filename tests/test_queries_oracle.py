@@ -32,7 +32,7 @@ def test_registry_window_ordering():
     assert all(QUERIES[n].oracle for n in window), \
         [n for n in window if not QUERIES[n].oracle]
     for flagship in ["minhash_lsh_dedup", "dedup_clusters", "corpus_curation",
-                     "embedding_near_dup", "simhash_near_dup",
+                     "embedding_near_dup",
                      "train_val_split", "metrics_rate_sum_by",
                      "flows_pg_src_ip_panel", "value_percentiles",
                      "incremental_dedup", "quality_classifier",
@@ -45,7 +45,14 @@ def test_registry_window_ordering():
                      # dedup, and Bloom membership dedup each land a
                      # driver row (doc_chunks / text_quality /
                      # conditional_class demoted — see plans/__init__)
-                     "dsir_importance", "line_dedup", "bloom_dedup"]:
+                     "dsir_importance", "line_dedup", "bloom_dedup",
+                     # round 5 cont.: EWMA temporal anomaly detection
+                     # and iterative rank propagation land driver rows
+                     # (simhash_near_dup demoted — its banding class
+                     # keeps minhash_lsh_dedup + embedding_near_dup;
+                     # rate_30s demoted — its rate class keeps
+                     # metrics_rate_sum_by + instant_traffic_1m)
+                     "traffic_spikes", "nation_trade_pagerank"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

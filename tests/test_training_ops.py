@@ -1828,3 +1828,69 @@ def test_ewma_spikes_flags_planted_burst_and_is_gap_correct(spark):
     # first bucket has no history: null baseline, never a spike
     first = out[base_min]
     assert first.baseline_e4 is None and not first.is_spike
+
+
+def test_merge_postings_equals_full_rebuild(spark):
+    """Index maintenance oracle: merging a delta (one NEW doc + one
+    RE-CRAWLED doc with changed text) into the base index must equal
+    rebuilding from scratch over the final corpus — including the old
+    terms of the re-crawled doc disappearing — and the refreshed
+    stats must match the rebuilt index's."""
+    from flow_pipeline_spark.operators.retrieval import (
+        bm25_postings, bm25_score, merge_postings, postings_stats)
+
+    v1 = spark.createDataFrame(
+        [(1, "cat dog bird"), (2, "dog fish"), (3, "cat cat owl")],
+        "doc_id long, text string")
+    v2_delta = spark.createDataFrame(
+        [(2, "lizard newt"), (4, "owl dog")],  # 2 re-crawled, 4 new
+        "doc_id long, text string")
+    final = spark.createDataFrame(
+        [(1, "cat dog bird"), (2, "lizard newt"), (3, "cat cat owl"),
+         (4, "owl dog")], "doc_id long, text string")
+
+    merged = merge_postings(bm25_postings(v1), bm25_postings(v2_delta))
+    want = {tuple(r) for r in bm25_postings(final).collect()}
+    got = {tuple(r) for r in merged.collect()}
+    assert got == want
+    assert ("fish", 2, 1, 2) not in {
+        (r.term, r.doc_id, r.tf, r.dl) for r in merged.collect()}
+    assert postings_stats(merged) == postings_stats(bm25_postings(final))
+    # scores through the merged index + refreshed stats = rebuilt scores
+    stats = postings_stats(merged)
+    a = {r.doc_id: r.score_e6
+         for r in bm25_score(merged, ["dog", "owl"],
+                             corpus_stats=stats).collect()}
+    b = {r.doc_id: r.score_e6
+         for r in bm25_score(bm25_postings(final),
+                             ["dog", "owl"]).collect()}
+    assert a == b
+
+
+def test_pagerank_matches_independent_reference(spark):
+    """The distributed integer-recurrence PageRank must equal a
+    dict-based single-process implementation of the same recurrence,
+    and a hub every node links to must outrank everything else."""
+    from flow_pipeline_spark.operators.graph import pagerank
+
+    #      1 -> 0 (w2), 2 -> 0 (w1), 3 -> 0 (w1), 2 -> 1 (w3),
+    #      0 -> 3 (w1): node 0 is the hub, 3 only gets hub spillover
+    edges = [(1, 0, 2), (2, 0, 1), (3, 0, 1), (2, 1, 3), (0, 3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.rank_e9
+           for r in pagerank(df, n_iters=3, weight="w").collect()}
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    base = 10**9 // n
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0) + w
+    r = {v: base for v in nodes}
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            inc[v] += (r[u] * w) // outw[u]
+        r = {v: (15 * base + 85 * inc[v]) // 100 for v in nodes}
+    assert got == r
+    assert max(got, key=lambda v: (got[v], -v)) == 0

@@ -63,6 +63,7 @@ NOTES = {
   "bm25_search": "postings build is the one corpus-wide shuffle (partial-aggregated (term,doc) groupBy); the query-term filter cuts before scoring (a pushed parquet filter on a STORED index), df and corpus stats ride broadcasts, ranking is TakeOrderedAndProject",
   "phrase_match": "slot table (|phrase| rows) broadcasts onto the positional index; only docs containing a phrase term reach the per-doc aggregate, carrying position arrays, never text — the start-set intersection is a fold over <=|phrase| small arrays per doc",
   "traffic_spikes": "raw table shuffles ONCE (the count aggregate); the EWMA baseline explodes 8 (offset,weight) literals over the AGGREGATED table and re-groups — fixed-lag equi-join, never a range join; spike verdict is a codegen'd integer comparison",
+  "nation_trade_pagerank": "per-round: ONE edge shuffle (incoming-mass groupBy on dst) + broadcast rank vector and out-weights; the 4-table edge build broadcasts dims; integer recurrence is codegen'd — no float agg, no driver matrix",
 }
 
 
