@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # round-5 additions:
     "bpe_encode_corpus",     # vocab-table BPE encode (corpus stays JVM-side)
     "bm25_search",           # ranked retrieval: postings build + term query
+    "traffic_spikes",        # EWMA anomaly baseline (fixed-lag equi-join)
+    "nation_trade_pagerank",  # iterative integer PageRank (3 rounds)
 ]
 
 

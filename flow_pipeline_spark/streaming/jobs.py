@@ -946,3 +946,56 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
         )
     writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
     return writer.start()
+
+
+def start_interval_join_stream(left_stream: DataFrame,
+                               right_stream: DataFrame,
+                               out_dir: str, checkpoint_dir: str, *,
+                               key: str = "user_id",
+                               left_ts: str = "ts",
+                               right_ts: str = "ts",
+                               band: str = "5 minutes",
+                               lateness: str = "10 minutes",
+                               trigger: dict | None = None
+                               ) -> StreamingQuery:
+    """Stream-STREAM interval join — two live feeds correlated on a key
+    within a time band (flows vs an alert/annotation feed; clicks vs
+    purchases). The reference pipeline has no two-stream correlation at
+    all (each Kafka topic lands in its own table and joins happen at
+    query time); this is the Structured Streaming native form: BOTH
+    sides watermark, the join condition is key equality plus
+    ``right.ts ∈ [left.ts − band, left.ts + band]``, and Spark derives
+    the state-eviction horizon from the watermark + band, so per-side
+    state is bounded by (rate × (lateness + band)) — never stream age.
+
+    The right side's columns are emitted with an ``r_`` prefix
+    (``r_<key>`` is dropped — it equals ``<key>``). Inner join: a row
+    whose partner never arrives inside the band emits nothing, and a
+    partner arriving later than ``lateness`` is dropped by the
+    watermark (at-least-once within the horizon, the
+    start_dedup_stream contract).
+
+    Scale: each micro-batch shuffles both sides on the key once; the
+    band comparison is a per-row predicate inside the joined state
+    store, not a range-join explosion.
+    """
+    r_cols = [F.col(c).alias(f"r_{c}") for c in right_stream.columns]
+    lw = left_stream.withWatermark(left_ts, lateness)
+    rw = (right_stream.select(*r_cols)
+          .withWatermark(f"r_{right_ts}", lateness))
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}")
+           >= F.col(left_ts) - F.expr(f"INTERVAL {band}"))
+        & (F.col(f"r_{right_ts}")
+           <= F.col(left_ts) + F.expr(f"INTERVAL {band}"))
+    )
+    joined = lw.join(rw, cond, "inner").drop(f"r_{key}")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()

@@ -1111,3 +1111,50 @@ def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir,
     # every near-recrawl was dropped by the semantic stage specifically
     assert all(d < 100000 for d in got)
     assert got, "survivor set should not be empty"
+
+
+def test_interval_join_stream_matches_batch(spark, tmpdir):
+    """Stream-stream interval join ≡ the same banded join run in batch
+    over the same rows (availableNow drains both sides; lateness far
+    exceeds the data span so the watermark never drops a partner)."""
+    from flow_pipeline_spark.streaming.jobs import start_interval_join_stream
+
+    lsrc, rsrc = f"{tmpdir}/ij_l", f"{tmpdir}/ij_r"
+    out_dir, ckpt = f"{tmpdir}/ij_out", f"{tmpdir}/ij_ckpt"
+    base = 1_600_000_000
+    left = (spark.range(400)
+            .select((F.col("id") % 20).alias("user_id"),
+                    F.timestamp_seconds(
+                        F.lit(base) + (F.col("id") * 53) % 20_000)
+                    .alias("ts"),
+                    F.col("id").alias("l_id")))
+    right = (spark.range(300)
+             .select((F.col("id") % 20).alias("user_id"),
+                     F.timestamp_seconds(
+                         F.lit(base) + (F.col("id") * 71) % 20_000)
+                     .alias("ts"),
+                     F.col("id").alias("r_id")))
+    left.repartition(2).write.parquet(lsrc)
+    right.repartition(2).write.parquet(rsrc)
+
+    ls = (spark.readStream.schema(spark.read.parquet(lsrc).schema)
+          .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    rs = (spark.readStream.schema(spark.read.parquet(rsrc).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    q = start_interval_join_stream(ls, rs, out_dir, ckpt,
+                                   key="user_id", band="3 minutes",
+                                   lateness="1 day",
+                                   trigger={"availableNow": True})
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    r_ren = right.select(*[F.col(c).alias(f"r_{c}")
+                           for c in right.columns])
+    cond = ((F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 3 minutes"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 3 minutes")))
+    batch = left.join(r_ren, cond, "inner").drop("r_user_id")
+    assert got.count() > 0
+    assert sorted(got.columns) == sorted(batch.columns)
+    g, b = got.select(*sorted(got.columns)), batch.select(*sorted(batch.columns))
+    assert g.exceptAll(b).isEmpty() and b.exceptAll(g).isEmpty()
