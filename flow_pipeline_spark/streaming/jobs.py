@@ -956,6 +956,7 @@ def start_interval_join_stream(left_stream: DataFrame,
                                right_ts: str = "ts",
                                band: str = "5 minutes",
                                lateness: str = "10 minutes",
+                               how: str = "inner",
                                trigger: dict | None = None
                                ) -> StreamingQuery:
     """Stream-STREAM interval join — two live feeds correlated on a key
@@ -969,16 +970,24 @@ def start_interval_join_stream(left_stream: DataFrame,
     state is bounded by (rate × (lateness + band)) — never stream age.
 
     The right side's columns are emitted with an ``r_`` prefix
-    (``r_<key>`` is dropped — it equals ``<key>``). Inner join: a row
-    whose partner never arrives inside the band emits nothing, and a
-    partner arriving later than ``lateness`` is dropped by the
+    (``r_<key>`` is dropped — it equals ``<key>``). ``how="inner"``: a
+    row whose partner never arrives inside the band emits nothing, and
+    a partner arriving later than ``lateness`` is dropped by the
     watermark (at-least-once within the horizon, the
-    start_dedup_stream contract).
+    start_dedup_stream contract). ``how="left_outer"``: matched rows
+    emit immediately; an UNMATCHED left row emits with null r_ columns
+    only once the watermark proves no partner can still arrive
+    (watermark past ``left.ts + band + lateness``) — the alerting
+    shape ("flow with no annotation"), delayed by exactly the horizon.
 
     Scale: each micro-batch shuffles both sides on the key once; the
     band comparison is a per-row predicate inside the joined state
     store, not a range-join explosion.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"start_interval_join_stream supports inner/left_outer, "
+            f"got {how!r}")
     r_cols = [F.col(c).alias(f"r_{c}") for c in right_stream.columns]
     lw = left_stream.withWatermark(left_ts, lateness)
     rw = (right_stream.select(*r_cols)
@@ -990,7 +999,7 @@ def start_interval_join_stream(left_stream: DataFrame,
         & (F.col(f"r_{right_ts}")
            <= F.col(left_ts) + F.expr(f"INTERVAL {band}"))
     )
-    joined = lw.join(rw, cond, "inner").drop(f"r_{key}")
+    joined = lw.join(rw, cond, how).drop(f"r_{key}")
     writer = (
         joined.writeStream.format("parquet")
         .option("path", out_dir)

@@ -1158,3 +1158,65 @@ def test_interval_join_stream_matches_batch(spark, tmpdir):
     assert sorted(got.columns) == sorted(batch.columns)
     g, b = got.select(*sorted(got.columns)), batch.select(*sorted(batch.columns))
     assert g.exceptAll(b).isEmpty() and b.exceptAll(g).isEmpty()
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmpdir):
+    """left_outer form: matched rows carry their partner; a left row
+    with no partner in the band emits with null r_ columns once the
+    watermark proves no partner can still arrive."""
+    from flow_pipeline_spark.streaming.jobs import start_interval_join_stream
+    import time as _time
+
+    lsrc, rsrc = f"{tmpdir}/ijo_l", f"{tmpdir}/ijo_r"
+    out_dir, ckpt = f"{tmpdir}/ijo_out", f"{tmpdir}/ijo_ckpt"
+    base = 1_600_000_000
+
+    def lrows(rows):
+        return (spark.createDataFrame(rows, "uid long, sec long, lv long")
+                .select(F.col("uid").alias("user_id"),
+                        F.timestamp_seconds("sec").alias("ts"), "lv"))
+
+    def rrows(rows):
+        return (spark.createDataFrame(rows, "uid long, sec long, rv long")
+                .select(F.col("uid").alias("user_id"),
+                        F.timestamp_seconds("sec").alias("ts"), "rv"))
+
+    left = lrows([(u, base + u * 60, u) for u in range(10)])
+    # partners only for users 0-4, 30s after the left row (inside the
+    # 3-minute band)
+    right = rrows([(u, base + u * 60 + 30, u + 100) for u in range(5)])
+    left.repartition(1).write.parquet(lsrc)
+    right.repartition(1).write.parquet(rsrc)
+    # closers push both watermarks far past every band+lateness horizon;
+    # their timestamps sit >band apart so they never join each other
+    _time.sleep(1.1)
+    lrows([(99, base + 500_000, -1)]).repartition(1) \
+        .write.mode("append").parquet(lsrc)
+    rrows([(99, base + 700_000, -1)]).repartition(1) \
+        .write.mode("append").parquet(rsrc)
+    # a post-closer nudge batch lets the state-flush run AFTER the
+    # watermark advanced (outer results emit on a subsequent batch)
+    _time.sleep(1.1)
+    lrows([(98, base + 800_000, -2)]).repartition(1) \
+        .write.mode("append").parquet(lsrc)
+
+    ls = (spark.readStream.schema(spark.read.parquet(lsrc).schema)
+          .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    rs = (spark.readStream.schema(spark.read.parquet(rsrc).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    q = start_interval_join_stream(ls, rs, out_dir, ckpt,
+                                   key="user_id", band="3 minutes",
+                                   lateness="10 minutes",
+                                   how="left_outer",
+                                   trigger={"availableNow": True})
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(out_dir)
+           .filter(F.col("ts") < F.timestamp_seconds(
+               F.lit(base + 400_000))))
+    rows = {r.lv: r for r in got.collect()}
+    assert set(rows) == set(range(10))
+    for u in range(5):
+        assert rows[u].r_rv == u + 100, rows[u]
+    for u in range(5, 10):
+        assert rows[u].r_rv is None and rows[u].r_ts is None, rows[u]
