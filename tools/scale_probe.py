@@ -353,6 +353,54 @@ def main() -> None:
                    .filter((F.col("n") == F.col("q") + 10**9)).count())
             record("pq_adc_refine_knn", n, sec, planted_ok=(got >= 9))
 
+        # EWMA spike baseline (round 5, operators/profile.py): one
+        # partial+final count aggregate over the raw rows + an 8-literal
+        # explode over the AGGREGATED table — per-row cost must FALL as
+        # rows/bucket grow (the aggregate dominates, the baseline join
+        # is |keys|x|buckets|-bounded).
+        from flow_pipeline_spark.operators.profile import ewma_spikes
+        for n in [1_000_000, 4_000_000, 8_000_000 if args.fast
+                  else 16_000_000]:
+            ev = spark.range(n).select(
+                (F.col("id") % 8).cast("string").alias("event_type"),
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000) + (F.col("id") % 600_000))
+                .alias("ts"))
+            sec = median_timed(lambda: force(ewma_spikes(ev)))
+            record("ewma_spikes", n, sec)
+
+        # PageRank (round 5, operators/graph.py): 3 integer rounds over
+        # a synthetic power-law-ish edge table; per-round cost is one
+        # edge shuffle + a broadcast rank vector, so edges/s should stay
+        # ~flat as the edge table grows at fixed node share.
+        from flow_pipeline_spark.operators.graph import pagerank
+        for n in [250_000, 1_000_000, 4_000_000]:
+            k = max(n // 100, 10)
+            edges = spark.range(n).select(
+                (F.col("id") % k).alias("src"),
+                ((F.col("id") * 7 + 1) % k).alias("dst"))
+            sec = median_timed(
+                lambda: force(pagerank(edges, n_iters=3)))
+            record("pagerank_3iter", n, sec)
+
+        # Unigram-LM vocab-table encoding (round 5): model trained once
+        # on the smallest step; Python Viterbi cost is |distinct words|-
+        # bounded, so corpus docs/s must RISE with corpus size exactly
+        # like bpe_encode_vocab.
+        from flow_pipeline_spark.operators import tokenizer as TOK
+        uni_model = None
+        for n in doc_steps[:3]:
+            docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                eager=True)
+            if uni_model is None:
+                uni_model = TOK.unigram_train(
+                    docs.limit(5_000), n_iters=1, seed_size=500,
+                    vocab_size=300)
+            sec = median_timed(lambda: force(
+                TOK.unigram_encode_vocab(docs, uni_model)
+                .select("doc_id", F.size("pieces").alias("n_pieces"))))
+            record("unigram_encode_vocab", n, sec)
+
         # skewed-key join: one hot key owns 50% of the fact side. The salt
         # spreads the hot key over n_salts tasks (operators/scale.py) — the
         # explicit fix for when AQE's runtime skew split doesn't apply (it
