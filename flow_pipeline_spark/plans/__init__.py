@@ -235,6 +235,23 @@ _DEMOTED_VARIANTS = [
                               # instant_traffic_1m (the same
                               # time-bucket agg shape) — stays
                               # DuckDB-oracled every pytest run
+    # round 5 cont.: funnel_steps (ordered-funnel conversion — a new
+    # operator class: event-sequence matching with min-chaining, the
+    # ClickHouse windowFunnel family) and user_retention (cohort
+    # retention — first-activity cohorts re-counted per offset, the
+    # retention() family) enter the window; displaced twins:
+    "vocab_top_bigrams",      # explode → vocab-bounded agg → top-k;
+                              # the device is the postings build inside
+                              # the WINDOWED bm25_search (same explode
+                              # + bounded groupBy + ranked top)  —
+                              # stays DuckDB-oracled every pytest run
+    "enrichment_join",        # J1 broadcast-dim chain; the enrichment
+                              # class keeps THREE window rows
+                              # (range_band_join — longest-prefix,
+                              # asof_enrichment — point-in-time,
+                              # local_supplier_volume — the 6-table Q5
+                              # topology with the same dim chain) —
+                              # stays DuckDB-oracled every pytest run
 ]
 
 

@@ -3449,3 +3449,88 @@ def nation_trade_pagerank(spark, sf_dir):
     return (pr.select(F.col("node").cast("long").alias("nationkey"),
                       "rank_e9")
             .orderBy(F.desc("rank_e9"), "nationkey"))
+
+
+@_q(
+    "funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id AS u, s1.t1, min(e.ts) AS tk
+      FROM events e JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+      GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id AS u, s2.t1, min(e.ts) AS tk
+      FROM events e JOIN s2 ON s2.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.tk
+        AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+      GROUP BY 1, 2),
+    n AS (
+      SELECT 1 AS stage, 'view' AS step,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+    SELECT CAST(stage AS BIGINT) AS stage, step,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((20000 * n_users
+                 + (SELECT n_users FROM n WHERE stage = 1))
+                // (2 * (SELECT n_users FROM n WHERE stage = 1))
+                AS BIGINT) AS conversion_e4
+    FROM n ORDER BY stage
+    """,
+    doc="Ordered-funnel conversion (operators/behavior.py:funnel) — "
+        "view → click → purchase within 1 day of the user's first view "
+        "(ClickHouse windowFunnel semantics, earliest-entry min-"
+        "chaining: stage k's time is the earliest step-k event strictly "
+        "after stage k-1, no backtracking). Counts and the HALF-UP e4 "
+        "conversion ratio are exact integers — hash-exact cross-engine. "
+        "Scale: |steps|-1 user-keyed joins over monotonically SHRINKING "
+        "survivor sets; each step's type filter pushes to the scan and "
+        "aggregates before joining — event rows never fan out.",
+)
+def funnel_steps(spark, sf_dir):
+    from ..operators.behavior import funnel
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"],
+                  horizon_secs=86400)
+
+
+@_q(
+    "user_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bucket
+      FROM events),
+    coh AS (SELECT u, min(bucket) AS cohort FROM active GROUP BY 1),
+    ret AS (
+      SELECT c.cohort, a.bucket - c.cohort AS k, a.u
+      FROM active a JOIN coh c ON c.u = a.u),
+    counts AS (
+      SELECT cohort, k, CAST(count(DISTINCT u) AS BIGINT) AS n_users
+      FROM ret GROUP BY 1, 2),
+    size AS (SELECT cohort AS c0, n_users AS n0 FROM counts WHERE k = 0)
+    SELECT counts.cohort, counts.k, counts.n_users,
+           CAST((20000 * counts.n_users + s.n0) // (2 * s.n0)
+                AS BIGINT) AS retained_e4
+    FROM counts JOIN size s ON s.c0 = counts.cohort
+    ORDER BY cohort, k
+    """,
+    doc="Cohort retention (operators/behavior.py:retention) — users "
+        "grouped by first-activity week, re-counted in each later week "
+        "they were active (the ClickHouse retention() class). All "
+        "integer arithmetic: weekly bucket = epoch div 604800, HALF-UP "
+        "e4 retained ratio — hash-exact cross-engine. Scale: the raw "
+        "table reduces to DISTINCT (user, bucket) in one partial-"
+        "aggregated shuffle; cohort assignment reuses the same keys; "
+        "the output is |cohorts|x|offsets| tiny rows and event rows "
+        "never join anything.",
+)
+def user_retention(spark, sf_dir):
+    from ..operators.behavior import retention
+    ev = load_table(spark, sf_dir, "events")
+    return retention(ev, bucket_secs=604_800)

@@ -52,7 +52,13 @@ def test_registry_window_ordering():
                      # keeps minhash_lsh_dedup + embedding_near_dup;
                      # rate_30s demoted — its rate class keeps
                      # metrics_rate_sum_by + instant_traffic_1m)
-                     "traffic_spikes", "nation_trade_pagerank"]:
+                     "traffic_spikes", "nation_trade_pagerank",
+                     # round 5 cont.: funnel conversion + cohort
+                     # retention (vocab_top_bigrams demoted — its
+                     # explode→bounded-agg device is bm25_search's
+                     # postings build; enrichment_join demoted — J1
+                     # keeps range_band/asof/local_supplier_volume)
+                     "funnel_steps", "user_retention"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

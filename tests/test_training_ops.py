@@ -1894,3 +1894,71 @@ def test_pagerank_matches_independent_reference(spark):
         r = {v: (15 * base + 85 * inc[v]) // 100 for v in nodes}
     assert got == r
     assert max(got, key=lambda v: (got[v], -v)) == 0
+
+
+def test_funnel_min_chaining_horizon_and_no_backtrack(spark):
+    """Planted journeys: in-order user converts; out-of-order user does
+    not; a user whose step 2 lands outside the horizon stops at stage
+    1; min-chaining never backtracks to a later step-1 event."""
+    from datetime import datetime, timedelta
+
+    from flow_pipeline_spark.operators.behavior import funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(u, typ, mins):
+        return (u, typ, t0 + timedelta(minutes=mins))
+
+    rows = [
+        # u1: perfect order inside horizon -> stage 3
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+        # u2: click BEFORE view -> stops at stage 1
+        ev(2, "click", 0), ev(2, "view", 5), ev(2, "purchase", 2),
+        # u3: click after horizon (first view at 0, horizon 60m) ->
+        # stage 1 only; the later view at 70 is NOT reconsidered
+        ev(3, "view", 0), ev(3, "view", 70), ev(3, "click", 75),
+        # u4: view+click inside horizon, no purchase -> stage 2
+        ev(4, "view", 0), ev(4, "click", 30),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, "
+                               "ts timestamp")
+    got = {r.stage: r for r in
+           funnel(df, ["view", "click", "purchase"],
+                  horizon_secs=3600).collect()}
+    assert got[1].n_users == 4 and got[1].conversion_e4 == 10000
+    assert got[2].n_users == 2 and got[2].conversion_e4 == 5000
+    assert got[3].n_users == 1 and got[3].conversion_e4 == 2500
+    assert [got[s].step for s in (1, 2, 3)] == ["view", "click",
+                                                "purchase"]
+
+
+def test_retention_cohorts_and_ratios(spark):
+    """Two cohorts with known weekly activity produce the exact
+    retention matrix; k=0 is always 10000."""
+    from datetime import datetime, timedelta
+
+    from flow_pipeline_spark.operators.behavior import retention
+
+    week = timedelta(days=7)
+    t0 = datetime(2024, 1, 4)  # mid-week; bucket boundaries irrelevant
+    rows = []
+    # cohort A: users 1-4 first seen week 0; 2 return week 1, 1 week 2
+    for u in (1, 2, 3, 4):
+        rows.append((u, t0))
+    rows += [(1, t0 + week), (2, t0 + week), (1, t0 + 2 * week)]
+    # cohort B: users 5-6 first seen week 1; 1 returns week 2
+    rows += [(5, t0 + week), (6, t0 + week), (5, t0 + 2 * week)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    got = {(r.cohort, r.k): (r.n_users, r.retained_e4)
+           for r in retention(df).collect()}
+    cohorts = sorted({c for c, _ in got})
+    a, b = cohorts[0], cohorts[1]
+    assert b == a + 1
+    assert got[(a, 0)] == (4, 10000)
+    assert got[(a, 1)] == (2, 5000)
+    assert got[(a, 2)] == (1, 2500)
+    assert got[(b, 0)] == (2, 10000)
+    assert got[(b, 1)] == (1, 5000)
+    assert (a, 3) not in got and (b, 2) not in got

@@ -64,6 +64,8 @@ NOTES = {
   "phrase_match": "slot table (|phrase| rows) broadcasts onto the positional index; only docs containing a phrase term reach the per-doc aggregate, carrying position arrays, never text — the start-set intersection is a fold over <=|phrase| small arrays per doc",
   "traffic_spikes": "raw table shuffles ONCE (the count aggregate); the EWMA baseline explodes 8 (offset,weight) literals over the AGGREGATED table and re-groups — fixed-lag equi-join, never a range join; spike verdict is a codegen'd integer comparison",
   "nation_trade_pagerank": "per-round: ONE edge shuffle (incoming-mass groupBy on dst) + broadcast rank vector and out-weights; the 4-table edge build broadcasts dims; integer recurrence is codegen'd — no float agg, no driver matrix",
+  "funnel_steps": "each stage: type filter pushed to the scan -> min-per-user aggregate -> user-keyed join against a SHRINKING survivor set; conversion ratios read from 1-row broadcast counts — event rows never fan out",
+  "user_retention": "raw rows reduce to DISTINCT (user, bucket) in one partial-aggregated shuffle; cohort min reuses the same keys; the offset join runs over per-user rows with a broadcast cohort-size side",
 }
 
 
