@@ -252,6 +252,15 @@ _DEMOTED_VARIANTS = [
                               # local_supplier_volume — the 6-table Q5
                               # topology with the same dim chain) —
                               # stays DuckDB-oracled every pytest run
+    "event_transitions",      # lead-window pair counts; the window
+                              # device is windowed via user_sessions,
+                              # conditional shares via funnel_steps —
+                              # registers directly as a demoted variant
+    "value_histogram",        # fixed-width binning device (the
+                              # token_length_drift internal exposed);
+                              # percentile panels windowed via
+                              # value_percentiles — direct demoted
+                              # registration
 ]
 
 

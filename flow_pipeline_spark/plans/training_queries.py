@@ -3534,3 +3534,85 @@ def user_retention(spark, sf_dir):
     from ..operators.behavior import retention
     ev = load_table(spark, sf_dir, "events")
     return retention(ev, bucket_secs=604_800)
+
+
+@_q(
+    "event_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+            FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           CAST((20000 * p.n + t.t) // (2 * t.t) AS BIGINT) AS share_e4
+    FROM pairs p JOIN tot t ON t.event_type = p.event_type
+    ORDER BY p.event_type, p.next_type
+    """,
+    doc="Markov next-event transition matrix (per-user lead window → "
+        "pair counts → per-source HALF-UP e4 share) — the path-analysis "
+        "panel behind 'what do users do after X'. Registered as a "
+        "demoted variant: the lead/lag-window device is windowed via "
+        "user_sessions, the conditional shares via funnel_steps. "
+        "Scale: ONE user-keyed exchange feeds the lead window; pairs "
+        "aggregate to |types|² rows before the tiny share join. "
+        "Ordering ties break on event_id (unique), so the lead is "
+        "deterministic cross-engine.",
+)
+def event_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (ev.select("event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+           .filter(F.col("next_type").isNotNull()))
+    pairs = (nxt.groupBy("event_type", "next_type")
+             .agg(F.count("*").cast("long").alias("n")))
+    tot = (pairs.groupBy(F.col("event_type").alias("_et"))
+           .agg(F.sum("n").cast("long").alias("_t")))
+    return (pairs.join(F.broadcast(tot),
+                       pairs["event_type"] == F.col("_et"))
+            .select("event_type", "next_type", "n",
+                    F.expr("(20000 * n + _t) div (2 * _t)")
+                    .cast("long").alias("share_e4"))
+            .orderBy("event_type", "next_type"))
+
+
+@_q(
+    "value_histogram",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 2.0) AS BIGINT), 19) AS bin
+      FROM events WHERE value IS NOT NULL),
+    c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT c.bin, CAST(c.n AS BIGINT) AS n,
+           CAST((20000 * c.n + t.t) // (2 * t.t) AS BIGINT) AS share_e4
+    FROM c, t ORDER BY c.bin
+    """,
+    doc="Fixed-width value histogram (width 2, top bin clamped at 19) "
+        "with HALF-UP e4 shares — the dashboard distribution panel and "
+        "the profile/PSI tier's binning device exposed as a query. "
+        "Registered as a demoted variant (bin_histogram is "
+        "token_length_drift's windowed internal; percentile panels are "
+        "value_percentiles). The single float op (value/2.0, one IEEE "
+        "division then floor) is bit-identical cross-engine. Scale: one "
+        "partial-aggregated shuffle to ≤20 rows.",
+)
+def value_histogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.filter(F.col("value").isNotNull())
+         .select(F.least(F.floor(F.col("value") / 2.0), F.lit(19))
+                 .cast("long").alias("bin")))
+    c = b.groupBy("bin").agg(F.count("*").cast("long").alias("n"))
+    t = F.broadcast(c.agg(F.sum("n").cast("long").alias("_t")))
+    return (c.crossJoin(t)
+            .select("bin", "n",
+                    F.expr("(20000 * n + _t) div (2 * _t)")
+                    .cast("long").alias("share_e4"))
+            .orderBy("bin"))
