@@ -261,6 +261,15 @@ _DEMOTED_VARIANTS = [
                               # percentile panels windowed via
                               # value_percentiles — direct demoted
                               # registration
+    # round 5 cont.: props_json_panel (semi-structured JSON extraction
+    # — a new operator class: the JSONExtract/get_json_object scalar
+    # family over the events.props column) enters the window;
+    # displaced twin:
+    "top_talkers",            # O2 top-k-by-aggregate; the TakeOrdered
+                              # class keeps revenue_top_customers and
+                              # flows_top_src_ips (plan-tested
+                              # TakeOrderedAndProject) in the window —
+                              # stays DuckDB-oracled every pytest run
 ]
 
 

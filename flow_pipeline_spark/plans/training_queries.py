@@ -3616,3 +3616,46 @@ def value_histogram(spark, sf_dir):
                     F.expr("(20000 * n + _t) div (2 * _t)")
                     .cast("long").alias("share_e4"))
             .orderBy("bin"))
+
+
+@_q(
+    "props_json_panel",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL),
+    a AS (
+      SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+      FROM x GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n, sum_k, distinct_k,
+           CAST((20000 * sum_k + n) // (2 * n) AS BIGINT) AS avg_k_e4
+    FROM a ORDER BY event_type
+    """,
+    doc="Semi-structured extraction (the ClickHouse JSONExtract / Spark "
+        "get_json_object family — §2's scalar-function tier applied to "
+        "the events.props JSON column, previously the one untouched "
+        "column in the testdata): extract $.k as an integer and "
+        "aggregate per event_type — count, sum, distinct, HALF-UP e4 "
+        "mean, all exact integers. Scale: the extraction is a per-row "
+        "codegen'd projection fused into the scan (no UDF, no shuffle "
+        "before the partial aggregate); at 100 TB pair with a "
+        "parse-once persisted column if the same path is read "
+        "repeatedly (the MV pattern), but the query itself never "
+        "re-parses more than once per row.",
+)
+def props_json_panel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("props").isNotNull())
+         .select("event_type",
+                 F.get_json_object(F.col("props"), "$.k")
+                 .cast("long").alias("k")))
+    a = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("k").cast("long").alias("sum_k"),
+              F.countDistinct("k").cast("long").alias("distinct_k")))
+    return (a.select("event_type", "n", "sum_k", "distinct_k",
+                     F.expr("(20000 * sum_k + n) div (2 * n)")
+                     .cast("long").alias("avg_k_e4"))
+            .orderBy("event_type"))

@@ -58,7 +58,11 @@ def test_registry_window_ordering():
                      # explode→bounded-agg device is bm25_search's
                      # postings build; enrichment_join demoted — J1
                      # keeps range_band/asof/local_supplier_volume)
-                     "funnel_steps", "user_retention"]:
+                     "funnel_steps", "user_retention",
+                     # round 5 cont.: semi-structured JSON extraction
+                     # (top_talkers demoted — the TakeOrdered class
+                     # keeps revenue_top_customers + flows_top_src_ips)
+                     "props_json_panel"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only
