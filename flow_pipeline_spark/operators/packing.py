@@ -152,3 +152,62 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
                        1, 4) < F.col("_thr")))
            .drop("_k", "_thr"))
     return out
+
+
+def shard_manifest(df: DataFrame, *, key_col: str = "doc_id",
+                   text_col: str = "text", shard_hex_chars: int = 1,
+                   salt: str = ":publish") -> DataFrame:
+    """Release manifest for a shard-published corpus: per shard,
+    (shard, n_docs, n_tokens, content_digest_60) — the digest is the
+    bit_xor of each document's 60-bit content hash (first 15 hex chars
+    of md5(text) as an integer), ORDER-INDEPENDENT by construction, so
+    two publishes of the same corpus produce identical manifests no
+    matter how rows were partitioned. Exact integers end to end;
+    hash-matches the DuckDB oracle.
+
+    Scale: one partial-aggregated shuffle to 16**shard_hex_chars rows;
+    per-row work is two md5s fused into the scan."""
+    from .text import token_count
+
+    key = F.col(key_col)
+    shard = det_shard(key, salt + ":shard", shard_hex_chars)
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10) \
+        .cast("long")
+    return (df.select(shard.alias("shard"),
+                      token_count(F.col(text_col)).alias("_nt"),
+                      h.alias("_h"))
+            .groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_nt").cast("long").alias("n_tokens"),
+                 F.expr("bit_xor(_h)").cast("long")
+                 .alias("content_digest_60"))
+            .orderBy("shard"))
+
+
+def write_training_shards(df: DataFrame, out_dir: str, *,
+                          key_col: str = "doc_id",
+                          text_col: str = "text",
+                          shard_hex_chars: int = 1,
+                          salt: str = ":publish") -> DataFrame:
+    """Publish the curated corpus as deterministic training shards:
+    every document lands in shard = first ``shard_hex_chars`` hex chars
+    of md5(key||salt) (16**n shards, engine- and partitioning-
+    independent — republishing an identical corpus yields identical
+    shard membership), written as parquet partitioned BY SHARD so a
+    training loader reads one directory per shard. Returns the
+    :func:`shard_manifest` computed from the data AS WRITTEN (read
+    back from ``out_dir``) — the manifest certifies the artifact on
+    disk, not the plan that produced it.
+
+    Scale: the write is one narrow pass (the shard column is a per-row
+    projection; partitioned write shuffles nothing by itself); use
+    ``df.repartition("shard")`` first when the target filesystem
+    penalizes many small files per directory."""
+    spark = df.sparkSession
+    out = df.withColumn(
+        "shard", det_shard(F.col(key_col), salt + ":shard",
+                           shard_hex_chars))
+    out.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+    written = spark.read.parquet(out_dir).drop("shard")
+    return shard_manifest(written, key_col=key_col, text_col=text_col,
+                          shard_hex_chars=shard_hex_chars, salt=salt)

@@ -270,6 +270,10 @@ _DEMOTED_VARIANTS = [
                               # flows_top_src_ips (plan-tested
                               # TakeOrderedAndProject) in the window —
                               # stays DuckDB-oracled every pytest run
+    "shard_manifest",         # md5-mod shard assignment + xor digest;
+                              # the md5 device is windowed via
+                              # train_val_split / source_quota_sample —
+                              # registers directly as a demoted variant
 ]
 
 

@@ -3659,3 +3659,34 @@ def props_json_panel(spark, sf_dir):
                      F.expr("(20000 * sum_k + n) div (2 * n)")
                      .cast("long").alias("avg_k_e4"))
             .orderBy("event_type"))
+
+
+@_q(
+    "shard_manifest",
+    f"""
+    WITH s AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':publish:shard'),
+                       1, 1) AS shard,
+             len({_TOKS}) AS n_toks,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(h) AS BIGINT) AS content_digest_60
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    doc="Release manifest of the deterministic shard publish "
+        "(operators/packing.py:shard_manifest / "
+        "write_training_shards): per shard — md5-assigned, so "
+        "membership is engine- and partitioning-independent — doc "
+        "count, token count, and an ORDER-INDEPENDENT 60-bit content "
+        "digest (bit_xor of per-doc md5-prefix integers; xor commutes, "
+        "so any row order or partitioning yields the same digest). "
+        "Registered as a demoted variant: the md5-mod device is "
+        "windowed via train_val_split / source_quota_sample. Scale: "
+        "one partial-aggregated shuffle to 16 rows; two md5s per row "
+        "fused into the scan.",
+)
+def shard_manifest_q(spark, sf_dir):
+    from ..operators.packing import shard_manifest
+    return shard_manifest(_docs(spark, sf_dir))
