@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "bm25_search",           # ranked retrieval: postings build + term query
     "traffic_spikes",        # EWMA anomaly baseline (fixed-lag equi-join)
     "nation_trade_pagerank",  # iterative integer PageRank (3 rounds)
+    "funnel_steps",          # ordered-funnel conversion (shrinking joins)
+    "user_retention",        # cohort retention (distinct-pair reduce)
+    "props_json_panel",      # JSON extraction fused into the scan
 ]
 
 

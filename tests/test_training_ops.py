@@ -1988,3 +1988,74 @@ def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
     assert got1 == want
     man2 = write_training_shards(docs.repartition(7), str(tmp_path / "s2"))
     assert {tuple(r) for r in man2.collect()} == want
+
+
+def test_funnel_matches_bruteforce_on_random_events(spark):
+    """Randomized (seeded) cross-check: funnel() must equal a per-user
+    Python simulation of min-chaining on arbitrary event soups."""
+    import random
+    from datetime import datetime, timedelta
+
+    from flow_pipeline_spark.operators.behavior import funnel
+
+    rng = random.Random(42)
+    t0 = datetime(2024, 1, 1)
+    types = ["a", "b", "c"]
+    rows = [(u, rng.choice(types),
+             t0 + timedelta(seconds=rng.randrange(100_000)))
+            for u in range(30) for _ in range(rng.randrange(0, 12))]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, "
+                               "ts timestamp")
+    horizon = 20_000
+    got = {r.stage: r.n_users
+           for r in funnel(df, ["a", "b", "c"],
+                           horizon_secs=horizon).collect()}
+
+    by_user = {}
+    for u, ty, ts in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    counts = [0, 0, 0]
+    for evs in by_user.values():
+        evs.sort()
+        t1 = min((ts for ts, ty in evs if ty == "a"), default=None)
+        if t1 is None:
+            continue
+        counts[0] += 1
+        lim = t1 + timedelta(seconds=horizon)
+        t2 = min((ts for ts, ty in evs
+                  if ty == "b" and t1 < ts <= lim), default=None)
+        if t2 is None:
+            continue
+        counts[1] += 1
+        t3 = min((ts for ts, ty in evs
+                  if ty == "c" and t2 < ts <= lim), default=None)
+        if t3 is not None:
+            counts[2] += 1
+    assert [got.get(1, 0), got.get(2, 0), got.get(3, 0)] == counts
+
+
+def test_retention_matches_bruteforce_on_random_events(spark):
+    """Randomized (seeded) cross-check of the cohort matrix."""
+    import random
+    from datetime import datetime, timedelta
+
+    from flow_pipeline_spark.operators.behavior import retention
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    rows = [(u, t0 + timedelta(seconds=rng.randrange(6 * 604_800)))
+            for u in range(40) for _ in range(rng.randrange(1, 6))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.k): r.n_users for r in retention(df).collect()}
+
+    buckets = {}
+    for u, ts in rows:
+        buckets.setdefault(u, set()).add(
+            int(ts.timestamp()) // 604_800)
+    want = {}
+    for u, bs in buckets.items():
+        c = min(bs)
+        for b in bs:
+            want[(c, b - c)] = want.get((c, b - c), 0) + 1
+    assert got == want
