@@ -211,3 +211,37 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
     written = spark.read.parquet(out_dir).drop("shard")
     return shard_manifest(written, key_col=key_col, text_col=text_col,
                           shard_hex_chars=shard_hex_chars, salt=salt)
+
+
+def materialize_sequences(df: DataFrame, token_col: str, budget: int,
+                          *, key_col: str = "doc_id",
+                          shard_hex_chars: int = 1,
+                          salt: str = ":pack") -> DataFrame:
+    """Assemble the actual training sequences :func:`pack_sequences`
+    assigns: one row per (shard, seq) with the documents' token arrays
+    concatenated IN the deterministic-shuffle order the packer laid
+    them out in. Returns (shard, seq, n_docs, n_tokens, tokens) —
+    what a pretraining loader consumes (soft document boundaries,
+    concat-then-chunk).
+
+    Scale: one shuffle on (shard, seq) — the reassembly groupBy, the
+    bpe_encode_vocab device; each group holds ~budget tokens, so state
+    per group is bounded by the budget, not the corpus."""
+    key = F.col(key_col)
+    packed = pack_sequences(
+        df.withColumn("_n_tok", F.size(F.col(token_col))),
+        "_n_tok", budget, key_col=key_col,
+        shard_hex_chars=shard_hex_chars, salt=salt).drop("_n_tok")
+    ordk = det_order(key, salt + ":order")
+    return (packed
+            .withColumn("_ord", ordk)
+            .groupBy("shard", "seq")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.size(F.col(token_col))).cast("long")
+                 .alias("n_tokens"),
+                 F.flatten(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("_ord"), key.alias("_k"),
+                                  F.col(token_col).alias("_t")))),
+                     lambda x: x["_t"])).alias("tokens"))
+            .orderBy("shard", "seq"))

@@ -274,6 +274,11 @@ _DEMOTED_VARIANTS = [
                               # the md5 device is windowed via
                               # train_val_split / source_quota_sample —
                               # registers directly as a demoted variant
+    "packed_sequences",       # reassembly of the WINDOWED
+                              # sequence_pack assignment (same md5 +
+                              # cumulative-window devices; adds the
+                              # bpe_encode_vocab ordered-flatten
+                              # groupBy) — direct demoted registration
 ]
 
 

@@ -3690,3 +3690,51 @@ def props_json_panel(spark, sf_dir):
 def shard_manifest_q(spark, sf_dir):
     from ..operators.packing import shard_manifest
     return shard_manifest(_docs(spark, sf_dir))
+
+
+@_q(
+    "packed_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':pack:shard'),
+                       1, 1) AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':pack:order') AS ord
+      FROM documents WHERE doc_id < 200),
+    p AS (
+      SELECT shard, ord, doc_id, toks,
+             coalesce(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum
+      FROM d),
+    q AS (SELECT shard, cum // 256 AS seq, ord, doc_id, toks FROM p)
+    SELECT shard, CAST(seq AS BIGINT) AS seq,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           first(toks[1] ORDER BY ord, doc_id) AS head_token
+    FROM q GROUP BY shard, seq ORDER BY shard, seq
+    """,
+    doc="Packed-sequence materialization "
+        "(operators/packing.py:materialize_sequences): the artifact a "
+        "pretraining loader consumes — documents concatenated in "
+        "deterministic-shuffle order and chunked at a 256-token budget "
+        "(concat-then-chunk, soft boundaries), one row per (shard, "
+        "seq) with doc/token counts and the leading token. Registered "
+        "as a demoted variant: the md5 order/shard devices and the "
+        "cumulative-window seq assignment are windowed via "
+        "sequence_pack; this adds the reassembly groupBy (the "
+        "bpe_encode_vocab device, state per group bounded by the "
+        "budget). The oracle reproduces the same window + ordered "
+        "list aggregation in DuckDB.",
+)
+def packed_sequences(spark, sf_dir):
+    from ..operators import text as _TX
+    from ..operators.packing import materialize_sequences
+    d = (_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+         .select("doc_id",
+                 _TX.tokens(F.lower(F.col("text"))).alias("toks")))
+    seqs = materialize_sequences(d, "toks", 256)
+    return (seqs.select("shard", "seq", "n_docs", "n_tokens",
+                        F.col("tokens")[0].alias("head_token"))
+            .orderBy("shard", "seq"))

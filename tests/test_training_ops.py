@@ -2059,3 +2059,70 @@ def test_retention_matches_bruteforce_on_random_events(spark):
         for b in bs:
             want[(c, b - c)] = want.get((c, b - c), 0) + 1
     assert got == want
+
+
+def test_materialize_sequences_preserves_tokens_and_budget(spark):
+    """Every input token appears exactly once across sequences; within
+    a shard every sequence except the last spans >= budget tokens; the
+    concatenation follows the packer's deterministic-shuffle order."""
+    from flow_pipeline_spark.operators.packing import (det_order,
+                                                       materialize_sequences)
+
+    docs = spark.createDataFrame(
+        [(i, [f"t{i}_{j}" for j in range(5 + i % 7)])
+         for i in range(80)], "doc_id long, toks array<string>")
+    seqs = materialize_sequences(docs, "toks", 40).collect()
+
+    flat = [t for r in seqs for t in r.tokens]
+    want = {f"t{i}_{j}" for i in range(80) for j in range(5 + i % 7)}
+    assert len(flat) == len(want) and set(flat) == want
+    assert sum(r.n_tokens for r in seqs) == len(want)
+    by_shard: dict = {}
+    for r in seqs:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.seq)
+        for r in shard_rows[:-1]:
+            assert r.n_tokens >= 40, r
+    # order within a sequence = det_order(doc_id) ascending
+    orders = {r.doc_id: r.o for r in docs.select(
+        "doc_id", det_order(F.col("doc_id"), ":pack:order").alias("o")
+    ).collect()}
+    for r in seqs:
+        doc_of = [t.split("_")[0][1:] for t in r.tokens]
+        seen, last = [], None
+        for d in doc_of:
+            if d != last:
+                seen.append(int(d)); last = d
+        assert seen == sorted(seen, key=lambda d: orders[d]), r
+
+
+def test_read_jsonl_documents_quarantines_corrupt_lines(spark, tmp_path):
+    """Well-formed lines (plain AND gzipped files) parse into the doc
+    schema; malformed lines land in the quarantine frame raw instead of
+    failing the read."""
+    import gzip
+
+    from flow_pipeline_spark.sources.jsonl import read_jsonl_documents
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "part0.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "web"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web"}\n')
+    with gzip.open(d / "part1.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 3, "text": "trois", "lang": "fr", '
+                '"source": "books"}\n'
+                '{"broken": \n')
+
+    docs, bad = read_jsonl_documents(spark, str(d))
+    got = {r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()}
+    assert got == {1: ("hello world", "en", "web"),
+                   2: ("zwei", "de", "web"),
+                   3: ("trois", "fr", "books")}
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert docs.columns == ["doc_id", "text", "lang", "source"]
