@@ -401,6 +401,31 @@ def main() -> None:
                 .select("doc_id", F.size("pieces").alias("n_pieces"))))
             record("unigram_encode_vocab", n, sec)
 
+        # behavioral tier (round 5, operators/behavior.py): funnel is
+        # |steps|-1 joins over SHRINKING survivor sets after pushed-
+        # filter aggregates; retention reduces to DISTINCT (user,
+        # bucket) first. Both must be aggregate-bound: flat wall as
+        # events grow.
+        from flow_pipeline_spark.operators.behavior import funnel, retention
+        etypes = ["view", "click", "purchase", "error", "signup"]
+        for n in [1_000_000, 4_000_000,
+                  8_000_000 if args.fast else 16_000_000]:
+            ev = spark.range(n).select(
+                (F.col("id") % (n // 50)).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in etypes]),
+                    (F.abs(F.xxhash64("id")) % 5 + 1).cast("int"))
+                .alias("event_type"),
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000) + (F.col("id") * 37) % 2_000_000)
+                .alias("ts"))
+            sec = median_timed(lambda: force(
+                funnel(ev, ["view", "click", "purchase"],
+                       horizon_secs=86_400)))
+            record("funnel_3step", n, sec)
+            sec = median_timed(lambda: force(retention(ev)))
+            record("retention_weekly", n, sec)
+
         # skewed-key join: one hot key owns 50% of the fact side. The salt
         # spreads the hot key over n_salts tasks (operators/scale.py) — the
         # explicit fix for when AQE's runtime skew split doesn't apply (it
