@@ -245,3 +245,38 @@ def materialize_sequences(df: DataFrame, token_col: str, budget: int,
                                   F.col(token_col).alias("_t")))),
                      lambda x: x["_t"])).alias("tokens"))
             .orderBy("shard", "seq"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int, *,
+                    key_col: str = "doc_id", group_col: str | None = None,
+                    salt: str = ":wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES reservoir (2006), the standard way to
+    downsample a corpus proportionally to a quality/importance score:
+    each row draws u ∈ (0, 1] from md5(key||salt) (the repo's
+    deterministic-uniform device: first 15 hex chars + 1 over 2^60 —
+    the numerator is exactly representable and the divisor is a power
+    of two, so u is bit-identical on any engine) and ranks by
+    ``-ln(u)/w``; the k SMALLEST keys win (equivalently the largest
+    u^(1/w) — inclusion probability proportional to weight). The rank
+    key is pinned HALF-UP at integer millionths before ranking (the
+    doc_perplexity ln device) with ties broken on ``key_col``, so the
+    selected set is engine- and partitioning-independent and
+    reproducible forever from the salt.
+
+    ``group_col`` draws k per group (per-source sampling). Adds
+    ``wkey_e6``. Scale: one hash + one ln per row fused into the scan;
+    the only shuffle is the per-group top-k window (TakeOrdered when
+    ungrouped at heart — row_number over the group key here)."""
+    key = F.col(key_col)
+    h = F.conv(F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    wkey = F.floor(F.lit(1e6) * (-F.log(u) / F.col(weight_col))
+                   + F.lit(0.5)).cast("long")
+    out = df.withColumn("wkey_e6", wkey)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy("wkey_e6", key_col)
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

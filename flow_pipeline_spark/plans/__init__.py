@@ -279,6 +279,10 @@ _DEMOTED_VARIANTS = [
                               # cumulative-window devices; adds the
                               # bpe_encode_vocab ordered-flatten
                               # groupBy) — direct demoted registration
+    "weighted_sample_by_source",  # A-ES weighted reservoir; the
+                              # md5-sampling class is windowed via
+                              # train_val_split + source_quota_sample —
+                              # direct demoted registration
 ]
 
 

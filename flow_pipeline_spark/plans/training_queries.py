@@ -3738,3 +3738,46 @@ def packed_sequences(spark, sf_dir):
     return (seqs.select("shard", "seq", "n_docs", "n_tokens",
                         F.col("tokens")[0].alias("head_token"))
             .orderBy("shard", "seq"))
+
+
+@_q(
+    "weighted_sample_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(1000000.0 * (-ln(
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                       || ':wsample'), 1, 15))::BIGINT
+                + 1) / 1152921504606846976.0) / n_chars) + 0.5)
+               AS BIGINT) AS wkey_e6
+      FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY wkey_e6, doc_id) AS rn
+      FROM s)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, wkey_e6
+    FROM r WHERE rn <= 10 ORDER BY source, doc_id
+    """,
+    doc="Weighted sampling without replacement "
+        "(operators/packing.py:weighted_sample) — the Efraimidis-"
+        "Spirakis A-ES reservoir, 10 docs per source with inclusion "
+        "probability proportional to n_chars (the sample-by-quality-"
+        "score curation primitive). u ∈ (0,1] derives from md5 (exact "
+        "cross-engine: exactly-representable numerator over a power-of-"
+        "two divisor), the -ln(u)/w rank key pins HALF-UP at e6 (the "
+        "doc_perplexity ln device), ties break on doc_id — the sample "
+        "is engine/partitioning-independent and reproducible from the "
+        "salt. Registered as a demoted variant: the md5-derived "
+        "sampling class is windowed via train_val_split + "
+        "source_quota_sample (this adds the weighted rank key on the "
+        "same devices). Scale: one hash + one ln per row fused into "
+        "the scan; the only shuffle is the per-group top-k window.",
+)
+def weighted_sample_by_source(spark, sf_dir):
+    from ..operators.packing import weighted_sample
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return (weighted_sample(d, "n_chars", 10, group_col="source")
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    "wkey_e6")
+            .orderBy("source", "doc_id"))

@@ -2126,3 +2126,30 @@ def test_read_jsonl_documents_quarantines_corrupt_lines(spark, tmp_path):
     assert len(raws) == 2
     assert any("not json" in r for r in raws)
     assert docs.columns == ["doc_id", "text", "lang", "source"]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Across many salts, a row with 50x the weight must be selected
+    far more often than a unit-weight row (A-ES proportionality); the
+    same salt always returns the identical set; never with
+    replacement."""
+    from flow_pipeline_spark.operators.packing import weighted_sample
+
+    rows = [(0, 50)] + [(i, 1) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    heavy_hits = 0
+    for trial in range(12):
+        got = weighted_sample(df, "w", 5, salt=f":t{trial}").collect()
+        ids = [r.doc_id for r in got]
+        assert len(ids) == 5 and len(set(ids)) == 5
+        heavy_hits += 0 in ids
+    # P(select heavy) ≈ 1 - prod(1 - 50/(50+…)) ≫ unit rows'; with
+    # w=50 vs 39 units the heavy row wins a top-5 slot essentially
+    # always — allow slack for the discrete draw
+    assert heavy_hits >= 9, heavy_hits
+
+    a = {r.doc_id for r in weighted_sample(df, "w", 5, salt=":x").collect()}
+    b = {r.doc_id for r in weighted_sample(
+        df.repartition(13), "w", 5, salt=":x").collect()}
+    assert a == b
