@@ -283,6 +283,12 @@ _DEMOTED_VARIANTS = [
                               # md5-sampling class is windowed via
                               # train_val_split + source_quota_sample —
                               # direct demoted registration
+    "value_correlation",      # exact-integer-moment Pearson corr;
+                              # the expression-aggregate class is
+                              # windowed via tpch_q1 +
+                              # instant_traffic_1m, the JSON extract
+                              # via props_json_panel — direct demoted
+                              # registration
 ]
 
 

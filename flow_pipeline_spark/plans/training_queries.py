@@ -3781,3 +3781,65 @@ def weighted_sample_by_source(spark, sf_dir):
                     F.col("n_chars").cast("long").alias("n_chars"),
                     "wkey_e6")
             .orderBy("source", "doc_id"))
+
+
+@_q(
+    "value_correlation",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sx, CAST(sum(k) AS BIGINT) AS sy,
+             CAST(sum(v * v) AS BIGINT) AS sxx,
+             CAST(sum(k * k) AS BIGINT) AS syy,
+             CAST(sum(v * k) AS BIGINT) AS sxy
+      FROM x GROUP BY 1)
+    SELECT event_type, n,
+           CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 + 0.5) AS BIGINT) AS corr_e6
+    FROM m ORDER BY event_type
+    """,
+    doc="Pearson correlation from EXACT integer moment sums (the "
+        "profile tier's bivariate statistic): value carries 2 decimals "
+        "so v = HALF-UP(value*100) is an exact integer, k extracts "
+        "from the props JSON; all five moment sums are exact int64 "
+        "aggregates (order-independent — unlike a float corr() whose "
+        "summation order differs per engine), and the only float ops "
+        "are the final cast-multiply-sqrt-divide in a pinned operand "
+        "order, absorbed by the e6 HALF-UP (the ln device). Registered "
+        "as a demoted variant of the expression-aggregate class "
+        "(tpch_q1 / instant_traffic_1m windowed). Scale: one "
+        "partial-aggregated shuffle to |types| rows.",
+)
+def value_correlation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("value").isNotNull()
+                   & F.col("props").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("v"),
+                 F.get_json_object(F.col("props"), "$.k")
+                 .cast("long").alias("k")))
+    m = (x.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("v").cast("long").alias("sx"),
+              F.sum("k").cast("long").alias("sy"),
+              F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+              F.sum(F.col("k") * F.col("k")).cast("long").alias("syy"),
+              F.sum(F.col("v") * F.col("k")).cast("long").alias("sxy")))
+    corr_e6 = F.floor(
+        F.lit(1e6) * (F.col("n") * F.col("sxy")
+                      - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+        + F.lit(0.5)).cast("long")
+    return (m.select("event_type", "n", corr_e6.alias("corr_e6"))
+            .orderBy("event_type"))
