@@ -1008,3 +1008,25 @@ def start_interval_join_stream(left_stream: DataFrame,
     )
     writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
     return writer.start()
+
+
+def start_funnel_stream(events_stream: DataFrame, out_dir: str,
+                        checkpoint_dir: str, *, steps: list[str],
+                        horizon_secs: int | None = None,
+                        trigger: dict | None = None) -> StreamingQuery:
+    """Run :func:`flow_pipeline_spark.streaming.stateful.streaming_funnel`
+    to a parquet conversion log — one row per (user, stage advance),
+    appended live. See streaming_funnel for the ordering contract and
+    the stream ≡ batch guarantee."""
+    from .stateful import streaming_funnel
+
+    out = streaming_funnel(events_stream, steps,
+                           horizon_secs=horizon_secs)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()

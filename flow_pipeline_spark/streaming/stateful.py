@@ -86,3 +86,83 @@ def count_or_time_flush(flows: DataFrame, *, flush_count: int = 100,
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("stage", T.LongType()),
+    T.StructField("stage_ts", T.TimestampType()),
+])
+
+# state: (stage reached, first-step ts µs, last-stage ts µs)
+FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.LongType()),
+    T.StructField("t1us", T.LongType()),
+    T.StructField("tkus", T.LongType()),
+])
+
+
+def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
+    n_steps = len(steps)
+    hor_us = None if horizon_secs is None else int(horizon_secs) * 1_000_000
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        stage, t1us, tkus = state.get if state.exists else (0, 0, 0)
+        parts = [pdf[["ts", "event_type"]] for pdf in pdfs if len(pdf)]
+        out = []
+        if parts:
+            evs = pd.concat(parts).sort_values("ts")
+            for ts, ty in evs.itertuples(index=False):
+                if stage >= n_steps:
+                    break
+                if ty != steps[stage]:
+                    continue
+                tsus = ts.value // 1000
+                if stage == 0:
+                    stage, t1us, tkus = 1, tsus, tsus
+                    out.append((key[0], 1, ts))
+                elif tsus > tkus and (hor_us is None
+                                      or tsus <= t1us + hor_us):
+                    stage += 1
+                    tkus = tsus
+                    out.append((key[0], stage, ts))
+        state.update((int(stage), int(t1us), int(tkus)))
+        if out:
+            yield pd.DataFrame(out,
+                               columns=["user_id", "stage", "stage_ts"])
+
+    return fn
+
+
+def streaming_funnel(events: DataFrame, steps: list[str], *,
+                     horizon_secs: int | None = None,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """Streaming ordered-funnel tracker — the live form of
+    ``operators/behavior.py:funnel`` (ClickHouse windowFunnel on a
+    stream): per-user state is three integers (stage reached, first-
+    step time, last-stage time); an output row emits the moment a user
+    ADVANCES a stage, so the sink accumulates the conversion log in
+    real time. Min-chaining processed in event-time order is exactly
+    the batch semantics, so stream ≡ batch holds whenever delivery is
+    time-ordered per user (events are sorted WITHIN each micro-batch
+    here; cross-batch disorder is the caller's watermark discipline —
+    same contract as start_dedup_stream). A stage-k event arriving
+    before its stage-(k-1) predecessor is not reconsidered, matching
+    the batch operator's no-backtracking rule.
+
+    Scale: state is O(|users|) × 24 bytes — never buffered events;
+    keys hash across executors, RocksDB for big user spaces."""
+    return (events
+            .select(F.col(user_col).cast("long").alias("user_id"),
+                    F.col(ts_col).alias("ts"),
+                    F.col(type_col).alias("event_type"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_funnel_fn(list(steps), horizon_secs),
+                outputStructType=FUNNEL_OUT_SCHEMA,
+                stateStructType=FUNNEL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

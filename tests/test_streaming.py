@@ -1220,3 +1220,55 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmpdir):
         assert rows[u].r_rv == u + 100, rows[u]
     for u in range(5, 10):
         assert rows[u].r_rv is None and rows[u].r_ts is None, rows[u]
+
+
+def test_funnel_stream_matches_batch(spark, tmpdir):
+    """Streaming per-user funnel state ≡ the batch funnel on the same
+    rows when delivery is time-ordered: per-stage user counts match
+    and no user advances twice through one stage."""
+    import time as _time
+
+    from flow_pipeline_spark.operators.behavior import funnel
+    from flow_pipeline_spark.streaming.jobs import start_funnel_stream
+
+    src = f"{tmpdir}/fn_src"
+    out_dir, ckpt = f"{tmpdir}/fn_out", f"{tmpdir}/fn_ckpt"
+    base = 1_600_000_000
+    types = ["view", "click", "purchase", "error"]
+    ev = (spark.range(4000)
+          .select((F.col("id") % 120).alias("user_id"),
+                  F.element_at(
+                      F.array(*[F.lit(t) for t in types]),
+                      (F.abs(F.xxhash64("id")) % 4 + 1).cast("int"))
+                  .alias("event_type"),
+                  F.timestamp_seconds(
+                      F.lit(base) + (F.col("id") * 97) % 250_000)
+                  .alias("ts")))
+    ev = ev.localCheckpoint(eager=True)
+    # time-ordered delivery: first half of the time range, then the rest
+    cut = base + 125_000
+    (ev.filter(F.col("ts") < F.timestamp_seconds(F.lit(cut)))
+     .repartition(1).write.parquet(src))
+    _time.sleep(1.1)
+    (ev.filter(F.col("ts") >= F.timestamp_seconds(F.lit(cut)))
+     .repartition(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_funnel_stream(stream, out_dir, ckpt,
+                            steps=["view", "click", "purchase"],
+                            horizon_secs=86_400,
+                            trigger={"availableNow": True})
+    q.awaitTermination(180)
+
+    log = spark.read.parquet(out_dir)
+    # no (user, stage) pair emitted twice
+    assert (log.groupBy("user_id", "stage").count()
+            .filter(F.col("count") > 1).count()) == 0
+    got = {r.stage: r.n for r in
+           (log.groupBy("stage")
+            .agg(F.countDistinct("user_id").alias("n")).collect())}
+    want = {r.stage: r.n_users for r in
+            funnel(ev, ["view", "click", "purchase"],
+                   horizon_secs=86_400).collect()}
+    assert got == want and want[1] > want[3] > 0
