@@ -401,6 +401,18 @@ def main() -> None:
                 .select("doc_id", F.size("pieces").alias("n_pieces"))))
             record("unigram_encode_vocab", n, sec)
 
+        # Unigram-LM trainer (round 5): like bpe_train, every EM round
+        # touches only the vocab-bounded word table (5k synthetic words,
+        # CONSTANT as the corpus grows) — wall time must stay flat or
+        # fall while the corpus grows 12x.
+        for n in doc_steps[:3]:
+            docs = synth_docs(spark, n, planted=0).localCheckpoint(
+                eager=True)
+            t0 = time.perf_counter()
+            TOK.unigram_train(docs, n_iters=2, seed_size=500,
+                              vocab_size=300)
+            record("unigram_train_2iter", n, time.perf_counter() - t0)
+
         # behavioral tier (round 5, operators/behavior.py): funnel is
         # |steps|-1 joins over SHRINKING survivor sets after pushed-
         # filter aggregates; retention reduces to DISTINCT (user,
