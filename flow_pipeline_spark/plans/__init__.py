@@ -289,6 +289,11 @@ _DEMOTED_VARIANTS = [
                               # instant_traffic_1m, the JSON extract
                               # via props_json_panel — direct demoted
                               # registration
+    "snapshot_diff",          # digest full-outer diff report; the
+                              # digest device is windowed via
+                              # dedup_exact/incremental_dedup, the
+                              # outer-join algebra via set_ops —
+                              # direct demoted registration
 ]
 
 

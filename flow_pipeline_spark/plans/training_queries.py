@@ -3843,3 +3843,67 @@ def value_correlation(spark, sf_dir):
         + F.lit(0.5)).cast("long")
     return (m.select("event_type", "n", corr_e6.alias("corr_e6"))
             .orderBy("event_type"))
+
+
+@_q(
+    "snapshot_diff",
+    f"""
+    WITH a AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+                                        '\\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id < 250),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0
+                      THEN regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g') || ' v2'
+                      ELSE regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g') END) AS h
+      FROM documents WHERE doc_id >= 100 AND doc_id < 350),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h = b.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM j GROUP BY status ORDER BY status
+    """,
+    doc="Cross-snapshot diff report — the curation-ops question 'what "
+        "changed between yesterday's corpus and today's': FULL OUTER "
+        "join on doc id with the normalized content digest deciding "
+        "added / removed / changed / unchanged (the dedup_exact digest "
+        "device; two overlapping doc_id windows stand in for the two "
+        "snapshots, with every 10th overlapping doc re-crawled with "
+        "edits so all four statuses exercise). Registered as a demoted "
+        "variant: the digest device "
+        "is windowed via dedup_exact/incremental_dedup, the outer-join "
+        "set algebra via set_ops. Scale: both sides reduce to (id, "
+        "32-byte digest) before the join — text never shuffles; the "
+        "report is a 4-row aggregate.",
+)
+def snapshot_diff(spark, sf_dir):
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                               r"\s+", " "))
+    d = _docs(spark, sf_dir)
+    a = (d.filter(F.col("doc_id") < 250)
+         .select(F.col("doc_id").alias("a_id"), h.alias("a_h")))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hb = F.md5(F.when(F.col("doc_id") % 10 == 0,
+                      F.concat(norm, F.lit(" v2"))).otherwise(norm))
+    b = (d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 350))
+         .select(F.col("doc_id").alias("b_id"), hb.alias("b_h")))
+    j = (a.join(b, a["a_id"] == b["b_id"], "full_outer")
+         .select(F.coalesce("a_id", "b_id").alias("doc_id"),
+                 F.when(F.col("a_id").isNull(), "added")
+                 .when(F.col("b_id").isNull(), "removed")
+                 .when(F.col("a_h") == F.col("b_h"), "unchanged")
+                 .otherwise("changed").alias("status")))
+    return (j.groupBy("status")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.max("doc_id").cast("long").alias("max_doc"))
+            .orderBy("status"))
