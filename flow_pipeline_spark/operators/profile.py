@@ -215,3 +215,49 @@ def ewma_spikes(df: DataFrame, *, ts_col: str = "ts",
                          > F.lit(int(ratio)) * F.col("num"),
                          F.lit(False)).alias("is_spike"))
             .orderBy(key_col, "bucket"))
+
+
+def gapfill_series(series: DataFrame, key_cols: list[str], time_col: str,
+                   step_expr: str, value_cols: dict[str, str]) -> DataFrame:
+    """Time-series densification — ClickHouse ``ORDER BY t WITH FILL
+    STEP`` (the dashboard primitive Grafana panels lean on when a
+    sparse series must render as a continuous line): every missing
+    ``time_col`` bucket between each key's min and max materializes,
+    with per-column fill policy from ``value_cols``:
+
+    - ``"zero"``  — missing buckets read 0 (counter semantics);
+    - ``"locf"``  — last observation carried forward (gauge
+      semantics; CH ``WITH FILL INTERPOLATE (x AS x)``).
+
+    ``step_expr`` is an interval SQL expression (``"interval 1
+    hour"``); ``series`` must already be bucket-aggregated (one row
+    per key+bucket).
+
+    Scale: the grid is generated per key from the key's OWN bounds
+    (one key-bounded aggregate, then ``sequence()`` + ``explode`` — a
+    narrow generator, rows = the dashboard range, never data-sized);
+    the fill join is key+bucket equi-join co-partitioned with the
+    aggregate that produced ``series``, and the LOCF window re-uses
+    the same key partitioning, so the whole fill adds no new
+    corpus-wide shuffle."""
+    from pyspark.sql import Window as W
+
+    bounds = series.groupBy(*key_cols).agg(
+        F.min(time_col).alias("__mn"), F.max(time_col).alias("__mx"))
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"),
+                             F.expr(step_expr))).alias(time_col))
+    j = grid.join(series, [*key_cols, time_col], "left")
+    w = (W.partitionBy(*key_cols).orderBy(time_col)
+         .rowsBetween(W.unboundedPreceding, 0))
+    out_cols = [*key_cols, time_col]
+    sel = [F.col(c) for c in out_cols]
+    for c, policy in value_cols.items():
+        if policy == "zero":
+            sel.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif policy == "locf":
+            sel.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        else:
+            raise ValueError(f"unknown fill policy {policy!r} for {c}")
+    return j.select(*sel)

@@ -146,3 +146,68 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed catalog tables on their bucket key — the
     co-located join (zero shuffle on both sides; verified by plan test)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zscale(col: Column, mn: int, mx: int, bits: int) -> Column:
+    """Scale an integer column with known [mn, mx] bounds to
+    [0, 2**bits) — ``(v-mn)*(2^bits-1) div (mx-mn)``. The Spark form
+    is floor-of-double-division (cast long truncates, values are
+    non-negative); IEEE division is correctly rounded, so floor equals
+    exact integer division whenever the numerator stays below ~2^52 —
+    which ``bits <= 16`` and any sane dimension bound guarantee. The
+    DuckDB oracle uses true integer ``//`` (see ``zorder_key_sql``);
+    the oracle queries hash-verify the equality."""
+    span = max(mx - mn, 1)
+    return ((col - F.lit(mn)) * F.lit((1 << bits) - 1) / F.lit(span)) \
+        .cast("long")
+
+
+def zorder_key(scaled_cols: list[Column], bits: int) -> Column:
+    """Morton (Z-order) key: interleave the bits of already-scaled
+    integer columns (each in [0, 2**bits)). Pure bitwise expressions —
+    2*bits*len(cols) codegen'd terms, no UDF — and bit-identical in any
+    engine with >> & << (the DuckDB oracle unrolls the same terms).
+
+    Why: sorting/partitioning 100 TB by ONE column makes predicates on
+    every OTHER column scan everything; a Z-order layout makes each
+    parquet file a small hyper-rectangle in ALL interleaved dimensions,
+    so min/max row-group stats prune multi-dimensional predicates
+    (Delta OPTIMIZE ZORDER BY / ClickHouse multi-column ORDER BY with
+    space-filling-curve intuition). The O3 clustering tier's
+    multi-dimensional form."""
+    d = len(scaled_cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(scaled_cols):
+        for b in range(bits):
+            z = z + ((F.shiftright(c, b).bitwiseAND(F.lit(1)))
+                     .cast("long") * F.lit(1 << (b * d + i)))
+    return z
+
+
+def zorder_key_sql(scaled_sql: list[str], bits: int) -> str:
+    """The SAME Morton interleave as ``zorder_key``, rendered as an SQL
+    expression string for the DuckDB oracle."""
+    d = len(scaled_sql)
+    terms = []
+    for i, e in enumerate(scaled_sql):
+        for b in range(bits):
+            terms.append(f"((({e}) >> {b}) & 1) * {1 << (b * d + i)}")
+    return " + ".join(terms)
+
+
+def zorder_repartition(df: DataFrame, cols_bounds: list[tuple[str, int, int]],
+                       n_partitions: int, *, bits: int = 8) -> DataFrame:
+    """Lay ``df`` out in Z-order over the given (col, min, max) integer
+    dimensions: range-partition then sort-within-partitions on the
+    Morton key, so each output file covers a compact hyper-rectangle
+    and row-group min/max stats prune predicates on ANY of the
+    dimensions. Write the result with ``.write.parquet`` — this is the
+    OPTIMIZE-side operator (one shuffle at write time buys pruning on
+    every subsequent read), the multi-dimensional sibling of the
+    compaction tier's single-key ``sortWithinPartitions``."""
+    scaled = [zscale(F.col(c), mn, mx, bits) for c, mn, mx in cols_bounds]
+    z = zorder_key(scaled, bits)
+    return (df.withColumn("__z", z)
+            .repartitionByRange(n_partitions, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z"))

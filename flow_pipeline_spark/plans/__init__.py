@@ -294,6 +294,43 @@ _DEMOTED_VARIANTS = [
                               # dedup_exact/incremental_dedup, the
                               # outer-join algebra via set_ops —
                               # direct demoted registration
+    # round 5 cont.: cdc_latest_state (ReplacingMergeTree / CDC
+    # upsert-apply — a new operator class: mutable-table compaction,
+    # the sibling of the rollup tier's SummingMergeTree) and
+    # time_gapfill (WITH FILL time-series densification — a new
+    # operator class: per-key grid generation + fill policies) enter
+    # the window; displaced twins:
+    "ipv4_render",            # P8/P9 render device; the render class
+                              # keeps TWO window rows
+                              # (flows_top_src_ips — render-after-
+                              # aggregate, plan-tested — and
+                              # flows_pg_src_ip_panel — the Go/P10
+                              # render form); ipv4/ipv6_render stay
+                              # hypothesis-tested vs `ipaddress` and
+                              # DuckDB-oracled every pytest run
+    "lang_id",                # per-row text-QC gate; the class keeps
+                              # quality_classifier (model-scored gate
+                              # over the same feature family) windowed,
+                              # with text_quality / c4 / gopher /
+                              # blocklist / repetition its
+                              # pytest-oracled siblings
+    "cdc_collapse_net",       # CollapsingMergeTree sign-cancellation;
+                              # the keyed-compaction class is windowed
+                              # via cdc_latest_state (same rank-1
+                              # device + a net-sum aggregate) — direct
+                              # demoted registration
+    "scd2_user_history",      # SCD2 validity-interval build; the lag
+                              # change-detect device is windowed via
+                              # user_sessions, interval consumption
+                              # via asof_enrichment — direct demoted
+                              # registration
+    "zorder_bucket_stats",    # Morton-key layout clustering; the
+                              # layout/pruning tier's windowed face is
+                              # partitioned_day_scan (partition
+                              # pruning) + flows_routed_traffic
+                              # (stored-rollup routing); file-skipping
+                              # pinned by the row-group pruning test —
+                              # direct demoted registration
 ]
 
 

@@ -1679,3 +1679,251 @@ def tpch_q1(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutable-table semantics (ReplacingMergeTree / CollapsingMergeTree / SCD2)
+# and time-series densification (WITH FILL) — operators/cdc.py, profile.py
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cdc_latest_state",
+    """
+    WITH feed AS (
+      SELECT user_id, ts, event_id, event_type, round(value, 4) AS value,
+             (event_id % 11 = 0) AS is_del
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed)
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM r WHERE rn = 1 AND NOT is_del
+    ORDER BY user_id
+    """,
+    doc="ReplacingMergeTree(ver) FINAL / CDC upsert-apply "
+        "(operators/cdc.py:latest_state) — the sibling of the reference's "
+        "MergeTree/SummingMergeTree engines (create.sh:60,88) for rows "
+        "that MUTATE: the event log is read as a per-user upsert feed "
+        "(version = (ts, event_id), every 11th op a tombstone) and "
+        "compacts to one live row per key; a key whose WINNING row is a "
+        "delete disappears — an older live row never resurrects it. "
+        "Determinism: the unique event_id pins version ties cross-engine. "
+        "Scale: ONE key-partitioned window with a rank-1 limit "
+        "(WindowGroupLimit pushes the top-1 into the sort), no join, no "
+        "second scan — the shape of a CH background merge.",
+)
+def cdc_latest_state(spark, sf_dir):
+    from ..operators.cdc import latest_state
+    feed = (_events(spark, sf_dir)
+            .select("user_id", "ts", "event_id", "event_type",
+                    F.round("value", 4).alias("value"),
+                    (F.col("event_id") % 11 == 0).alias("is_del")))
+    live = latest_state(feed, ["user_id"], ["ts", "event_id"],
+                        deleted_col="is_del")
+    return (live.select("user_id", F.col("ts").alias("last_ts"),
+                        F.col("event_type").alias("last_event_type"),
+                        F.col("value").alias("last_value"))
+            .orderBy("user_id"))
+
+
+@_q(
+    "cdc_collapse_net",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type, round(value, 4) AS value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM events),
+    net AS (
+      SELECT user_id, CAST(sum(sign) AS BIGINT) AS net
+      FROM log GROUP BY user_id HAVING sum(sign) > 0),
+    pos AS (
+      SELECT user_id, event_type, value, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log WHERE sign > 0)
+    SELECT net.user_id, net.net, pos.event_type AS last_event_type,
+           pos.value AS last_value
+    FROM net JOIN pos ON pos.user_id = net.user_id AND pos.rn = 1
+    ORDER BY net.user_id
+    """,
+    doc="CollapsingMergeTree (operators/cdc.py:collapse_signs) — +1 state "
+        "rows cancelled by -1 rows; a key survives iff sum(sign) > 0 "
+        "(here the event-parity sign leaves 71 of 150 keys), carrying "
+        "the latest +1 row's state. Registered as a demoted variant: the "
+        "keyed-compaction class is windowed via cdc_latest_state (same "
+        "rank-1 device; collapse adds the sign aggregate already "
+        "windowed via flows_routed_traffic's net-sum) — DuckDB-oracled "
+        "every pytest run. Scale: net aggregate + rank-1 window share "
+        "the key partitioning; cancelled history never joins.",
+)
+def cdc_collapse_net(spark, sf_dir):
+    from ..operators.cdc import collapse_signs
+    log = (_events(spark, sf_dir)
+           .select("user_id", "ts", "event_id", "event_type",
+                   F.round("value", 4).alias("value"),
+                   F.when(F.col("event_id") % 2 == 0, 1)
+                   .otherwise(-1).alias("sign")))
+    out = collapse_signs(log, ["user_id"], "sign", ["ts", "event_id"],
+                         ["event_type", "value"])
+    return (out.select("user_id", "net",
+                       F.col("event_type").alias("last_event_type"),
+                       F.col("value").alias("last_value"))
+            .orderBy("user_id"))
+
+
+@_q(
+    "scd2_user_history",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id % 31 = 0),
+    chg AS (
+      SELECT *, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM src),
+    v AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM chg WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, CAST(version AS INT) AS version,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY version) AS effective_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY version) IS NULL) AS is_current
+    FROM v ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 dimension BUILD (operators/cdc.py:scd2_intervals) — "
+        "collapse each key's change log to one row per attribute "
+        "VERSION with (effective_from, effective_to, is_current) "
+        "validity intervals; the producer of the tables asof_enrichment "
+        "consumes at query time (the dim side of J1's point-in-time "
+        "join). Registered as a demoted variant: the lag change-detect "
+        "device is windowed via user_sessions, the validity lead via "
+        "asof_enrichment's interval semantics — DuckDB-oracled every "
+        "pytest run. Scale: two windows over ONE key partitioning; rows "
+        "shrink at the change filter between them.",
+)
+def scd2_user_history(spark, sf_dir):
+    from ..operators.cdc import scd2_intervals
+    src = (_events(spark, sf_dir)
+           .filter(F.col("user_id") % 31 == 0)
+           .select("user_id", "event_type", "ts", "event_id"))
+    out = scd2_intervals(src, ["user_id"], ["event_type"],
+                         ["ts", "event_id"], "ts")
+    return (out.select("user_id", "event_type",
+                       F.col("version").cast("int").alias("version"),
+                       "effective_from", "effective_to", "is_current")
+            .orderBy("user_id", "version"))
+
+
+@_q(
+    "time_gapfill",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS t,
+             count(*) AS n, round(sum(value), 4) AS sv
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(t) AS mn, max(t) AS mx FROM base
+          GROUP BY 1),
+    grid AS (
+      SELECT event_type AS g_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS g_t
+      FROM b)
+    SELECT g_type AS event_type, g_t AS t,
+           CAST(coalesce(base.n, 0) AS BIGINT) AS n,
+           last_value(base.sv IGNORE NULLS) OVER (
+             PARTITION BY g_type ORDER BY g_t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_locf
+    FROM grid LEFT JOIN base
+      ON base.event_type = g_type AND base.t = g_t
+    ORDER BY event_type, t
+    """,
+    doc="Time-series gap fill — ClickHouse ORDER BY .. WITH FILL STEP / "
+        "INTERPOLATE (the dashboard densification Grafana needs for "
+        "continuous lines; P15's sequence generation, now as a QUERY "
+        "operator): every missing hourly bucket between each series' "
+        "own bounds materializes, counters zero-fill, the gauge carries "
+        "last-observation-forward (operators/profile.py:gapfill_series). "
+        "~5%% of the sf0.01 grid rows are fills. Determinism: sv rounds "
+        "to 4dp BEFORE the carry, so LOCF copies identical bits. Scale: "
+        "the grid generates per-key from a key-bounded aggregate "
+        "(sequence+explode, rows = dashboard range, never data-sized); "
+        "fill join and LOCF window reuse the aggregate's key "
+        "partitioning — no new corpus-wide shuffle.",
+)
+def time_gapfill(spark, sf_dir):
+    from ..operators.profile import gapfill_series
+    base = (_events(spark, sf_dir)
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("t"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sv")))
+    filled = gapfill_series(base, ["event_type"], "t", "interval 1 hour",
+                            {"n": "zero", "sv": "locf"})
+    return (filled.select("event_type", "t",
+                          F.col("n").cast("long").alias("n"),
+                          F.col("sv").alias("sv_locf"))
+            .orderBy("event_type", "t"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional layout — operators/scale.py
+# ---------------------------------------------------------------------------
+
+from ..operators.scale import zorder_key_sql as _zsql  # noqa: E402
+
+_Z_SU = "(least(user_id, 4095) * 255) // 4095"
+_Z_SM = ("(((day(ts)-1)*1440 + hour(ts)*60 + minute(ts)) * 255) // 44639")
+
+@_q(
+    "zorder_bucket_stats",
+    f"""
+    WITH z AS (
+      SELECT user_id,
+             (day(ts)-1)*1440 + hour(ts)*60 + minute(ts) AS m,
+             {_zsql([_Z_SU, _Z_SM], 8)} AS zkey
+      FROM events)
+    SELECT CAST(zkey >> 8 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           CAST(min(user_id) AS BIGINT) AS u_min,
+           CAST(max(user_id) AS BIGINT) AS u_max,
+           CAST(min(m) AS BIGINT) AS m_min,
+           CAST(max(m) AS BIGINT) AS m_max
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    doc="Z-order (Morton) layout key — the multi-dimensional form of the "
+        "O3 clustering tier (Delta OPTIMIZE ZORDER BY; the device that "
+        "makes parquet min/max stats prune predicates on EVERY "
+        "interleaved dimension, not just the leading sort column): "
+        "user and minute-of-month scale to 8 bits by exact integer "
+        "division and bit-interleave into a 16-bit Morton key, entirely "
+        "codegen'd bitwise expressions (operators/scale.py:zorder_key; "
+        "the oracle unrolls the SAME 32 terms via zorder_key_sql). The "
+        "per-bucket min/max spans in the output ARE the locality "
+        "evidence: each top-8-bit bucket covers a compact (user x time) "
+        "hyper-rectangle. Registered as a demoted variant — the layout "
+        "tier's windowed face is the compaction/pruning pair "
+        "(partitioned_day_scan, flows_routed_traffic); file-skipping is "
+        "pinned by test_zorder_layout_prunes_row_groups. Scale: one "
+        "per-row projection + a 256-row aggregate; zorder_repartition "
+        "is the write-side operator (one range shuffle at OPTIMIZE "
+        "time buys pruning on every later read).",
+)
+def zorder_bucket_stats(spark, sf_dir):
+    from ..operators.scale import zorder_key, zscale
+    e = _events(spark, sf_dir)
+    m = ((F.dayofmonth("ts") - 1) * 1440 + F.hour("ts") * 60
+         + F.minute("ts"))
+    su = zscale(F.least(F.col("user_id"), F.lit(4095)), 0, 4095, 8)
+    sm = zscale(m, 0, 44639, 8)
+    z = zorder_key([su, sm], 8)
+    return (e.select(F.col("user_id"), m.alias("m"), z.alias("zkey"))
+            .groupBy(F.shiftright("zkey", 8).cast("long").alias("z_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("user_id").cast("long").alias("u_min"),
+                 F.max("user_id").cast("long").alias("u_max"),
+                 F.min("m").cast("long").alias("m_min"),
+                 F.max("m").cast("long").alias("m_max"))
+            .orderBy("z_bucket"))

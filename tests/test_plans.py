@@ -286,3 +286,29 @@ def test_bm25_broadcasts_stats_and_df_takeordered_topk(plans):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 1  # df(term) lookup
+
+
+def test_cdc_compaction_pushes_top1_into_sort(plans):
+    """ReplacingMergeTree compaction: the rank-1 filter must compile to
+    WindowGroupLimit (Partial below the exchange, Final above), so each
+    task keeps ONE row per key in its sort buffer instead of the key's
+    whole history — the difference between O(keys) and O(log) memory at
+    100 TB. One key exchange, no join."""
+    p = plans("cdc_latest_state")
+    assert p.count("WindowGroupLimit") == 2   # Partial + Final
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_gapfill_grid_is_narrow_generator(plans):
+    """WITH FILL densification: the per-key grid must come from
+    sequence+explode over the key-bounded bounds aggregate (a narrow
+    Generate — rows = dashboard range), never a CartesianProduct with a
+    calendar table; the fill join must not introduce a second
+    corpus-wide exchange on the raw rows."""
+    p = plans("time_gapfill")
+    assert "Generate explode(sequence" in p
+    assert "CartesianProduct" not in p
+    # raw events shuffle at most twice (bounds agg + bucket agg);
+    # everything above runs on aggregated rows
+    assert p.count("Exchange hashpartitioning") <= 2

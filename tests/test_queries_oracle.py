@@ -62,7 +62,13 @@ def test_registry_window_ordering():
                      # round 5 cont.: semi-structured JSON extraction
                      # (top_talkers demoted — the TakeOrdered class
                      # keeps revenue_top_customers + flows_top_src_ips)
-                     "props_json_panel"]:
+                     "props_json_panel",
+                     # round 5 cont.: mutable-table compaction
+                     # (ReplacingMergeTree / CDC apply) and WITH FILL
+                     # densification land driver rows (ipv4_render /
+                     # lang_id demoted — each class keeps 2+ windowed
+                     # siblings; see plans/__init__)
+                     "cdc_latest_state", "time_gapfill"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

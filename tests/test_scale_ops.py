@@ -155,3 +155,72 @@ def test_approx_top_k_exact_regime_matches_groupby(spark):
              (e.groupBy("user_id").agg(F.count("*").alias("cnt"))
               .orderBy(F.desc("cnt"), F.asc("user_id")).limit(5).collect())]
     assert got == exact
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """The point of Z-order: after zorder_repartition over (u, m), a
+    predicate on the NON-leading dimension m admits only a minority of
+    parquet files by min/max stats; a u-sorted layout admits every
+    file. This is the file-skipping a 100 TB scan lives on — the
+    engine reads footer stats, not data."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.scale import zorder_repartition
+
+    n, files = 1 << 14, 16
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("u"),
+        (F.col("id") / 128).cast("long").alias("m"))
+
+    zdir, udir = str(tmp_path / "z"), str(tmp_path / "u")
+    zorder_repartition(df, [("u", 0, 127), ("m", 0, 127)], files,
+                       bits=7).write.parquet(zdir)
+    (df.repartitionByRange(files, "u").sortWithinPartitions("u")
+     .write.parquet(udir))
+
+    def admitting(d, lo, hi):
+        hit = 0
+        for f in glob.glob(d + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            i = {md.schema.column(c).name: c
+                 for c in range(md.num_columns)}["m"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+                    break
+        return hit
+
+    lo, hi = 32, 47          # a 1/8 slice of the m domain
+    z_hit, u_hit = admitting(zdir, lo, hi), admitting(udir, lo, hi)
+    # u-sorted: every file spans all of m; z-ordered: only the files
+    # whose hyper-rectangle intersects the slice
+    assert u_hit == files
+    assert z_hit <= files // 2, (z_hit, u_hit)
+
+
+def test_zorder_key_is_locality_preserving(spark):
+    """Adjacent Morton keys differ in at most one dimension step — the
+    per-bucket min/max spans of the oracled zorder_bucket_stats query
+    stay compact. Here: the full 8x8 grid at bits=3 yields each
+    top-2-bit bucket covering exactly a 4x4 quadrant."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.scale import zorder_key, zscale
+
+    df = spark.range(64).select((F.col("id") % 8).alias("x"),
+                                (F.col("id") / 8).cast("long").alias("y"))
+    z = zorder_key([zscale(F.col("x"), 0, 7, 3),
+                    zscale(F.col("y"), 0, 7, 3)], 3)
+    out = (df.select("x", "y", F.shiftright(z, 4).alias("q"))
+           .groupBy("q").agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                             F.min("y").alias("y0"), F.max("y").alias("y1"),
+                             F.count("*").alias("n"))
+           .collect())
+    assert len(out) == 4
+    for r in out:
+        assert r["n"] == 16
+        assert r["x1"] - r["x0"] == 3 and r["y1"] - r["y0"] == 3

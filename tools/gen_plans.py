@@ -66,6 +66,8 @@ NOTES = {
   "nation_trade_pagerank": "per-round: ONE edge shuffle (incoming-mass groupBy on dst) + broadcast rank vector and out-weights; the 4-table edge build broadcasts dims; integer recurrence is codegen'd — no float agg, no driver matrix",
   "funnel_steps": "each stage: type filter pushed to the scan -> min-per-user aggregate -> user-keyed join against a SHRINKING survivor set; conversion ratios read from 1-row broadcast counts — event rows never fan out",
   "user_retention": "raw rows reduce to DISTINCT (user, bucket) in one partial-aggregated shuffle; cohort min reuses the same keys; the offset join runs over per-user rows with a broadcast cohort-size side",
+  "cdc_latest_state": "rank-1 compaction compiles to WindowGroupLimit Partial below / Final above ONE key exchange — each task's sort buffer holds one row per key, never the key's history; no join, no second scan",
+  "time_gapfill": "per-key grid = sequence+explode over the key-bounded bounds aggregate (narrow Generate, rows = dashboard range); fill join + LOCF window run on AGGREGATED rows — raw events shuffle at most twice, no calendar cross join",
 }
 
 
