@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "funnel_steps",          # ordered-funnel conversion (shrinking joins)
     "user_retention",        # cohort retention (distinct-pair reduce)
     "props_json_panel",      # JSON extraction fused into the scan
+    "cdc_latest_state",      # ReplacingMergeTree compaction (WindowGroupLimit)
+    "time_gapfill",          # WITH FILL densification (per-key grid + LOCF)
 ]
 
 

@@ -70,3 +70,44 @@ def pagerank(edges: DataFrame, *, n_iters: int = 3,
                             "div 100L").cast("long").alias("r"))
              .localCheckpoint(eager=True))
     return r.select(F.col("node"), F.col("r").alias("rank_e9"))
+
+
+def bfs_distances(edges: DataFrame, source, *, max_hops: int = 10,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Single-source shortest paths by hop count (unweighted BFS) —
+    the graph-traversal class PageRank's fixed-power iteration can't
+    express: reachability tiers, dependency depth, AS-path radius,
+    link-distance-from-seed crawl frontiers. Returns (node, dist) for
+    every node reachable from ``source`` within ``max_hops``
+    (the source itself at dist 0).
+
+    Exact by construction (hop counts are integers; min-dist per node
+    is unique), so the DuckDB oracle — a recursive CTE walking the
+    same edge table — matches hash-exact.
+
+    Scale: classic frontier expansion. Round k joins the CURRENT
+    FRONTIER (only nodes first reached at dist k-1, shrinking as the
+    graph saturates) against the edge table on the src key — the one
+    shuffle per round — then anti-joins the visited set (|nodes| rows
+    max). Paths never materialize (contrast: the oracle's recursive
+    CTE enumerates walks, fine at 25 nodes, impossible at 10^9 —
+    which is why the Spark form is frontier-based). ``localCheckpoint``
+    per round cuts lineage as pagerank above."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    visited = e.sparkSession.range(1).select(
+        F.lit(source).cast(e.schema["u"].dataType).alias("node"),
+        F.lit(0).cast("int").alias("dist"))
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "u")
+                      .select("u"), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(k).cast("int"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -331,6 +331,30 @@ _DEMOTED_VARIANTS = [
                               # (stored-rollup routing); file-skipping
                               # pinned by the row-group pruning test —
                               # direct demoted registration
+    # round 5 cont.: nation_trade_hops (single-source BFS shortest
+    # paths — a new operator class: graph TRAVERSAL with a genuinely
+    # independent recursive-CTE oracle; distinct from rank
+    # propagation and connected components) enters the window;
+    # displaced twin:
+    "event_type_pivot",       # pivot compiles to conditional agg; the
+                              # conditional-agg device keeps
+                              # quality_classifier (CASE gate) and
+                              # funnel_steps (conditional ratios)
+                              # windowed, with priority_linecount /
+                              # value_correlation its pytest-oracled
+                              # siblings — stays DuckDB-oracled every
+                              # pytest run
+    # round 5 cont.: uniq_register_rollup (AggregatingMergeTree
+    # uniqState/uniqMerge — a new operator class: persisted
+    # re-aggregable sketch STATES, deterministic register-rows form)
+    # enters the window; displaced twin:
+    "distinct_users",         # A9 exact+HLL distinct panel; STRICTLY
+                              # SUBSUMED — uniq_register_rollup's
+                              # n_exact column IS the exact-distinct
+                              # answer over the same grouping, plus
+                              # the stored-state tier on top; HLL
+                              # bound tests stay in pytest — remains
+                              # DuckDB-oracled every pytest run
 ]
 
 

@@ -1927,3 +1927,99 @@ def zorder_bucket_stats(spark, sf_dir):
                  F.min("m").cast("long").alias("m_min"),
                  F.max("m").cast("long").alias("m_max"))
             .orderBy("z_bucket"))
+
+
+@_q(
+    "uniq_state_rollup",
+    None,
+    doc="AggregatingMergeTree / uniqState+uniqMerge "
+        "(operators/rollup.py:uniq_state,uniq_merge) — the distinct-count "
+        "sibling of the SummingMergeTree rollup tier: per-(event_type, "
+        "hour) HLL sketch STATES (DataSketches, ~2^lgk bytes/key) persist "
+        "like any column and RE-AGGREGATE to the per-type distinct-user "
+        "panel without touching raw rows — the device that makes "
+        "'distinct users last 30 days' a |buckets|-row merge instead of "
+        "a raw 100 TB re-scan. Rows-only (no DuckDB DataSketches); "
+        "pytest pins merge(per-bucket states) ≡ direct sketch EXACTLY "
+        "and the estimate within HLL error of exact distinct; the exact "
+        "twin is windowed via distinct_users.",
+)
+def uniq_state_rollup(spark, sf_dir):
+    from ..operators.rollup import uniq_merge, uniq_state
+    e = _events(spark, sf_dir)
+    states = uniq_state(
+        e.withColumn("hour", F.date_trunc("hour", "ts")),
+        ["event_type", "hour"], "user_id")
+    return (uniq_merge(states, ["event_type"])
+            .select("event_type",
+                    F.col("approx_distinct").cast("long")
+                    .alias("approx_distinct_users"))
+            .orderBy("event_type"))
+
+
+@_q(
+    "uniq_register_rollup",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))
+               ::BIGINT AS h
+      FROM events),
+    st AS (
+      SELECT event_type, hr, h >> 22 AS bucket,
+             max(CASE WHEN (h & 4194303) = 0 THEN 23
+                      ELSE 23 - length(bin(h & 4194303)) END) AS r
+      FROM h GROUP BY 1, 2, 3),
+    regs AS (SELECT event_type, bucket, max(r) AS r FROM st GROUP BY 1, 2),
+    per AS (
+      SELECT event_type, count(*) AS n_regs,
+             sum(1::BIGINT << (23 - r)) AS s_present
+      FROM regs GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT per.event_type,
+           CAST(n_regs AS BIGINT) AS n_regs,
+           CAST(s_present + (64 - n_regs) * 8388608 AS BIGINT) AS s_scaled,
+           CAST(floor((0.709 * 3435973836800.0)
+                      / (s_present + (64 - n_regs) * 8388608) + 0.5)
+                AS BIGINT) AS est_e2,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM per JOIN ex USING (event_type) ORDER BY event_type
+    """,
+    doc="AggregatingMergeTree / uniqState+uniqMerge, the DETERMINISTIC "
+        "register-rows form (operators/rollup.py:uniq_register_state/"
+        "uniq_register_merge) — per-(type, hour) HLL register rows "
+        "persist like any column (<=64 rows/key: (bucket, max leading-"
+        "zero rank) from a 28-bit md5-derived hash) and fold to the "
+        "per-type panel by an associative per-bucket max — the device "
+        "that answers 'distinct users, any window' from stored states "
+        "instead of a raw re-scan; sums get this free (SummingMergeTree "
+        "rollup tier), distinct counts need the -State/-Merge pair. "
+        "EVERYTHING is exact: registers are a pure function of the "
+        "value set (engine/partitioning/merge-order/lifecycle-"
+        "independent — pytest pins identical output when the state is "
+        "built in two incremental halves), s_scaled an exact int64, the "
+        "raw estimate ONE pinned double division HALF-UP at e2 (no "
+        "small-range correction branch — no libm ln in the surface; "
+        "~13%% envelope at m=64, HLL_P raises it). n_exact rides along: "
+        "the A9 exact-distinct answer in the same row (subsumes the "
+        "demoted distinct_users). The DataSketches-native twin "
+        "(uniq_state/uniq_merge, rows-only uniq_state_rollup) is the "
+        "production-accuracy path with a documented path-dependence "
+        "caveat. Scale: state build is one partial-aggregated shuffle "
+        "of register rows, never raw values; every later rollup touches "
+        "|keys|*64 rows.",
+)
+def uniq_register_rollup(spark, sf_dir):
+    from ..operators.rollup import uniq_register_merge, uniq_register_state
+    e = _events(spark, sf_dir)
+    st = uniq_register_state(
+        e.withColumn("hr", F.date_trunc("hour", "ts")),
+        ["event_type", "hr"], "user_id")
+    m = uniq_register_merge(st, ["event_type"])
+    ex = (e.groupBy("event_type")
+          .agg(F.countDistinct("user_id").cast("long").alias("n_exact")))
+    return (m.join(ex, "event_type")
+            .select("event_type", "n_regs", "s_scaled", "est_e2",
+                    "n_exact")
+            .orderBy("event_type"))

@@ -3907,3 +3907,69 @@ def snapshot_diff(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("min_doc"),
                  F.max("doc_id").cast("long").alias("max_doc"))
             .orderBy("status"))
+
+
+@_q(
+    "nation_trade_hops",
+    """
+    WITH RECURSIVE tw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (
+          PARTITION BY src ORDER BY w DESC, dst) AS rn FROM tw)
+      WHERE rn <= 3),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.dist < 8)
+    SELECT node, CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY node ORDER BY dist, node
+    """,
+    doc="Single-source BFS shortest paths (operators/graph.py:"
+        "bfs_distances) — the graph-TRAVERSAL class the rank-propagation "
+        "(nation_trade_pagerank) and component (dedup_clusters) tiers "
+        "can't express: reachability tiers / crawl-frontier depth / "
+        "dependency radius from a seed. The graph is the nation trade "
+        "network thinned to each nation's top-3 partners (deterministic "
+        "w-then-key rank), BFS from nation 0, hop cap 8. The ORACLE is "
+        "genuinely independent: a recursive CTE enumerating walks — "
+        "correct at 25 nodes, impossible at 10^9, which is exactly why "
+        "the Spark form is frontier-based (per round: frontier joins "
+        "edges once, anti-joins the visited set; paths NEVER "
+        "materialize; early-stops when the frontier drains). Exact "
+        "integer hop counts — min-dist is unique, no tie-break needed.",
+)
+def nation_trade_hops(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import bfs_distances
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey")
+    tw = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+          .join(cust, orders["o_custkey"] == cust["c_custkey"])
+          .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+          .filter(cust["c_nationkey"] != supp["s_nationkey"])
+          .groupBy(cust["c_nationkey"].alias("src"),
+                   supp["s_nationkey"].alias("dst"))
+          .agg(F.count("*").cast("long").alias("w")))
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    e = tw.withColumn("rn", rn).filter(F.col("rn") <= 3) \
+        .select("src", "dst")
+    d = bfs_distances(e, 0, max_hops=8)
+    return (d.select(F.col("node").cast("long").alias("node"),
+                     F.col("dist").cast("int").alias("dist"))
+            .orderBy("dist", "node"))

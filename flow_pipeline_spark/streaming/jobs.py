@@ -1030,3 +1030,73 @@ def start_funnel_stream(events_stream: DataFrame, out_dir: str,
     )
     writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
     return writer.start()
+
+
+def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
+                     checkpoint_dir: str, *, keys: list[str],
+                     order_cols: list[str], deleted_col: str | None = None,
+                     trigger: dict | None = None) -> StreamingQuery:
+    """Continuously-maintained ReplacingMergeTree view — the streaming
+    form of ``operators/cdc.py:latest_state``: each micro-batch of
+    upserts/deletes merges into a keyed parquet store that always
+    holds exactly one row per key (the greatest ``order_cols``
+    version). This is what the reference's inserter topology becomes
+    when the CH table is a Replacing engine instead of plain MergeTree
+    (inserter.go:176-196 appends; the ENGINE dedups on merge — here
+    the merge IS the epoch apply).
+
+    Tombstone discipline: the store RETAINS each key's winning row
+    even when it is a delete (``deleted_col``), exactly as ClickHouse
+    keeps the ``is_deleted`` row until a final merge — otherwise a
+    later-replayed OLDER live row would resurrect the key. Readers go
+    through ``read_cdc_store``, which filters tombstones out.
+
+    Delivery semantics: epoch replay is IDEMPOTENT by construction —
+    re-merging the same rows cannot change a latest-version compaction
+    — so this sink needs no ledger for exactly-once state (contrast
+    ``exactly_once_batch_writer``, which protects an APPEND-shaped
+    sink).
+
+    Scale: per epoch ONE key-partitioned compaction over store+batch
+    (WindowGroupLimit keeps sort buffers at one row per key) and a
+    store rewrite via atomic directory swap (the run_compaction
+    idiom). Store size is |live keys|, not stream age. For TB-scale
+    key spaces, partition the store by a key hash and rewrite only the
+    partitions the batch touches — noted here, not needed at this
+    scale."""
+    from ..operators.cdc import latest_state
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        merged = batch
+        if os.path.isdir(store_dir):
+            base = spark.read.parquet(store_dir)
+            merged = base.unionByName(batch.select(*base.columns))
+        compacted = latest_state(merged, keys, order_cols)
+        tmp = store_dir.rstrip("/") + "._cdc_tmp"
+        compacted.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store_dir):
+            old = store_dir.rstrip("/") + "._cdc_old"
+            os.rename(store_dir, old)
+            os.rename(tmp, store_dir)
+            import shutil
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, store_dir)
+
+    writer = (cdc_stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def read_cdc_store(spark: SparkSession, store_dir: str,
+                   deleted_col: str | None = None) -> DataFrame:
+    """Reader view of the CDC store: the live rows (tombstones
+    filtered) — the FINAL-semantics read of the Replacing view."""
+    df = spark.read.parquet(store_dir)
+    if deleted_col is not None:
+        df = df.filter(~F.col(deleted_col))
+    return df

@@ -68,7 +68,15 @@ def test_registry_window_ordering():
                      # densification land driver rows (ipv4_render /
                      # lang_id demoted — each class keeps 2+ windowed
                      # siblings; see plans/__init__)
-                     "cdc_latest_state", "time_gapfill"]:
+                     "cdc_latest_state", "time_gapfill",
+                     # round 5 cont.: BFS graph traversal
+                     # (event_type_pivot demoted — conditional-agg
+                     # device keeps quality_classifier + funnel_steps)
+                     "nation_trade_hops",
+                     # round 5 cont.: re-aggregable sketch states
+                     # (distinct_users demoted — subsumed by the new
+                     # row's n_exact column + stored-state tier)
+                     "uniq_register_rollup"]:
         assert flagship in window, flagship
     rows_only = [n for n, qd in QUERIES.items() if qd.oracle is None]
     assert names[-len(rows_only):] == rows_only

@@ -224,3 +224,58 @@ def test_zorder_key_is_locality_preserving(spark):
     for r in out:
         assert r["n"] == 16
         assert r["x1"] - r["x0"] == 3 and r["y1"] - r["y0"] == 3
+
+
+def test_uniq_state_merge_within_error_and_register_form_exact(spark):
+    """Two uniqState/uniqMerge forms, two contracts. The DataSketches
+    pair (uniq_state/uniq_merge): estimates within HLL error of exact
+    — its estimate is PATH-DEPENDENT (HIP vs composite, partial-union
+    tree), which is documented, so nothing stronger is pinned. The
+    register-rows pair (uniq_register_state/uniq_register_merge): the
+    state is a pure function of the value set, so merged output —
+    registers, s_scaled, est_e2 — is IDENTICAL under any partitioning,
+    merge order, or split of the build into incremental batches (the
+    AggregatingMergeTree persist-then-merge lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        uniq_merge, uniq_register_merge, uniq_register_state, uniq_state)
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 40).alias("b"),
+        (F.col("id") % 997).alias("v"))
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+
+    # native DataSketches pair: error bound only
+    states = uniq_state(df, ["k", "b"], "v")
+    merged = {r["k"]: r["approx_distinct"]
+              for r in uniq_merge(states, ["k"]).collect()}
+    for k in exact:
+        assert abs(merged[k] - exact[k]) / exact[k] < 0.05
+
+    # register-rows pair: bit-exact under every lifecycle
+    rstates = uniq_register_state(df, ["k", "b"], "v") \
+        .localCheckpoint()
+    base = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+            for r in uniq_register_merge(rstates, ["k"]).collect()}
+    for layout in (rstates.repartition(17), rstates.repartition(1),
+                   rstates.orderBy(F.desc("bucket"))):
+        got = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+               for r in uniq_register_merge(layout, ["k"]).collect()}
+        assert got == base
+    # incremental build: states from two disjoint halves, unioned, must
+    # merge to the same registers as one pass (associativity of max)
+    h1 = uniq_register_state(df.filter(F.col("id") % 2 == 0),
+                             ["k", "b"], "v")
+    h2 = uniq_register_state(df.filter(F.col("id") % 2 == 1),
+                             ["k", "b"], "v")
+    inc = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+           for r in uniq_register_merge(h1.unionByName(h2),
+                                        ["k"]).collect()}
+    assert inc == base
+    # raw estimate within the documented m=64 error envelope
+    for k in exact:
+        assert abs(base[k][2] / 100.0 - exact[k]) / exact[k] < 0.4

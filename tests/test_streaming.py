@@ -1272,3 +1272,52 @@ def test_funnel_stream_matches_batch(spark, tmpdir):
             funnel(ev, ["view", "click", "purchase"],
                    horizon_secs=86_400).collect()}
     assert got == want and want[1] > want[3] > 0
+
+
+def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
+    """start_cdc_stream: after three micro-batches of upserts/deletes
+    (maxFilesPerTrigger=1 forces per-file epochs), the store equals
+    latest_state over the concatenated batches — and tombstoned keys
+    stay OUT of the reader view even though a delete arrived in an
+    EARLIER epoch than a replayed older live row (the resurrect
+    guard that makes the store keep winning tombstones)."""
+    import datetime as dt
+
+    from flow_pipeline_spark.operators.cdc import latest_state
+    from flow_pipeline_spark.streaming.jobs import (read_cdc_store,
+                                                    start_cdc_stream)
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    b1 = [("A", ts(1), 1, "a1", False), ("B", ts(1), 2, "b1", False)]
+    b2 = [("A", ts(2), 3, "a2", False), ("B", ts(3), 4, "b1", True)]
+    # epoch 3 replays B's OLD live row (late redelivery) — must NOT
+    # resurrect B; C arrives fresh
+    b3 = [("B", ts(1), 2, "b1", False), ("C", ts(4), 5, "c1", False)]
+    schema = "k string, ts timestamp, eid long, state string, del boolean"
+    src = f"{tmpdir}/cdc_src"
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.mode("append").parquet(src)
+
+    store, ckpt = f"{tmpdir}/cdc_store", f"{tmpdir}/cdc_ckpt"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_cdc_stream(stream, store, ckpt, keys=["k"],
+                         order_cols=["ts", "eid"], deleted_col="del",
+                         trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    live = {r["k"]: r for r in
+            read_cdc_store(spark, store, deleted_col="del").collect()}
+    assert set(live) == {"A", "C"}
+    assert live["A"]["state"] == "a2"
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    expect = {(r["k"], r["state"], r["del"]) for r in
+              latest_state(batch, ["k"], ["ts", "eid"]).collect()}
+    got = {(r["k"], r["state"], r["del"]) for r in
+           spark.read.parquet(store).collect()}
+    assert got == expect            # stream store ≡ batch compaction
+    assert ("B", "b1", True) in got  # tombstone retained in the store

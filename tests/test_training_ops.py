@@ -2153,3 +2153,35 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     b = {r.doc_id for r in weighted_sample(
         df.repartition(13), "w", 5, salt=":x").collect()}
     assert a == b
+
+
+def test_bfs_distances_planted_graph(spark):
+    """BFS on a planted graph exercising every rule: a 4-chain (multi-
+    hop), a branch (two paths to the same node keep the SHORTER), a
+    cycle (terminates; revisits excluded by the visited anti-join),
+    and an unreachable island (absent from the result)."""
+    from flow_pipeline_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3),          # chain 0-1-2-3
+         (0, 4), (4, 3),                  # branch: 3 also via 4 (dist 2 < 3)
+         (3, 0),                          # cycle back to source
+         (7, 8)],                         # island
+        "src long, dst long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, 0, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_bfs_distances_hop_cap_and_empty_frontier(spark):
+    """The hop cap truncates honestly; an isolated source returns just
+    itself at dist 0 (frontier drains on round 1)."""
+    from flow_pipeline_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    capped = {r["node"]: r["dist"]
+              for r in bfs_distances(chain, 0, max_hops=3).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2, 3: 3}
+    lone = bfs_distances(chain, 99, max_hops=5).collect()
+    assert [(r["node"], r["dist"]) for r in lone] == [(99, 0)]
