@@ -254,3 +254,61 @@ def uniq_register_merge(states: DataFrame, keys: list[str]) -> DataFrame:
     return (per.withColumn("s_scaled", s_scaled)
             .withColumn("est_e2", est)
             .drop("s_present"))
+
+
+def histogram_state(df: DataFrame, keys: list[str], col: str, *,
+                    lo: int, hi: int, n_bins: int) -> DataFrame:
+    """ClickHouse ``quantileState`` made deterministic — the percentile
+    member of the -State/-Merge family (sums: SummingMergeTree tier;
+    distincts: uniq_register_state above): per key, fixed-width BIN
+    COUNTS over an integer-valued column (use the repo's v100 device
+    for 2-decimal doubles). Counts are plainly summable, so the stored
+    state re-aggregates to any coarser key/time grouping by a groupBy
+    sum — and any quantile then reads from the merged histogram with
+    bin-width resolution, raw rows never re-scanned. Everything is
+    integer arithmetic: bin = clamp((v-lo)*n_bins div (hi-lo)) —
+    identical on any engine.
+
+    Scale: state is <= n_bins rows per key; build is one
+    partial-aggregated shuffle."""
+    span = hi - lo
+    b = F.least(F.greatest(
+        F.expr(f"(({col} - {lo}L) * {n_bins}L) div {span}L"), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+    return (df.groupBy(*keys, b.alias("bin"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def histogram_merge_quantiles(states: DataFrame, keys: list[str],
+                              quantiles: list[tuple[str, int]], *,
+                              lo: int, hi: int,
+                              n_bins: int) -> DataFrame:
+    """``quantileMerge``: fold stored bin counts to a coarser key set
+    and read quantiles from the cumulative histogram. ``quantiles`` is
+    [(name, q_e4)] — each answer is the SMALLEST bin whose cumulative
+    count reaches q (exact integer comparison ``cum*10^4 >= q_e4 *
+    total``: no float rank interpolation, no tie lottery), reported as
+    ``{name}_bin`` plus its lower bound ``{name}_lo`` in the column's
+    own units. Accuracy is bin-width, the documented contract — the
+    exact-percentile twin is value_percentiles, the sketch twin
+    approx_percentiles."""
+    from pyspark.sql import Window as W
+    span = hi - lo
+    m = states.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    wc = W.partitionBy(*keys).orderBy("bin") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy(*keys)
+    c = (m.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("total", F.sum("cnt").over(wt)))
+    aggs = [F.max("total").cast("long").alias("total")]
+    for name, q_e4 in quantiles:
+        hit = F.when(F.col("cum") * 10000 >= F.lit(q_e4) * F.col("total"),
+                     F.col("bin"))
+        aggs.append(F.min(hit).cast("long").alias(f"{name}_bin"))
+    out = c.groupBy(*keys).agg(*aggs)
+    for name, _ in quantiles:
+        out = out.withColumn(
+            f"{name}_lo",
+            (F.lit(lo) + F.col(f"{name}_bin") * F.lit(span)
+             / F.lit(n_bins)).cast("long"))
+    return out

@@ -355,6 +355,13 @@ _DEMOTED_VARIANTS = [
                               # the stored-state tier on top; HLL
                               # bound tests stay in pytest — remains
                               # DuckDB-oracled every pytest run
+    "histogram_state_quantiles",  # quantileState/quantileMerge; the
+                              # percentile class keeps
+                              # value_percentiles windowed (exact,
+                              # approx_percentiles the sketch twin);
+                              # the -State/-Merge class is windowed
+                              # via uniq_register_rollup — direct
+                              # demoted registration
 ]
 
 

@@ -2023,3 +2023,72 @@ def uniq_register_rollup(spark, sf_dir):
             .select("event_type", "n_regs", "s_scaled", "est_e2",
                     "n_exact")
             .orderBy("event_type"))
+
+
+@_q(
+    "histogram_state_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+      FROM events),
+    st AS (
+      SELECT event_type, d,
+             CAST(least(greatest((v100 * 100) // 50000, 0), 99) AS INT)
+               AS bin,
+             count(*) AS cnt
+      FROM v GROUP BY 1, 2, 3),
+    m AS (SELECT event_type, bin, sum(cnt) AS cnt FROM st GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM m)
+    SELECT event_type, CAST(max(total) AS BIGINT) AS total,
+           CAST(min(CASE WHEN cum * 10000 >= 5000 * total THEN bin END)
+                AS BIGINT) AS p50_bin,
+           CAST(min(CASE WHEN cum * 10000 >= 9000 * total THEN bin END)
+                AS BIGINT) AS p90_bin,
+           CAST(min(CASE WHEN cum * 10000 >= 9900 * total THEN bin END)
+                AS BIGINT) AS p99_bin,
+           CAST(min(CASE WHEN cum * 10000 >= 5000 * total THEN bin END)
+                * 500 AS BIGINT) AS p50_lo,
+           CAST(min(CASE WHEN cum * 10000 >= 9000 * total THEN bin END)
+                * 500 AS BIGINT) AS p90_lo,
+           CAST(min(CASE WHEN cum * 10000 >= 9900 * total THEN bin END)
+                * 500 AS BIGINT) AS p99_lo
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="quantileState/quantileMerge (operators/rollup.py:"
+        "histogram_state/histogram_merge_quantiles) — the percentile "
+        "member of the -State/-Merge family: per-(type, day) fixed-width "
+        "bin counts persist as the state (plainly summable rows, <=100/"
+        "key), fold per type by a groupBy sum, and any quantile reads "
+        "from the merged cumulative histogram at bin-width resolution — "
+        "raw rows never re-scan ('p99 of any window' from stored "
+        "states). Pure integer arithmetic end to end: the v100 device, "
+        "clamped integer-div binning, rank picks by exact cum*1e4 >= "
+        "q_e4*total comparison. Registered as a demoted variant: the "
+        "percentile class keeps value_percentiles (exact) windowed with "
+        "approx_percentiles its sketch twin; the -State/-Merge class is "
+        "windowed via uniq_register_rollup. Scale: one partial-"
+        "aggregated state shuffle; every later quantile touches "
+        "|keys|*n_bins rows.",
+)
+def histogram_state_quantiles(spark, sf_dir):
+    from ..operators.rollup import histogram_merge_quantiles, histogram_state
+    v = (_events(spark, sf_dir)
+         .select("event_type", F.date_trunc("day", "ts").alias("d"),
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("v100")))
+    st = histogram_state(v, ["event_type", "d"], "v100",
+                         lo=0, hi=50000, n_bins=100)
+    out = histogram_merge_quantiles(
+        st, ["event_type"],
+        [("p50", 5000), ("p90", 9000), ("p99", 9900)],
+        lo=0, hi=50000, n_bins=100)
+    return (out.select("event_type", "total", "p50_bin", "p90_bin",
+                       "p99_bin", "p50_lo", "p90_lo", "p99_lo")
+            .orderBy("event_type"))

@@ -1100,3 +1100,58 @@ def read_cdc_store(spark: SparkSession, store_dir: str,
     if deleted_col is not None:
         df = df.filter(~F.col(deleted_col))
     return df
+
+
+def start_uniq_state_stream(events_stream: DataFrame, store_dir: str,
+                            checkpoint_dir: str, *, keys: list[str],
+                            value_col: str,
+                            trigger: dict | None = None) -> StreamingQuery:
+    """Continuously-maintained ``uniqState`` store — the streaming form
+    of ``operators/rollup.py:uniq_register_state``: each micro-batch's
+    register rows max-merge into a persisted (keys…, bucket, r) table,
+    so 'distinct users per key, any window' reads from the store
+    (``uniq_register_merge``) without ever re-scanning the stream's
+    history — the AggregatingMergeTree ingest loop (the CH engine
+    merges uniqState blocks in the background; here the epoch apply IS
+    the merge).
+
+    Delivery semantics: register max-merge is associative, commutative
+    and IDEMPOTENT, so epoch replay cannot change the store — the
+    strongest exactly-once story available: no ledger, no
+    transactionality, correctness from the algebra (same argument as
+    ``start_cdc_stream``'s latest-version compaction; stronger than
+    the digest anti-join, which must track what it has seen).
+
+    Scale: the store is <= 64 rows per key regardless of stream age or
+    cardinality; each epoch merges |batch keys|*64 register rows via
+    one key-bounded groupBy and rewrites via atomic swap. For very
+    wide key spaces, partition the store by a key column and rewrite
+    only touched partitions."""
+    from ..operators.rollup import uniq_register_state
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = uniq_register_state(batch, keys, value_col)
+        merged = delta
+        if os.path.isdir(store_dir):
+            base = spark.read.parquet(store_dir)
+            merged = (base.unionByName(delta)
+                      .groupBy(*keys, "bucket")
+                      .agg(F.max("r").alias("r")))
+        tmp = store_dir.rstrip("/") + "._uniq_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store_dir):
+            old = store_dir.rstrip("/") + "._uniq_old"
+            os.rename(store_dir, old)
+            os.rename(tmp, store_dir)
+            import shutil
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, store_dir)
+
+    writer = (events_stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()

@@ -279,3 +279,33 @@ def test_uniq_state_merge_within_error_and_register_form_exact(spark):
     # raw estimate within the documented m=64 error envelope
     for k in exact:
         assert abs(base[k][2] / 100.0 - exact[k]) / exact[k] < 0.4
+
+
+def test_histogram_state_merge_and_quantiles(spark):
+    """quantileState/quantileMerge: bin-count states built per sub-key
+    fold to EXACTLY the direct histogram (counts are sums), and the
+    quantile read matches hand-computed answers on a planted
+    distribution — 1000 values 0..999, bins of 10: p50 lands in bin
+    49 (cum hits 500 exactly at its edge), p90 in bin 89, p99 in 98."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        histogram_merge_quantiles, histogram_state)
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("sub"), F.col("id").alias("v"))
+    st = histogram_state(df, ["sub"], "v", lo=0, hi=1000, n_bins=100)
+    one = histogram_state(df.select(F.lit(0).alias("all"), "v"),
+                          ["all"], "v", lo=0, hi=1000, n_bins=100)
+    merged = (st.withColumn("all", F.lit(0))
+              .groupBy("all", "bin").agg(F.sum("cnt").alias("cnt")))
+    assert (sorted((r["bin"], r["cnt"]) for r in merged.collect())
+            == sorted((r["bin"], r["cnt"]) for r in one.collect()))
+
+    qs = histogram_merge_quantiles(
+        st.withColumn("all", F.lit(0)), ["all"],
+        [("p50", 5000), ("p90", 9000), ("p99", 9900)],
+        lo=0, hi=1000, n_bins=100).collect()[0]
+    assert (qs["p50_bin"], qs["p90_bin"], qs["p99_bin"]) == (49, 89, 98)
+    assert (qs["p50_lo"], qs["p90_lo"], qs["p99_lo"]) == (490, 890, 980)
+    assert qs["total"] == 1000

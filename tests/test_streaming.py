@@ -1321,3 +1321,52 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
            spark.read.parquet(store).collect()}
     assert got == expect            # stream store ≡ batch compaction
     assert ("B", "b1", True) in got  # tombstone retained in the store
+
+
+def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
+    """start_uniq_state_stream: after streaming the events in three
+    epochs, merging the STORE gives byte-identical registers/estimates
+    to a single batch build over all rows (max-merge associativity);
+    and re-running the SAME stream into the store (simulated replay —
+    fresh checkpoint, same files) changes nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        uniq_register_merge, uniq_register_state)
+    from flow_pipeline_spark.streaming.jobs import start_uniq_state_stream
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") % 611).cast("string").alias("v"))
+    src = f"{tmpdir}/uniq_src"
+    for i in range(3):
+        spark.range(3000).filter(F.col("id") % 3 == i).select(
+            (F.col("id") % 4).cast("string").alias("k"),
+            (F.col("id") % 611).cast("string").alias("v")) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    store, ckpt = f"{tmpdir}/uniq_store", f"{tmpdir}/uniq_ckpt"
+    schema = spark.read.parquet(src).schema
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_uniq_state_stream(stream, store, ck, keys=["k"],
+                                    value_col="v",
+                                    trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run(ckpt)
+    stored = spark.read.parquet(store)
+    got = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+           for r in uniq_register_merge(stored, ["k"]).collect()}
+    batch = uniq_register_state(df, ["k"], "v")
+    want = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+            for r in uniq_register_merge(batch, ["k"]).collect()}
+    assert got == want
+
+    run(f"{tmpdir}/uniq_ckpt2")          # full replay, fresh checkpoint
+    again = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
+             for r in uniq_register_merge(
+                 spark.read.parquet(store), ["k"]).collect()}
+    assert again == want
