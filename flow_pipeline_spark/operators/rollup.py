@@ -312,3 +312,82 @@ def histogram_merge_quantiles(states: DataFrame, keys: list[str],
             (F.lit(lo) + F.col(f"{name}_bin") * F.lit(span)
              / F.lit(n_bins)).cast("long"))
     return out
+
+
+def bitmap_state(df: DataFrame, keys: list[str], col: str, *,
+                 chunk_bits: int = 16) -> DataFrame:
+    """ClickHouse ``groupBitmapState`` — the EXACT member of the
+    -State/-Merge family (sums: SummingMergeTree tier; approximate
+    distincts: uniq_register_state; percentiles: histogram_state):
+    per key, the persisted state is the distinct VALUE SET itself,
+    chunked roaring-style by the value's high bits so no single row
+    ever holds more than 2^chunk_bits values. Unlike the HLL forms
+    this supports SET EXPRESSIONS between stored segments —
+    bitmapAndCardinality / bitmapOrCardinality / bitmapAndnot — which
+    no sketch of this family can answer exactly ("users who did BOTH
+    A and B" from states, raw rows never re-scanned).
+
+    State rows are (keys…, chunk, vals sorted-distinct array<long>) —
+    a pure function of the value set: identical on any engine,
+    partitioning, or merge order. Storage is O(distinct) like CH's
+    roaring bitmaps (dense chunks there compress to 2^16 bits; here
+    the array form keeps the oracle-exact cross-engine shape).
+
+    Scale: collect_set partial-aggregates map-side, so raw rows
+    reduce to distincts BEFORE the shuffle; the chunk key spreads a
+    hot segment's set across 2^(64-chunk_bits) rows — one row is
+    never larger than 2^chunk_bits longs (~512 KiB)."""
+    v = F.col(col).cast("long")
+    return (df.groupBy(*keys, F.shiftright(v, chunk_bits).alias("chunk"))
+            .agg(F.array_sort(F.collect_set(v)).alias("vals")))
+
+
+def bitmap_merge(states: DataFrame, keys: list[str]) -> DataFrame:
+    """``groupBitmapMergeState``: fold stored chunk rows up to a
+    coarser key set — per (keys…, chunk) the union of the value
+    arrays (associative, commutative, idempotent, so epoch replay or
+    repeated compaction cannot change the state). Same chunked shape
+    in and out; re-aggregable again."""
+    return (states.groupBy(*keys, "chunk")
+            .agg(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("vals")))).alias("vals")))
+
+
+def bitmap_cardinality(states: DataFrame, keys: list[str], *,
+                       out_col: str = "card") -> DataFrame:
+    """``groupBitmapMerge`` read path: exact distinct count per key
+    from stored states — sum of per-chunk set sizes (chunks partition
+    the value space, so sizes add)."""
+    m = bitmap_merge(states, keys)
+    return (m.groupBy(*keys)
+            .agg(F.sum(F.size("vals")).cast("long").alias(out_col)))
+
+
+def bitmap_set_cardinalities(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``bitmapAndCardinality / bitmapOrCardinality /
+    bitmapAndnotCardinality``: exact set-expression cardinalities
+    between two stored segments. ``a``/``b`` are single-segment
+    states (chunk, vals) — e.g. ``bitmap_merge`` output filtered to
+    one key — and the result is ONE row (a_card, b_card, and_card,
+    or_card, andnot_card).
+
+    Per-chunk full-outer join (chunks partition the value space, so
+    set algebra distributes over chunks), JVM array intrinsics for
+    the per-chunk intersect/union/except, then one global sum — the
+    segments' raw event history is never touched, and nothing wider
+    than a chunk's two arrays is ever in memory."""
+    e = F.array().cast("array<long>")
+    j = (a.select("chunk", F.col("vals").alias("va"))
+         .join(b.select("chunk", F.col("vals").alias("vb")),
+               "chunk", "full_outer")
+         .select(F.coalesce("va", e).alias("va"),
+                 F.coalesce("vb", e).alias("vb")))
+    return j.agg(
+        F.sum(F.size("va")).cast("long").alias("a_card"),
+        F.sum(F.size("vb")).cast("long").alias("b_card"),
+        F.sum(F.size(F.array_intersect("va", "vb"))).cast("long")
+        .alias("and_card"),
+        F.sum(F.size(F.array_union("va", "vb"))).cast("long")
+        .alias("or_card"),
+        F.sum(F.size(F.array_except("va", "vb"))).cast("long")
+        .alias("andnot_card"))

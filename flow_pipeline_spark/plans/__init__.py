@@ -362,6 +362,12 @@ _DEMOTED_VARIANTS = [
                               # the -State/-Merge class is windowed
                               # via uniq_register_rollup — direct
                               # demoted registration
+    "segment_bitmap_overlap",  # groupBitmap exact set-expression
+                              # cardinalities (AND/OR/ANDNOT between
+                              # stored segments); -State/-Merge class
+                              # windowed via uniq_register_rollup,
+                              # row-level set algebra via set_ops —
+                              # direct demoted registration
 ]
 
 

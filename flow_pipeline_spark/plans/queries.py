@@ -2092,3 +2092,67 @@ def histogram_state_quantiles(spark, sf_dir):
     return (out.select("event_type", "total", "p50_bin", "p90_bin",
                        "p99_bin", "p50_lo", "p90_lo", "p99_lo")
             .orderBy("event_type"))
+
+
+@_q(
+    "segment_bitmap_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'
+                 AND ts < TIMESTAMP '2024-01-02'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'
+                 AND ts >= TIMESTAMP '2024-01-29')
+    SELECT 'click' AS a_seg, 'purchase' AS b_seg,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS a_card,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS b_card,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                 INTERSECT SELECT user_id FROM b)) AS BIGINT) AS and_card,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                 UNION SELECT user_id FROM b)) AS BIGINT) AS or_card,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                 EXCEPT SELECT user_id FROM b)) AS BIGINT) AS andnot_card
+    """,
+    doc="groupBitmap set-expression cardinalities (operators/rollup.py:"
+        "bitmap_state/bitmap_merge/bitmap_set_cardinalities) — the EXACT "
+        "member of the -State/-Merge family and the one no sketch can "
+        "replace: per-(event_type, day) chunked distinct-set states "
+        "persist, fold per type (proving re-aggregation), and segment "
+        "overlap reads as per-chunk array intersect/union/except summed "
+        "— bitmapAndCardinality('click','purchase') etc. from stored "
+        "states, the raw event history never re-scanned. The segments "
+        "are TIME-WINDOWED (first-day clickers vs last-two-day "
+        "purchasers) by filtering the day-keyed STATE rows before the "
+        "fold — 'distinct users in any window, any set expression' is "
+        "exactly what the day-grained states buy. Registered as "
+        "a demoted variant per the window discipline: the -State/-Merge "
+        "class is windowed via uniq_register_rollup, row-level set ops "
+        "via set_ops. In production the states are a stored table (the "
+        "AggregatingMergeTree loop); here the query builds them inline "
+        "from events first. Scale: collect_set reduces raw rows to "
+        "distincts map-side before the one state shuffle; chunking "
+        "bounds every row at 2^16 values; the overlap join ships only "
+        "two segments' state rows.",
+)
+def segment_bitmap_overlap(spark, sf_dir):
+    from ..operators.rollup import (bitmap_merge, bitmap_set_cardinalities,
+                                    bitmap_state)
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id")
+    st = bitmap_state(ev, ["event_type", "d"], "user_id")
+    # in production `st` is the stored state table; cut lineage so the
+    # two segment reads below scan the states once, not events twice
+    st = st.localCheckpoint(eager=False)
+    a = bitmap_merge(
+        st.filter((F.col("event_type") == "click")
+                  & (F.col("d") < "2024-01-02")), []) \
+        .select("chunk", "vals")
+    b = bitmap_merge(
+        st.filter((F.col("event_type") == "purchase")
+                  & (F.col("d") >= "2024-01-29")), []) \
+        .select("chunk", "vals")
+    return (bitmap_set_cardinalities(a, b)
+            .select(F.lit("click").alias("a_seg"),
+                    F.lit("purchase").alias("b_seg"),
+                    "a_card", "b_card", "and_card", "or_card",
+                    "andnot_card"))

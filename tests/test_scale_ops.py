@@ -309,3 +309,42 @@ def test_histogram_state_merge_and_quantiles(spark):
     assert (qs["p50_bin"], qs["p90_bin"], qs["p99_bin"]) == (49, 89, 98)
     assert (qs["p50_lo"], qs["p90_lo"], qs["p99_lo"]) == (490, 890, 980)
     assert qs["total"] == 1000
+
+
+def test_bitmap_state_merge_and_set_cardinalities(spark):
+    """groupBitmap family: states built per sub-key fold to EXACTLY the
+    direct build (set union is associative/idempotent); cardinality and
+    AND/OR/ANDNOT between two segments match Python set algebra on a
+    planted universe that straddles chunk boundaries (chunk_bits=4, so
+    values 0..99 span 7 chunks and every per-chunk code path runs)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        bitmap_cardinality, bitmap_merge, bitmap_set_cardinalities,
+        bitmap_state)
+
+    sa = {v for v in range(100) if v % 3 == 0}          # 34 values
+    sb = {v for v in range(100) if v % 5 == 0 or v < 7}  # overlaps a
+    rows = ([("a", i % 2, v) for v in sa for i in range(2)]  # dup rows
+            + [("b", i % 2, v) for v in sb for i in range(2)])
+    df = spark.createDataFrame(rows, "seg string, half int, v long")
+
+    st = bitmap_state(df, ["seg", "half"], "v", chunk_bits=4)
+    direct = bitmap_state(df, ["seg"], "v", chunk_bits=4)
+    folded = bitmap_merge(st, ["seg"])
+    assert (sorted((r["seg"], r["chunk"], tuple(r["vals"]))
+                   for r in folded.collect())
+            == sorted((r["seg"], r["chunk"], tuple(r["vals"]))
+                      for r in direct.collect()))
+
+    card = {r["seg"]: r["card"]
+            for r in bitmap_cardinality(st, ["seg"]).collect()}
+    assert card == {"a": len(sa), "b": len(sb)}
+
+    a = folded.filter(F.col("seg") == "a").select("chunk", "vals")
+    b = folded.filter(F.col("seg") == "b").select("chunk", "vals")
+    got = bitmap_set_cardinalities(a, b).collect()[0]
+    assert got["a_card"] == len(sa) and got["b_card"] == len(sb)
+    assert got["and_card"] == len(sa & sb)
+    assert got["or_card"] == len(sa | sb)
+    assert got["andnot_card"] == len(sa - sb)
