@@ -1128,23 +1128,70 @@ def start_uniq_state_stream(events_stream: DataFrame, store_dir: str,
     wide key spaces, partition the store by a key column and rewrite
     only touched partitions."""
     from ..operators.rollup import uniq_register_state
+    return _start_state_merge_stream(
+        events_stream, store_dir, checkpoint_dir,
+        state_fn=lambda b: uniq_register_state(b, keys, value_col),
+        merge_fn=lambda base, delta: (base.unionByName(delta)
+                                      .groupBy(*keys, "bucket")
+                                      .agg(F.max("r").alias("r"))),
+        trigger=trigger)
+
+
+def start_bitmap_state_stream(events_stream: DataFrame, store_dir: str,
+                              checkpoint_dir: str, *, keys: list[str],
+                              value_col: str, chunk_bits: int = 16,
+                              trigger: dict | None = None) -> StreamingQuery:
+    """Continuously-maintained ``groupBitmapState`` store — the EXACT
+    sibling of :func:`start_uniq_state_stream`: each micro-batch's
+    chunked distinct-set rows union-merge into a persisted
+    (keys…, chunk, vals) table, so live panels read exact distinct
+    counts (``bitmap_cardinality``) and exact segment overlap
+    (``bitmap_set_cardinalities`` — "users who did A and B so far
+    today") from the store, never the stream's history. Set union is
+    associative, commutative and IDEMPOTENT, so epoch replay cannot
+    change the store — exactly-once from the algebra, no ledger
+    (same argument as the register max-merge above).
+
+    Scale: the store is O(distinct values) chunked so no row exceeds
+    2^chunk_bits longs; each epoch's merge is one key+chunk-bounded
+    groupBy over store ∪ delta. For very wide key spaces, partition
+    the store by a key column and rewrite only touched partitions."""
+    from ..operators.rollup import bitmap_state
+
+    def merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+        return (base.unionByName(delta)
+                .groupBy(*keys, "chunk")
+                .agg(F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("vals")))).alias("vals")))
+
+    return _start_state_merge_stream(
+        events_stream, store_dir, checkpoint_dir,
+        state_fn=lambda b: bitmap_state(b, keys, value_col,
+                                        chunk_bits=chunk_bits),
+        merge_fn=merge, trigger=trigger)
+
+
+def _start_state_merge_stream(events_stream: DataFrame, store_dir: str,
+                              checkpoint_dir: str, *, state_fn, merge_fn,
+                              trigger: dict | None = None) -> StreamingQuery:
+    """Shared AggregatingMergeTree ingest loop: per micro-batch, build
+    the batch's state rows (``state_fn``), fold them into the persisted
+    store (``merge_fn`` — must be associative/commutative/idempotent,
+    which is what makes replay safe without a ledger), atomic-swap the
+    store directory."""
+    import shutil
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        delta = uniq_register_state(batch, keys, value_col)
-        merged = delta
+        merged = state_fn(batch)
         if os.path.isdir(store_dir):
-            base = spark.read.parquet(store_dir)
-            merged = (base.unionByName(delta)
-                      .groupBy(*keys, "bucket")
-                      .agg(F.max("r").alias("r")))
-        tmp = store_dir.rstrip("/") + "._uniq_tmp"
+            merged = merge_fn(spark.read.parquet(store_dir), merged)
+        tmp = store_dir.rstrip("/") + "._state_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(store_dir):
-            old = store_dir.rstrip("/") + "._uniq_old"
+            old = store_dir.rstrip("/") + "._state_old"
             os.rename(store_dir, old)
             os.rename(tmp, store_dir)
-            import shutil
             shutil.rmtree(old)
         else:
             os.rename(tmp, store_dir)

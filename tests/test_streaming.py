@@ -1370,3 +1370,58 @@ def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
              for r in uniq_register_merge(
                  spark.read.parquet(store), ["k"]).collect()}
     assert again == want
+
+
+def test_bitmap_state_stream_matches_batch_and_overlap(spark, tmpdir):
+    """start_bitmap_state_stream: after three epochs the store equals a
+    single batch bitmap_state build (union associativity/idempotence);
+    replay with a fresh checkpoint changes nothing; and a live segment
+    overlap read from the store matches Python set algebra."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        bitmap_set_cardinalities, bitmap_state)
+    from flow_pipeline_spark.streaming.jobs import start_bitmap_state_stream
+
+    df = spark.range(900).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("seg"),
+        (F.col("id") % 211).alias("v"))
+    src = f"{tmpdir}/bm_src"
+    for i in range(3):
+        spark.range(900).filter(F.col("id") % 3 == i).select(
+            F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("seg"),
+            (F.col("id") % 211).alias("v")) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    store = f"{tmpdir}/bm_store"
+    schema = spark.read.parquet(src).schema
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bitmap_state_stream(stream, store, ck, keys=["seg"],
+                                      value_col="v", chunk_bits=4,
+                                      trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/bm_ckpt")
+    want = {(r["seg"], r["chunk"], tuple(r["vals"]))
+            for r in bitmap_state(df, ["seg"], "v", chunk_bits=4).collect()}
+    got = {(r["seg"], r["chunk"], tuple(r["vals"]))
+           for r in spark.read.parquet(store).collect()}
+    assert got == want
+
+    run(f"{tmpdir}/bm_ckpt2")            # full replay, fresh checkpoint
+    again = {(r["seg"], r["chunk"], tuple(r["vals"]))
+             for r in spark.read.parquet(store).collect()}
+    assert again == want
+
+    st = spark.read.parquet(store)
+    a = st.filter(F.col("seg") == "a").select("chunk", "vals")
+    b = st.filter(F.col("seg") == "b").select("chunk", "vals")
+    ov = bitmap_set_cardinalities(a, b).collect()[0]
+    sa = {i % 211 for i in range(0, 900, 3)}
+    sb = {i % 211 for i in range(900) if i % 3}
+    assert (ov["a_card"], ov["b_card"], ov["and_card"], ov["or_card"],
+            ov["andnot_card"]) == (len(sa), len(sb), len(sa & sb),
+                                   len(sa | sb), len(sa - sb))
