@@ -438,6 +438,32 @@ def main() -> None:
             sec = median_timed(lambda: force(retention(ev)))
             record("retention_weekly", n, sec)
 
+        # -State/-Merge family (round 5, operators/rollup.py): build is
+        # one partial-aggregated shuffle (linear in rows, distincts
+        # reduce map-side), and every read from stored states — exact
+        # segment overlap here — touches only state rows, so read time
+        # must stay FLAT as the event history grows at fixed
+        # cardinality ("users who did A and B" without re-scanning).
+        from flow_pipeline_spark.operators.rollup import (
+            bitmap_set_cardinalities, bitmap_state)
+        n_users = 200_000
+        for n in [1_000_000, 4_000_000,
+                  8_000_000 if args.fast else 16_000_000]:
+            ev = spark.range(n).select(
+                F.when(F.col("id") % 3 == 0, "a").otherwise("b")
+                .alias("seg"),
+                (F.abs(F.xxhash64("id")) % n_users).alias("user_id"))
+            sec = median_timed(lambda: force(
+                bitmap_state(ev, ["seg"], "user_id")))
+            record("bitmap_state_build", n, sec)
+            st = bitmap_state(ev, ["seg"], "user_id") \
+                .localCheckpoint(eager=True)
+            a = st.filter(F.col("seg") == "a").select("chunk", "vals")
+            b = st.filter(F.col("seg") == "b").select("chunk", "vals")
+            sec = median_timed(lambda: force(
+                bitmap_set_cardinalities(a, b)))
+            record("bitmap_overlap_read", n, sec)
+
         # skewed-key join: one hot key owns 50% of the fact side. The salt
         # spreads the hot key over n_salts tasks (operators/scale.py) — the
         # explicit fix for when AQE's runtime skew split doesn't apply (it
