@@ -45,13 +45,19 @@ def funnel(events: DataFrame, steps: list[str], *,
     to the survivors of stage k-1 — |steps|-1 user-keyed joins over
     MONOTONICALLY SHRINKING user sets; the event table is scanned once
     per step with the step's type filter pushed to the scan, and rows
-    aggregate before any join."""
+    aggregate before any join. Each stage frame is lazily
+    localCheckpoint-ed (the repeated_span_table idiom), so stage k's
+    survivors materialize exactly once and are REUSED by stage k+1 and
+    by the count pass — without the cut, every count re-runs its whole
+    stage chain from the raw events and the plan degenerates to
+    O(|steps|^2) scans."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t = F.col(user_col), F.col(ts_col)
     cur = (events.filter(F.col(type_col) == steps[0])
            .groupBy(u.alias("u")).agg(F.min(t).alias("t1"))
-           .select("u", "t1", F.col("t1").alias("tk")))
+           .select("u", "t1", F.col("t1").alias("tk"))
+           .localCheckpoint(eager=False))
     stages = [cur]
     for step in steps[1:]:
         nxt = (events.filter(F.col(type_col) == step)
@@ -64,7 +70,8 @@ def funnel(events: DataFrame, steps: list[str], *,
                 + F.expr(f"INTERVAL {int(horizon_secs)} SECONDS"))
         cur = (nxt.groupBy("u", "t1")
                .agg(F.min("_ts").alias("tk"))
-               .select("u", "t1", "tk"))
+               .select("u", "t1", "tk")
+               .localCheckpoint(eager=False))
         stages.append(cur)
     spark = events.sparkSession
     counts = [df.agg(F.count("*").cast("long").alias("n")) for df in stages]

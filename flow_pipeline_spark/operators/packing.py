@@ -265,9 +265,15 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int, *,
     reproducible forever from the salt.
 
     ``group_col`` draws k per group (per-source sampling). Adds
-    ``wkey_e6``. Scale: one hash + one ln per row fused into the scan;
-    the only shuffle is the per-group top-k window (TakeOrdered when
-    ungrouped at heart — row_number over the group key here)."""
+    ``wkey_e6``. Rows whose weight is NULL, zero or negative are
+    EXCLUDED up front (A-ES is defined for w > 0; without the filter a
+    w=0 row's rank key is NULL under Spark's non-ANSI division and
+    NULLS FIRST ordering would hand it guaranteed selection — the
+    exact inverse of zero inclusion probability). Scale: one hash +
+    one ln per row fused into the scan; the only shuffle is the
+    per-group top-k window (TakeOrdered when ungrouped at heart —
+    row_number over the group key here)."""
+    df = df.filter(F.col(weight_col) > 0)
     key = F.col(key_col)
     h = F.conv(F.substring(
         F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),

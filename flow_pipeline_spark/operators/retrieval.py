@@ -53,12 +53,16 @@ def bm25_postings(docs: DataFrame, *, text_col: str = "text",
     Scale: one shuffle, the (id, term) partial-aggregated groupBy,
     bounded by |distinct (doc, term)| — the standard inverted-index
     build. Tokenization is the repo-wide whitespace split (text.tokens),
-    lowercased."""
+    lowercased. Empty/whitespace-only documents contribute NOTHING:
+    ``tokens('')`` is ``['']`` and the empty token is filtered, so a
+    blank doc neither mints a bogus '' term nor inflates the corpus
+    stats (n_docs/total_len derive from postings downstream)."""
     toks = tokens(F.lower(F.col(text_col)))
     return (docs
             .select(F.col(id_col),
                     F.size(toks).cast("long").alias("dl"),
                     F.explode(toks).alias("term"))
+            .filter(F.col("term") != "")
             .groupBy("term", id_col, "dl")
             .agg(F.count("*").cast("long").alias("tf"))
             .select("term", id_col, "tf", "dl"))
@@ -195,6 +199,7 @@ def positional_postings(docs: DataFrame, *, text_col: str = "text",
     return (docs
             .select(F.col(id_col),
                     F.posexplode(toks).alias("pos", "term"))
+            .filter(F.col("term") != "")   # blank doc -> [''] -> nothing
             .groupBy("term", id_col)
             .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
 

@@ -216,7 +216,13 @@ def uniq_register_state(df: DataFrame, keys: list[str],
 
     Scale: the state is <= m=64 rows per key (register rows absent
     for untouched buckets); building is one partial-aggregated
-    groupBy — max(r) merges map-side, raw values never shuffle."""
+    groupBy — max(r) merges map-side, raw values never shuffle.
+
+    NULL values are excluded up front (the distinct-count convention —
+    countDistinct and the n_exact column this rides beside both ignore
+    NULLs; without the filter md5(NULL) would mint a phantom
+    (bucket=NULL, r=NULL) register row that skews n_regs/s_scaled)."""
+    df = df.where(F.col(col).isNotNull())
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 7),
                16, 10).cast("long")
     suffix = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
@@ -270,7 +276,10 @@ def histogram_state(df: DataFrame, keys: list[str], col: str, *,
     identical on any engine.
 
     Scale: state is <= n_bins rows per key; build is one
-    partial-aggregated shuffle."""
+    partial-aggregated shuffle. NULL values are excluded (the SQL
+    percentile convention) — unfiltered they would land in a phantom
+    NULL bin and inflate every quantile's total."""
+    df = df.where(F.col(col).isNotNull())
     span = hi - lo
     b = F.least(F.greatest(
         F.expr(f"(({col} - {lo}L) * {n_bins}L) div {span}L"), F.lit(0)),
@@ -336,9 +345,12 @@ def bitmap_state(df: DataFrame, keys: list[str], col: str, *,
     Scale: collect_set partial-aggregates map-side, so raw rows
     reduce to distincts BEFORE the shuffle; the chunk key spreads a
     hot segment's set across 2^(64-chunk_bits) rows — one row is
-    never larger than 2^chunk_bits longs (~512 KiB)."""
+    never larger than 2^chunk_bits longs (~512 KiB). NULL values are
+    excluded (collect_set would drop them from ``vals`` anyway, but
+    unfiltered they'd still mint an empty chunk=NULL state row)."""
     v = F.col(col).cast("long")
-    return (df.groupBy(*keys, F.shiftright(v, chunk_bits).alias("chunk"))
+    return (df.where(v.isNotNull())
+            .groupBy(*keys, F.shiftright(v, chunk_bits).alias("chunk"))
             .agg(F.array_sort(F.collect_set(v)).alias("vals")))
 
 

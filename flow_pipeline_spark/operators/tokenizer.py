@@ -264,12 +264,16 @@ def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
 
 
 def substring_seed_table(df: DataFrame, max_piece_len: int = 6,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text", *,
+                         word_table: DataFrame | None = None) -> DataFrame:
     """(piece, freq) — every substring of length 1..max_piece_len of
     every word, weighted by word frequency (occurrence-counted: 'aaa'
     contributes 'aa' twice). Pure JVM expressions over the word table;
-    the shuffle is bounded by |distinct substrings|."""
-    wf = word_freq_table(df, text_col)
+    the shuffle is bounded by |distinct substrings|. Pass an already-
+    built/checkpointed ``word_table`` (word, freq) to skip the corpus
+    pass — unigram_train does, so train start pays ONE tokenize scan."""
+    wf = (word_table if word_table is not None
+          else word_freq_table(df, text_col))
     w, n = F.col("word"), F.length("word")
     subs = F.flatten(F.transform(
         F.sequence(F.lit(1), n),
@@ -357,7 +361,8 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
     ``vocab_size``."""
     wf = (word_freq_table(df, text_col)
           .localCheckpoint(eager=True))
-    seed = substring_seed_table(df, max_piece_len, text_col)
+    seed = substring_seed_table(df, max_piece_len, text_col,
+                                word_table=wf)
     chars = seed.filter(F.length("piece") == 1)
     top = (seed.filter(F.length("piece") > 1)
            .orderBy(F.desc("freq"), F.asc("piece")).limit(seed_size))

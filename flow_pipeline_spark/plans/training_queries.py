@@ -3109,7 +3109,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
       FROM documents),
     postings AS (
       SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY term, doc_id, dl),
+      FROM tok WHERE term <> '' GROUP BY term, doc_id, dl),
     stats AS (
       SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(sum(tf) AS BIGINT) AS total_len
@@ -3162,7 +3162,7 @@ def bm25_search(spark, sf_dir):
       FROM documents WHERE doc_id < 40),
     postings AS (
       SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY term, doc_id),
+      FROM tok WHERE term <> '' GROUP BY term, doc_id),
     stats AS (
       SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       FROM postings),
@@ -3750,7 +3750,7 @@ def packed_sequences(spark, sf_dir):
                                        || ':wsample'), 1, 15))::BIGINT
                 + 1) / 1152921504606846976.0) / n_chars) + 0.5)
                AS BIGINT) AS wkey_e6
-      FROM documents),
+      FROM documents WHERE n_chars > 0),
     r AS (
       SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY wkey_e6, doc_id) AS rn

@@ -16,6 +16,8 @@ the pipeline can count/sample/alert on it (the Deequ-tier contract).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,22 +30,33 @@ DOC_SCHEMA = T.StructType([
 ])
 
 
+class JsonlDump(NamedTuple):
+    """Result of :func:`read_jsonl_documents`. ``raw`` is the CACHED
+    parsed frame both views derive from — ``unpersist()`` on a derived
+    view is a no-op on the parent, so release storage through
+    ``raw.unpersist()`` when done with both views."""
+    docs: DataFrame
+    quarantine: DataFrame
+    raw: DataFrame
+
+
 def read_jsonl_documents(spark: SparkSession, path: str, *,
                          schema: T.StructType = DOC_SCHEMA,
                          corrupt_col: str = "_corrupt_record"
-                         ) -> tuple[DataFrame, DataFrame]:
+                         ) -> JsonlDump:
     """Read a JSONL document dump (plain or .gz — Spark decompresses by
-    extension). Returns ``(docs, quarantine)``: ``docs`` has exactly
-    the ``schema`` columns from well-formed lines; ``quarantine`` holds
-    the RAW text of every malformed line (one ``raw`` column) for
-    counting/inspection.
+    extension). Returns ``JsonlDump(docs, quarantine, raw)``: ``docs``
+    has exactly the ``schema`` columns from well-formed lines;
+    ``quarantine`` holds the RAW text of every malformed line (one
+    ``raw`` column) for counting/inspection; ``raw`` is the cached
+    parsed parent — call ``raw.unpersist()`` when done (unpersisting a
+    derived view would NOT release it).
 
     The frame is cached before the corrupt-column split — Spark
     refuses filters that reference only the internal corrupt-record
     column on an uncached frame (the documented `columnNameOfCorrupt
     Record` caveat), and the cache also makes the two returned frames
-    share one parse pass. Call ``docs.unpersist()`` via the returned
-    frame's lineage when done if memory matters.
+    share one parse pass.
 
     Scale: schema is explicit (no inference pass); gzip files are
     NON-SPLITTABLE — one task per .gz file, so shard the dump into
@@ -61,4 +74,4 @@ def read_jsonl_documents(spark: SparkSession, path: str, *,
             .select(*[f.name for f in schema.fields]))
     quarantine = (df.filter(F.col(corrupt_col).isNotNull())
                   .select(F.col(corrupt_col).alias("raw")))
-    return docs, quarantine
+    return JsonlDump(docs, quarantine, df)

@@ -122,6 +122,50 @@ def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
     return writer.start()
 
 
+def _recover_swap(store_dir: str) -> None:
+    """Repair a store directory after a crash mid-:func:`_swap_in`.
+
+    The swap's only non-atomic window is between its two renames; the
+    ``._swap_old`` sibling makes every crash state recognizable:
+      - old exists, store missing -> crashed between the renames: the
+        superseded snapshot in ``old`` is intact and the epoch will
+        replay, so rename it back;
+      - old exists, store exists  -> crashed before cleanup: ``old`` is
+        superseded, remove it.
+    Call before READING the store (epoch start) — :func:`_swap_in`
+    re-runs it defensively before swapping."""
+    import shutil
+    old = store_dir.rstrip("/") + "._swap_old"
+    if os.path.isdir(old):
+        if os.path.isdir(store_dir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, store_dir)
+
+
+def _swap_in(store_dir: str, write_tmp) -> None:
+    """Crash-recoverable store replacement (the compaction/state-store
+    idiom): ``write_tmp(tmp_path)`` materializes the new snapshot into
+    a sibling tmp dir (use ``mode("overwrite")`` so a leftover partial
+    tmp from a crashed attempt is clobbered), then two renames swap it
+    in. Concurrent readers never observe partial state; a crash at ANY
+    point leaves a state :func:`_recover_swap` repairs, and because
+    every caller's merge is idempotent (latest-version compaction,
+    register max, set union) the replayed epoch converges to the same
+    store."""
+    import shutil
+    _recover_swap(store_dir)
+    tmp = store_dir.rstrip("/") + "._swap_tmp"
+    old = store_dir.rstrip("/") + "._swap_old"
+    write_tmp(tmp)
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, store_dir)
+
+
 def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     """D3 — OPTIMIZE TABLE equivalent (README.md:164-173): rewrite the
     rollup with partials merged. Idempotent; safe under repeated runs.
@@ -129,19 +173,15 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     Writes to a sibling tmp dir then atomically swaps, so concurrent readers
     never see partial state. Per-Date parallel; no cross-partition shuffle
     (Date is in the group key)."""
+    _recover_swap(rollup_dir)
     compacted = compact_rollup(spark.read.parquet(rollup_dir))
-    tmp = rollup_dir.rstrip("/") + "._compact_tmp"
     # O3 — the table's physical clustering order (create.sh:90 composite
     # sort key): sortWithinPartitions writes each file in key order, so
     # parquet row-group min/max stats give the range-scan behavior of the
     # MergeTree primary key with zero extra shuffle (sort is per-task).
-    (compacted.sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
-     .write.mode("overwrite").partitionBy("Date").parquet(tmp))
-    old = rollup_dir.rstrip("/") + "._compact_old"
-    os.rename(rollup_dir, old)
-    os.rename(tmp, rollup_dir)
-    import shutil
-    shutil.rmtree(old)
+    _swap_in(rollup_dir, lambda tmp: (
+        compacted.sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
+        .write.mode("overwrite").partitionBy("Date").parquet(tmp)))
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -1034,7 +1074,7 @@ def start_funnel_stream(events_stream: DataFrame, out_dir: str,
 
 def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
                      checkpoint_dir: str, *, keys: list[str],
-                     order_cols: list[str], deleted_col: str | None = None,
+                     order_cols: list[str],
                      trigger: dict | None = None) -> StreamingQuery:
     """Continuously-maintained ReplacingMergeTree view — the streaming
     form of ``operators/cdc.py:latest_state``: each micro-batch of
@@ -1046,10 +1086,12 @@ def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
     the merge IS the epoch apply).
 
     Tombstone discipline: the store RETAINS each key's winning row
-    even when it is a delete (``deleted_col``), exactly as ClickHouse
-    keeps the ``is_deleted`` row until a final merge — otherwise a
-    later-replayed OLDER live row would resurrect the key. Readers go
-    through ``read_cdc_store``, which filters tombstones out.
+    even when it is a delete, exactly as ClickHouse keeps the
+    ``is_deleted`` row until a final merge — otherwise a
+    later-replayed OLDER live row would resurrect the key. The ingest
+    loop therefore takes NO tombstone column at all; filtering is a
+    READ-side concern — go through ``read_cdc_store(...,
+    deleted_col=...)``, which serves only live rows.
 
     Delivery semantics: epoch replay is IDEMPOTENT by construction —
     re-merging the same rows cannot change a latest-version compaction
@@ -1068,21 +1110,14 @@ def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_swap(store_dir)
         merged = batch
         if os.path.isdir(store_dir):
             base = spark.read.parquet(store_dir)
             merged = base.unionByName(batch.select(*base.columns))
         compacted = latest_state(merged, keys, order_cols)
-        tmp = store_dir.rstrip("/") + "._cdc_tmp"
-        compacted.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(store_dir):
-            old = store_dir.rstrip("/") + "._cdc_old"
-            os.rename(store_dir, old)
-            os.rename(tmp, store_dir)
-            import shutil
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, store_dir)
+        _swap_in(store_dir, lambda tmp:
+                 compacted.write.mode("overwrite").parquet(tmp))
 
     writer = (cdc_stream.writeStream
               .foreachBatch(apply_batch)
@@ -1179,22 +1214,14 @@ def _start_state_merge_stream(events_stream: DataFrame, store_dir: str,
     store (``merge_fn`` — must be associative/commutative/idempotent,
     which is what makes replay safe without a ledger), atomic-swap the
     store directory."""
-    import shutil
-
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_swap(store_dir)
         merged = state_fn(batch)
         if os.path.isdir(store_dir):
             merged = merge_fn(spark.read.parquet(store_dir), merged)
-        tmp = store_dir.rstrip("/") + "._state_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(store_dir):
-            old = store_dir.rstrip("/") + "._state_old"
-            os.rename(store_dir, old)
-            os.rename(tmp, store_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, store_dir)
+        _swap_in(store_dir, lambda tmp:
+                 merged.write.mode("overwrite").parquet(tmp))
 
     writer = (events_stream.writeStream
               .foreachBatch(apply_batch)

@@ -348,3 +348,29 @@ def test_bitmap_state_merge_and_set_cardinalities(spark):
     assert got["and_card"] == len(sa & sb)
     assert got["or_card"] == len(sa | sb)
     assert got["andnot_card"] == len(sa - sb)
+
+
+def test_uniq_register_state_ignores_nulls(spark):
+    """NULL values mint no phantom register: state/estimate over
+    [values + NULLs] equals the state over values alone, and an
+    all-NULL group yields an EMPTY state (the countDistinct
+    convention)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        uniq_register_merge, uniq_register_state)
+
+    vals = spark.range(200).select(
+        F.lit("k").alias("k"), F.col("id").cast("string").alias("v"))
+    nulls = spark.range(50).select(
+        F.lit("k").alias("k"), F.lit(None).cast("string").alias("v"))
+    pure = uniq_register_merge(
+        uniq_register_state(vals, ["k"], "v"), ["k"]).collect()[0]
+    mixed = uniq_register_merge(
+        uniq_register_state(vals.unionByName(nulls), ["k"], "v"),
+        ["k"]).collect()[0]
+    assert (pure["n_regs"], pure["s_scaled"], pure["est_e2"]) == \
+        (mixed["n_regs"], mixed["s_scaled"], mixed["est_e2"])
+    only_null = spark.range(5).select(
+        F.lit("x").alias("k"), F.lit(None).cast("string").alias("v"))
+    assert uniq_register_state(only_null, ["k"], "v").count() == 0

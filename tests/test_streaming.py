@@ -1305,7 +1305,7 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     q = start_cdc_stream(stream, store, ckpt, keys=["k"],
-                         order_cols=["ts", "eid"], deleted_col="del",
+                         order_cols=["ts", "eid"],
                          trigger={"availableNow": True})
     q.awaitTermination(120)
 
@@ -1425,3 +1425,60 @@ def test_bitmap_state_stream_matches_batch_and_overlap(spark, tmpdir):
     assert (ov["a_card"], ov["b_card"], ov["and_card"], ov["or_card"],
             ov["andnot_card"]) == (len(sa), len(sb), len(sa & sb),
                                    len(sa | sb), len(sa - sb))
+
+
+def test_state_store_swap_crash_recovery(spark, tmpdir):
+    """The two crash windows of the store swap are repaired before the
+    next epoch reads: (a) crash BETWEEN the renames (store missing,
+    ._swap_old holds the snapshot) -> recovered, accumulated state NOT
+    lost; (b) crash BEFORE old-cleanup (both dirs present) -> stale old
+    removed, next swap does not brick on rename."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        bitmap_cardinality, bitmap_state)
+    from flow_pipeline_spark.streaming.jobs import (
+        _recover_swap, start_bitmap_state_stream)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("s").alias("seg"), F.col("id").alias("v"))
+
+    src, store = f"{tmpdir}/src", f"{tmpdir}/store"
+    batch(0, 100).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_bitmap_state_stream(stream, store, ck, keys=["seg"],
+                                      value_col="v", chunk_bits=4,
+                                      trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/ck1")
+
+    # (a) simulate a crash between the two renames
+    os.rename(store, store + "._swap_old")
+    batch(100, 150).repartition(1).write.mode("append").parquet(src)
+    run(f"{tmpdir}/ck2")                 # fresh checkpoint: full replay
+    card = bitmap_cardinality(
+        spark.read.parquet(store), ["seg"]).collect()[0]["card"]
+    assert card == 150                   # 0..99 NOT lost, 100..149 added
+
+    # (b) simulate a crash after swap-in but before old-cleanup
+    shutil.copytree(store, store + "._swap_old")
+    batch(150, 160).repartition(1).write.mode("append").parquet(src)
+    run(f"{tmpdir}/ck3")                 # must not brick on rename
+    card = bitmap_cardinality(
+        spark.read.parquet(store), ["seg"]).collect()[0]["card"]
+    assert card == 160
+    assert not os.path.isdir(store + "._swap_old")
+
+    # direct repair check: recovery puts a renamed-away store back
+    os.rename(store, store + "._swap_old")
+    _recover_swap(store)
+    assert os.path.isdir(store) and not os.path.isdir(store + "._swap_old")

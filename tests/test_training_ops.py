@@ -2117,7 +2117,7 @@ def test_read_jsonl_documents_quarantines_corrupt_lines(spark, tmp_path):
                 '"source": "books"}\n'
                 '{"broken": \n')
 
-    docs, bad = read_jsonl_documents(spark, str(d))
+    docs, bad, raw = read_jsonl_documents(spark, str(d))
     got = {r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()}
     assert got == {1: ("hello world", "en", "web"),
                    2: ("zwei", "de", "web"),
@@ -2126,6 +2126,9 @@ def test_read_jsonl_documents_quarantines_corrupt_lines(spark, tmp_path):
     assert len(raws) == 2
     assert any("not json" in r for r in raws)
     assert docs.columns == ["doc_id", "text", "lang", "source"]
+    assert raw.is_cached          # the releasable parent both views share
+    raw.unpersist()
+    assert not raw.is_cached
 
 
 def test_weighted_sample_proportional_and_deterministic(spark):
@@ -2185,3 +2188,34 @@ def test_bfs_distances_hop_cap_and_empty_frontier(spark):
     assert capped == {0: 0, 1: 1, 2: 2, 3: 3}
     lone = bfs_distances(chain, 99, max_hops=5).collect()
     assert [(r["node"], r["dist"]) for r in lone] == [(99, 0)]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """w<=0 and NULL-weight rows must have ZERO inclusion probability —
+    before the guard, w=0 produced a NULL rank key that sorted FIRST
+    (guaranteed selection, the exact inverse)."""
+    from flow_pipeline_spark.operators.packing import weighted_sample
+
+    rows = [(0, 0), (1, -5), (2, None)] + [(i, 1) for i in range(3, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 5).collect()}
+    assert len(got) == 5
+    assert got.isdisjoint({0, 1, 2})
+
+
+def test_bm25_postings_ignore_blank_documents(spark):
+    """Empty/whitespace-only docs contribute nothing: no '' term, no
+    n_docs/total_len inflation (tokens('') is [''] — the postings build
+    must filter it)."""
+    from flow_pipeline_spark.operators.retrieval import (
+        bm25_postings, positional_postings, postings_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   "), (4, "beta")],
+        "doc_id long, text string")
+    post = bm25_postings(docs)
+    assert post.filter("term = ''").count() == 0
+    n_docs, total = postings_stats(post)
+    assert (n_docs, total) == (2, 4)        # docs 1 and 4 only
+    pos = positional_postings(docs)
+    assert pos.filter("term = ''").count() == 0
