@@ -403,3 +403,118 @@ def bitmap_set_cardinalities(a: DataFrame, b: DataFrame) -> DataFrame:
         .alias("or_card"),
         F.sum(F.size(F.array_except("va", "vb"))).cast("long")
         .alias("andnot_card"))
+
+
+# KMV (k-minimum-values) sketch: 60-bit hash space = first 15 hex chars
+# of md5, the weighted_sample hash device — exactly representable
+# numerators for the pinned estimator below.
+KMV_SPACE = 1152921504606846976.0          # 2^60 as a double literal
+
+
+def kmv_state(df: DataFrame, keys: list[str], col: str, *,
+              k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch — the APPROXIMATE
+    set-operations member of the -State/-Merge family, closing it out:
+    sums (SummingMergeTree tier), deterministic HLL
+    (uniq_register_state), histogram quantiles (histogram_state),
+    EXACT set ops (bitmap_state, O(distinct) storage), and now set ops
+    at cardinalities where O(distinct) is impossible — the state is
+    the k SMALLEST 60-bit md5 hashes of the distinct values
+    (Bar-Yossef et al. 2002; the theta/KMV sketch family), O(k) per
+    key forever, and unlike HLL it answers INTERSECTION estimates:
+    for ``h`` in the union's min-k, membership in A's min-k ⇔
+    membership in A itself (at most k−1 union elements precede it), so
+    Jaccard reads off by counting matches (Beyer et al. 2007).
+
+    The state is a pure function of the value set (md5, sorted,
+    truncated), so states, merges and every estimate are identical on
+    any engine, partitioning, or merge order — DuckDB-oracle-able
+    end to end, estimates included. NULLs are excluded (the
+    distinct-count convention).
+
+    Scale: one (keys, h) partial-aggregated dedup shuffle, then a
+    rank-limited window — Spark's WindowGroupLimit keeps only k rows
+    per key on the map side, so the sort never sees the full distinct
+    set. State: ≤ k longs per key regardless of cardinality."""
+    from pyspark.sql import Window as W
+    v = F.col(col)
+    h = F.conv(F.substring(F.md5(v.cast("string")), 1, 15),
+               16, 10).cast("long")
+    d = (df.where(v.isNotNull())
+         .select(*keys, h.alias("h"))
+         .groupBy(*keys, "h").agg(F.lit(1).alias("_one")))
+    w = W.partitionBy(*keys).orderBy("h")
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("h")).alias("kmv")))
+
+
+def kmv_merge(states: DataFrame, keys: list[str], *,
+              k: int = 256) -> DataFrame:
+    """``kmvMerge``: fold stored sketches to a coarser key set — min-k
+    of the union of min-k sketches IS the min-k of the union set
+    (mergeable sketch), via per-key array union + sort + truncate.
+    Associative, commutative, IDEMPOTENT — safe in the streaming
+    state-merge loop with no ledger, like the register and bitmap
+    forms."""
+    return (states.groupBy(*keys)
+            .agg(F.slice(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("kmv")))), 1, k).alias("kmv")))
+
+
+def _kmv_est_e2(kmv: Column, k: int) -> Column:
+    """Pinned KMV estimator in integer hundredths: fewer than k hashes
+    ⇒ the sketch IS the distinct set (exact count); else
+    ``(k−1)·2^60·100 / h_(k)`` — numerator written as the same
+    two-literal double product in the DuckDB oracle ((k−1)·100 ≤ 15
+    bits and 2^60 are both exact, their product correctly rounded
+    identically), one double division, HALF-UP floor."""
+    n = F.size(kmv)
+    hk = F.greatest(F.element_at(kmv, k), F.lit(1))
+    est = F.floor(F.lit(float((k - 1) * 100)) * F.lit(KMV_SPACE) / hk
+                  + F.lit(0.5))
+    return F.when(n < k, (n * 100).cast("long")).otherwise(
+        est.cast("long"))
+
+
+def kmv_estimate(states: DataFrame, keys: list[str], *,
+                 k: int = 256, out_col: str = "est_e2") -> DataFrame:
+    """Read path: fold sketches to the requested keys and report the
+    distinct estimate in integer hundredths — exact below k, relative
+    error ~1/sqrt(k−2) above it (k=256 → ~6%)."""
+    m = kmv_merge(states, keys, k=k)
+    return m.select(*keys, _kmv_est_e2(F.col("kmv"), k).alias(out_col))
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, *,
+                      k: int = 256) -> DataFrame:
+    """Approximate segment set-ops from two stored sketches — the
+    sketch twin of :func:`bitmap_set_cardinalities` for cardinalities
+    where O(distinct) state rows are impossible. ``a``/``b`` are
+    single-segment merged sketches (one row, column ``kmv``). Returns
+    ONE row: per-segment estimates, the union estimate, the Jaccard in
+    integer ten-thousandths, and the intersection estimate
+    (``j × union``) — all from ≤ 3k longs, the segments' raw history
+    and even their full distinct sets never touched.
+
+    Everything after the array ops is pinned integer arithmetic
+    (HALF-UP integer-div devices, the funnel conversion_e4 shape), so
+    the DuckDB oracle reproduces every output bit-for-bit."""
+    j = (a.select(F.col("kmv").alias("ka"))
+         .crossJoin(b.select(F.col("kmv").alias("kb"))))
+    u = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    j = j.select(
+        "ka", "kb", u.alias("u"),
+        F.size(F.array_intersect(F.array_intersect(u, F.col("ka")),
+                                 F.col("kb"))).alias("m"))
+    un_est = _kmv_est_e2(F.col("u"), k)
+    j_e4 = F.expr("(20000 * m + size(u)) div (2 * size(u))")
+    return (j.withColumn("_un", un_est)
+            .select(
+                _kmv_est_e2(F.col("ka"), k).alias("a_est_e2"),
+                _kmv_est_e2(F.col("kb"), k).alias("b_est_e2"),
+                F.col("_un").alias("union_est_e2"),
+                j_e4.cast("long").alias("jaccard_e4"),
+                F.expr("(2 * _un * m + size(u)) div (2 * size(u))")
+                .cast("long").alias("inter_est_e2")))

@@ -368,6 +368,13 @@ _DEMOTED_VARIANTS = [
                               # windowed via uniq_register_rollup,
                               # row-level set algebra via set_ops —
                               # direct demoted registration
+    "kmv_segment_overlap",     # KMV sketch set-op estimates — the
+                              # approximate twin of
+                              # segment_bitmap_overlap (same windowed
+                              # segments, O(k) states); -State/-Merge
+                              # class windowed via
+                              # uniq_register_rollup — direct demoted
+                              # registration
 ]
 
 

@@ -2156,3 +2156,86 @@ def segment_bitmap_overlap(spark, sf_dir):
                     F.lit("purchase").alias("b_seg"),
                     "a_card", "b_card", "and_card", "or_card",
                     "andnot_card"))
+
+
+@_q(
+    "kmv_segment_overlap",
+    """
+    WITH a_h AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-02'),
+    b_h AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-29'),
+    a_k AS (SELECT h FROM a_h ORDER BY h LIMIT 32),
+    b_k AS (SELECT h FROM b_h ORDER BY h LIMIT 32),
+    u_k AS (SELECT h FROM (SELECT h FROM a_k UNION SELECT h FROM b_k)
+            ORDER BY h LIMIT 32),
+    est AS (
+      SELECT
+        (SELECT CASE WHEN count(*) < 32 THEN count(*) * 100
+                ELSE CAST(floor(3100.0 * 1152921504606846976.0
+                                / greatest(max(h), 1) + 0.5) AS BIGINT)
+                END FROM a_k) AS a_est_e2,
+        (SELECT CASE WHEN count(*) < 32 THEN count(*) * 100
+                ELSE CAST(floor(3100.0 * 1152921504606846976.0
+                                / greatest(max(h), 1) + 0.5) AS BIGINT)
+                END FROM b_k) AS b_est_e2,
+        (SELECT CASE WHEN count(*) < 32 THEN count(*) * 100
+                ELSE CAST(floor(3100.0 * 1152921504606846976.0
+                                / greatest(max(h), 1) + 0.5) AS BIGINT)
+                END FROM u_k) AS union_est_e2,
+        (SELECT count(*) FROM u_k
+         WHERE h IN (SELECT h FROM a_k)
+           AND h IN (SELECT h FROM b_k)) AS m,
+        (SELECT count(*) FROM u_k) AS nu)
+    SELECT 'click' AS a_seg, 'purchase' AS b_seg,
+           a_est_e2, b_est_e2, union_est_e2,
+           CAST((20000 * m + nu) // (2 * nu) AS BIGINT) AS jaccard_e4,
+           CAST((2 * union_est_e2 * m + nu) // (2 * nu) AS BIGINT)
+             AS inter_est_e2
+    FROM est
+    """,
+    doc="KMV (k-minimum-values) sketch segment overlap (operators/"
+        "rollup.py:kmv_state/kmv_merge/kmv_set_estimates) — the "
+        "APPROXIMATE twin of segment_bitmap_overlap on the IDENTICAL "
+        "time-windowed segments, and the -State/-Merge family's last "
+        "member: O(k)-per-key states (the k smallest 60-bit md5 hashes "
+        "of the distinct values — Bar-Yossef 2002, Beyer 2007) that, "
+        "unlike HLL, answer INTERSECTION/Jaccard estimates: an element "
+        "of the union's min-k belongs to A iff it's in A's min-k, so "
+        "matches read off by array intersection. The whole read — "
+        "estimates included — is pinned arithmetic (exact below k; one "
+        "double division of two exactly-representable values, HALF-UP; "
+        "integer-div e4 devices), hence this full-value oracle: DuckDB "
+        "reproduces the ESTIMATES bit-for-bit, not just the sketch. "
+        "Registered as a demoted variant (the -State/-Merge class is "
+        "windowed via uniq_register_rollup; exact set ops via "
+        "segment_bitmap_overlap's class twin set_ops). Scale: state "
+        "build is one (key, hash) dedup shuffle + a WindowGroupLimit "
+        "rank (k rows/key survive map-side); the overlap touches 3k "
+        "longs — segment overlap at 10^10 users, where the bitmap's "
+        "O(distinct) store is impossible.",
+)
+def kmv_segment_overlap(spark, sf_dir):
+    from ..operators.rollup import kmv_merge, kmv_set_estimates, kmv_state
+    k = 32
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id")
+    st = kmv_state(ev, ["event_type", "d"], "user_id", k=k)
+    st = st.localCheckpoint(eager=False)   # stored-state stand-in
+    a = kmv_merge(
+        st.filter((F.col("event_type") == "click")
+                  & (F.col("d") < "2024-01-02")), [], k=k).select("kmv")
+    b = kmv_merge(
+        st.filter((F.col("event_type") == "purchase")
+                  & (F.col("d") >= "2024-01-29")), [], k=k).select("kmv")
+    return (kmv_set_estimates(a, b, k=k)
+            .select(F.lit("click").alias("a_seg"),
+                    F.lit("purchase").alias("b_seg"),
+                    "a_est_e2", "b_est_e2", "union_est_e2",
+                    "jaccard_e4", "inter_est_e2"))

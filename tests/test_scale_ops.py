@@ -374,3 +374,58 @@ def test_uniq_register_state_ignores_nulls(spark):
     only_null = spark.range(5).select(
         F.lit("x").alias("k"), F.lit(None).cast("string").alias("v"))
     assert uniq_register_state(only_null, ["k"], "v").count() == 0
+
+
+def test_kmv_state_merge_estimates_and_set_ops(spark):
+    """KMV sketch family: (1) states built per sub-key fold to EXACTLY
+    the direct build (min-k of a union of min-k's is min-k of the
+    union); (2) below-k sketches count exactly; (3) above-k estimates
+    land within the ~1/sqrt(k-2) envelope; (4) set estimates: the
+    match rule (h in union-min-k present in both sketches) reproduces
+    the true Jaccard within the KMV error envelope on planted
+    overlapping sets."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import (
+        kmv_estimate, kmv_merge, kmv_set_estimates, kmv_state)
+
+    k = 64
+    sa = set(range(0, 1200))                      # |A| = 1200
+    sb = set(range(800, 2400))                    # |B| = 1600, |A∩B| = 400
+    rows = ([("a", i % 3, v) for v in sa for i in range(2)]
+            + [("b", i % 3, v) for v in sb for i in range(2)])
+    df = spark.createDataFrame(rows, "seg string, sub int, v long")
+
+    st = kmv_state(df, ["seg", "sub"], "v", k=k)
+    direct = kmv_state(df, ["seg"], "v", k=k)
+    folded = kmv_merge(st, ["seg"], k=k)
+    assert ({(r["seg"], tuple(r["kmv"])) for r in folded.collect()}
+            == {(r["seg"], tuple(r["kmv"])) for r in direct.collect()})
+
+    # below-k: exact
+    small = spark.createDataFrame([("s", v) for v in range(10)],
+                                  "seg string, v long")
+    est = kmv_estimate(kmv_state(small, ["seg"], "v", k=k),
+                       ["seg"], k=k).collect()[0]["est_e2"]
+    assert est == 1000                             # 10 exact, in e2
+
+    # above-k: within 4 standard errors
+    tol = 4.0 / math.sqrt(k - 2)
+    ests = {r["seg"]: r["est_e2"] / 100.0
+            for r in kmv_estimate(st, ["seg"], k=k).collect()}
+    assert abs(ests["a"] - len(sa)) / len(sa) < tol
+    assert abs(ests["b"] - len(sb)) / len(sb) < tol
+
+    a = folded.filter(F.col("seg") == "a").select("kmv")
+    b = folded.filter(F.col("seg") == "b").select("kmv")
+    got = kmv_set_estimates(a, b, k=k).collect()[0]
+    true_j = len(sa & sb) / len(sa | sb)
+    true_u = len(sa | sb)
+    assert abs(got["union_est_e2"] / 100.0 - true_u) / true_u < tol
+    # Jaccard: binomial error on m/k around true_j
+    assert abs(got["jaccard_e4"] / 10000.0 - true_j) < 4 * math.sqrt(
+        true_j * (1 - true_j) / k)
+    assert abs(got["inter_est_e2"] / 100.0 - len(sa & sb)) \
+        / len(sa & sb) < 2.5 * tol
