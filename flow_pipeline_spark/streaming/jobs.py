@@ -1206,6 +1206,29 @@ def start_bitmap_state_stream(events_stream: DataFrame, store_dir: str,
         merge_fn=merge, trigger=trigger)
 
 
+def start_kmv_state_stream(events_stream: DataFrame, store_dir: str,
+                           checkpoint_dir: str, *, keys: list[str],
+                           value_col: str, k: int = 256,
+                           trigger: dict | None = None) -> StreamingQuery:
+    """Continuously-maintained KMV sketch store — the O(k)-per-key
+    sibling of :func:`start_bitmap_state_stream` for cardinalities
+    where exact distinct sets can't persist: each micro-batch's min-k
+    hash sketches union-truncate into the stored (keys…, kmv) table,
+    so live panels read distinct ESTIMATES (``kmv_estimate``) and
+    segment union/Jaccard/intersection estimates
+    (``kmv_set_estimates``) from the store. Min-k merge is
+    associative, commutative and IDEMPOTENT — replay cannot change the
+    store; exactly-once from the algebra, no ledger."""
+    from ..operators.rollup import kmv_merge, kmv_state
+
+    return _start_state_merge_stream(
+        events_stream, store_dir, checkpoint_dir,
+        state_fn=lambda b: kmv_state(b, keys, value_col, k=k),
+        merge_fn=lambda base, delta: kmv_merge(
+            base.unionByName(delta), keys, k=k),
+        trigger=trigger)
+
+
 def _start_state_merge_stream(events_stream: DataFrame, store_dir: str,
                               checkpoint_dir: str, *, state_fn, merge_fn,
                               trigger: dict | None = None) -> StreamingQuery:

@@ -312,3 +312,28 @@ def test_gapfill_grid_is_narrow_generator(plans):
     # raw events shuffle at most twice (bounds agg + bucket agg);
     # everything above runs on aggregated rows
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_kmv_state_build_keeps_k_rows_per_key_map_side(spark):
+    """KMV sketch build: the min-k rank must compile to WindowGroupLimit
+    with the Partial stage BELOW the key exchange — only k rows per key
+    per input partition ever shuffle, so the build never materializes a
+    key's full distinct-hash set (the property that makes O(k) states
+    buildable over 10^10-distinct columns). Pinned on the state build
+    itself: the registered overlap query localCheckpoints the state
+    table (the stored-state stand-in), which hides the build behind a
+    Scan ExistingRDD in ITS plan."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import kmv_state
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.col("id").alias("v"))
+    p = _executed_plan(kmv_state(df, ["k"], "v", k=64))
+    assert "WindowGroupLimit [k" in p
+    assert ", Partial" in p and ", Final" in p
+    # Partial limit must appear below (after, in printed order) the key
+    # exchange line it feeds
+    ex = p.index("Exchange hashpartitioning(k")
+    assert ", Partial" in p[ex:]

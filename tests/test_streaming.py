@@ -1482,3 +1482,47 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
     os.rename(store, store + "._swap_old")
     _recover_swap(store)
     assert os.path.isdir(store) and not os.path.isdir(store + "._swap_old")
+
+
+def test_kmv_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
+    """start_kmv_state_stream: the store after three epochs is
+    byte-identical to a single batch kmv_state build (min-k union
+    merge), and replaying everything into the store changes nothing."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.rollup import kmv_state
+    from flow_pipeline_spark.streaming.jobs import start_kmv_state_stream
+
+    k = 16
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"))
+    src = f"{tmpdir}/kmv_src"
+    for i in range(3):
+        spark.range(2000).filter(F.col("id") % 3 == i).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 700).alias("v")) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    store = f"{tmpdir}/kmv_store"
+    schema = spark.read.parquet(src).schema
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_kmv_state_stream(stream, store, ck, keys=["g"],
+                                   value_col="v", k=k,
+                                   trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/kmv_ck1")
+    want = {(r["g"], tuple(r["kmv"]))
+            for r in kmv_state(df, ["g"], "v", k=k).collect()}
+    got = {(r["g"], tuple(r["kmv"]))
+           for r in spark.read.parquet(store).collect()}
+    assert got == want
+
+    run(f"{tmpdir}/kmv_ck2")              # full replay, fresh checkpoint
+    again = {(r["g"], tuple(r["kmv"]))
+             for r in spark.read.parquet(store).collect()}
+    assert again == want
