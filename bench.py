@@ -146,6 +146,36 @@ def _await_write_headroom(baseline_mbps: float, retries: int = 10,
     return cal, waited
 
 
+def _settled_calibration(io_baseline: float, probes: int = 4,
+                         sleep_s: int = 10,
+                         size_mb: int = 128) -> tuple[float, list[float]]:
+    """Closing calibration for a write-bound section, with a short
+    settle window: a single probe right after the section routinely
+    reads the bench's OWN aftermath — page-cache writeback of the
+    section's output and, on cloud volumes, burst-credit depletion from
+    the section's writes — indistinguishable in one sample from a
+    neighbor's burst. They differ in DURATION: self-inflicted pressure
+    drains in seconds; a real neighbor burst holds for minutes (the
+    recorded traces show both). So probe up to ``probes`` times,
+    ``sleep_s`` apart, returning early once the disk clears baseline/2;
+    publish the MAX with the full trace. The r05e decode section failed
+    its closing gate on ALL THREE attempts this way — samples at the r3
+    level, floor 1.26, cal_before recovered every time — a permanent
+    false contamination verdict on this host before this settle
+    window."""
+    trace = []
+    best = 0.0
+    for i in range(probes):
+        if i:
+            time.sleep(sleep_s)
+        v = _io_calibration(size_mb)
+        trace.append(v)
+        best = max(best, v)
+        if v >= io_baseline / 2:
+            break
+    return best, trace
+
+
 def _pick_attempt(attempts: list[dict], io_baseline: float
                   ) -> tuple[dict, bool]:
     """Select which warm attempt to PUBLISH. The retry loop keeps every
@@ -262,13 +292,14 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             for _ in range(5):
                 warm_load.append(round(os.getloadavg()[0], 1))
                 warm.append(run_ingest())
-            cal_after = _io_calibration(128)
+            cal_after, cal_trace = _settled_calibration(io_baseline)
             lo, med, peak = (min(warm), statistics.median(warm),
                              max(warm))
             attempts.append({
                 "samples": [round(x) for x in warm],
                 "load1_at_start": warm_load,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
+                "io_cal_after_trace": cal_trace,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})
             if med <= 2 * lo and cal_after >= io_baseline / 2:
                 break
@@ -325,12 +356,13 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
             dec_warm = [run_decode() for _ in range(3)]
-            cal_after = _io_calibration(128)
+            cal_after, cal_trace = _settled_calibration(io_baseline)
             lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
                              max(dec_warm))
             dec_attempts.append({
                 "samples": [round(x) for x in dec_warm],
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
+                "io_cal_after_trace": cal_trace,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})
             if med <= 2 * lo and cal_after >= io_baseline / 2:
                 break
@@ -422,11 +454,12 @@ def main() -> None:
             query_load.setdefault(name, round(os.getloadavg()[0], 1))
             pass_t[name] = round(
                 _steady(lambda: QUERIES[name].spark(spark, SF_DIR)), 3)
-        cal_after = _io_calibration(128)
+        cal_after, cal_trace = _settled_calibration(io_baseline)
         for name, dt in pass_t.items():
             timings[name] = min(timings.get(name, float("inf")), dt)
         query_passes.append({
             "io_cal_before": cal_before, "io_cal_after": cal_after,
+            "io_cal_after_trace": cal_trace,
             "total": round(sum(pass_t.values()), 3)})
         if cal_after >= io_baseline / 2:
             break
