@@ -429,3 +429,43 @@ def test_kmv_state_merge_estimates_and_set_ops(spark):
         true_j * (1 - true_j) / k)
     assert abs(got["inter_est_e2"] / 100.0 - len(sa & sb)) \
         / len(sa & sb) < 2.5 * tol
+
+
+def test_kmv_state_matches_python_reference_randomized(spark):
+    """Independent-oracle discipline (the codec's hypothesis pattern,
+    batched): across randomized value sets, the Spark-built sketch
+    equals a pure-Python KMV built with hashlib — state arrays AND the
+    pinned estimator, byte-for-byte."""
+    import hashlib
+    import math
+    import random
+
+    from flow_pipeline_spark.operators.rollup import (
+        kmv_estimate, kmv_state)
+
+    k = 24
+    rng = random.Random(20260815)
+    cases = []
+    for i in range(5):
+        n = rng.randrange(3, 900)
+        vals = {rng.randrange(0, 10**6) for _ in range(n)}
+        cases.append((str(i), vals))
+
+    rows = [(g, v) for g, vs in cases for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got_state = {r["g"]: list(r["kmv"])
+                 for r in kmv_state(df, ["g"], "v", k=k).collect()}
+    got_est = {r["g"]: r["est_e2"]
+               for r in kmv_estimate(kmv_state(df, ["g"], "v", k=k),
+                                     ["g"], k=k).collect()}
+
+    for g, vs in cases:
+        hs = sorted(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                    for v in vs)[:k]
+        assert got_state[g] == hs, g
+        if len(hs) < k:
+            want = len(hs) * 100
+        else:
+            want = math.floor((k - 1) * 100.0 * float(1 << 60) / hs[-1]
+                              + 0.5)
+        assert got_est[g] == want, g
