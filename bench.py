@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "props_json_panel",      # JSON extraction fused into the scan
     "cdc_latest_state",      # ReplacingMergeTree compaction (WindowGroupLimit)
     "time_gapfill",          # WITH FILL densification (per-key grid + LOCF)
+    "segment_bitmap_overlap",  # exact state-tier set ops (groupBitmap)
+    "kmv_segment_overlap",   # O(k)-sketch twin (min-k WindowGroupLimit build)
 ]
 
 
