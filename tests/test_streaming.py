@@ -28,6 +28,23 @@ from flow_pipeline_spark.streaming.metrics import MetricsListener
 N = 6000
 
 
+def _await_done(q, timeout: int = 1200) -> None:
+    """Block until an availableNow stream actually TERMINATES — a bare
+    awaitTermination(t) returning on timeout lets the test read a store
+    mid-epoch (observed once under full-suite load as a read of a
+    directory the swap had just renamed). Assert, don't proceed. The
+    timeout is generous on purpose: this host's neighbor bursts slow a
+    normally-30s stream several-fold, and a slow PASS beats a flake —
+    the assert exists to turn a hung/mid-run read into a clear error,
+    not to police wall time."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(
+            f"stream still running after {timeout}s — host overloaded "
+            f"or the trigger never drained; refusing to read its sink")
+
+
+
 @pytest.fixture(scope="module")
 def tmpdir():
     d = tempfile.mkdtemp(prefix="fps_stream_")
@@ -50,7 +67,7 @@ def test_raw_persist_mv(spark, tmpdir, flow_source):
     src, stream = flow_source
     out, ckpt = f"{tmpdir}/flows_raw", f"{tmpdir}/ckpt_raw"
     q = start_raw_persist(stream, out, ckpt, trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = spark.read.parquet(out)
     assert got.count() == N
     # Date partition column present and pruning-capable
@@ -75,7 +92,7 @@ def test_enriched_persist_stream_matches_batch(spark, tmpdir, flow_source):
     out, ckpt = f"{tmpdir}/flows_enr", f"{tmpdir}/ckpt_enr"
     q = start_enriched_persist(stream, dim, out, ckpt,
                                trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = spark.read.parquet(out)
     assert got.count() == N
     for c in ("SrcCountry", "DstCountry", "SrcASDB", "DstASDB"):
@@ -102,7 +119,7 @@ def test_rollup_stream_and_compaction(spark, tmpdir, flow_source):
     rollup_dir, ckpt = f"{tmpdir}/flows_5m", f"{tmpdir}/ckpt_5m"
     q = start_rollup_stream(stream, rollup_dir, ckpt,
                             trigger={"availableNow": True})
-    q.awaitTermination(180)
+    _await_done(q)
 
     batch_rollup = rollup_flat(flows_raw(spark.read.parquet(src)))
     partials = spark.read.parquet(rollup_dir)
@@ -212,6 +229,11 @@ def test_stateful_count_flush(spark, tmpdir):
     out = count_or_time_flush(stream, flush_count=500, flush_ms=60_000)
     q = (out.writeStream.format("memory").queryName("flush_batches")
          .outputMode("append").trigger(availableNow=True).start())
+    # NOT _await_done: a stateful query holding registered 60s timers
+    # does not terminate when its data drains, and stopping it mid-
+    # trigger can abort a state-file commit — the ORIGINAL bounded wait
+    # (drain the finite source, leave the query to session teardown) is
+    # the empirically stable form for this one test.
     q.awaitTermination(120)
 
     got = spark.sql("SELECT * FROM flush_batches").toPandas()
@@ -286,7 +308,7 @@ def test_watermarked_rollup_stream(spark, tmpdir):
     q = start_rollup_stream_watermarked(
         stream, out_dir, f"{tmpdir}/wm_ckpt",
         lateness="10 minutes", trigger={"availableNow": True})
-    q.awaitTermination(180)
+    _await_done(q)
 
     got = spark.read.parquet(out_dir)
     want = rollup_flat(flows_raw(spark.read.parquet(src)))
@@ -327,7 +349,7 @@ def test_watermarked_rollup_drops_late(spark, tmpdir):
         q = start_rollup_stream_watermarked(
             stream, out_dir, ckpt,
             lateness="2 minutes", trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run_once()
     n_after_first = spark.read.parquet(out_dir).count()
@@ -372,7 +394,7 @@ def test_dedup_stream_suppresses_redelivery(spark, tmpdir):
               .option("maxFilesPerTrigger", 1).parquet(src))
     q = start_dedup_stream(stream, out_dir, ckpt,
                            trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
 
     got = spark.read.parquet(out_dir)
     assert got.count() == 4000
@@ -417,7 +439,7 @@ def test_session_stream_matches_batch(spark, tmpdir):
     q = start_session_stream(stream, out_dir, ckpt, gap="10 minutes",
                              lateness="2 days",
                              trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
 
     got = (spark.read.parquet(out_dir)
            .filter(F.col("session_start") < F.to_timestamp(
@@ -517,7 +539,7 @@ def test_transactional_inserter_zero_dupes_across_restart(spark, tmpdir):
         q = start_transactional_inserter(
             stream, lambda: duckdb.connect(db), "flows_pg", ckpt,
             trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run_once()
     con = duckdb.connect(db)
@@ -565,7 +587,7 @@ def test_document_qc_stream_matches_batch_gates(spark, tmpdir):
     out, ckpt = f"{tmpdir}/qc_out", f"{tmpdir}/qc_ckpt"
     q = start_document_qc_stream(stream, out, ckpt,
                                  trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = spark.read.parquet(out)
 
     batch = (docs.withColumn("text", scrub_pii(F.col("text")))
@@ -614,7 +636,7 @@ def test_document_qc_stream_drops_history(spark, tmpdir):
     out, ckpt = f"{tmpdir}/qch_out", f"{tmpdir}/qch_ckpt"
     q = start_document_qc_stream(stream, out, ckpt, history=history,
                                  trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = spark.read.parquet(out)
 
     gates = (stream_docs.withColumn("text", scrub_pii(F.col("text")))
@@ -670,7 +692,7 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmpdir):
     q = start_drift_monitor_stream(stream, ref_counts, bin_col, 10,
                                    out, ckpt,
                                    trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
 
     rows = spark.read.parquet(out).collect()
     got = {r["batch_id"]: r["psi_e6"] for r in rows}
@@ -714,7 +736,7 @@ def test_document_qc_stream_bloom_history_gate(spark, tmpdir):
     out, ckpt = f"{tmpdir}/qcb_out", f"{tmpdir}/qcb_ckpt"
     q = start_document_qc_stream(stream, out, ckpt, history_bloom=bloom,
                                  trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = {r[0] for r in
            spark.read.parquet(out).select("doc_id").collect()}
     assert not any(i >= 100000 for i in got), "a replay escaped the bloom"
@@ -763,7 +785,7 @@ def test_document_qc_stream_span_scrub_matches_batch(spark, tmpdir):
     out, ckpt = f"{tmpdir}/qcsp_out", f"{tmpdir}/qcsp_ckpt"
     q = start_document_qc_stream(stream, out, ckpt, span_scrub_k=8,
                                  trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = spark.read.parquet(out)
     # foreachBatch epoch sink: extra partition column, one epoch here
     assert "epoch" in got.columns
@@ -1015,7 +1037,7 @@ def test_staged_inserter_zero_dupes_across_restart(spark, tmpdir, transport):
         q = start_transactional_inserter(
             stream, con_factory, "flows_pg", ckpt,
             trigger={"availableNow": True}, **kwargs)
-        q.awaitTermination(120)
+        _await_done(q)
 
     run_once()
     assert count("SELECT count(*) FROM flows_pg") == 3000
@@ -1084,7 +1106,7 @@ def test_document_qc_stream_semantic_gate_matches_batch(spark, tmpdir,
         semantic_threshold=0.98,
         semantic_driver_max_store_rows=max_store,
         trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
     got = {r[0] for r in
            spark.read.parquet(out).select("doc_id").collect()}
 
@@ -1145,7 +1167,7 @@ def test_interval_join_stream_matches_batch(spark, tmpdir):
                                    key="user_id", band="3 minutes",
                                    lateness="1 day",
                                    trigger={"availableNow": True})
-    q.awaitTermination(180)
+    _await_done(q)
 
     got = spark.read.parquet(out_dir)
     r_ren = right.select(*[F.col(c).alias(f"r_{c}")
@@ -1209,7 +1231,7 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmpdir):
                                    lateness="10 minutes",
                                    how="left_outer",
                                    trigger={"availableNow": True})
-    q.awaitTermination(180)
+    _await_done(q)
 
     got = (spark.read.parquet(out_dir)
            .filter(F.col("ts") < F.timestamp_seconds(
@@ -1259,7 +1281,7 @@ def test_funnel_stream_matches_batch(spark, tmpdir):
                             steps=["view", "click", "purchase"],
                             horizon_secs=86_400,
                             trigger={"availableNow": True})
-    q.awaitTermination(180)
+    _await_done(q)
 
     log = spark.read.parquet(out_dir)
     # no (user, stage) pair emitted twice
@@ -1307,7 +1329,7 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
     q = start_cdc_stream(stream, store, ckpt, keys=["k"],
                          order_cols=["ts", "eid"],
                          trigger={"availableNow": True})
-    q.awaitTermination(120)
+    _await_done(q)
 
     live = {r["k"]: r for r in
             read_cdc_store(spark, store, deleted_col="del").collect()}
@@ -1354,7 +1376,7 @@ def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
         q = start_uniq_state_stream(stream, store, ck, keys=["k"],
                                     value_col="v",
                                     trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run(ckpt)
     stored = spark.read.parquet(store)
@@ -1402,7 +1424,7 @@ def test_bitmap_state_stream_matches_batch_and_overlap(spark, tmpdir):
         q = start_bitmap_state_stream(stream, store, ck, keys=["seg"],
                                       value_col="v", chunk_bits=4,
                                       trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run(f"{tmpdir}/bm_ckpt")
     want = {(r["seg"], r["chunk"], tuple(r["vals"]))
@@ -1457,7 +1479,7 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
         q = start_bitmap_state_stream(stream, store, ck, keys=["seg"],
                                       value_col="v", chunk_bits=4,
                                       trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run(f"{tmpdir}/ck1")
 
@@ -1513,7 +1535,7 @@ def test_kmv_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
         q = start_kmv_state_stream(stream, store, ck, keys=["g"],
                                    value_col="v", k=k,
                                    trigger={"availableNow": True})
-        q.awaitTermination(120)
+        _await_done(q)
 
     run(f"{tmpdir}/kmv_ck1")
     want = {(r["g"], tuple(r["kmv"]))
