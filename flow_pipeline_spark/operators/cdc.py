@@ -46,7 +46,9 @@ def latest_state(log: DataFrame, keys: list[str], order_cols: list[str],
     unique id last to pin ties). With ``deleted_col`` naming a boolean
     column, a key whose WINNING row is a tombstone disappears entirely
     (ClickHouse's ``is_deleted`` form; DELETE in a CDC feed) — an
-    older live row never resurrects a deleted key.
+    older live row never resurrects a deleted key. A NULL flag counts
+    as LIVE (``coalesce(_, false)``): feeds that only stamp the flag on
+    tombstones don't silently lose their un-stamped keys.
 
     Scale: one key-partitioned window (rank-1 filter compiles to a
     WindowGroupLimit pushdown in Spark 3.5+, so only the per-key top
@@ -55,7 +57,7 @@ def latest_state(log: DataFrame, keys: list[str], order_cols: list[str],
     out = (log.withColumn("__rn", F.row_number().over(w))
            .filter(F.col("__rn") == 1).drop("__rn"))
     if deleted_col is not None:
-        out = out.filter(~F.col(deleted_col))
+        out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     return out
 
 

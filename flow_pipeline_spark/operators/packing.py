@@ -255,8 +255,11 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int, *,
     downsample a corpus proportionally to a quality/importance score:
     each row draws u ∈ (0, 1] from md5(key||salt) (the repo's
     deterministic-uniform device: first 15 hex chars + 1 over 2^60 —
-    the numerator is exactly representable and the divisor is a power
-    of two, so u is bit-identical on any engine) and ranks by
+    the numerator ranges to 2^60 so its long→double conversion ROUNDS
+    above 2^53; u is bit-identical on any engine because IEEE-754
+    prescribes ONE correctly-rounded result for that conversion and
+    the power-of-two divide is exact, not because u is exactly
+    representable) and ranks by
     ``-ln(u)/w``; the k SMALLEST keys win (equivalently the largest
     u^(1/w) — inclusion probability proportional to weight). The rank
     key is pinned HALF-UP at integer millionths before ranking (the

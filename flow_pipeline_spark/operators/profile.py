@@ -28,11 +28,16 @@ def profile_columns(df: DataFrame,
     float formatting; integer/string/date columns render identically
     everywhere).
 
-    Scale: ONE pass — every column's aggregates compute in a single
-    partial+final aggregate over one scan (count_distinct is the exact
-    form; swap approx_count_distinct per column at 100 TB, the
-    approx_distinct_users trade); the per-column rows then unpivot
-    driver-side from the 1-row aggregate."""
+    Scale: ONE scan, but NOT one-row-per-input work — multiple exact
+    ``countDistinct`` aggregates in one ``agg`` compile to an Expand
+    node that replicates every input row once per distinct column
+    (N columns → N+1-way row expansion before the partial aggregate).
+    Results are exact and the scan count stays 1; the CPU/shuffle cost
+    grows with the column count. At 100 TB (or wide profiles) swap
+    ``approx_count_distinct`` per column — HLL sketches fuse into one
+    un-expanded aggregate — the approx_distinct_users trade; the
+    per-column rows then unpivot driver-side from the 1-row
+    aggregate."""
     cols = cols or df.columns
     # aliases are POSITIONAL tokens (never derived from column names) and
     # source columns are referenced through backtick-escaped F.col — no

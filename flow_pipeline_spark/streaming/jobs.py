@@ -148,11 +148,19 @@ def _swap_in(store_dir: str, write_tmp) -> None:
     idiom): ``write_tmp(tmp_path)`` materializes the new snapshot into
     a sibling tmp dir (use ``mode("overwrite")`` so a leftover partial
     tmp from a crashed attempt is clobbered), then two renames swap it
-    in. Concurrent readers never observe partial state; a crash at ANY
-    point leaves a state :func:`_recover_swap` repairs, and because
-    every caller's merge is idempotent (latest-version compaction,
-    register max, set union) the replayed epoch converges to the same
-    store."""
+    in. Readers never observe PARTIAL state (the tmp dir only becomes
+    the store after a complete write), but the window between the two
+    renames — and, after a crash inside it, the gap until the next
+    :func:`_recover_swap` — has NO store directory at all: a concurrent
+    reader gets a transient FileNotFound and should call
+    :func:`_recover_swap` first and/or retry (the in-repo read paths,
+    e.g. :func:`read_cdc_store`/:func:`read_state_store`, do). A crash
+    at ANY point leaves a state :func:`_recover_swap` repairs, and
+    because every caller's merge is idempotent (latest-version
+    compaction, register max, set union) the replayed epoch converges
+    to the same store. A truly gap-free swap needs a version-pointer
+    indirection (write vN, flip a pointer file); at one swap per epoch
+    the recover-on-read contract is the simpler sufficient form."""
     import shutil
     _recover_swap(store_dir)
     tmp = store_dir.rstrip("/") + "._swap_tmp"
@@ -426,11 +434,20 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
 
     The staging write is idempotent (``mode("overwrite")`` recreates the
     stage table per attempt), and the same staged-vs-inserted row-count
-    guard aborts BEFORE the ledger mark on any mismatch. The driver-side
-    transaction runs over ``java.sql`` through the live SparkSession's
-    JVM gateway, so one code path serves embedded Derby (in-repo e2e
-    test — the jar ships with Spark) and a networked Postgres (swap the
-    URL + driver class; the SQL is ANSI).
+    guard aborts BEFORE the ledger mark on any mismatch. A replayed
+    epoch is detected by a cheap ledger SELECT *before* the staging
+    write, so replay skips the full distributed stage entirely (and
+    drops any leftover stage table from the crashed attempt) — the
+    in-transaction ledger re-check stays as the authoritative gate.
+    The driver-side transaction runs over ``java.sql`` through the live
+    SparkSession's JVM gateway, so one code path serves embedded Derby
+    (in-repo e2e test — the jar ships with Spark) and a networked
+    Postgres (swap the URL + driver class; the SQL is ANSI).
+
+    The stage table name defaults to ``{table}_stage`` and is a POINT OF
+    CONTENTION: two concurrent streams targeting the same table MUST
+    pass distinct ``stage_table`` names (e.g. suffixed with the query
+    name), or their overwrites will clobber each other's staged rows.
 
     ``create_table_column_types`` passes through to the Spark JDBC
     writer's option of the same name (e.g. ``"src_ip VARCHAR(64)"``) —
@@ -449,15 +466,6 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
         jvm = spark._sc._jvm
         if driver:
             jvm.java.lang.Class.forName(driver)
-        if has_rows:
-            w = (batch_df.write.format("jdbc").mode("overwrite")
-                 .option("url", jdbc_url).option("dbtable", stage))
-            if driver:
-                w = w.option("driver", driver)
-            if create_table_column_types:
-                w = w.option("createTableColumnTypes",
-                             create_table_column_types)
-            w.save()
         conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
         try:
             # ledger DDL runs in its OWN auto-committed statement BEFORE
@@ -477,6 +485,35 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
                     raise
             finally:
                 st0.close()
+            # cheap pre-check BEFORE the distributed staging write: a
+            # replayed epoch skips the full stage rewrite (and clears the
+            # crashed attempt's leftover stage table). Advisory only —
+            # the in-transaction re-check below stays authoritative.
+            st0 = conn.createStatement()
+            try:
+                rs = st0.executeQuery(
+                    f'SELECT count(*) FROM {ledger} '
+                    f'WHERE "batch_id" = {int(batch_id)}')
+                rs.next()
+                already = rs.getLong(1) > 0
+                rs.close()
+                if already:
+                    try:  # stage hygiene from the crashed attempt
+                        st0.executeUpdate(f"DROP TABLE {stage}")
+                    except Exception:
+                        pass
+                    return
+            finally:
+                st0.close()
+            if has_rows:
+                w = (batch_df.write.format("jdbc").mode("overwrite")
+                     .option("url", jdbc_url).option("dbtable", stage))
+                if driver:
+                    w = w.option("driver", driver)
+                if create_table_column_types:
+                    w = w.option("createTableColumnTypes",
+                                 create_table_column_types)
+                w.save()
             conn.setAutoCommit(False)
             st = conn.createStatement()
 
@@ -1130,11 +1167,31 @@ def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
 def read_cdc_store(spark: SparkSession, store_dir: str,
                    deleted_col: str | None = None) -> DataFrame:
     """Reader view of the CDC store: the live rows (tombstones
-    filtered) — the FINAL-semantics read of the Replacing view."""
+    filtered) — the FINAL-semantics read of the Replacing view.
+
+    Repairs a crashed mid-swap store first (:func:`_recover_swap`), so
+    a reader arriving after a writer crash between the two swap renames
+    sees the intact superseded snapshot instead of FileNotFound. A
+    reader RACING a live swap can still catch the instant between the
+    renames — retry on FileNotFound (see :func:`_swap_in`).
+
+    A NULL ``deleted_col`` value counts as live (``coalesce(_, false)``)
+    — a feed that only stamps the flag on tombstones doesn't silently
+    drop its un-stamped keys."""
+    _recover_swap(store_dir)
     df = spark.read.parquet(store_dir)
     if deleted_col is not None:
-        df = df.filter(~F.col(deleted_col))
+        df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     return df
+
+
+def read_state_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Reader view of any swap-managed state store (uniq/bitmap/KMV):
+    repairs a crashed mid-swap directory, then reads it. Use this (not
+    a bare ``read.parquet``) so a writer crash between the swap renames
+    cannot surface as FileNotFound to dashboards."""
+    _recover_swap(store_dir)
+    return spark.read.parquet(store_dir)
 
 
 def start_uniq_state_stream(events_stream: DataFrame, store_dir: str,

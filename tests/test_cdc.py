@@ -56,6 +56,25 @@ def test_latest_state_without_tombstones_keeps_all_keys(log):
     assert out.count() == 4                      # one row per key
 
 
+def test_latest_state_null_tombstone_flag_counts_as_live(spark):
+    """A feed that only stamps the deleted flag on tombstones (NULL
+    elsewhere) must not lose its un-stamped keys: NULL == live. Under a
+    bare ``~col`` filter NULL evaluates to NULL and the row silently
+    drops — the coalesce(_, false) form keeps it."""
+    rows = [
+        ("A", _ts(1), 1, "x", None),    # live, flag never stamped
+        ("B", _ts(1), 2, "x", None),
+        ("B", _ts(2), 3, "x", True),    # stamped tombstone still deletes
+        ("C", _ts(1), 4, "x", False),   # explicit live
+    ]
+    log = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid long, state string, del boolean")
+    out = {r["k"] for r in
+           latest_state(log, ["k"], ["ts", "eid"], deleted_col="del")
+           .collect()}
+    assert out == {"A", "C"}
+
+
 def test_collapse_signs_cancellation_and_state(spark):
     rows = [
         # key A: +1, cancel, +1 (new state) -> net 1, state "a2"

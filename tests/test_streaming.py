@@ -976,6 +976,20 @@ def test_staged_jdbc_writer_survives_epoch_rerun(spark, tmpdir):
         conn, 'SELECT count(*) FROM flows_pg WHERE "batch_id" = 9') == 500
     assert _derby_one(
         conn, "SELECT count(*) FROM flows_pg_epoch_ledger") == 3
+
+    # Replay of an already-committed epoch must SKIP the distributed
+    # staging write (the ledger pre-check), and must clear a leftover
+    # stage table from a crashed attempt rather than leave it behind.
+    conn.createStatement().executeUpdate(
+        'CREATE TABLE flows_pg_stage ("junk" BIGINT)')
+    conn.createStatement().executeUpdate(
+        "INSERT INTO flows_pg_stage VALUES (1)")
+    conn.close()
+    write_batch(batch, 7)              # replay: committed long ago
+    conn = _derby_conn(spark, url)
+    assert _derby_one(conn, "SELECT count(*) FROM flows_pg") == 1500
+    with pytest.raises(Exception):     # stage dropped on the skip path
+        _derby_one(conn, "SELECT count(*) FROM flows_pg_stage")
     conn.close()
 
 
@@ -1343,6 +1357,33 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
            spark.read.parquet(store).collect()}
     assert got == expect            # stream store ≡ batch compaction
     assert ("B", "b1", True) in got  # tombstone retained in the store
+
+
+def test_read_cdc_store_recovers_mid_swap_crash(spark, tmpdir):
+    """A writer crash between _swap_in's two renames leaves the store
+    directory MISSING with the superseded snapshot parked at
+    ``._swap_old`` — until round 5 a reader hitting that gap got
+    FileNotFound. read_cdc_store (and read_state_store) now run
+    _recover_swap first, so the reader sees the intact old snapshot."""
+    import os
+
+    from flow_pipeline_spark.streaming.jobs import (read_cdc_store,
+                                                    read_state_store)
+
+    store = f"{tmpdir}/crashed_store"
+    rows = [("A", 1, False), ("B", 2, None)]
+    spark.createDataFrame(rows, "k string, v long, del boolean") \
+        .write.parquet(store)
+    # simulate the crash window: first rename done, second never ran
+    os.rename(store, store + "._swap_old")
+    assert not os.path.isdir(store)
+
+    live = {r["k"] for r in
+            read_cdc_store(spark, store, deleted_col="del").collect()}
+    assert live == {"A", "B"}       # NULL flag counts as live
+    assert os.path.isdir(store)     # the read repaired the directory
+    assert not os.path.isdir(store + "._swap_old")
+    assert read_state_store(spark, store).count() == 2
 
 
 def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
