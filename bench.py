@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     # round-5 additions:
     "bpe_encode_corpus",     # vocab-table BPE encode (corpus stays JVM-side)
     "bm25_search",           # ranked retrieval: postings build + term query
+    # round 6: the PRODUCTION retrieval form (VERDICT r5 item #3) — the
+    # persisted term-clustered postings + stored corpus stats; the warm
+    # run pays the one-time index build, timed runs measure query cost
+    # only (no Generate in the plan; see PLANS.md)
+    "bm25_search_stored",
     "traffic_spikes",        # EWMA anomaly baseline (fixed-lag equi-join)
     "nation_trade_pagerank",  # iterative integer PageRank (3 rounds)
     "funnel_steps",          # ordered-funnel conversion (shrinking joins)
@@ -332,9 +337,19 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         enc = to_flow_protobuf(synthetic_flows(spark, n2), fixed_length=True)
         enc.write.mode("overwrite").parquet(f"{d}/wire")
         # a real Kafka topic gives one task per topic-partition; a tiny
-        # parquet file gives 1-2 splits — repartition to model that fan-out
+        # parquet file gives 1-2 splits — repartition to model that fan-out.
+        # PERSIST the shuffled frame and materialize it ONCE: re-executing
+        # the repartition per decode run writes ~100 MB of shuffle files
+        # into spark.local.dir on EVERY run (uncleaned until context GC) —
+        # that self-inflicted writeback is what kept the decode section's
+        # closing calibration at ~95-130 MB/s across three rounds of
+        # "contaminated" verdicts (r05 VERDICT item #2). With the shuffle
+        # paid once up front, the timed path writes only the decode output
+        # it is measuring — same I/O shape as the ingest section, which
+        # passes its gate on the same host.
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        wire = spark.read.parquet(f"{d}/wire").repartition(cpus)
+        wire = spark.read.parquet(f"{d}/wire").repartition(cpus).persist()
+        wire.count()
 
         def run_decode():
             out_dir = f"{d}/decoded{next(seq)}"
@@ -358,7 +373,12 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
             dec_warm = [run_decode() for _ in range(3)]
-            cal_after, cal_trace = _settled_calibration(io_baseline)
+            # longer settle horizon than ingest (8 probes / 2 min): this
+            # section's gate produced three consecutive false-contamination
+            # verdicts before r6 — if writeback needs a minute to drain,
+            # give it the minute rather than publish "contaminated"
+            cal_after, cal_trace = _settled_calibration(
+                io_baseline, probes=8, sleep_s=15)
             lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
                              max(dec_warm))
             dec_attempts.append({
@@ -382,6 +402,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         out["decode_warm_samples"] = bs
         out["decode_warm_floor_ratio"] = best["floor_ratio"]
         out["load1_after_decode_incl_self"] = round(os.getloadavg()[0], 1)
+        wire.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -492,18 +513,57 @@ def main() -> None:
         print("bench: PUBLISHING A CONTAMINATED RUN (see host/ingest "
               "fields) — numbers are lower bounds, do not quote",
               file=sys.stderr)
-    print(json.dumps({
+
+    # Publishing contract (VERDICT r5 item #1): the driver captures a
+    # BOUNDED tail of stdout — r05's single line carried per-attempt
+    # calibration traces and warm-sample arrays, outgrew the buffer, and
+    # the round's machine-readable bench was lost (parsed: null). The
+    # stdout line is now COMPACT (scalars + the per-query dict, ~2 KB);
+    # every attempt trace, warm-sample array and per-pass calibration
+    # moves to the BENCH_DETAIL.json sidecar next to this script.
+    detail = {
+        "queries": timings,
+        "query_load1_at_start": query_load,
+        "query_passes": query_passes,
+        "ingest": ingest,
+        "rollup_routing": routing,
+        "host": host,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    compact_ingest = {
+        k: ingest[k] for k in (
+            "ingest_rows_per_sec", "ingest_rows_per_sec_cold",
+            "ingest_rows_per_sec_min", "ingest_rows_per_sec_peak",
+            "ingest_io_contended", "protobuf_decode_rows_per_sec",
+            "protobuf_decode_rows_per_sec_cold",
+            "protobuf_decode_rows_per_sec_min",
+            "protobuf_decode_rows_per_sec_peak", "decode_io_contended")
+        if k in ingest}
+    compact_host = {
+        k: host[k] for k in (
+            "load1_at_start", "busy_waits", "proceeded_busy",
+            "io_calibration_mb_per_sec", "load1_at_end_incl_self",
+            "queries_io_contended", "contaminated") if k in host}
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "query_load1_at_start": query_load,
-        "query_passes": query_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "ingest": ingest,
+        "ingest": compact_ingest,
         "rollup_routing": routing,
-        "host": host,
-    }))
+        "host": compact_host,
+        "detail": "BENCH_DETAIL.json",
+    })
+    assert len(line) < 8192, (
+        f"stdout bench line grew to {len(line)} bytes — move fields to "
+        f"BENCH_DETAIL.json (driver tail capture is bounded)")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -23,11 +23,15 @@ ordering — what curation consumes — is unaffected for the connected
 graphs this targets).
 
 Scale: per iteration ONE edge shuffle (the incoming-mass groupBy on
-dst) + a broadcast-size join of the rank vector (|nodes| rows — tiny
-next to |edges|); out-weights compute once and persist across rounds.
-``localCheckpoint`` per round cuts lineage exactly as kmeans_fit /
-bpe_train do. Rank-vector rows never exceed |nodes|; edges never
-materialize per-iteration copies.
+dst) + a rank-vector join; out-weights compute once and persist across
+rounds. The rank vector (|nodes| rows) BROADCASTS while the graph is
+AS/domain-sized (the stated target — up to ``broadcast_max_nodes``,
+default 10M ≈ a few hundred MB of (node, rank) pairs); past the
+threshold both per-round joins fall back to plain shuffle joins — same
+results (equality pytested across both forms), no forced broadcast to
+OOM an executor on a web-scale node set. ``localCheckpoint`` per round
+cuts lineage exactly as kmeans_fit / bpe_train do. Rank-vector rows
+never exceed |nodes|; edges never materialize per-iteration copies.
 """
 
 from __future__ import annotations
@@ -40,11 +44,22 @@ E9 = 1_000_000_000
 
 def pagerank(edges: DataFrame, *, n_iters: int = 3,
              src: str = "src", dst: str = "dst",
-             weight: str | None = None) -> DataFrame:
+             weight: str | None = None,
+             broadcast_max_nodes: int = 10_000_000) -> DataFrame:
     """Weighted PageRank over ``edges``; returns (node, rank_e9) with
     ranks in exact integer billionths. ``weight`` must be a positive
     integer column (None → unweighted, w = 1); damping is fixed at
-    85/100 so the recurrence stays in integers."""
+    85/100 so the recurrence stays in integers.
+
+    ``broadcast_max_nodes`` gates the per-round join strategy: at or
+    below it (AS/domain graphs — the design target) the rank vector
+    and out-weight table force-broadcast onto the edge table, so each
+    round is one shuffle (the incoming-mass groupBy). Above it (web
+    scale, |nodes| ~ 1e9) a forced broadcast would OOM executors, so
+    both sides shuffle-join on ``u`` instead — identical results
+    (integer recurrence; pytest asserts equality across both forms),
+    one extra exchange per round that AQE can reuse across the two
+    joins since both key on ``u``."""
     w = (F.col(weight) if weight is not None else F.lit(1)) \
         .cast("long").alias("w")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w) \
@@ -57,10 +72,15 @@ def pagerank(edges: DataFrame, *, n_iters: int = 3,
     outw = (e.groupBy("u").agg(F.sum("w").alias("s"))
             .localCheckpoint(eager=True))
 
+    small = n <= broadcast_max_nodes
+
+    def maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     r = nodes.select("node", F.lit(base).cast("long").alias("r"))
     for _ in range(n_iters):
-        inc = (e.join(F.broadcast(r.withColumnRenamed("node", "u")), "u")
-               .join(F.broadcast(outw), "u")
+        inc = (e.join(maybe_bcast(r.withColumnRenamed("node", "u")), "u")
+               .join(maybe_bcast(outw), "u")
                .select(F.col("v").alias("node"),
                        F.expr("(r * w) div s").alias("c"))
                .groupBy("node").agg(F.sum("c").alias("inc")))

@@ -13,369 +13,138 @@ from . import training_queries  # noqa: F401 — registers into QUERIES
 #      changes,
 #   3. rows-only (non-SQL-expressible) entries last — a driver row for them
 #      could only ever read "no_oracle".
-_DEMOTED_VARIANTS = [
-    "flows_instant_traffic",  # same A1/A6/O1 shape as instant_traffic_1m
-    "flows_top_ports",        # A5/O2 covered by top_talkers + flows_top_dst_ports... variants
-    "flows_as_matrix",        # A4 pair-key covered by pair_matrix
-    "flows_rollup_5m",        # A4/A7/W4 covered by rollup_5m + flows_rollup_nested
-    "flows_top_dst_ports",    # A5/O2 twin of flows_top_ports
-    # round 4: flows_routed_traffic PROMOTED into the window (the §4
-    # rollup-routing class previously had no driver row — its oracle
-    # proves routed ≡ raw, the SummingMergeTree losslessness claim);
-    # displaced twin:
-    "sliding_rate_5m",        # W7 sliding-frame rate; class stays
-                              # windowed 3× via metrics_rate_sum_by
-                              # (same counter-rate + sliding frame over
-                              # the metrics table, flagship-asserted),
-                              # value_percentiles and approx_percentiles
-    "minhash_signatures",     # subsumed by minhash_lsh_dedup (sig→band→verify)
-    "simhash",                # subsumed by simhash_near_dup (same sig + banding)
-    "top_event_types",        # A3 count-per-group covered by the PG panels
-    "approx_top_talkers",     # A5 sketch form; exact top-k (top_talkers) is
-                              # windowed, the MG bounds are pytest-asserted
-    "stratified_sample",      # md5-threshold device windowed via train_val_split
-    "benchmark_contamination",  # shingle-overlap class windowed via ngram/LSH
-    "repetition_stats",       # per-row text-QC class windowed via text_quality
-    "curation_full_pipeline",  # composition of windowed stages (corpus_curation+)
-    "flows_top_dst_ips",      # A5/P10 render-after-aggregate twin of
-                              # flows_top_src_ips (windowed); demoted to make
-                              # room for partitioned_day_scan (P5 pruning)
-    # round 3: three last-mile pipeline classes enter the window
-    # (pii_scrub, sequence_pack, source_quota_sample); the displaced twins:
-    "ipv6_render",            # P8/P9 render class windowed via ipv4_render
-                              # (hypothesis-tested vs `ipaddress` in pytest)
-    "nations_with_big_orders",  # J2 semi-join; class windowed via
-                              # customers_no_orders (anti) + set_ops +
-                              # late_order_priority (correlated EXISTS)
-    "range_window_sum",       # J3 range-frame window; class windowed via
-                              # metrics_rate_sum_by (same sliding-frame
-                              # device, promql tier; sliding_rate_5m is
-                              # its demoted twin too, see below)
-    # round 3 cont.: vocab_top_bigrams (explode→vocab-bounded agg→top-k)
-    # and doc_chunks (stride generator) enter; displaced twins:
-    "tpch_q6",                # P5 range-filter + agg scan; class windowed
-                              # via time_filtered_scan (+ tpch_q1 for A1)
-    "customers_no_orders",    # J2 anti-join; class windowed via set_ops
-                              # (EXCEPT) + late_order_priority (EXISTS)
-    # round 3 cont.: incremental_dedup (cross-snapshot anti-join dedup),
-    # quality_classifier (model-scored gate), semantic_dedup (SemDeDup
-    # cluster-then-verify) enter the window; displaced twins:
-    "part_type_revenue",      # J1/A1/O2 broadcast-dim rollup; class
-                              # windowed via revenue_top_customers (same
-                              # fact⋈broadcast-dim → agg → top-k shape)
-    "flows_pg_dst_ip_panel",  # P10/A3 dst twin of flows_pg_src_ip_panel
-                              # (windowed; identical render/agg shape)
-    "priority_linecount",     # sum(CASE WHEN) conditional agg; class
-                              # windowed via event_type_pivot (pivot
-                              # compiles to the same conditional-agg form)
-    # round 3 cont.: doc_perplexity (LM-scored gate, the CCNet filter)
-    # enters the window; displaced twin:
-    "flows_pg_port_panel",    # A3 count-per-group panel; class windowed
-                              # via flows_pg_src_ip_panel (same PG panel
-                              # shape plus the P10 render on top)
-    "mixture_sample",         # md5-threshold sampling device; class
-                              # windowed via train_val_split +
-                              # source_quota_sample (adds epoch
-                              # replication on the same device; oracled
-                              # in pytest like every demoted variant)
-    "semantic_dedup_gemm",    # GEMM scale-path twin of the windowed
-                              # semantic_dedup (same oracle, benched as
-                              # the production form)
-    "incremental_near_dup",   # band-table variant of the windowed
-                              # minhash_lsh_dedup (same banding device,
-                              # cross-snapshot join) + incremental_dedup
-                              # (the exact-digest analog, windowed)
-    # round 4: exact_substring_spans (repeated-span dedup, the ExactSubstr
-    # family — a NEW operator class) enters the window; displaced twin:
-    "doc_fingerprint",        # md5-of-token-prefix collision grouping;
-                              # the device is dedup_exact's digest-groupBy
-                              # over a doc_chunks-style slice+md5 prefix —
-                              # both windowed; stays pytest-oracled
-    "incremental_semantic_dedup",  # cell-store variant of the windowed
-                              # semantic_dedup (same assignment + verify
-                              # devices, cross-snapshot join) — the
-                              # semantic sibling of incremental_near_dup,
-                              # demoted on the same grounds
-    "text_semantic_dedup",    # composition of two WINDOWED devices
-                              # (hashed-TF embed is pytest-bit-equal to
-                              # its pandas twin; semantic_dedup is the
-                              # windowed cluster-then-verify class) —
-                              # joins the demoted set per the discipline,
-                              # DuckDB-oracled every pytest run
-    "c4_line_filter",         # per-row expression gate (split-lines →
-                              # rules → reassemble); the per-row text-QC
-                              # class is windowed via text_quality +
-                              # quality_classifier; oracled in pytest
-    "gopher_rules",           # per-row expression gate (named Gopher
-                              # rule flags); same class rationale as
-                              # c4_line_filter; oracled in pytest
-    "exact_substring_scrub",  # scrub-side twin of the WINDOWED
-                              # exact_substring_spans (same span CTE;
-                              # adds the disjointness-based count
-                              # oracle); oracled in pytest
-    "dataset_card",           # release-report COMPOSITION of windowed
-                              # devices (token counts, digest distinct,
-                              # classifier margin, per-source agg) —
-                              # same rationale as curation_full_pipeline
-    # round 5: ann_pq_adc_exact (compressed-domain ANN — integer-exact
-    # PQ/ADC, the first driver row for the PQ family) enters the window;
-    # displaced twin:
-    "approx_percentiles",     # W7 sketch twin of the WINDOWED
-                              # value_percentiles (same percentile
-                              # device over the metrics table; the
-                              # KLL/GK-style error bounds are
-                              # pytest-asserted) — stays DuckDB-oracled
-                              # every pytest run like every demotion
-    # round 5: dsir_importance (DSIR domain-matching selection — a new
-    # operator class: importance resampling) enters the window;
-    # displaced twin:
-    "doc_chunks",             # stride-generator device; the class is
-                              # windowed via exact_substring_spans
-                              # (the same sequence→slice→md5 generator
-                              # at stride 1, plus the span machinery on
-                              # top) and vocab_top_bigrams covers the
-                              # explode→bounded-agg side — stays
-                              # pytest-oracled
-    # round 5: line_dedup (RefinedWeb line-wise correction — line-
-    # granular cross-doc dedup, a distinct granularity from spans and
-    # documents) enters the window; displaced twin:
-    "text_quality",           # per-row QC stats table; the per-row
-                              # text-QC class keeps TWO window rows
-                              # (quality_classifier — the model-scored
-                              # gate over the same features — and
-                              # lang_id) plus the pytest-oracled
-                              # c4/gopher/repetition variants
-    # round 5: bloom_dedup (Bloom-filter membership dedup, the Dolma
-    # bounded-memory store — a new operator class: approximate
-    # membership, exactly oracled including its false positives)
-    # enters the window; displaced twin:
-    "conditional_class",      # P7 conditional-expression device; the
-                              # class stays windowed via
-                              # event_type_pivot (conditional agg) and
-                              # quality_classifier (nested CASE gate)
-    "bigram_perplexity",      # n-gram extension of the WINDOWED
-                              # doc_perplexity class (same LM-gate
-                              # device + fixed-point discipline, one
-                              # order up with stupid backoff) —
-                              # registers directly as a pytest-oracled
-                              # variant, no window churn
-    "filtered_knn",           # metadata-filtered variant of the
-                              # WINDOWED knn_cosine (same brute scoring
-                              # + two-phase top-k, label equi-join
-                              # filter composed before scoring) — same
-                              # direct-to-pytest-oracled registration
-    # round 5: table_profile (Deequ-style column profiling) and
-    # token_length_drift (PSI snapshot drift) enter the window — two
-    # new operator classes (data-quality profiling, drift monitoring);
-    # displaced twins:
-    "late_order_priority",    # J2+ correlated-EXISTS twin; the set-op/
-                              # semi-join class stays windowed via
-                              # set_ops (UNION/INTERSECT/EXCEPT row)
-    "constraint_checks",      # Deequ-style checks — same operational-
-                              # profiling class as the WINDOWED
-                              # table_profile (one-scan aggregate +
-                              # struct unpivot device) — registers
-                              # directly as a pytest-oracled variant
-    "window_latest_event",    # J3 lag/latest device; the window class
-                              # stays windowed via user_sessions
-                              # (lag + cumulative sum) and
-                              # metrics_rate_sum_by (lag + frames)
-    # round 5: bm25_search (BM25 ranked retrieval — a new operator
-    # class: term-query search over a postings index) enters the
-    # window; displaced twin:
-    "ngram_jaccard_dups",     # shingle→LSH-candidates→exact-Jaccard
-                              # verify; the banding device is windowed
-                              # via minhash_lsh_dedup (same band join +
-                              # verify composition) and the shingle
-                              # generator via exact_substring_spans —
-                              # stays DuckDB-oracled every pytest run
-    "tfidf_top_terms",        # per-doc top-k sibling of the WINDOWED
-                              # bm25_search (same postings build and
-                              # smoothed idf; adds the per-doc window
-                              # device already windowed via
-                              # user_sessions/top_talkers) — registers
-                              # directly as a pytest-oracled variant
-    # round 5: phrase_match (positional-index exact-phrase search — a
-    # new operator class: the verbatim decontamination primitive, with
-    # a genuinely independent direct-scan oracle) enters the window;
-    # displaced twin:
-    "pair_matrix",            # A4 pair-key group-by; the multi-key-agg
-                              # class keeps rollup_5m (4-part key) and
-                              # traffic_cube (CUBE over the same pair
-                              # keys, strictly more general) in the
-                              # window — stays DuckDB-oracled every
-                              # pytest run
-    "blocklist_pages",        # per-row expression page gate (C4 §2.2
-                              # blocklist rule); the class is windowed
-                              # via quality_classifier + lang_id, with
-                              # c4_line_filter/gopher_rules its
-                              # pytest-oracled siblings — registers
-                              # directly as a demoted variant
-    # round 5 cont.: traffic_spikes (EWMA temporal anomaly detection —
-    # a new operator class: time-aligned exponentially-weighted
-    # baseline + integer spike verdict; distinct from token_length_drift,
-    # which compares DISTRIBUTIONS between snapshots, not a series
-    # against its own history) enters the window; displaced twin:
-    "simhash_near_dup",       # signature-banding near-dup; the banding
-                              # class keeps TWO window rows
-                              # (minhash_lsh_dedup — banded minhash —
-                              # and embedding_near_dup — SRP banding)
-                              # plus the pytest-oracled
-                              # incremental_near_dup — stays
-                              # DuckDB-oracled every pytest run
-    # round 5 cont.: nation_trade_pagerank (iterative rank propagation
-    # — a new operator class: weighted PageRank with an exact integer
-    # recurrence, distinct from dedup_clusters' connected components)
-    # enters the window; displaced twin:
-    "rate_30s",               # A2 normalized-rate bucket agg; the rate
-                              # class stays windowed via
-                              # metrics_rate_sum_by (counter-reset-
-                              # adjusted rate + sliding frames —
-                              # strictly more general) and
-                              # instant_traffic_1m (the same
-                              # time-bucket agg shape) — stays
-                              # DuckDB-oracled every pytest run
-    # round 5 cont.: funnel_steps (ordered-funnel conversion — a new
-    # operator class: event-sequence matching with min-chaining, the
-    # ClickHouse windowFunnel family) and user_retention (cohort
-    # retention — first-activity cohorts re-counted per offset, the
-    # retention() family) enter the window; displaced twins:
-    "vocab_top_bigrams",      # explode → vocab-bounded agg → top-k;
-                              # the device is the postings build inside
-                              # the WINDOWED bm25_search (same explode
-                              # + bounded groupBy + ranked top)  —
-                              # stays DuckDB-oracled every pytest run
-    "enrichment_join",        # J1 broadcast-dim chain; the enrichment
-                              # class keeps THREE window rows
-                              # (range_band_join — longest-prefix,
-                              # asof_enrichment — point-in-time,
-                              # local_supplier_volume — the 6-table Q5
-                              # topology with the same dim chain) —
-                              # stays DuckDB-oracled every pytest run
-    "event_transitions",      # lead-window pair counts; the window
-                              # device is windowed via user_sessions,
-                              # conditional shares via funnel_steps —
-                              # registers directly as a demoted variant
-    "value_histogram",        # fixed-width binning device (the
-                              # token_length_drift internal exposed);
-                              # percentile panels windowed via
-                              # value_percentiles — direct demoted
-                              # registration
-    # round 5 cont.: props_json_panel (semi-structured JSON extraction
-    # — a new operator class: the JSONExtract/get_json_object scalar
-    # family over the events.props column) enters the window;
-    # displaced twin:
-    "top_talkers",            # O2 top-k-by-aggregate; the TakeOrdered
-                              # class keeps revenue_top_customers and
-                              # flows_top_src_ips (plan-tested
-                              # TakeOrderedAndProject) in the window —
-                              # stays DuckDB-oracled every pytest run
-    "shard_manifest",         # md5-mod shard assignment + xor digest;
-                              # the md5 device is windowed via
-                              # train_val_split / source_quota_sample —
-                              # registers directly as a demoted variant
-    "packed_sequences",       # reassembly of the WINDOWED
-                              # sequence_pack assignment (same md5 +
-                              # cumulative-window devices; adds the
-                              # bpe_encode_vocab ordered-flatten
-                              # groupBy) — direct demoted registration
-    "weighted_sample_by_source",  # A-ES weighted reservoir; the
-                              # md5-sampling class is windowed via
-                              # train_val_split + source_quota_sample —
-                              # direct demoted registration
-    "value_correlation",      # exact-integer-moment Pearson corr;
-                              # the expression-aggregate class is
-                              # windowed via tpch_q1 +
-                              # instant_traffic_1m, the JSON extract
-                              # via props_json_panel — direct demoted
-                              # registration
-    "snapshot_diff",          # digest full-outer diff report; the
-                              # digest device is windowed via
-                              # dedup_exact/incremental_dedup, the
-                              # outer-join algebra via set_ops —
-                              # direct demoted registration
-    # round 5 cont.: cdc_latest_state (ReplacingMergeTree / CDC
-    # upsert-apply — a new operator class: mutable-table compaction,
-    # the sibling of the rollup tier's SummingMergeTree) and
-    # time_gapfill (WITH FILL time-series densification — a new
-    # operator class: per-key grid generation + fill policies) enter
-    # the window; displaced twins:
-    "ipv4_render",            # P8/P9 render device; the render class
-                              # keeps TWO window rows
-                              # (flows_top_src_ips — render-after-
-                              # aggregate, plan-tested — and
-                              # flows_pg_src_ip_panel — the Go/P10
-                              # render form); ipv4/ipv6_render stay
-                              # hypothesis-tested vs `ipaddress` and
-                              # DuckDB-oracled every pytest run
-    "lang_id",                # per-row text-QC gate; the class keeps
-                              # quality_classifier (model-scored gate
-                              # over the same feature family) windowed,
-                              # with text_quality / c4 / gopher /
-                              # blocklist / repetition its
-                              # pytest-oracled siblings
-    "cdc_collapse_net",       # CollapsingMergeTree sign-cancellation;
-                              # the keyed-compaction class is windowed
-                              # via cdc_latest_state (same rank-1
-                              # device + a net-sum aggregate) — direct
-                              # demoted registration
-    "scd2_user_history",      # SCD2 validity-interval build; the lag
-                              # change-detect device is windowed via
-                              # user_sessions, interval consumption
-                              # via asof_enrichment — direct demoted
-                              # registration
-    "zorder_bucket_stats",    # Morton-key layout clustering; the
-                              # layout/pruning tier's windowed face is
-                              # partitioned_day_scan (partition
-                              # pruning) + flows_routed_traffic
-                              # (stored-rollup routing); file-skipping
-                              # pinned by the row-group pruning test —
-                              # direct demoted registration
-    # round 5 cont.: nation_trade_hops (single-source BFS shortest
-    # paths — a new operator class: graph TRAVERSAL with a genuinely
-    # independent recursive-CTE oracle; distinct from rank
-    # propagation and connected components) enters the window;
-    # displaced twin:
-    "event_type_pivot",       # pivot compiles to conditional agg; the
-                              # conditional-agg device keeps
-                              # quality_classifier (CASE gate) and
-                              # funnel_steps (conditional ratios)
-                              # windowed, with priority_linecount /
-                              # value_correlation its pytest-oracled
-                              # siblings — stays DuckDB-oracled every
-                              # pytest run
-    # round 5 cont.: uniq_register_rollup (AggregatingMergeTree
-    # uniqState/uniqMerge — a new operator class: persisted
-    # re-aggregable sketch STATES, deterministic register-rows form)
-    # enters the window; displaced twin:
-    "distinct_users",         # A9 exact+HLL distinct panel; STRICTLY
-                              # SUBSUMED — uniq_register_rollup's
-                              # n_exact column IS the exact-distinct
-                              # answer over the same grouping, plus
-                              # the stored-state tier on top; HLL
-                              # bound tests stay in pytest — remains
-                              # DuckDB-oracled every pytest run
-    "histogram_state_quantiles",  # quantileState/quantileMerge; the
-                              # percentile class keeps
-                              # value_percentiles windowed (exact,
-                              # approx_percentiles the sketch twin);
-                              # the -State/-Merge class is windowed
-                              # via uniq_register_rollup — direct
-                              # demoted registration
-    "segment_bitmap_overlap",  # groupBitmap exact set-expression
-                              # cardinalities (AND/OR/ANDNOT between
-                              # stored segments); -State/-Merge class
-                              # windowed via uniq_register_rollup,
-                              # row-level set algebra via set_ops —
-                              # direct demoted registration
-    "kmv_segment_overlap",     # KMV sketch set-op estimates — the
-                              # approximate twin of
-                              # segment_bitmap_overlap (same windowed
-                              # segments, O(k) states); -State/-Merge
-                              # class windowed via
-                              # uniq_register_rollup — direct demoted
-                              # registration
-]
+#
+# MACHINE-CHECKED LEDGER (round 6, VERDICT r5 item #6): each demoted variant
+# maps to the windowed representative(s) that cover its operator class.
+# tests/test_queries_oracle.py::test_registry_window_ordering asserts every
+# representative is actually INSIDE the current 50-row window, so a future
+# window swap that orphans a demoted class fails CI instead of relying on a
+# human audit of prose comments. The one-line rationale rides each entry;
+# the round-by-round promotion narrative lives in git history (this file,
+# rounds 2-5).
+_DEMOTED_VARIANTS = {
+    # --- reference-tier variants ---------------------------------------
+    "flows_instant_traffic": ["instant_traffic_1m"],   # same A1/A6/O1 shape
+    "flows_top_ports": ["flows_top_src_ips",           # A5/O2 top-k twins
+                        "revenue_top_customers"],
+    "flows_as_matrix": ["rollup_5m", "traffic_cube"],  # A4 pair-key group-by
+    "flows_rollup_5m": ["rollup_5m", "flows_rollup_nested"],  # A4/A7/W4
+    "flows_top_dst_ports": ["flows_top_src_ips",       # A5/O2 twin
+                            "revenue_top_customers"],
+    "sliding_rate_5m": ["metrics_rate_sum_by",         # W7 sliding-frame rate
+                        "value_percentiles"],
+    "top_event_types": ["flows_pg_src_ip_panel"],      # A3 count-per-group
+    "approx_top_talkers": ["flows_top_src_ips",        # A5 sketch form; MG
+                           "revenue_top_customers"],   # bounds pytest-asserted
+    "top_talkers": ["revenue_top_customers",           # O2 TakeOrdered class
+                    "flows_top_src_ips"],              # (plan-tested)
+    "pair_matrix": ["rollup_5m", "traffic_cube"],      # A4 pair-key; CUBE is
+                                                       # strictly more general
+    "rate_30s": ["metrics_rate_sum_by",                # A2 normalized rate;
+                 "instant_traffic_1m"],                # counter-reset form wins
+    "flows_top_dst_ips": ["flows_top_src_ips"],        # render-after-agg twin
+    "ipv4_render": ["flows_top_src_ips",               # P8/P9 render device;
+                    "flows_pg_src_ip_panel"],          # hypothesis vs ipaddress
+    "ipv6_render": ["flows_top_src_ips",               # RFC-5952 twin of
+                    "flows_pg_src_ip_panel"],          # ipv4_render
+    "flows_pg_dst_ip_panel": ["flows_pg_src_ip_panel"],  # P10/A3 dst twin
+    "flows_pg_port_panel": ["flows_pg_src_ip_panel"],  # A3 panel twin
+    "enrichment_join": ["range_band_join",             # J1 broadcast-dim chain
+                        "asof_enrichment", "local_supplier_volume"],
+    "nations_with_big_orders": ["set_ops"],            # J2 semi-join
+    "customers_no_orders": ["set_ops"],                # J2 anti-join (EXCEPT)
+    "late_order_priority": ["set_ops"],                # J2 correlated EXISTS
+    "range_window_sum": ["metrics_rate_sum_by"],       # J3 range-frame window
+    "window_latest_event": ["user_sessions",           # J3 lag/latest device
+                            "metrics_rate_sum_by"],
+    "tpch_q6": ["time_filtered_scan", "tpch_q1"],      # P5 range filter + A1
+    "part_type_revenue": ["revenue_top_customers"],    # fact⋈dim → agg → top-k
+    "priority_linecount": ["quality_classifier",       # sum(CASE WHEN)
+                           "funnel_steps"],            # conditional agg
+    "event_type_pivot": ["quality_classifier",         # pivot ≡ conditional
+                         "funnel_steps"],              # agg
+    "conditional_class": ["quality_classifier"],       # P7 CASE device
+    "value_correlation": ["tpch_q1",                   # exact-moment Pearson;
+                          "instant_traffic_1m",        # expression aggregates
+                          "props_json_panel"],         # + JSON extract
+    "value_histogram": ["value_percentiles",           # fixed-width binning
+                        "token_length_drift"],         # (the PSI internal)
+    "approx_percentiles": ["value_percentiles"],       # W7 sketch twin; rank-
+                                                       # error bound pytested
+    "event_transitions": ["user_sessions",             # lead-window pairs
+                          "funnel_steps"],
+    "cdc_collapse_net": ["cdc_latest_state"],          # CollapsingMergeTree;
+                                                       # same rank-1 device
+    "scd2_user_history": ["user_sessions",             # SCD2 intervals: lag
+                          "asof_enrichment"],          # change-detect + as-of
+    "zorder_bucket_stats": ["partitioned_day_scan",    # Morton layout; file
+                            "flows_routed_traffic"],   # skipping plan-pinned
+    "distinct_users": ["uniq_register_rollup"],        # A9 — n_exact column
+                                                       # subsumes it exactly
+    "histogram_state_quantiles": ["value_percentiles",  # quantileState/-Merge
+                                  "uniq_register_rollup"],
+    "segment_bitmap_overlap": ["uniq_register_rollup",  # groupBitmap set ops
+                               "set_ops"],
+    "kmv_segment_overlap": ["uniq_register_rollup"],   # KMV O(k) sketch twin
+                                                       # of the bitmap form
+    # --- training-tier variants ----------------------------------------
+    "minhash_signatures": ["minhash_lsh_dedup"],       # sig→band→verify
+    "simhash": ["minhash_lsh_dedup",                   # signature banding
+                "embedding_near_dup"],
+    "simhash_near_dup": ["minhash_lsh_dedup",          # banding class keeps
+                         "embedding_near_dup"],        # minhash + SRP rows
+    "ngram_jaccard_dups": ["minhash_lsh_dedup",        # LSH candidates +
+                           "exact_substring_spans"],   # exact-Jaccard verify
+    "incremental_near_dup": ["minhash_lsh_dedup",      # band-table variant,
+                             "incremental_dedup"],     # cross-snapshot join
+    "incremental_semantic_dedup": ["semantic_dedup",   # cell-store variant
+                                   "incremental_dedup"],
+    "semantic_dedup_gemm": ["semantic_dedup"],         # GEMM scale twin,
+                                                       # same oracle, benched
+    "text_semantic_dedup": ["semantic_dedup"],         # hashed-TF embed +
+                                                       # windowed SemDeDup
+    "benchmark_contamination": ["minhash_lsh_dedup",   # shingle overlap
+                                "phrase_match"],       # (verbatim: phrase)
+    "doc_fingerprint": ["dedup_exact",                 # md5-of-prefix device
+                        "exact_substring_spans"],
+    "exact_substring_scrub": ["exact_substring_spans"],  # scrub-side twin
+    "snapshot_diff": ["dedup_exact",                   # digest outer-join
+                      "incremental_dedup", "set_ops"],  # diff report
+    "doc_chunks": ["exact_substring_spans",            # stride generator
+                   "bm25_search"],                     # + explode device
+    "vocab_top_bigrams": ["bm25_search"],              # explode→bounded agg→
+                                                       # top-k ≡ postings build
+    "tfidf_top_terms": ["bm25_search"],                # per-doc top-k sibling
+    "bm25_search_stored": ["bm25_search"],             # stored-index twin:
+                                                       # identical results off
+                                                       # a persisted postings
+                                                       # artifact (benched as
+                                                       # the production form)
+    "text_quality": ["quality_classifier"],            # per-row QC stats
+    "repetition_stats": ["quality_classifier"],        # per-row QC gate
+    "c4_line_filter": ["quality_classifier"],          # per-row line rules
+    "gopher_rules": ["quality_classifier"],            # per-row doc rules
+    "blocklist_pages": ["quality_classifier"],         # per-row page gate
+    "lang_id": ["quality_classifier"],                 # per-row marker gate
+    "bigram_perplexity": ["doc_perplexity"],           # n-gram LM extension
+    "filtered_knn": ["knn_cosine"],                    # metadata-filtered kNN
+    "stratified_sample": ["train_val_split"],          # md5-threshold device
+    "mixture_sample": ["train_val_split",              # + epoch replication
+                       "source_quota_sample"],
+    "weighted_sample_by_source": ["train_val_split",   # A-ES reservoir on the
+                                  "source_quota_sample"],  # same md5 device
+    "shard_manifest": ["train_val_split",              # md5-mod shards + xor
+                       "source_quota_sample"],
+    "packed_sequences": ["sequence_pack"],             # reassembly of the
+                                                       # windowed assignment
+    "curation_full_pipeline": ["corpus_curation",      # composition of
+                               "exact_substring_spans",  # windowed stages
+                               "bloom_dedup"],
+    "dataset_card": ["quality_classifier",             # release report over
+                     "dedup_exact", "corpus_curation"],  # windowed devices
+    "constraint_checks": ["table_profile"],            # Deequ checks; same
+                                                       # one-scan unpivot
+}
 
 
 def _reorder() -> None:
@@ -392,4 +161,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "QueryDef"]
+__all__ = ["QUERIES", "QueryDef", "_DEMOTED_VARIANTS"]

@@ -16,6 +16,7 @@ Cross-engine determinism rules:
 from __future__ import annotations
 
 import dataclasses as _dc
+import os
 
 from pyspark.sql import functions as F
 
@@ -3152,6 +3153,106 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 def bm25_search(spark, sf_dir):
     from ..operators.retrieval import bm25_search as _bm25
     return _bm25(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _bm25_stored_index(spark, sf_dir):
+    """Build-once, reuse-forever postings artifact for ``sf_dir``: the
+    production deployment shape (index persisted term-clustered, corpus
+    stats stored next to it at build time). Cached under the system temp
+    dir keyed on (path, documents.parquet mtime) so a refreshed corpus
+    rebuilds; publication is an atomic directory rename, so concurrent
+    builders race safely (the loser discards its build). Returns
+    ``(postings_df, (n_docs, total_len))``."""
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fps_bm25_idx_{key}")
+    stats_path = os.path.join(base, "_STATS.json")
+    if not os.path.exists(stats_path):
+        from ..operators.retrieval import bm25_postings, postings_stats
+        tmp = base + "._build_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # term-clustered layout = the "bucketed BY TERM" story without a
+        # metastore: hash-partition on term, sort within partitions, so
+        # a stored-index term lookup prunes both files (via the pushed
+        # isin filter) and row groups (min/max stats on the sorted term)
+        (bm25_postings(_docs(spark, sf_dir))
+         .repartition("term").sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "postings")))
+        n, t = postings_stats(
+            spark.read.parquet(os.path.join(tmp, "postings")))
+        with open(os.path.join(tmp, "_STATS.json"), "w") as f:
+            _json.dump({"n_docs": n, "total_len": t}, f)
+        try:
+            os.rename(tmp, base)
+        except OSError:            # another builder published first
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(stats_path) as f:
+        st = _json.load(f)
+    return (spark.read.parquet(os.path.join(base, "postings")),
+            (st["n_docs"], st["total_len"]))
+
+
+@_q(
+    "bm25_search_stored",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl,
+             unnest({_TOKS}) AS term
+      FROM documents),
+    postings AS (
+      SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY term, doc_id, dl),
+    stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(tf) AS BIGINT) AS total_len
+      FROM postings),
+    hits AS (
+      SELECT * FROM postings WHERE term IN ({_BM25_TERMS_SQL})),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    contrib AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * (h.tf * 2.2)
+                / (h.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * (h.dl * s.n_docs) / s.total_len)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_e6
+      FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score_e6 / 1000000.0 AS score
+    FROM scored ORDER BY score_e6 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 over a STORED index — the production form of bm25_search "
+        "(demoted-variant twin; identical results, same oracle): the "
+        "postings table is persisted term-clustered (hash-partitioned + "
+        "sorted by term) with the (n_docs, total_len) pair stored next "
+        "to it at build time, so the query plan contains NO explode and "
+        "NO corpus-wide aggregate — the term isin filter pushes into "
+        "the parquet scan of |query terms| pruned files/row-groups, df "
+        "is a |terms|-row broadcast, stats a 1-row literal broadcast, "
+        "ranking a TakeOrdered top-k. Query cost is independent of "
+        "index size (SCALE.md probes this form); the self-contained "
+        "bm25_search row measures build+query fused. The index builds "
+        "once per (sf_dir, corpus mtime) outside the measured query — "
+        "bench.py's warm run pays it, timed runs measure retrieval.",
+)
+def bm25_search_stored(spark, sf_dir):
+    from ..operators.retrieval import bm25_score
+    post, stats = _bm25_stored_index(spark, sf_dir)
+    scored = bm25_score(post, _BM25_TERMS, corpus_stats=stats)
+    return (scored
+            .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "score"))
 
 
 @_q(

@@ -82,6 +82,39 @@ def test_registry_window_ordering():
     assert names[-len(rows_only):] == rows_only
 
 
+def test_demotion_ledger_representatives_windowed():
+    """Machine check of the demotion ledger (round 6): every demoted
+    variant names the windowed representative(s) covering its operator
+    class — assert each representative actually sits INSIDE the current
+    50-row driver window, each demoted entry is registered, oracled and
+    OUTSIDE the window, and nothing windowed is listed as demoted. A
+    future window swap that orphans a demoted class now fails here
+    instead of relying on a human audit of prose comments."""
+    from flow_pipeline_spark.plans import _DEMOTED_VARIANTS
+
+    window = set(list(QUERIES)[:50])
+    for demoted, reps in _DEMOTED_VARIANTS.items():
+        assert demoted in QUERIES, f"ledger names unknown query {demoted}"
+        assert QUERIES[demoted].oracle, \
+            f"{demoted} demoted but not oracled — demotion is only for " \
+            f"redundant ORACLED variants"
+        assert demoted not in window, \
+            f"{demoted} is listed demoted but sits in the window"
+        assert reps, f"{demoted} names no windowed representative"
+        for rep in reps:
+            assert rep in QUERIES, (demoted, rep)
+            assert rep in window, \
+                f"{demoted}'s representative {rep} fell out of the " \
+                f"window — the demoted class is orphaned"
+    # completeness: every oracled query outside the window is in the ledger
+    oracled = [n for n, qd in QUERIES.items() if qd.oracle]
+    unledgered = [n for n in oracled
+                  if n not in window and n not in _DEMOTED_VARIANTS]
+    assert not unledgered, \
+        f"oracled queries outside the window but missing from the " \
+        f"demotion ledger: {unledgered}"
+
+
 def test_all_queries_return_rows(spark):
     for name, qd in QUERIES.items():
         df = qd.spark(spark, SF_DIR)

@@ -1896,6 +1896,62 @@ def test_pagerank_matches_independent_reference(spark):
     assert max(got, key=lambda v: (got[v], -v)) == 0
 
 
+def test_pagerank_shuffle_form_equals_broadcast_form(spark):
+    """The broadcast_max_nodes gate (VERDICT r5 item #4): above the
+    threshold the per-round rank/out-weight joins must NOT force a
+    broadcast (a 1e9-node vector would OOM executors) and must produce
+    IDENTICAL ranks — the integer recurrence is join-strategy-blind.
+    Plan check: the broadcast form's round join is a BroadcastHashJoin,
+    the gated form's is not (SortMerge/ShuffledHash)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.graph import pagerank
+
+    df = (spark.range(600)
+          .select((F.col("id") % 60).alias("src"),
+                  ((F.col("id") * 7 + 3) % 60).alias("dst"),
+                  (F.col("id") % 5 + 1).alias("w"))
+          .filter(F.col("src") != F.col("dst")))
+    bc = pagerank(df, n_iters=2, weight="w")
+    sh = pagerank(df, n_iters=2, weight="w", broadcast_max_nodes=10)
+    assert {(r.node, r.rank_e9) for r in bc.collect()} == \
+           {(r.node, r.rank_e9) for r in sh.collect()}
+
+    def round_plan(threshold):
+        # the UNCHECKPOINTED first-round inc plan exposes the join choice
+        from flow_pipeline_spark.operators.graph import E9
+        e = df.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                      F.col("w").cast("long").alias("w"))
+        nodes = (e.select(F.col("u").alias("node"))
+                 .unionByName(e.select(F.col("v").alias("node")))
+                 .distinct())
+        n = nodes.count()
+        r = nodes.select("node", F.lit(E9 // n).cast("long").alias("r"))
+        outw = e.groupBy("u").agg(F.sum("w").alias("s"))
+        small = n <= threshold
+        b = (lambda d: F.broadcast(d)) if small else (lambda d: d)
+        inc = (e.join(b(r.withColumnRenamed("node", "u")), "u")
+               .join(b(outw), "u")
+               .select(F.col("v").alias("node"),
+                       F.expr("(r * w) div s").alias("c"))
+               .groupBy("node").agg(F.sum("c").alias("inc")))
+        return inc._jdf.queryExecution().executedPlan().toString()
+
+    # disable Catalyst's size-based auto-broadcast so the plan shows
+    # what the GATE does (at real web scale the size estimate exceeds
+    # the threshold anyway — this models that): with the hint the join
+    # broadcasts regardless; without it, both sides shuffle
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in round_plan(10_000_000)
+        gated = round_plan(10)
+        assert "BroadcastHashJoin" not in gated
+        assert ("SortMergeJoin" in gated) or ("ShuffledHashJoin" in gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+
 def test_funnel_min_chaining_horizon_and_no_backtrack(spark):
     """Planted journeys: in-order user converts; out-of-order user does
     not; a user whose step 2 lands outside the horizon stops at stage

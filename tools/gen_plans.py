@@ -61,9 +61,10 @@ NOTES = {
   "token_length_drift": "two bin-bounded aggregates (10 rows each) + broadcast joins for the totals — the snapshots never co-shuffle; the PSI arithmetic is a codegen'd projection over 10 rows",
   "filtered_knn": "label equi-join composes BEFORE scoring (broadcast queries); at scale the corpus partitions by the filter column so the join becomes partition pruning; two-phase top-k as in knn_cosine",
   "bm25_search": "postings build is the one corpus-wide shuffle (partial-aggregated (term,doc) groupBy); the query-term filter cuts before scoring (a pushed parquet filter on a STORED index), df and corpus stats ride broadcasts, ranking is TakeOrderedAndProject",
+  "bm25_search_stored": "the PRODUCTION retrieval plan: NO Generate, NO corpus-wide aggregate — the term isin filter pushes into the parquet scan of the term-clustered stored index (file + row-group pruning), stored (n_docs,total_len) is a 1-row literal broadcast, df a |terms|-row broadcast, ranking TakeOrderedAndProject; query cost independent of index size",
   "phrase_match": "slot table (|phrase| rows) broadcasts onto the positional index; only docs containing a phrase term reach the per-doc aggregate, carrying position arrays, never text — the start-set intersection is a fold over <=|phrase| small arrays per doc",
   "traffic_spikes": "raw table shuffles ONCE (the count aggregate); the EWMA baseline explodes 8 (offset,weight) literals over the AGGREGATED table and re-groups — fixed-lag equi-join, never a range join; spike verdict is a codegen'd integer comparison",
-  "nation_trade_pagerank": "per-round: ONE edge shuffle (incoming-mass groupBy on dst) + broadcast rank vector and out-weights; the 4-table edge build broadcasts dims; integer recurrence is codegen'd — no float agg, no driver matrix",
+  "nation_trade_pagerank": "per-round: ONE edge shuffle (incoming-mass groupBy on dst) + broadcast rank vector and out-weights — broadcast is SIZE-GATED (broadcast_max_nodes, default 10M): past it both joins fall back to shuffle joins, equality+plan pytested; the 4-table edge build broadcasts dims; integer recurrence is codegen'd — no float agg, no driver matrix",
   "funnel_steps": "each stage: type filter pushed to the scan -> min-per-user aggregate -> user-keyed join against a SHRINKING survivor set; conversion ratios read from 1-row broadcast counts — event rows never fan out",
   "user_retention": "raw rows reduce to DISTINCT (user, bucket) in one partial-aggregated shuffle; cohort min reuses the same keys; the offset join runs over per-user rows with a broadcast cohort-size side",
   "cdc_latest_state": "rank-1 compaction compiles to WindowGroupLimit Partial below / Final above ONE key exchange — each task's sort buffer holds one row per key, never the key's history; no join, no second scan",
