@@ -1,0 +1,199 @@
+"""WARC / WET crawl-archive ingestion — the file format web-scale text
+corpora are DISTRIBUTED in before they become JSONL: Common Crawl ships
+raw captures as WARC (ISO 28500 / the IIPC WARC-1.1 spec), and its
+extracted-text sibling as WET (WARC whose records are
+``warc-type: conversion`` with a plain-text payload). A training
+pipeline that starts from the crawl rather than a curated dump needs
+this tier; the reference's only ingress is protobuf-over-Kafka
+(`/root/reference/inserter/inserter.go`), so like `sources/jsonl.py`
+this extends the source side for the training-data extension.
+
+Spark-first shape:
+- files are the parallelism unit (`spark.read.format("binaryFile")` —
+  one task per archive, exactly how Common Crawl is processed: ~100k
+  archives per crawl, each ~1 GB, embarrassingly parallel); records
+  are parsed OUT of each file by an Arrow-batched ``mapInPandas``
+  (per-archive imperative framing is the one genuinely non-relational
+  step — everything downstream is columnar);
+- gzip members decompress per-file (multi-member streams — the
+  standard ``.warc.gz`` layout of one member per record — are handled
+  by Python's gzip reader transparently); like every gzip source,
+  non-splittable: shard into many files, parquet-ize early;
+- malformed records QUARANTINE instead of killing the job (the
+  jsonl.py contract): each parsed row carries an ``error`` column,
+  NULL for clean records — a multi-hour ingest must not die on one
+  truncated capture.
+
+The parser implements record framing only (version line + name:value
+headers + Content-Length payload + CRLF CRLF gap) — the part of ISO
+28500 needed to read real WET/WARC; it does not write archives.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("record_index", T.LongType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("error", T.StringType()),
+])
+
+_HDR_KEEP = {
+    "warc-type": "warc_type",
+    "warc-record-id": "record_id",
+    "warc-target-uri": "target_uri",
+    "warc-date": "warc_date",
+    "content-type": "content_type",
+}
+
+
+def _parse_warc_bytes(path: str, data: bytes) -> Iterator[dict]:
+    """Walk one (decompressed) WARC stream, yielding one dict per
+    record; framing errors yield a final quarantine dict (``error``
+    set) carrying the unparseable tail as payload and stop — a
+    corrupted archive's remainder has no trustworthy record
+    boundaries, so resync is not attempted."""
+    pos, idx, n = 0, 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs (the two mandated + any padding)
+        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n"):
+            pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            return
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        if hdr_end == -1:               # tolerate bare-LF writers
+            hdr_end = data.find(b"\n\n", pos)
+            sep = 2
+        if hdr_end == -1 or not data[pos:pos + 5].startswith(b"WARC/"):
+            yield {"path": path, "record_index": idx, "error":
+                   "unparseable record header (no WARC/ version line "
+                   "or unterminated header block)",
+                   "payload": data[pos:pos + 4096]}
+            return
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        for line in lines[1:]:          # lines[0] is the version line
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield {"path": path, "record_index": idx, "error":
+                   "missing or non-integer Content-Length",
+                   "payload": data[pos:hdr_end]}
+            return
+        body_start = hdr_end + sep
+        if body_start + length > n:
+            yield {"path": path, "record_index": idx, "error":
+                   f"truncated payload (Content-Length {length}, "
+                   f"{n - body_start} bytes remain)",
+                   "payload": data[body_start:body_start + 4096]}
+            return
+        row = {"path": path, "record_index": idx, "error": None,
+               "content_length": length,
+               "payload": data[body_start:body_start + length]}
+        for h, col in _HDR_KEEP.items():
+            row[col] = headers.get(h)
+        yield row
+        idx += 1
+        pos = body_start + length
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET archives under ``path`` (plain or ``.warc.gz`` /
+    ``.wet.gz`` — decompressed per file, multi-member-safe) into one
+    row per record: ``WARC_SCHEMA`` — record headers promoted to
+    columns, raw payload as binary, ``error`` NULL for clean records
+    and set (with the offending bytes as payload) for framing
+    failures. Filter ``error.isNotNull()`` for the quarantine view.
+
+    Scale: one task per archive (binaryFile), the Common Crawl unit of
+    work; the parser is one linear pass per file with no per-record
+    Python/JVM round-trips (Arrow batches out). binaryFile caps files
+    at 2 GB — real crawl archives are ~1 GB by convention."""
+    def parse(batches):
+        import pandas as pd
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if path_.endswith(".gz"):
+                    try:
+                        with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
+                            data = g.read()
+                    except OSError as e:
+                        rows.append({"path": path_, "record_index": 0,
+                                     "error": f"gzip: {e}",
+                                     "payload": data[:4096]})
+                        continue
+                rows.extend(_parse_warc_bytes(path_, data))
+            out = pd.DataFrame(rows if rows else None, columns=cols)
+            yield out[cols]
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """The WET text view: ``conversion`` records decoded as UTF-8
+    (invalid bytes replaced, never fatal) — one row per captured page:
+    ``(record_id, url, fetch_date, text)``. This is the frame the
+    curation tier (lang-id → quality gates → dedup) starts from; pair
+    with :func:`host_key` on ``url`` for host-level quotas. Pure
+    column expressions — no Python after the parse."""
+    return (records
+            .filter(F.col("error").isNull()
+                    & (F.col("warc_type") == "conversion"))
+            .select(F.col("record_id"),
+                    F.col("target_uri").alias("url"),
+                    F.col("warc_date").alias("fetch_date"),
+                    F.decode(F.col("payload"), "UTF-8").alias("text")))
+
+
+def strip_http_headers(payload: "F.Column") -> "F.Column":
+    """For ``response`` records (raw WARC), the payload is the full
+    HTTP exchange — status line + headers + body; this strips through
+    the first blank line, returning the body bytes (the HTML). JVM
+    expression (locate + substring on binary-as-string is lossy for
+    bytes, so operate via the documented split point): callers wanting
+    exact bytes should prefer the WET sibling, which Common Crawl
+    pre-extracts."""
+    s = F.decode(payload, "ISO-8859-1")     # byte-preserving charset
+    idx = F.locate("\r\n\r\n", s)           # FIRST blank line (1-based)
+    body = F.when(idx > 0,
+                  F.substring(s, idx + F.lit(4), F.length(s))) \
+        .otherwise(s)                        # headerless → pass through
+    return F.encode(body, "ISO-8859-1")
+
+
+def host_key(url: "F.Column") -> "F.Column":
+    """Normalized host key for per-domain curation quotas (crawl
+    pipelines cap documents per host so no single site dominates the
+    corpus — compose this as the ``group_col``/``source_col`` of
+    ``packing.source_quota_sample`` or ``weighted_sample``): lowercased
+    hostname via the built-in ``parse_url`` (JVM expression, zero UDF),
+    with a leading ``www.`` stripped and any ``:port`` removed. NULL
+    for unparseable URLs — filter or quarantine upstream. Deliberately
+    NOT public-suffix-aware (that needs the PSL as a broadcast lookup —
+    a data file, not an algorithm; this key treats subdomains as
+    distinct hosts, the conservative direction for quota caps)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":\d+$", "")

@@ -2187,6 +2187,115 @@ def test_read_jsonl_documents_quarantines_corrupt_lines(spark, tmp_path):
     assert not raw.is_cached
 
 
+def _warc_record(rtype: str, uri: str | None, payload: bytes,
+                 rec_id: str = "<urn:uuid:1>",
+                 date: str = "2026-01-02T03:04:05Z") -> bytes:
+    hdr = [f"WARC/1.1", f"WARC-Type: {rtype}",
+           f"WARC-Record-ID: {rec_id}", f"WARC-Date: {date}",
+           f"Content-Length: {len(payload)}"]
+    if uri is not None:
+        hdr.insert(2, f"WARC-Target-URI: {uri}")
+    if rtype == "conversion":
+        hdr.append("Content-Type: text/plain")
+    return ("\r\n".join(hdr) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def test_read_warc_wet_and_quarantine(spark, tmp_path):
+    """WARC framing (ISO 28500): records parse out of plain AND
+    per-record-gzipped (multi-member .gz) archives; WET conversion
+    records decode to the (record_id, url, fetch_date, text) view
+    (UTF-8 with replacement, never fatal); a truncated record lands in
+    the quarantine (error set) without killing the file's earlier
+    records or the job."""
+    import gzip
+
+    from flow_pipeline_spark.sources.warc import read_warc, wet_documents
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    info = _warc_record("warcinfo", None, b"robots: classic\r\n",
+                        rec_id="<urn:uuid:0>")
+    page1 = _warc_record("conversion", "https://example.com/a",
+                         "héllo wörld".encode(), rec_id="<urn:uuid:a>")
+    page2 = _warc_record("conversion", "https://example.com/b",
+                         b"zwei drei vier", rec_id="<urn:uuid:b>")
+    (d / "part0.wet").write_bytes(info + page1 + page2)
+    # the standard .warc.gz layout: ONE gzip member PER record
+    with open(d / "part1.wet.gz", "wb") as f:
+        for rec in (info, page1):
+            f.write(gzip.compress(rec))
+    # truncated archive: one clean record, then a record whose payload
+    # is cut short — earlier record must survive, tail must quarantine
+    cut = _warc_record("conversion", "https://example.com/c",
+                       b"will be truncated", rec_id="<urn:uuid:c>")
+    (d / "part2.wet").write_bytes(page2 + cut[:len(cut) - 12])
+
+    recs = read_warc(spark, str(d)).cache()
+    clean = recs.filter(recs.error.isNull())
+    bad = recs.filter(recs.error.isNotNull()).collect()
+    # 3 + 2 + 1 clean records, 1 quarantined truncation
+    assert clean.count() == 6
+    assert len(bad) == 1
+    assert "truncated payload" in bad[0].error
+    assert bad[0].path.endswith("part2.wet")
+
+    wet = wet_documents(recs).collect()
+    by_url = {}
+    for r in wet:
+        by_url.setdefault(r.url, []).append(r)
+    assert set(by_url) == {"https://example.com/a",
+                           "https://example.com/b"}
+    assert by_url["https://example.com/a"][0].text == "héllo wörld"
+    assert all(r.fetch_date == "2026-01-02T03:04:05Z" for r in wet)
+    # the plain and gzipped copies of page1 decode identically
+    assert len(by_url["https://example.com/a"]) == 2
+    recs.unpersist()
+
+
+def test_warc_strip_http_headers(spark):
+    """response-record payloads are full HTTP exchanges; the helper
+    returns the body after the FIRST blank line (a body containing its
+    own blank lines must not be cut), and passes headerless payloads
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.sources.warc import strip_http_headers
+
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>a\r\n\r\nb</html>")
+    df = spark.createDataFrame(
+        [(1, bytearray(http)), (2, bytearray(b"no headers here"))],
+        "id int, payload binary")
+    got = {r.id: bytes(r.body) for r in
+           df.select("id", strip_http_headers(F.col("payload"))
+                     .alias("body")).collect()}
+    assert got[1] == b"<html>a\r\n\r\nb</html>"
+    assert got[2] == b"no headers here"
+
+
+def test_warc_host_key_normalization(spark):
+    """host_key: lowercased host, www. stripped, port dropped, path /
+    query ignored; unparseable URLs -> NULL (quota grouping must never
+    crash on crawl garbage)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.sources.warc import host_key
+
+    urls = [
+        (1, "https://Example.COM/a/b?q=1"),
+        (2, "http://www.example.com:8080/x"),
+        (3, "https://sub.example.com/"),
+        (4, "not a url at all"),
+    ]
+    df = spark.createDataFrame(urls, "id int, url string")
+    got = {r.id: r.h for r in
+           df.select("id", host_key(F.col("url")).alias("h")).collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+    assert got[3] == "sub.example.com"   # subdomains stay distinct
+    assert got[4] is None
+
+
 def test_weighted_sample_proportional_and_deterministic(spark):
     """Across many salts, a row with 50x the weight must be selected
     far more often than a unit-weight row (A-ES proportionality); the
