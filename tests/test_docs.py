@@ -25,3 +25,15 @@ def test_readme_registry_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
         f"README says {m.group(1)}/{m.group(2)}, registry has "
         f"{total}/{oracled} — run python -m tools.gen_readme_counts")
+
+
+def test_bench_queries_all_registered():
+    """bench.py silently skips headline names missing from the registry
+    (`if name not in QUERIES: continue`) — a rename would quietly drop a
+    benched query from every future record. Make it loud instead."""
+    import sys
+    sys.path.insert(0, os.path.dirname(README))
+    from bench import BENCH_QUERIES
+    missing = [n for n in BENCH_QUERIES if n not in QUERIES]
+    assert not missing, f"benched but not registered: {missing}"
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))

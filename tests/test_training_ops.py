@@ -2296,6 +2296,57 @@ def test_warc_host_key_normalization(spark):
     assert got[4] is None
 
 
+def test_wet_to_curation_composition(spark, tmp_path):
+    """End-to-end: the WET frame feeds the existing curation tier with
+    zero glue beyond column renames — host_key groups for the
+    per-domain cap (quota_sample), then exact_dedup collapses the
+    cross-host mirror copies. The crawl-source tier and the
+    training-data tier compose."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.dedup import exact_dedup
+    from flow_pipeline_spark.operators.packing import quota_sample
+    from flow_pipeline_spark.sources.warc import (host_key, read_warc,
+                                                  wet_documents)
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    recs = []
+    # spam.example floods 5 pages; two hosts mirror the same article
+    for i in range(5):
+        recs.append(_warc_record(
+            "conversion", f"https://spam.example/p{i}",
+            f"spam page {i} filler words".encode(),
+            rec_id=f"<urn:uuid:s{i}>"))
+    recs.append(_warc_record("conversion", "https://a.example/art",
+                             b"the shared article body",
+                             rec_id="<urn:uuid:m1>"))
+    recs.append(_warc_record("conversion", "https://b.example/mirror",
+                             b"the shared article body",
+                             rec_id="<urn:uuid:m2>"))
+    with open(d / "crawl.wet.gz", "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+
+    docs = (wet_documents(read_warc(spark, str(d)))
+            .withColumn("host", host_key(F.col("url")))
+            .withColumnRenamed("record_id", "doc_id"))
+    capped = (quota_sample(docs, "host", quota=2, key_col="doc_id")
+              .filter(F.col("kept")).drop("rn", "kept"))
+    by_host = {r.host: r.n for r in
+               capped.groupBy("host").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_host == {"spam.example": 2, "a.example": 1, "b.example": 1}
+
+    unique = exact_dedup(capped, text_col="text", id_col="doc_id")
+    texts = sorted(r.text for r in unique.collect())
+    # the mirrored article survives exactly once
+    assert texts.count("the shared article body") == 1
+    assert len(texts) == 3    # 2 spam survivors + 1 article
+
+
 def test_weighted_sample_proportional_and_deterministic(spark):
     """Across many salts, a row with 50x the weight must be selected
     far more often than a unit-weight row (A-ES proportionality); the
