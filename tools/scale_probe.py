@@ -25,6 +25,9 @@ Probed (one per operator family):
   with the corpus, GEMM assignment + per-cell GEMM verify
 - skew_join: one hot key = 50% of an 8M-row fact side — plain sort-merge
   (broadcast + AQE skew split disabled) vs salted_join's explicit spread
+- wet_parse (round 6): WARC/WET record framing + text view over growing
+  gzipped archive sets — files are the parallelism unit, so records/s
+  must stay ~flat as archives multiply
 """
 
 from __future__ import annotations
@@ -492,6 +495,37 @@ def main() -> None:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+        # WARC/WET source (round 6, sources/warc.py): one binaryFile task
+        # per archive, one linear parse pass per file — records/s must
+        # hold ~flat as the archive count grows 16x. Archives are
+        # whole-file gzip members (the parser also handles the
+        # per-record-member layout; the gz path is what's probed).
+        import gzip as _gzip
+
+        from flow_pipeline_spark.sources.warc import read_warc, wet_documents
+        per_file = 4000
+        filler = "lorem " * 20
+        for n in [50_000, 200_000,
+                  400_000 if args.fast else 800_000]:
+            wdir = f"{d}/warc_{n}"
+            os.makedirs(wdir, exist_ok=True)
+            for fi in range(n // per_file):
+                buf = []
+                for ri in range(per_file):
+                    payload = (f"doc {fi}:{ri} {filler}").encode()
+                    hdr = (f"WARC/1.1\r\nWARC-Type: conversion\r\n"
+                           f"WARC-Record-ID: <urn:uuid:{fi}-{ri}>\r\n"
+                           f"WARC-Target-URI: https://h{fi}.test/p{ri}\r\n"
+                           f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                           f"Content-Length: {len(payload)}\r\n\r\n")
+                    buf.append(hdr.encode() + payload + b"\r\n\r\n")
+                with open(f"{wdir}/part{fi}.wet.gz", "wb") as f:
+                    f.write(_gzip.compress(b"".join(buf), 1))
+            sec = median_timed(lambda: force(
+                wet_documents(read_warc(spark, wdir))))
+            record("wet_parse", n, sec)
+            shutil.rmtree(wdir, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
