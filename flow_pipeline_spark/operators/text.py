@@ -147,6 +147,47 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def scrub_controls(text: Column) -> Column:
+    """JVM-side unicode hygiene (one codegen'd regexp pass, zero UDF):
+    drop C0/C1 control characters (keeping \\n and \\t), zero-width
+    characters (ZWSP/ZWNJ/ZWJ/BOM), and soft hyphens; map NBSP and
+    ideographic space to a plain space. The mojibake half of crawl
+    cleanup that needs no normalization tables — compose with
+    :func:`nfkc_normalize` for the full gate (:func:`clean_unicode`)."""
+    out = F.regexp_replace(
+        text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
+              "\\u200B-\\u200D\\uFEFF\\u00AD]", "")
+    return F.regexp_replace(out, "[\\u00A0\\u3000]", " ")
+
+
+def nfkc_normalize(text: Column) -> Column:
+    """NFKC unicode normalization (fullwidth → ASCII, ligatures split,
+    compatibility forms folded — the core of what ftfy/crawl cleanup
+    does after encoding repair). The JVM exposes no normalization
+    expression, so this is a DELIBERATE Arrow-batched Python edge (the
+    zlib-ratio precedent): stdlib ``unicodedata.normalize`` over the
+    batch, one C call per row, no tokenization, no per-row JVM
+    round-trip. NULLs pass through."""
+    @F.pandas_udf("string")
+    def _nfkc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda v: v if v is None
+                     else unicodedata.normalize("NFKC", v))
+    return _nfkc(text)
+
+
+def clean_unicode(text: Column) -> Column:
+    """The crawl-text cleanup gate: :func:`nfkc_normalize` (Arrow edge)
+    FIRST, then :func:`scrub_controls` (JVM), then whitespace collapse.
+    Scrub runs after NFKC deliberately: NFKC itself mints scrub targets
+    (U+2007 figure space normalizes to NBSP) while producing none of
+    its own inputs' classes back — the reverse order would leak them.
+    Run BEFORE tokenization/dedup so canonical forms agree across
+    differently-encoded copies of the same page."""
+    return F.trim(F.regexp_replace(
+        scrub_controls(nfkc_normalize(text)), r"\s+", " "))
+
+
 def fingerprint(text: Column, n_tokens: int = 8) -> Column:
     """Document fingerprint: md5 of the first-n-token normalized prefix —
     a locality-insensitive prefix hash (cheap near-head-dup detector)."""

@@ -2296,6 +2296,66 @@ def test_warc_host_key_normalization(spark):
     assert got[4] is None
 
 
+def test_clean_unicode_gate(spark):
+    """Crawl-text cleanup: NFKC folds fullwidth/ligature/compatibility
+    forms, the JVM scrub drops zero-width/control/soft-hyphen chars and
+    maps NBSP to space (including the NBSP that NFKC itself mints from
+    a figure space — scrub runs AFTER nfkc), and differently-encoded
+    copies of the same page canonicalize identically (why the gate runs
+    before dedup)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.text import clean_unicode
+
+    rows = [
+        (1, "\uFF28\uFF45\uFF4C\uFF4C\uFF4F\u3000"
+            "\uFF57\uFF4F\uFF52\uFF4C\uFF44"),   # fullwidth + ideographic sp
+        (2, "ef\uFB01cient \u2460 st"),          # fi ligature + circled one
+        (3, "zero\u200Bwidth\u200D gone"),        # ZWSP / ZWJ vanish
+        (4, "nb\u00A0sp and\u00ADsoft"),          # NBSP -> space; SHY gone
+        (5, "ctrl\x07here\x1f!"),                 # bell + unit separator
+        (6, None),
+        (7, "Hello world"),                       # twin of row 1
+        (8, "a\u2007b"),                          # figure space -> NFKC NBSP
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r.id: r.c for r in
+           df.select("id", clean_unicode(F.col("t")).alias("c")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "efficient 1 st"
+    assert got[3] == "zerowidth gone"
+    assert got[4] == "nb sp andsoft"
+    assert got[5] == "ctrlhere!"
+    assert got[6] is None
+    assert got[1] == got[7]                  # twins canonicalize equal
+    assert got[8] == "a b"
+
+    # randomized equality vs the stdlib reference: the Spark pipeline
+    # must equal unicodedata.normalize -> scrub -> collapse in Python
+    import random
+    import re
+    import unicodedata
+    rng = random.Random(42)
+    pool = ("ab c\tX \u3000\u200B\u00AD\x07"
+            "\uFF31\u2460\uFB01 \u00E9\u6F22 \n\u00A0\u2007")
+    samples = ["".join(rng.choice(pool) for _ in range(30))
+               for _ in range(60)]
+
+    def ref(s):
+        s = unicodedata.normalize("NFKC", s)
+        s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"
+                   "\u200B-\u200D\uFEFF\u00AD]", "", s)
+        s = re.sub("[\u00A0\u3000]", " ", s)
+        return re.sub(r"\s+", " ", s, flags=re.ASCII).strip()
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id int, t string")
+    out = {r.id: r.c for r in
+           sdf.select("id", clean_unicode(F.col("t")).alias("c")).collect()}
+    for i, s in enumerate(samples):
+        assert out[i] == ref(s), (i, repr(s), repr(out[i]), repr(ref(s)))
+
+
 def test_wet_to_curation_composition(spark, tmp_path):
     """End-to-end: the WET frame feeds the existing curation tier with
     zero glue beyond column renames — host_key groups for the
