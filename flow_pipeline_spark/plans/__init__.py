@@ -120,6 +120,16 @@ _DEMOTED_VARIANTS = {
                                                        # a persisted postings
                                                        # artifact (benched as
                                                        # the production form)
+    "wet_ingest": ["corpus_curation",                  # WET round-trip: the
+                   "source_quota_sample"],             # per-source aggregate
+                                                       # device is windowed;
+                                                       # the writer∘parser
+                                                       # losslessness the
+                                                       # oracle proves is the
+                                                       # new part, and its
+                                                       # plumbing (framing,
+                                                       # gzip, quarantine) is
+                                                       # pytest-covered
     "text_quality": ["quality_classifier"],            # per-row QC stats
     "repetition_stats": ["quality_classifier"],        # per-row QC gate
     "c4_line_filter": ["quality_classifier"],          # per-row line rules

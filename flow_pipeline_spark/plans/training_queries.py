@@ -3255,6 +3255,77 @@ def bm25_search_stored(spark, sf_dir):
             .select("doc_id", "score"))
 
 
+# --- crawl-archive source tier (sources/warc.py) ------------------------------
+
+
+def _wet_corpus_dir(spark, sf_dir):
+    """Build-once WET publication of the documents table for ``sf_dir``
+    (the bm25 stored-index caching device: keyed on corpus mtime,
+    atomic directory publish, concurrent builders race safely). The
+    ARCHIVES are the artifact under test — wet_ingest parses them back."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.warc import write_wet
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"wet:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fps_wet_{key}")
+    if not os.path.isdir(base):
+        tmp = base + "._build_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text",
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example/d"), F.col("doc_id")).alias("url"))
+        write_wet(docs.repartition(8), tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:            # another builder published first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+@_q(
+    "wet_ingest",
+    """
+    SELECT source || '.example' AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY host
+    """,
+    doc="Crawl-archive round trip (sources/warc.py; ISO 28500): the "
+        "documents table publishes as gzipped WET archives (write_wet — "
+        "one conversion record per doc, exact Content-Length framing, "
+        "one archive per partition written executor-side) into a "
+        "build-once cache, then read_warc + wet_documents parse the "
+        "BYTES back and aggregate per host. The DuckDB oracle computes "
+        "the same aggregate STRAIGHT OFF the documents table, so a hash "
+        "match proves writer∘parser is lossless down to codepoint "
+        "counts — the correctness statement that matters for a source "
+        "tier. Registered as a ledgered variant (the aggregate device "
+        "is windowed everywhere; the parse plumbing is pytest-covered "
+        "incl. quarantine paths). Scale: archives are the parallelism "
+        "unit (one binaryFile task each, the Common Crawl shape); the "
+        "only shuffle is the final host aggregate.",
+)
+def wet_ingest(spark, sf_dir):
+    from ..sources.warc import host_key, read_warc, wet_documents
+    wet = wet_documents(read_warc(spark, _wet_corpus_dir(spark, sf_dir)))
+    return (wet
+            .select(host_key(F.col("url")).alias("host"),
+                    F.length("text").alias("n_chars"))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("host"))
+
+
 @_q(
     "tfidf_top_terms",
     f"""

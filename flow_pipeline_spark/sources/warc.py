@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,6 +182,53 @@ def strip_http_headers(payload: "F.Column") -> "F.Column":
                   F.substring(s, idx + F.lit(4), F.length(s))) \
         .otherwise(s)                        # headerless → pass through
     return F.encode(body, "ISO-8859-1")
+
+
+def write_wet(df: DataFrame, out_dir: str, *, text_col: str = "text",
+              url_col: str = "url", id_col: str = "doc_id",
+              date: str = "2026-01-01T00:00:00Z",
+              gzip_files: bool = True) -> None:
+    """WET writer — publish a text corpus AS crawl archives (the inverse
+    of :func:`read_warc` + :func:`wet_documents`; round-trip losslessness
+    is oracle-proven by the ``wet_ingest`` registry query): each input
+    partition writes one ``part-NNNNN.wet[.gz]`` of ``conversion``
+    records with exact Content-Length framing, so any WET consumer
+    (including this repo's reader) recovers the text byte-for-byte.
+
+    Scale: executor-side writes, one file per partition, no row through
+    the driver — ``repartition(n)`` upstream to choose the archive
+    count/size (CC convention ~1 GB per archive). Task retries and
+    speculative duplicates rewrite the same deterministic per-partition
+    path with identical content, so the output is retry-safe.
+    ``out_dir`` must be storage every executor can reach (local-mode
+    dir, NFS, or a FUSE-mounted object store; on a real cluster prefer
+    the object store)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows) -> None:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        buf = []
+        for r in rows:
+            payload = (r[text_col] or "").encode("utf-8")
+            hdr = (f"WARC/1.1\r\nWARC-Type: conversion\r\n"
+                   f"WARC-Record-ID: <urn:doc:{r[id_col]}>\r\n"
+                   f"WARC-Target-URI: {r[url_col]}\r\n"
+                   f"WARC-Date: {date}\r\n"
+                   f"Content-Length: {len(payload)}\r\n\r\n")
+            buf.append(hdr.encode() + payload + b"\r\n\r\n")
+        if not buf:
+            return
+        data = b"".join(buf)
+        ext = ".wet.gz" if gzip_files else ".wet"
+        if gzip_files:
+            data = gzip.compress(data)
+        tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, f"part-{pid:05d}{ext}"))
+
+    df.select(id_col, url_col, text_col).foreachPartition(write_part)
 
 
 def host_key(url: "F.Column") -> "F.Column":

@@ -2356,6 +2356,37 @@ def test_clean_unicode_gate(spark):
         assert out[i] == ref(s), (i, repr(s), repr(out[i]), repr(ref(s)))
 
 
+def test_write_wet_round_trip(spark, tmp_path):
+    """write_wet ∘ (read_warc + wet_documents) is the identity on
+    (doc_id-in-record-id, url, text) — including multi-line text with
+    embedded blank lines (Content-Length framing, not delimiters), and
+    across a repartition (per-partition archives, partition-independent
+    union). The wet_ingest registry query extends this to the DuckDB
+    oracle at sf scale."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.sources.warc import (read_warc, wet_documents,
+                                                  write_wet)
+
+    rows = [(i, f"https://h{i % 3}.test/p{i}",
+             f"doc {i}\r\n\r\nwith a blank line\nand ünïcode {i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = f"{tmp_path}/pub"
+    write_wet(df.repartition(5), out)
+
+    import os
+    parts = sorted(os.listdir(out))
+    assert all(p.endswith(".wet.gz") for p in parts)
+    assert 1 <= len(parts) <= 5
+
+    back = wet_documents(read_warc(spark, out))
+    got = {r.url: r.text for r in back.collect()}
+    assert got == {u: t for _, u, t in rows}
+    ids = {r.record_id for r in back.collect()}
+    assert ids == {f"<urn:doc:{i}>" for i in range(40)}
+
+
 def test_wet_to_curation_composition(spark, tmp_path):
     """End-to-end: the WET frame feeds the existing curation tier with
     zero glue beyond column renames — host_key groups for the
