@@ -69,6 +69,7 @@ NOTES = {
   "user_retention": "raw rows reduce to DISTINCT (user, bucket) in one partial-aggregated shuffle; cohort min reuses the same keys; the offset join runs over per-user rows with a broadcast cohort-size side",
   "cdc_latest_state": "rank-1 compaction compiles to WindowGroupLimit Partial below / Final above ONE key exchange — each task's sort buffer holds one row per key, never the key's history; no join, no second scan",
   "time_gapfill": "per-key grid = sequence+explode over the key-bounded bounds aggregate (narrow Generate, rows = dashboard range); fill join + LOCF window run on AGGREGATED rows — raw events shuffle at most twice, no calendar cross join",
+  "wet_ingest": "crawl-archive source tier: one binaryFile task per WET archive feeding ONE Arrow-batched mapInPandas (record framing — the only Python, linear per file); the sole exchange is the final per-host aggregate; at CC scale parallelism = archive count, which is the point",
 }
 
 
