@@ -526,6 +526,23 @@ def main() -> None:
                 wet_documents(read_warc(spark, wdir))))
             record("wet_parse", n, sec)
             shutil.rmtree(wdir, ignore_errors=True)
+
+        # Unicode cleanup gate (round 6, text.py:clean_unicode): the NFKC
+        # step is the deliberate Arrow-batched Python edge — per-row cost
+        # must stay flat (rows/s growing until cores saturate, then
+        # holding) as the corpus grows 16x.
+        from flow_pipeline_spark.operators.text import clean_unicode
+        for n in [250_000, 1_000_000,
+                  2_000_000 if args.fast else 4_000_000]:
+            txt = spark.range(n).select(
+                F.concat(F.lit("Ｄｏｃ　"),
+                         F.col("id").cast("string"),
+                         F.lit(" body​ with junk ﬁ end"))
+                .alias("t")).localCheckpoint(eager=True)
+            sec = median_timed(lambda: force(
+                txt.select(clean_unicode(F.col("t")).alias("c"))))
+            record("clean_unicode", n, sec)
+            txt.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
