@@ -149,11 +149,14 @@ def normalize_text(text: Column) -> Column:
 
 def scrub_controls(text: Column) -> Column:
     """JVM-side unicode hygiene (one codegen'd regexp pass, zero UDF):
-    drop C0/C1 control characters (keeping \\n and \\t), zero-width
-    characters (ZWSP/ZWNJ/ZWJ/BOM), and soft hyphens; map NBSP and
-    ideographic space to a plain space. The mojibake half of crawl
-    cleanup that needs no normalization tables — compose with
-    :func:`nfkc_normalize` for the full gate (:func:`clean_unicode`)."""
+    drop C0/C1 control characters — KEEPING the line-structure trio
+    \\n, \\r and \\t (CR survives standalone use deliberately; inside
+    :func:`clean_unicode` the trailing whitespace collapse absorbs
+    it) — plus zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft
+    hyphens; map NBSP and ideographic space to a plain space. The
+    mojibake half of crawl cleanup that needs no normalization tables —
+    compose with :func:`nfkc_normalize` for the full gate
+    (:func:`clean_unicode`)."""
     out = F.regexp_replace(
         text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
               "\\u200B-\\u200D\\uFEFF\\u00AD]", "")

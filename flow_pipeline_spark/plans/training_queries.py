@@ -3155,29 +3155,54 @@ def bm25_search(spark, sf_dir):
     return _bm25(_docs(spark, sf_dir), _BM25_TERMS, k=10)
 
 
-def _bm25_stored_index(spark, sf_dir):
-    """Build-once, reuse-forever postings artifact for ``sf_dir``: the
-    production deployment shape (index persisted term-clustered, corpus
-    stats stored next to it at build time). Cached under the system temp
-    dir keyed on (path, documents.parquet mtime) so a refreshed corpus
-    rebuilds; publication is an atomic directory rename, so concurrent
-    builders race safely (the loser discards its build). Returns
-    ``(postings_df, (n_docs, total_len))``."""
+def _artifact_dir(prefix: str, sf_dir: str,
+                  table: str = "documents") -> str:
+    """Cache path for a build-once artifact derived from ``sf_dir``'s
+    ``table``: keyed on (path, mtime) so a refreshed corpus rebuilds."""
     import hashlib
-    import json as _json
-    import shutil
     import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+        f"{prefix}:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"fps_bm25_idx_{key}")
-    stats_path = os.path.join(base, "_STATS.json")
-    if not os.path.exists(stats_path):
-        from ..operators.retrieval import bm25_postings, postings_stats
-        tmp = base + "._build_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    return os.path.join(tempfile.gettempdir(), f"fps_{prefix}_{key}")
+
+
+def _publish_once(base: str, build_fn) -> str:
+    """Build-once artifact publication (shared by the bm25 stored index
+    and the WET corpus cache): if ``base`` exists it is complete —
+    publication is ONE atomic ``os.rename`` of a fully-built dir. Each
+    builder constructs into its OWN unique sibling tmp (pid + random
+    suffix): two concurrent builders never share a tmp dir, so neither
+    can rmtree or interleave the other's half-built artifact (the
+    round-6 review race — a shared ``._build_tmp`` could publish a
+    corrupt mix); the rename loser discards its build. Returns
+    ``base``."""
+    import shutil
+    import uuid
+
+    if not os.path.isdir(base):
+        tmp = f"{base}._build_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        build_fn(tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:            # another builder published first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _bm25_stored_index(spark, sf_dir):
+    """Build-once, reuse-forever postings artifact for ``sf_dir`` — the
+    production deployment shape (index persisted term-clustered, corpus
+    stats stored next to it at build time); cache key and race-safe
+    publication contract in :func:`_artifact_dir`/:func:`_publish_once`.
+    Returns ``(postings_df, (n_docs, total_len))``."""
+    import json as _json
+
+    from ..operators.retrieval import bm25_postings, postings_stats
+
+    def build(tmp):
         # term-clustered layout = the "bucketed BY TERM" story without a
         # metastore: hash-partition on term, sort within partitions, so
         # a stored-index term lookup prunes both files (via the pushed
@@ -3189,11 +3214,9 @@ def _bm25_stored_index(spark, sf_dir):
             spark.read.parquet(os.path.join(tmp, "postings")))
         with open(os.path.join(tmp, "_STATS.json"), "w") as f:
             _json.dump({"n_docs": n, "total_len": t}, f)
-        try:
-            os.rename(tmp, base)
-        except OSError:            # another builder published first
-            shutil.rmtree(tmp, ignore_errors=True)
-    with open(stats_path) as f:
+
+    base = _publish_once(_artifact_dir("bm25_idx", sf_dir), build)
+    with open(os.path.join(base, "_STATS.json")) as f:
         st = _json.load(f)
     return (spark.read.parquet(os.path.join(base, "postings")),
             (st["n_docs"], st["total_len"]))
@@ -3260,33 +3283,19 @@ def bm25_search_stored(spark, sf_dir):
 
 def _wet_corpus_dir(spark, sf_dir):
     """Build-once WET publication of the documents table for ``sf_dir``
-    (the bm25 stored-index caching device: keyed on corpus mtime,
-    atomic directory publish, concurrent builders race safely). The
-    ARCHIVES are the artifact under test — wet_ingest parses them back."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    (same cache/publication device as the bm25 stored index —
+    :func:`_artifact_dir`/:func:`_publish_once`). The ARCHIVES are the
+    artifact under test — wet_ingest parses them back."""
     from ..sources.warc import write_wet
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"wet:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"fps_wet_{key}")
-    if not os.path.isdir(base):
-        tmp = base + "._build_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def build(tmp):
         docs = _docs(spark, sf_dir).select(
             "doc_id", "text",
             F.concat(F.lit("https://"), F.col("source"),
                      F.lit(".example/d"), F.col("doc_id")).alias("url"))
         write_wet(docs.repartition(8), tmp)
-        try:
-            os.rename(tmp, base)
-        except OSError:            # another builder published first
-            shutil.rmtree(tmp, ignore_errors=True)
-    return base
+
+    return _publish_once(_artifact_dir("wet", sf_dir), build)
 
 
 @_q(

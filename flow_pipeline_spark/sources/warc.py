@@ -36,6 +36,7 @@ import io
 import os
 from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -70,16 +71,28 @@ def _parse_warc_bytes(path: str, data: bytes) -> Iterator[dict]:
     boundaries, so resync is not attempted."""
     pos, idx, n = 0, 0, len(data)
     while pos < n:
-        # skip inter-record CRLFs (the two mandated + any padding)
-        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n"):
-            pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
+        # skip inter-record newlines (the two mandated CRLFs + padding;
+        # bare-LF gaps too — a 2-byte slice never equals b"\n", the
+        # round-6 review's reproduced record-loss bug)
+        while pos < n:
+            if data[pos:pos + 2] == b"\r\n":
+                pos += 2
+            elif data[pos:pos + 1] == b"\n":
+                pos += 1
+            else:
+                break
         if pos >= n:
             return
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:               # tolerate bare-LF writers
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
+        # header terminator: the EARLIEST of CRLFCRLF / LFLF (the two
+        # are byte-disjoint). Preferring CRLF anywhere-in-buffer would
+        # mis-frame an LF-header record whose PAYLOAD contains CRLFCRLF
+        # (reproduced in the round-6 review).
+        i_crlf = data.find(b"\r\n\r\n", pos)
+        i_lf = data.find(b"\n\n", pos)
+        if i_crlf != -1 and (i_lf == -1 or i_crlf < i_lf):
+            hdr_end, sep = i_crlf, 4
+        else:
+            hdr_end, sep = i_lf, 2
         if hdr_end == -1 or not data[pos:pos + 5].startswith(b"WARC/"):
             yield {"path": path, "record_index": idx, "error":
                    "unparseable record header (no WARC/ version line "
@@ -152,20 +165,37 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
+def utf8_lenient(payload: "F.Column") -> "F.Column":
+    """Bytes → string with invalid sequences REPLACED (U+FFFD), never
+    fatal. Spark 4's ``F.decode(_, 'UTF-8')`` raises
+    MALFORMED_CHARACTER_CODING on bad bytes (reproduced — one
+    mis-encoded page would kill a whole crawl ingest), and the lenient
+    conf is session-global legacy behavior a vanilla driver session
+    won't have; so this is a small Arrow-batched edge using Python's
+    errors='replace' decoder — same deliberate-edge rationale as the
+    record framing itself."""
+    @F.pandas_udf("string")
+    def _dec(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: None if v is None
+                     else bytes(v).decode("utf-8", "replace"))
+    return _dec(payload)
+
+
 def wet_documents(records: DataFrame) -> DataFrame:
-    """The WET text view: ``conversion`` records decoded as UTF-8
-    (invalid bytes replaced, never fatal) — one row per captured page:
-    ``(record_id, url, fetch_date, text)``. This is the frame the
-    curation tier (lang-id → quality gates → dedup) starts from; pair
-    with :func:`host_key` on ``url`` for host-level quotas. Pure
-    column expressions — no Python after the parse."""
+    """The WET text view: ``conversion`` records decoded as UTF-8 with
+    invalid bytes replaced, never fatal (:func:`utf8_lenient` — real
+    crawls routinely carry mis-declared encodings) — one row per
+    captured page: ``(record_id, url, fetch_date, text)``. This is the
+    frame the curation tier (lang-id → quality gates → dedup) starts
+    from; pair with :func:`host_key` on ``url`` for host-level
+    quotas."""
     return (records
             .filter(F.col("error").isNull()
                     & (F.col("warc_type") == "conversion"))
             .select(F.col("record_id"),
                     F.col("target_uri").alias("url"),
                     F.col("warc_date").alias("fetch_date"),
-                    F.decode(F.col("payload"), "UTF-8").alias("text")))
+                    utf8_lenient(F.col("payload")).alias("text")))
 
 
 def strip_http_headers(payload: "F.Column") -> "F.Column":
@@ -197,9 +227,11 @@ def write_wet(df: DataFrame, out_dir: str, *, text_col: str = "text",
 
     Scale: executor-side writes, one file per partition, no row through
     the driver — ``repartition(n)`` upstream to choose the archive
-    count/size (CC convention ~1 GB per archive). Task retries and
-    speculative duplicates rewrite the same deterministic per-partition
-    path with identical content, so the output is retry-safe.
+    count/size (CC convention ~1 GB per archive). Retry-safe: each task
+    ATTEMPT writes its own tmp file and atomically publishes the
+    deterministic per-partition path via ``os.replace`` — concurrent
+    speculative attempts can't interleave bytes, and whichever complete
+    attempt lands last wins with identical content.
     ``out_dir`` must be storage every executor can reach (local-mode
     dir, NFS, or a FUSE-mounted object store; on a real cluster prefer
     the object store)."""
@@ -207,7 +239,8 @@ def write_wet(df: DataFrame, out_dir: str, *, text_col: str = "text",
 
     def write_part(rows) -> None:
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         buf = []
         for r in rows:
             payload = (r[text_col] or "").encode("utf-8")
@@ -223,7 +256,14 @@ def write_wet(df: DataFrame, out_dir: str, *, text_col: str = "text",
         ext = ".wet.gz" if gzip_files else ".wet"
         if gzip_files:
             data = gzip.compress(data)
-        tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+        # tmp is ATTEMPT-unique: speculative twins sharing one tmp path
+        # could interleave/truncate each other mid-write and publish a
+        # corrupt archive (round-6 review); with per-attempt tmps each
+        # os.replace publishes one attempt's complete bytes, last wins.
+        # Leftover tmps from killed attempts start with '.' — Hadoop's
+        # hidden-file filter keeps them out of read_warc's listing.
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}.a{tc.taskAttemptId()}{ext}.tmp")
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, os.path.join(out_dir, f"part-{pid:05d}{ext}"))

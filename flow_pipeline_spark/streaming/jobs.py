@@ -154,7 +154,12 @@ def _swap_in(store_dir: str, write_tmp) -> None:
     :func:`_recover_swap` — has NO store directory at all: a concurrent
     reader gets a transient FileNotFound and should call
     :func:`_recover_swap` first and/or retry (the in-repo read paths,
-    e.g. :func:`read_cdc_store`/:func:`read_state_store`, do). A crash
+    e.g. :func:`read_cdc_store`/:func:`read_state_store`, do). The
+    converse race — a reader's recovery resurrecting the superseded
+    snapshot while the writer is BETWEEN its renames — makes the
+    writer's second rename fail; the swap loop below retries (re-park,
+    rename again) until it wins, so reader recovery can delay but not
+    kill a live writer. A crash
     at ANY point leaves a state :func:`_recover_swap` repairs, and
     because every caller's merge is idempotent (latest-version
     compaction, register max, set union) the replayed epoch converges
@@ -166,12 +171,29 @@ def _swap_in(store_dir: str, write_tmp) -> None:
     tmp = store_dir.rstrip("/") + "._swap_tmp"
     old = store_dir.rstrip("/") + "._swap_old"
     write_tmp(tmp)
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-        os.rename(tmp, store_dir)
-        shutil.rmtree(old)
+    # Bounded retry around the two renames: a CONCURRENT reader running
+    # _recover_swap in the window between them sees old-exists/store-
+    # missing and renames the superseded snapshot back into place — the
+    # writer's rename(tmp, store) then fails (rename onto a non-empty
+    # dir). That reader action is correct from its side (it cannot
+    # distinguish a live swap from a crashed one); the writer simply
+    # re-parks the resurrected snapshot and swaps again. Converges
+    # unless a reader wins the race five times in a row.
+    for _ in range(5):
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old)
+        try:
+            os.rename(tmp, store_dir)
+            break
+        except OSError:
+            continue            # racing reader resurrected the old dir
     else:
-        os.rename(tmp, store_dir)
+        raise OSError(
+            f"store swap at {store_dir} lost the rename race 5 times "
+            f"against concurrent reader recovery — new snapshot left "
+            f"at {tmp}")
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
@@ -461,7 +483,6 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = list(batch_df.columns)
-        has_rows = not batch_df.isEmpty()
         spark = batch_df.sparkSession
         jvm = spark._sc._jvm
         if driver:
@@ -505,6 +526,10 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
                     return
             finally:
                 st0.close()
+            # isEmpty() is itself a distributed job over the recovered
+            # batch — evaluate it only AFTER the replay pre-check, so a
+            # replayed epoch triggers no Spark work at all
+            has_rows = not batch_df.isEmpty()
             if has_rows:
                 w = (batch_df.write.format("jdbc").mode("overwrite")
                      .option("url", jdbc_url).option("dbtable", stage))

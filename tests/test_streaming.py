@@ -1359,6 +1359,38 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
     assert ("B", "b1", True) in got  # tombstone retained in the store
 
 
+def test_swap_in_survives_reader_recovery_race(spark, tmpdir, monkeypatch):
+    """Round-6 review: a concurrent reader's _recover_swap firing in
+    the gap between _swap_in's two renames resurrects the superseded
+    snapshot and makes the writer's rename(tmp, store) fail — the swap
+    loop must re-park and retry, not kill the epoch. Simulated
+    deterministically by injecting the reader's recovery rename into
+    the writer's first rename."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+
+    store = f"{tmpdir}/race_store"
+    spark.range(5).write.parquet(store)
+    real_rename = _os.rename
+    fired = {"done": False}
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)
+        if not fired["done"] and str(dst).endswith("._swap_old"):
+            fired["done"] = True            # the reader wins the gap:
+            real_rename(dst, store)         # _recover_swap old -> store
+
+    monkeypatch.setattr(jobs.os, "rename", racing_rename)
+    jobs._swap_in(store, lambda tmp:
+                  spark.range(9).write.mode("overwrite").parquet(tmp))
+    monkeypatch.undo()
+
+    assert spark.read.parquet(store).count() == 9   # new snapshot won
+    assert not _os.path.isdir(store + "._swap_old")
+    assert not _os.path.isdir(store + "._swap_tmp")
+
+
 def test_read_cdc_store_recovers_mid_swap_crash(spark, tmpdir):
     """A writer crash between _swap_in's two renames leaves the store
     directory MISSING with the superseded snapshot parked at

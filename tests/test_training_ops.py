@@ -2252,6 +2252,49 @@ def test_read_warc_wet_and_quarantine(spark, tmp_path):
     recs.unpersist()
 
 
+def test_warc_lenient_paths(spark, tmp_path):
+    """The three round-6 review reproductions stay fixed: (a) invalid
+    UTF-8 in a conversion payload decodes with U+FFFD replacement
+    instead of killing the job; (b) a bare-LF archive (LF record gaps
+    AND LF header terminators) parses every record; (c) an LF-header
+    record whose PAYLOAD contains CRLFCRLF frames on Content-Length,
+    not on the payload's own blank line."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.sources.warc import read_warc, wet_documents
+
+    d = tmp_path / "lenient"
+    d.mkdir()
+    # (a) invalid UTF-8 payload
+    bad = b"ok \xff\xfe tail"
+    (d / "bad_utf8.wet").write_bytes(
+        _warc_record("conversion", "https://x.test/bad", bad,
+                     rec_id="<urn:uuid:bad>"))
+
+    # (b)+(c) bare-LF archive, second record's payload contains CRLFCRLF
+    def lf_record(uri, payload, rid):
+        hdr = (f"WARC/1.1\nWARC-Type: conversion\n"
+               f"WARC-Record-ID: {rid}\n"
+               f"WARC-Target-URI: {uri}\n"
+               f"WARC-Date: 2026-01-02T03:04:05Z\n"
+               f"Content-Length: {len(payload)}\n\n")
+        return hdr.encode() + payload + b"\n\n"
+
+    (d / "bare_lf.wet").write_bytes(
+        lf_record("https://x.test/1", b"first", "<urn:uuid:l1>")
+        + lf_record("https://x.test/2", b"with\r\n\r\nblank", "<urn:uuid:l2>")
+        + lf_record("https://x.test/3", b"third", "<urn:uuid:l3>"))
+
+    recs = read_warc(spark, str(d)).cache()
+    assert recs.filter(recs.error.isNotNull()).count() == 0
+    got = {r.url: r.text for r in wet_documents(recs).collect()}
+    assert got["https://x.test/bad"] == "ok �� tail"
+    assert got["https://x.test/1"] == "first"
+    assert got["https://x.test/2"] == "with\r\n\r\nblank"
+    assert got["https://x.test/3"] == "third"
+    recs.unpersist()
+
+
 def test_warc_strip_http_headers(spark):
     """response-record payloads are full HTTP exchanges; the helper
     returns the body after the FIRST blank line (a body containing its
