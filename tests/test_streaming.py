@@ -1542,7 +1542,12 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
         return spark.range(lo, hi).select(
             F.lit("s").alias("seg"), F.col("id").alias("v"))
 
-    src, store = f"{tmpdir}/src", f"{tmpdir}/store"
+    # NOT f"{tmpdir}/src": tmpdir is MODULE-scoped and the flow_source
+    # fixture already writes FLOW-schema parquet there — appending this
+    # test's (seg, v) rows into the same dir made schema inference pick
+    # a nondeterministic footer (flaky UNRESOLVED_COLUMN under full-suite
+    # runs; round-6 catch)
+    src, store = f"{tmpdir}/swapcrash_src", f"{tmpdir}/swapcrash_store"
     batch(0, 100).repartition(1).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
