@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "time_gapfill",          # WITH FILL densification (per-key grid + LOCF)
     "segment_bitmap_overlap",  # exact state-tier set ops (groupBitmap)
     "kmv_segment_overlap",   # O(k)-sketch twin (min-k WindowGroupLimit build)
+    # round 6: crawl-archive source tier — the warm run pays the one-time
+    # WET publication of the documents table; timed runs measure archive
+    # parse (binaryFile -> mapInPandas framing) + the host aggregate
+    "wet_ingest",
 ]
 
 

@@ -331,7 +331,12 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             ids = pdf[id_col].to_numpy(dtype="int64")
             m = np.array(list(pdf[vec_col]), dtype="float64")
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            cos = np.round(m @ qm.T, 4)           # |batch| × |Q|
+            # HALF-UP at 4dp like brute_knn's F.round — np.round is
+            # half-to-even and can differ by 1e-4 at a rounding
+            # boundary, flipping a rank (round-6 review; the other
+            # GEMM kernels in this module already use this form)
+            cos = m @ qm.T                        # |batch| × |Q|
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
             take = min(k + 1, len(ids))           # +1 absorbs self-matches
             for j, qid in enumerate(q_ids):
                 col = cos[:, j]
@@ -1007,6 +1012,53 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]], *,
     return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def _build_adc_lut(queries: DataFrame, codebooks, *,
+                   id_col: str, vec_col: str):
+    """Shared ADC query-side prep for :func:`pq_knn` and
+    :func:`ivf_pq_knn` (one definition so the two paths' pinned
+    semantics can't drift — round-6 review): collect the small query
+    set, L2-normalize, and build ``LUT[qi, j, c] = <q_sub_j,
+    centroid_c_j>`` so an ADC score is m lookups. Returns
+    ``(q_ids int64 array, lut (Q, m, ks), m_)``."""
+    import numpy as np
+
+    B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
+    m_, _, d_sub = B.shape
+    q_rows = queries.select(F.col(id_col).alias("q"),
+                            F.col(vec_col).alias("qv")).collect()
+    q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
+    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
+                    for j in range(m_)], axis=1)      # (Q, m, ks)
+    return q_ids, lut, m_
+
+
+def _rerank_shortlist(cand: DataFrame, vectors: DataFrame,
+                      queries: DataFrame, k: int, *,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Shared REFINE stage (FAISS IndexRefineFlat) for the PQ paths:
+    exact cosine over the ``(q, n)`` candidate shortlist only — the
+    join ships candidate ids (never the corpus), queries broadcast,
+    HALF-UP 4dp + ascending-id tie-break like every ANN path here.
+    Returns ``(q, n, cos, rank≤k)``."""
+    c = vectors.select(F.col(id_col).alias("n"),
+                       F.col(vec_col).alias("nv"),
+                       _norm(vec_col).alias("nn"))
+    qd = queries.select(F.col(id_col).alias("q"),
+                        F.col(vec_col).alias("qv"),
+                        _norm(vec_col).alias("qn"))
+    scored = (cand.join(c, "n").join(F.broadcast(qd), "q")
+              .select("q", "n",
+                      F.round(_cos_pre("qv", "nv",
+                                       F.col("qn"), F.col("nn")), 4)
+                      .alias("cos")))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q", "n", "cos", "rank"))
+
+
 def pq_knn(codes: DataFrame, queries: DataFrame,
            codebooks: list[list[list[float]]], k: int = 5, *,
            id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1029,17 +1081,10 @@ def pq_knn(codes: DataFrame, queries: DataFrame,
     still scanning only compressed codes."""
     import numpy as np
 
-    B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
-    m_, ks_, d_sub = B.shape
-    q_rows = queries.select(F.col(id_col).alias("q"),
-                            F.col(vec_col).alias("qv")).collect()
-    q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
-    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
-    # LUT[qi, j, c] = <q_sub_j, centroid_c_j>; ADC score = Σ_j LUT[qi, j,
-    # code_j] = <q, decode(codes)> ≈ cosine of unit vectors
-    lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
-                    for j in range(m_)], axis=1)      # (Q, m, ks)
+    # ADC score = Σ_j LUT[qi, j, code_j] = <q, decode(codes)> ≈ cosine
+    # of unit vectors
+    q_ids, lut, m_ = _build_adc_lut(queries, codebooks,
+                                    id_col=id_col, vec_col=vec_col)
 
     out_schema = T.StructType([
         T.StructField("q", T.LongType()),
@@ -1072,24 +1117,8 @@ def pq_knn(codes: DataFrame, queries: DataFrame,
               .filter(F.col("rank") <= kk))
     if rerank_with is None:
         return ranked.select("q", "n", "score", "rank")
-    # refine: exact cosine on the shortlist only — candidate ids join
-    # back to the original vectors; queries broadcast
-    cand = ranked.select("q", "n")
-    c = rerank_with.select(F.col(id_col).alias("n"),
-                           F.col(vec_col).alias("nv"),
-                           _norm(vec_col).alias("nn"))
-    qd = queries.select(F.col(id_col).alias("q"),
-                        F.col(vec_col).alias("qv"),
-                        _norm(vec_col).alias("qn"))
-    scored = (cand.join(c, "n").join(F.broadcast(qd), "q")
-              .select("q", "n",
-                      F.round(_cos_pre("qv", "nv",
-                                       F.col("qn"), F.col("nn")), 4)
-                      .alias("cos")))
-    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("q", "n", "cos", "rank"))
+    return _rerank_shortlist(ranked.select("q", "n"), rerank_with,
+                             queries, k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
@@ -1113,8 +1142,6 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     brute force is bounded by cell-probe recall (an unprobed true
     neighbor is unrecoverable — the nprobe knob), then restored within
     probed cells by the refine stage; floors asserted in tests."""
-    import numpy as np
-
     books = pq_train(corpus, m=m, ks=ks, n_iter=n_iter,
                      vec_col=vec_col, id_col=id_col)
     codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
@@ -1140,16 +1167,9 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
               .filter(F.col("r") <= nprobe)
               .select("q", F.col("cid").alias("cell")))
 
-    B = np.array(books, dtype="float64")
-    m_, _, d_sub = B.shape
-    q_rows = queries.select(F.col(id_col).alias("q"),
-                            F.col(vec_col).alias("qv")).collect()
-    q_ids = [int(r["q"]) for r in q_rows]
-    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
-    lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
-                    for j in range(m_)], axis=1)      # (Q, m, ks)
-    qidx = {qid: i for i, qid in enumerate(q_ids)}
+    q_ids, lut, m_ = _build_adc_lut(queries, books,
+                                    id_col=id_col, vec_col=vec_col)
+    qidx = {int(qid): i for i, qid in enumerate(q_ids)}
 
     @pandas_udf(T.DoubleType())
     def adc(qs: pd.Series, cs: pd.Series) -> pd.Series:
@@ -1169,22 +1189,8 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     ranked = _topk_per_query(scored, kk)
     if not rerank:
         return ranked.withColumnRenamed("cos", "score")
-    cand = ranked.select("q", "n")
-    c = corpus.select(F.col(id_col).alias("n"),
-                      F.col(vec_col).alias("nv"),
-                      _norm(vec_col).alias("nn"))
-    qd = queries.select(F.col(id_col).alias("q"),
-                        F.col(vec_col).alias("qv"),
-                        _norm(vec_col).alias("qn"))
-    exact = (cand.join(c, "n").join(F.broadcast(qd), "q")
-             .select("q", "n",
-                     F.round(_cos_pre("qv", "nv",
-                                      F.col("qn"), F.col("nn")), 4)
-                     .alias("cos")))
-    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
-    return (exact.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("q", "n", "cos", "rank"))
+    return _rerank_shortlist(ranked.select("q", "n"), corpus,
+                             queries, k, id_col=id_col, vec_col=vec_col)
 
 
 def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,

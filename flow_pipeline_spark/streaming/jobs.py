@@ -138,9 +138,15 @@ def _recover_swap(store_dir: str) -> None:
     old = store_dir.rstrip("/") + "._swap_old"
     if os.path.isdir(old):
         if os.path.isdir(store_dir):
-            shutil.rmtree(old)
+            # ignore_errors: a concurrent writer's own cleanup (or a
+            # second reader's recovery) can delete `old` mid-walk —
+            # whoever finishes the rmtree is equally correct
+            shutil.rmtree(old, ignore_errors=True)
         else:
-            os.rename(old, store_dir)
+            try:
+                os.rename(old, store_dir)
+            except OSError:
+                pass    # another reader/writer completed the recovery
 
 
 def _swap_in(store_dir: str, write_tmp) -> None:
@@ -193,7 +199,10 @@ def _swap_in(store_dir: str, write_tmp) -> None:
             f"against concurrent reader recovery — new snapshot left "
             f"at {tmp}")
     if os.path.isdir(old):
-        shutil.rmtree(old)
+        # ignore_errors: a reader's _recover_swap can rmtree `old`
+        # concurrently once the new store is in place — either side
+        # finishing the delete is correct, neither may crash the epoch
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
@@ -251,6 +260,21 @@ def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
     return writer.start()
 
 
+def _dbapi(con):
+    """(cursor-like, placeholder) for a DB-API connection. DuckDB exposes
+    ``execute``/``executemany`` on the CONNECTION and uses qmark ``?``
+    placeholders; psycopg2/pg8000 (the documented Postgres forms) need a
+    cursor and use format-style ``%s`` — round-6 review caught the
+    writers below crashing on both differences under the documented
+    psycopg2 usage. The paramstyle comes from the driver module's own
+    DB-API ``paramstyle`` attribute (falling back to qmark)."""
+    import sys
+    cur = con if hasattr(con, "executemany") else con.cursor()
+    root = type(con).__module__.split(".")[0]
+    style = getattr(sys.modules.get(root, None), "paramstyle", "qmark")
+    return cur, ("?" if style == "qmark" else "%s")
+
+
 def exactly_once_batch_writer(con_factory, table: str, *,
                               ledger_table: str | None = None):
     """W2 — exactly-once foreachBatch writer over any DB-API connection
@@ -270,8 +294,19 @@ def exactly_once_batch_writer(con_factory, table: str, *,
         COMMIT;
 
     Rows and their ledger mark commit atomically, so every epoch lands
-    exactly once no matter where the stream crashes — even across a
-    checkpoint wipe (epoch replay hits the ledger skip).
+    exactly once no matter where the stream crashes.
+
+    LEDGER IDENTITY CONTRACT (all three writer variants): the ledger
+    key is the bare micro-batch id, so it is exactly-once only while
+    batch ids identify the same data — true within one checkpoint
+    lineage, and across a checkpoint WIPE only when the source replays
+    the same epochs deterministically (a file source does; the tested
+    wipe-redelivery property). It is NOT safe to (a) point a stream at
+    non-replayable offsets (Kafka ``latest`` after a wipe, expired
+    retention) — restarted batch ids then carry NEW data the ledger
+    silently skips — or (b) share one ledger table between two streams:
+    give each stream its own ``ledger_table`` and truncate it when
+    intentionally re-pointing a source.
 
     Scale note: a DB-API insert materializes the micro-batch on the
     driver — the Go inserter's own model (100-row INSERT batches,
@@ -284,35 +319,39 @@ def exactly_once_batch_writer(con_factory, table: str, *,
     ledger = ledger_table or f"{table}_epoch_ledger"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
         con = con_factory()
+        cur, ph = _dbapi(con)
         try:
-            con.execute("BEGIN")
-            con.execute(
+            cur.execute("BEGIN")
+            cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {ledger} "
                 f"(batch_id BIGINT PRIMARY KEY, committed_at TIMESTAMP)")
-            seen = con.execute(
-                f"SELECT count(*) FROM {ledger} WHERE batch_id = ?",
-                [batch_id]).fetchone()[0]
-            if seen:
-                con.execute("COMMIT")
+            cur.execute(
+                f"SELECT count(*) FROM {ledger} WHERE batch_id = {ph}",
+                [batch_id])
+            if cur.fetchone()[0]:
+                cur.execute("COMMIT")
                 return
+            # materialize the batch only AFTER the replay check — a
+            # replayed committed epoch triggers no Spark job at all
+            # (the staged/JDBC siblings' pre-check device)
+            pdf = batch_df.toPandas()
             cols = ", ".join(list(pdf.columns) + ["batch_id"])
-            marks = ", ".join(["?"] * (len(pdf.columns) + 1))
-            con.execute(f"DELETE FROM {table} WHERE batch_id = ?",
+            marks = ", ".join([ph] * (len(pdf.columns) + 1))
+            cur.execute(f"DELETE FROM {table} WHERE batch_id = {ph}",
                         [batch_id])
             if len(pdf):
                 rows = [tuple(r) + (batch_id,)
                         for r in pdf.itertuples(index=False, name=None)]
-                con.executemany(
+                cur.executemany(
                     f"INSERT INTO {table} ({cols}) VALUES ({marks})", rows)
-            con.execute(
-                f"INSERT INTO {ledger} VALUES (?, current_timestamp)",
+            cur.execute(
+                f"INSERT INTO {ledger} VALUES ({ph}, current_timestamp)",
                 [batch_id])
-            con.execute("COMMIT")
+            cur.execute("COMMIT")
         except Exception:
             try:
-                con.execute("ROLLBACK")
+                cur.execute("ROLLBACK")
             except Exception:
                 pass
             raise
@@ -371,8 +410,30 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = list(batch_df.columns)
-        batch_has_rows = not batch_df.isEmpty()
         epoch_dir = os.path.join(stage_dir, f"epoch={batch_id}")
+        # cheap replay pre-check BEFORE any Spark work (the JDBC
+        # sibling's device, round-6 review): a replayed committed epoch
+        # triggers neither isEmpty nor the distributed staging write —
+        # it only clears the crashed attempt's leftover staging
+        con = con_factory()
+        cur, ph = _dbapi(con)
+        try:
+            cur.execute("BEGIN")
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {ledger} "
+                f"(batch_id BIGINT PRIMARY KEY, committed_at TIMESTAMP)")
+            cur.execute(
+                f"SELECT count(*) FROM {ledger} WHERE batch_id = {ph}",
+                [batch_id])
+            already = cur.fetchone()[0] > 0
+            cur.execute("COMMIT")
+        finally:
+            con.close()
+        if already:
+            shutil.rmtree(epoch_dir, ignore_errors=True)
+            return
+
+        batch_has_rows = not batch_df.isEmpty()
         batch_df.write.mode("overwrite").parquet(epoch_dir)
         parts = glob.glob(os.path.join(epoch_dir, "*.parquet"))
         if batch_has_rows and not parts:
@@ -383,18 +444,17 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
                 f"(see exactly_once_staged_writer docstring); refusing "
                 f"to mark the ledger and silently drop the batch")
         con = con_factory()
+        cur, ph = _dbapi(con)
         try:
-            con.execute("BEGIN")
-            con.execute(
-                f"CREATE TABLE IF NOT EXISTS {ledger} "
-                f"(batch_id BIGINT PRIMARY KEY, committed_at TIMESTAMP)")
-            seen = con.execute(
-                f"SELECT count(*) FROM {ledger} WHERE batch_id = ?",
-                [batch_id]).fetchone()[0]
+            cur.execute("BEGIN")
+            cur.execute(
+                f"SELECT count(*) FROM {ledger} WHERE batch_id = {ph}",
+                [batch_id])
+            seen = cur.fetchone()[0]
             if seen:
-                con.execute("COMMIT")   # replay: skip, but still clean
+                cur.execute("COMMIT")   # replay: skip, but still clean
             else:
-                con.execute(f"DELETE FROM {table} WHERE batch_id = ?",
+                cur.execute(f"DELETE FROM {table} WHERE batch_id = {ph}",
                             [batch_id])
                 if parts:  # an empty epoch still gets its ledger mark
                     collist = ", ".join(cols)
@@ -403,26 +463,33 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
                     files_sql = "[" + ", ".join(
                         "'" + p.replace("'", "''") + "'"
                         for p in parts) + "]"
-                    staged = con.execute(
-                        f"SELECT count(*) FROM read_parquet({files_sql})"
-                    ).fetchone()[0]
-                    inserted = con.execute(
+                    cur.execute(
+                        f"SELECT count(*) FROM read_parquet({files_sql})")
+                    staged = cur.fetchone()[0]
+                    cur.execute(
                         f"INSERT INTO {table} ({collist}, batch_id) "
-                        f"SELECT {collist}, ? "
+                        f"SELECT {collist}, {ph} "
                         f"FROM read_parquet({files_sql})",
-                        [batch_id]).fetchone()[0]
+                        [batch_id])
+                    # DuckDB returns the insert count as a result row;
+                    # cursor-style drivers report it via rowcount
+                    try:
+                        row = cur.fetchone()
+                        inserted = row[0] if row else cur.rowcount
+                    except Exception:
+                        inserted = cur.rowcount
                     if inserted != staged:
                         raise RuntimeError(
                             f"epoch {batch_id}: staged {staged} rows but "
                             f"inserted {inserted} — aborting before the "
                             f"ledger mark (txn rolls back)")
-                con.execute(
-                    f"INSERT INTO {ledger} VALUES (?, current_timestamp)",
-                    [batch_id])
-                con.execute("COMMIT")
+                cur.execute(
+                    f"INSERT INTO {ledger} VALUES ({ph}, "
+                    f"current_timestamp)", [batch_id])
+                cur.execute("COMMIT")
         except Exception:
             try:
-                con.execute("ROLLBACK")
+                cur.execute("ROLLBACK")
             except Exception:
                 pass
             raise
