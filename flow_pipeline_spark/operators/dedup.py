@@ -96,6 +96,13 @@ def minhash_band_table(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     against the store (:func:`incremental_near_dup`) without ever
     re-reading historical text — the near-dup analog of the exact-dedup
     digest table."""
+    # guard (round-6 review): bands > n_hashes silently made every band
+    # hash md5('') — ALL docs collide in ALL bands and the candidate
+    # join degenerates to an n×n cross product; a non-dividing bands
+    # silently dropped trailing signature components (a weaker LSH
+    # curve than configured). Fail loudly instead.
+    assert 1 <= bands <= n_hashes and n_hashes % bands == 0, (
+        f"bands ({bands}) must divide n_hashes ({n_hashes})")
     rows = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, k, text_col, id_col,
                              hash_fn=hash_fn)
@@ -298,6 +305,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     (bit_count(xor)) filters candidates.
     """
     assert max_hamming <= bands - 1, "exactness needs max_hamming <= bands-1"
+    # bands > 16 would give width 0 / mask 0 (every doc in one bucket —
+    # an all-pairs join); a non-dividing bands would leave the top bits
+    # outside every band, silently weakening candidate precision
+    assert 1 <= bands <= 16 and 16 % bands == 0, (
+        f"bands ({bands}) must divide the 16-bit simhash width")
     s = simhash_table(df, text_col, id_col)
     width = 16 // bands
     mask = (1 << width) - 1
@@ -785,7 +797,7 @@ def bloom_paragraph_dedup(new_batch: DataFrame,
             paras = t.split(sep)
             kept, dropped = [], 0
             for p in paras:
-                norm = ws_re.sub(" ", trim_re.sub("", p).lower())
+                norm = trim_re.sub("", ws_re.sub(" ", p.lower()))
                 d = hashlib.md5(norm.encode("utf-8")).hexdigest()
                 if norm and probe_hex(d):
                     dropped += 1
@@ -816,7 +828,7 @@ def paragraph_digests(df: DataFrame, text_col: str = "text",
     # java.util.regex.Pattern.quote semantics, embedded \E included
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     para = F.explode(F.split(F.col(text_col), quoted)).alias("_p")
-    norm = F.regexp_replace(F.lower(F.trim("_p")), r"\s+", " ")
+    norm = normalize_text(F.col("_p"))
     return (df.select(para)
             .select(F.md5(norm).alias("content_hash"),
                     norm.alias("_n"))
@@ -843,7 +855,7 @@ def line_doc_frequency(df: DataFrame, text_col: str = "text",
     lines = df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), "\n"))
                       .alias("_l"))
-    norm = F.regexp_replace(F.lower(F.trim("_l")), r"\s+", " ")
+    norm = normalize_text(F.col("_l"))
     return (lines.select(id_col, norm.alias("line"))
             .filter(F.col("line") != "")
             .distinct()
@@ -872,14 +884,13 @@ def dedup_lines(df: DataFrame, min_doc_freq: int = 2,
     lines = df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), "\n"))
                       .alias("_l"))
-    norm = F.regexp_replace(F.lower(F.trim("_l")), r"\s+", " ")
+    norm = normalize_text(F.col("_l"))
     per_doc = (lines.select(id_col, norm.alias("line")).distinct()
                .join(dup, "line")
                .groupBy(id_col)
                .agg(F.collect_set("line").alias("_dup")))
     lam = lambda l: ~F.array_contains(  # noqa: E731
-        F.col("_dup"),
-        F.regexp_replace(F.lower(F.trim(l)), r"\s+", " "))
+        F.col("_dup"), normalize_text(l))
     scrubbed = F.when(
         F.col("_dup").isNull(), F.col(text_col)
     ).otherwise(

@@ -285,7 +285,13 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int, *,
     wkey = F.floor(F.lit(1e6) * (-F.log(u) / F.col(weight_col))
                    + F.lit(0.5)).cast("long")
     out = df.withColumn("wkey_e6", wkey)
-    part = [group_col] if group_col else []
-    w = Window.partitionBy(*part).orderBy("wkey_e6", key_col)
+    if group_col is None:
+        # ungrouped: a Window with empty partitionBy would ship EVERY
+        # row to one task (round-6 review) — the same selection (k
+        # smallest rank keys, key_col ties) compiles to
+        # TakeOrderedAndProject via orderBy+limit: per-partition top-k,
+        # driver merges k·P rows, no single-partition shuffle
+        return out.orderBy("wkey_e6", key_col).limit(k)
+    w = Window.partitionBy(group_col).orderBy("wkey_e6", key_col)
     return (out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))

@@ -39,7 +39,20 @@ STOPWORDS = ["the", "a", "an", "of", "and", "in", "to", "is"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization. ≡ DuckDB string_split_regex(trim(x),'\\s+')."""
+    """Whitespace tokenization. ≡ DuckDB string_split_regex(trim(x),'\\s+').
+
+    KNOWN QUIRK, mirrored bit-for-bit in every DuckDB oracle (the _TOKS
+    device): ``trim`` strips SPACES only, so text with leading/trailing
+    NON-space whitespace (a final '\\n' is the common case) keeps one
+    phantom ``''`` token, and empty text tokenizes to ``['']`` — counts
+    derived from this are consistently off-by-one on such text in BOTH
+    engines. Consumers that must exclude empties filter explicitly
+    (``bm25_postings``, ``positional_postings``, ``stopword_ratio`` via
+    isin, ``hashed_tf_embed_native``); :func:`ascii_words` (the Python
+    kernel mirror) drops empties and therefore matches the FILTERED
+    consumers, not raw ``size(tokens(x))``. Normalizing with
+    :func:`normalize_text`/:func:`clean_unicode` first removes the
+    phantom entirely."""
     return F.split(F.trim(text), r"\s+")
 
 
@@ -74,8 +87,16 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def occurrence_count(text: Column, marker: str) -> Column:
-    """# of occurrences of ``marker`` — portable replace-and-measure:
-    (len(x) - len(replace(x, m, ''))) / len(m)."""
+    """# of NON-OVERLAPPING occurrences of ``marker`` — portable
+    replace-and-measure: (len(x) - len(replace(x, m, ''))) / len(m).
+    ADJACENT repetitions of a space-padded marker count once per
+    non-overlapping match (' the the ' counts 1 for ' the ': the first
+    replace consumes the shared middle space) — RE2 (the DuckDB oracle
+    engine) has no lookaround, so this replace device is the portable
+    form and the oracle mirrors the same undercount exactly. Fine for
+    the lang-ID argmax it feeds (relative scores); the classifier's
+    stopword feature uses lookaround anchors on the Spark side with a
+    token-equality oracle instead."""
     pad = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     return ((F.length(pad) - F.length(F.replace(pad, F.lit(marker), F.lit(""))))
             / len(marker)).cast("int")
@@ -115,7 +136,14 @@ def predict_lang(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    """Fraction of characters that are neither letters, digits nor
+    whitespace. Unicode classes (``\\p{L}\\p{N}`` — round-6 review: the
+    old ASCII ``[A-Za-z0-9]`` scored every CJK/Cyrillic/accented letter
+    as punctuation, so non-Latin documents got punct_ratio ≈ 1 and the
+    quality gates rejected them wholesale). Java regex and DuckDB's RE2
+    agree on these classes for the corpus's characters; the oracle
+    mirrors the identical class."""
+    n_punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
     return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 4)
 
 
@@ -143,8 +171,15 @@ def quality_score(text: Column) -> Column:
 
 
 def normalize_text(text: Column) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    trim. Collapse runs BEFORE trim (round-6 review): Spark's trim()
+    strips SPACES only, so the old trim-first order left a trailing
+    '\\n' as a trailing ' ' — two copies of a page differing only by a
+    final newline digested differently and escaped exact/incremental/
+    Bloom dedup. Every DuckDB oracle and the Bloom probe kernel mirror
+    this exact operation order (trim(regexp_replace(lower(x)))), so
+    cross-engine digests stay bit-identical."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 def scrub_controls(text: Column) -> Column:
@@ -200,7 +235,12 @@ def fingerprint(text: Column, n_tokens: int = 8) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (dedup primitive). Empty array for docs
-    shorter than k tokens.
+    shorter than k tokens — which means SUB-k-TOKEN DOCS ARE INVISIBLE
+    to every shingle-based near-dup path (MinHash signatures, the band
+    table, LSH candidates, n-gram Jaccard): they emit no rows into the
+    artifact and can never appear in a candidate pair. Deliberate (a
+    2-token doc has no k=3 similarity structure); cover short docs with
+    exact/line dedup, which key on the full normalized content.
 
     Built by zip_with-ing the token array against its own shifted slices
     (k-1 zips), NOT by indexing ``element_at(toks, i)`` inside a
@@ -344,7 +384,7 @@ def classifier_features_e4(text: Column) -> dict[str, Column]:
               + "|".join(_re.escape(s) for s in STOPWORDS)
               + r")(?=\s)"), F.lit(0)))
     n_chars = F.greatest(F.length(text), F.lit(1))
-    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
     n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
     sum_wlen = F.length(F.regexp_replace(text, r"\s", ""))
     avg_wlen_e4 = _ratio_e4(sum_wlen, m)

@@ -70,7 +70,7 @@ _EXACT_COPIES_SQL = """
              CAST(list_aggregate(list_transform({_TOKS},
                    x -> CAST(ceil(length(x) / 4) AS INTEGER)), 'sum')
                   AS BIGINT) AS bpe_tokens,
-             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             round(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
                    / greatest(length(text), 1), 4) AS punct_ratio,
              round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                    / greatest(length(text), 1), 4) AS digit_ratio,
@@ -212,7 +212,7 @@ def doc_fingerprint(spark, sf_dir):
     f"""
     WITH corpus AS ({_EXACT_COPIES_SQL}),
     groups AS (
-      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
              count(*) AS n_copies, min(doc_id) AS keep_id
       FROM corpus GROUP BY content_hash)
     SELECT content_hash, n_copies, keep_id
@@ -855,7 +855,7 @@ def ann_ivf_knn(spark, sf_dir):
       FROM corpus WHERE len({_TOKS}) >= 10),
     hashed AS (
       SELECT doc_id, n_tokens,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
       FROM gated),
     survivors AS (
       SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
@@ -973,7 +973,7 @@ def corpus_curation(spark, sf_dir):
       SELECT doc_id, text, n_tokens FROM scrubbed WHERE n_tokens >= 10),
     hashed AS (
       SELECT doc_id, text, n_tokens,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
       FROM scrub_gated),
     survivors AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
     kept AS (
@@ -1397,12 +1397,12 @@ def doc_chunks(spark, sf_dir):
       SELECT doc_id + 100000 AS doc_id, source, text
       FROM documents WHERE doc_id < 50),
     hist_d AS (
-      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
         AS content_hash
       FROM history),
     nb AS (
       SELECT doc_id, source,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                AS content_hash
       FROM new_batch)
     SELECT doc_id, source, content_hash FROM nb
@@ -1444,7 +1444,7 @@ _CLF_INTS_SQL = f"""
                    ('the','a','an','of','and','in','to','is'))) AS BIGINT)
                AS n_stop,
              CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
                   AS BIGINT) AS n_punct,
              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                   AS BIGINT) AS n_digit,
@@ -2699,8 +2699,7 @@ def bigram_perplexity(spark, sf_dir):
     "bloom_dedup",
     r"""
     WITH hist AS (
-      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
-                                         'g')) AS d
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d
       FROM documents WHERE doc_id < 300),
     hh AS (
       SELECT ('0x' || substring(d, 1, 15))::BIGINT AS h1,
@@ -2711,7 +2710,7 @@ def bigram_perplexity(spark, sf_dir):
       FROM hh CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
     batch AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                AS content_hash
       FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 300
             UNION ALL
@@ -2787,9 +2786,9 @@ def bloom_dedup(spark, sf_dir):
       FROM pages),
     norm AS (
       SELECT DISTINCT doc_id,
-             regexp_replace(lower(trim(l)), '\s+', ' ', 'g') AS line
+             trim(regexp_replace(lower(l), '\s+', ' ', 'g')) AS line
       FROM lines
-      WHERE regexp_replace(lower(trim(l)), '\s+', ' ', 'g') <> ''),
+      WHERE trim(regexp_replace(lower(l), '\s+', ' ', 'g')) <> ''),
     docfreq AS (SELECT line, count(*) AS df FROM norm GROUP BY line),
     dup AS (SELECT line FROM docfreq WHERE df >= 2),
     perdoc AS (
@@ -2801,7 +2800,7 @@ def bloom_dedup(spark, sf_dir):
                   ELSE array_to_string(
                     list_filter(string_split(p.page, chr(10)), l ->
                       NOT list_contains(pd.dl,
-                        regexp_replace(lower(trim(l)), '\s+', ' ', 'g'))),
+                        trim(regexp_replace(lower(l), '\s+', ' ', 'g')))),
                     chr(10))
              END AS kept
       FROM pages p LEFT JOIN perdoc pd USING (doc_id))
@@ -3033,8 +3032,7 @@ def ann_pq_adc_exact(spark, sf_dir):
                   ELSE (z_e5 + 5) // 10 END AS z_e4
       FROM ze5),
     hashed AS (
-      SELECT s.*, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ',
-                                     'g')) AS content_hash
+      SELECT s.*, md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS content_hash
       FROM scored s JOIN documents d USING (doc_id))
     SELECT source,
            count(*)                                    AS n_docs,
@@ -4030,16 +4028,13 @@ def value_correlation(spark, sf_dir):
     "snapshot_diff",
     f"""
     WITH a AS (
-      SELECT doc_id, md5(regexp_replace(lower(trim(text)),
-                                        '\\s+', ' ', 'g')) AS h
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
       FROM documents WHERE doc_id < 250),
     b AS (
       SELECT doc_id,
              md5(CASE WHEN doc_id % 10 = 0
-                      THEN regexp_replace(lower(trim(text)),
-                                          '\\s+', ' ', 'g') || ' v2'
-                      ELSE regexp_replace(lower(trim(text)),
-                                          '\\s+', ' ', 'g') END) AS h
+                      THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' v2'
+                      ELSE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) END) AS h
       FROM documents WHERE doc_id >= 100 AND doc_id < 350),
     j AS (
       SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
@@ -4067,12 +4062,11 @@ def value_correlation(spark, sf_dir):
         "report is a 4-row aggregate.",
 )
 def snapshot_diff(spark, sf_dir):
-    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                               r"\s+", " "))
+    h = F.md5(TX.normalize_text(F.col("text")))
     d = _docs(spark, sf_dir)
     a = (d.filter(F.col("doc_id") < 250)
          .select(F.col("doc_id").alias("a_id"), h.alias("a_h")))
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = TX.normalize_text(F.col("text"))
     hb = F.md5(F.when(F.col("doc_id") % 10 == 0,
                       F.concat(norm, F.lit(" v2"))).otherwise(norm))
     b = (d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 350))

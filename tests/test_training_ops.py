@@ -1081,10 +1081,11 @@ def test_bloom_paragraph_dedup_scrubs_seen(spark):
 
 def test_bloom_paragraph_norm_parity_edges(spark):
     """The paragraph kernel's Python normalization must agree with the
-    JVM paragraph_digests form on the nasty edges: Spark trim() strips
-    SPACES only (a tab survives into the digest as a leading space),
-    Java regex \\s is ASCII (NBSP/ideographic space are NOT collapsed),
-    case and ASCII-whitespace runs merge."""
+    JVM paragraph_digests form on the nasty edges: collapse runs BEFORE
+    the space-only trim (round 6 \u2014 so a leading tab/newline canonicalizes
+    away instead of surviving as a leading space), Java regex \\s is
+    ASCII (NBSP/ideographic space are NOT collapsed), case and
+    ASCII-whitespace runs merge."""
     hist = spark.createDataFrame(
         [(1, "foo bar"), (2, "foo\u00a0bar"), (3, "\tfoo")],
         "doc_id long, text string")
@@ -1096,9 +1097,9 @@ def test_bloom_paragraph_norm_parity_edges(spark):
         ("foo\tbar", 1),         # tab is ASCII \\s -> collapses to space
         ("foo\u00a0bar", 1),     # NBSP preserved BOTH sides -> matches
         ("foo\u3000bar", 0),     # ideographic space != NBSP != space
-        ("\tfoo", 1),            # normalizes to ' foo' both sides
-        (" foo", 0),             # trims to 'foo' != stored ' foo'
-        ("foo", 0),
+        ("\tfoo", 1),            # '\tfoo', ' foo' and 'foo' all
+        (" foo", 1),             # canonicalize to 'foo' now \u2014 the
+        ("foo", 1),              # round-6 trim-order fix's point
     ]
     new = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases)],
