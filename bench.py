@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     # run pays the one-time index build, timed runs measure query cost
     # only (no Generate in the plan; see PLANS.md)
     "bm25_search_stored",
+    # round 7: same stored-model treatment for the tokenizer (VERDICT r6
+    # item #4) — bpe_encode_corpus re-derives the merge table in-plan
+    # every run; production trains once and encodes many times, so this
+    # entry's time is the marginal ENCODE cost (warm run pays the
+    # one-time train+publish of the tiny merges artifact)
+    "bpe_encode_stored",
     "traffic_spikes",        # EWMA anomaly baseline (fixed-lag equi-join)
     "nation_trade_pagerank",  # iterative integer PageRank (3 rounds)
     "funnel_steps",          # ordered-funnel conversion (shrinking joins)
@@ -211,6 +217,51 @@ def _pick_attempt(attempts: list[dict], io_baseline: float
     return best, not clean
 
 
+def _gated_warm_samples(run_fn, io_baseline: float, n: int
+                        ) -> tuple[list[float], list[float], list[float]]:
+    """Per-sample contamination gating for a write-bound warm section
+    (VERDICT r6 item #3): the r6 driver run published
+    ``ingest_io_contended: true`` with floor_ratios 5.0/2.3 because a
+    neighbor-I/O burst arrived MID-SECTION — five back-to-back samples
+    recorded into a contended disk, and the whole-section retry could
+    only re-roll the same dice. Gate each sample instead: a cheap fsync
+    probe BEFORE each run waits (bounded) for write headroom, so a
+    burst that starts mid-section pauses the section at the next sample
+    boundary instead of contaminating the remaining samples; the probes
+    BRACKETING a sample witness whether it ran clean (used by the
+    caller to publish the witness-clean subset). Returns
+    (samples, cals, loads) with ``len(cals) == n + 1`` — ``cals[i]``
+    and ``cals[i+1]`` bracket ``samples[i]``."""
+    samples, cals, loads = [], [], []
+    for _ in range(n):
+        cal, _w = _await_write_headroom(io_baseline, retries=4,
+                                        sleep_s=10, size_mb=64)
+        cals.append(cal)
+        loads.append(round(os.getloadavg()[0], 1))
+        samples.append(run_fn())
+    cal, _w = _await_write_headroom(io_baseline, retries=4,
+                                    sleep_s=10, size_mb=64)
+    cals.append(cal)
+    return samples, cals, loads
+
+
+def _witness_clean_subset(samples: list[float], cals: list[float],
+                          io_baseline: float, min_clean: int
+                          ) -> tuple[list[float], int]:
+    """Publishable subset of a gated warm section: sample i is
+    witness-clean iff both bracketing probes cleared baseline/2 (a
+    burst entirely INSIDE one sample still slips through — the
+    floor-ratio gate downstream stays as the backstop). Falls back to
+    the full set when fewer than ``min_clean`` samples qualify (then
+    the attempt fails its gates honestly rather than publishing a
+    2-sample median). Returns (subset, n_excluded)."""
+    idx = [i for i in range(len(samples))
+           if cals[i] >= io_baseline / 2 and cals[i + 1] >= io_baseline / 2]
+    if len(idx) < min_clean:
+        return samples, 0
+    return [samples[i] for i in idx], len(samples) - len(idx)
+
+
 def _steady(build, runs: int = 2) -> float:
     """Steady-state seconds for a query builder: one warm run pays the
     one-time whole-stage-codegen compile, then min over `runs` measured
@@ -299,15 +350,22 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # neighbor I/O burst starting mid-section with load1 flat
             # and floor_ratio clean because every sample was slow)
             cal_before, _ = _await_write_headroom(io_baseline)
-            warm, warm_load = [], []
-            for _ in range(5):
-                warm_load.append(round(os.getloadavg()[0], 1))
-                warm.append(run_ingest())
+            # round 7: per-sample gating (see _gated_warm_samples) —
+            # the section pauses at sample boundaries while a neighbor
+            # burst drains, and publishes the witness-clean subset
+            # (>=3 of 5) instead of letting one bracketed-dirty sample
+            # sink the attempt's floor gate
+            warm, sample_cals, warm_load = _gated_warm_samples(
+                run_ingest, io_baseline, 5)
             cal_after, cal_trace = _settled_calibration(io_baseline)
-            lo, med, peak = (min(warm), statistics.median(warm),
-                             max(warm))
+            pub, n_excl = _witness_clean_subset(
+                warm, sample_cals, io_baseline, min_clean=3)
+            lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             attempts.append({
-                "samples": [round(x) for x in warm],
+                "samples": [round(x) for x in pub],
+                "samples_all": [round(x) for x in warm],
+                "samples_excluded": n_excl,
+                "io_cal_per_sample": sample_cals,
                 "load1_at_start": warm_load,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
@@ -376,17 +434,22 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # decode writes its output partitioned to disk — same
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
-            dec_warm = [run_decode() for _ in range(3)]
+            dec_warm, dec_cals, _dl = _gated_warm_samples(
+                run_decode, io_baseline, 3)
             # longer settle horizon than ingest (8 probes / 2 min): this
             # section's gate produced three consecutive false-contamination
             # verdicts before r6 — if writeback needs a minute to drain,
             # give it the minute rather than publish "contaminated"
             cal_after, cal_trace = _settled_calibration(
                 io_baseline, probes=8, sleep_s=15)
-            lo, med, peak = (min(dec_warm), statistics.median(dec_warm),
-                             max(dec_warm))
+            pub, n_excl = _witness_clean_subset(
+                dec_warm, dec_cals, io_baseline, min_clean=2)
+            lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             dec_attempts.append({
-                "samples": [round(x) for x in dec_warm],
+                "samples": [round(x) for x in pub],
+                "samples_all": [round(x) for x in dec_warm],
+                "samples_excluded": n_excl,
+                "io_cal_per_sample": dec_cals,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})

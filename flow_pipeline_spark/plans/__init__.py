@@ -120,16 +120,12 @@ _DEMOTED_VARIANTS = {
                                                        # a persisted postings
                                                        # artifact (benched as
                                                        # the production form)
-    "wet_ingest": ["corpus_curation",                  # WET round-trip: the
-                   "source_quota_sample"],             # per-source aggregate
-                                                       # device is windowed;
-                                                       # the writer∘parser
-                                                       # losslessness the
-                                                       # oracle proves is the
-                                                       # new part, and its
-                                                       # plumbing (framing,
-                                                       # gzip, quarantine) is
-                                                       # pytest-covered
+    # round 7: wet_ingest PROMOTED into the window (the r6 flagship WARC/
+    # WET tier now carries a driver-checked row); nation_trade_hops
+    # demoted in exchange — the graph class keeps nation_trade_pagerank
+    # (iterative propagation, strictly the harder device; BFS hop counts
+    # stay fully DuckDB-oracled in pytest)
+    "nation_trade_hops": ["nation_trade_pagerank"],
     "text_quality": ["quality_classifier"],            # per-row QC stats
     "repetition_stats": ["quality_classifier"],        # per-row QC gate
     "c4_line_filter": ["quality_classifier"],          # per-row line rules

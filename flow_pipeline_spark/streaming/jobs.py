@@ -186,9 +186,16 @@ def _swap_in(store_dir: str, write_tmp) -> None:
     # re-parks the resurrected snapshot and swaps again. Converges
     # unless a reader wins the race five times in a row.
     for _ in range(5):
-        if os.path.isdir(store_dir):
-            os.rename(store_dir, old)
         try:
+            if os.path.isdir(store_dir):
+                # a leftover `old` (e.g. a concurrent reader's interrupted
+                # rmtree left a partial dir) would make the re-park rename
+                # raise ENOTEMPTY — clear it first, and keep BOTH renames
+                # inside the retried try so a race here re-loops instead
+                # of killing the epoch (round-7 review finding)
+                if os.path.isdir(old):
+                    shutil.rmtree(old, ignore_errors=True)
+                os.rename(store_dir, old)
             os.rename(tmp, store_dir)
             break
         except OSError:

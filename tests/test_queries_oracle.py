@@ -69,10 +69,11 @@ def test_registry_window_ordering():
                      # lang_id demoted — each class keeps 2+ windowed
                      # siblings; see plans/__init__)
                      "cdc_latest_state", "time_gapfill",
-                     # round 5 cont.: BFS graph traversal
-                     # (event_type_pivot demoted — conditional-agg
-                     # device keeps quality_classifier + funnel_steps)
-                     "nation_trade_hops",
+                     # round 7: the WARC/WET crawl-source tier lands its
+                     # driver row (write∘read losslessness vs DuckDB;
+                     # nation_trade_hops demoted — the graph class keeps
+                     # nation_trade_pagerank, and BFS stays pytest-oracled)
+                     "wet_ingest",
                      # round 5 cont.: re-aggregable sketch states
                      # (distinct_users demoted — subsumed by the new
                      # row's n_exact column + stored-state tier)
