@@ -262,34 +262,89 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     return _topk_per_query(scored, k)
 
 
+def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
+                        target_bucket: int = 8, recall: float = 0.999,
+                        max_planes: int = 24) -> tuple[int, int]:
+    """Size-adaptive SRP-LSH parameters for
+    :func:`cosine_near_dup_pairs` — the standard (r, L) parameterization
+    (Charikar 2002 / Indyk-Motwani):
+
+    - planes per table ``r = log2(n / target_bucket)`` keeps expected
+      bucket occupancy CONSTANT as the corpus grows, so candidate pairs
+      grow linearly (~n·target_bucket/2) instead of quadratically. The
+      round-7 realistic-duplication sf1 probe measured the fixed-8-plane
+      form at ~100x candidate pairs on 10.1x vectors (256 buckets
+      saturate) — 8.3x wall time where the workload grew ~1x per row;
+      with adaptive r the candidate count tracks rows.
+    - tables ``L`` = OR-construction count for ``recall`` at the
+      threshold angle: a plane splits a cos=threshold pair with
+      probability acos(threshold)/pi, a table misses it with
+      ``1 - (1-theta/pi)^r``, and L independent tables drive the joint
+      miss below ``1-recall``. Identical vectors (cos=1) collide in
+      every table at any r — exactness for exact duplicates is free.
+
+    Floors at r=8 (the historical fixed form) so small corpora keep
+    their plans; caps at ``max_planes`` to bound the signature literal
+    and keep the bucket id in a 32-bit int."""
+    import math
+
+    r = max(8, min(max_planes,
+                   math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    miss_table = 1.0 - p_plane ** r
+    if miss_table <= 0.0:
+        return r, 1
+    return r, max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
+                               / math.log(miss_table)))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           bucketed: bool = False, n_planes: int = 8,
-                          dim: int = 64) -> DataFrame:
+                          dim: int = 64, n_tables: int = 1) -> DataFrame:
     """Embedding near-duplicate pairs (cos ≥ threshold).
 
     bucketed=True routes through the SRP signature first (near-identical
     vectors collide with high probability) — the scale path; False is the
-    exact all-pairs form for small SF / oracle checks."""
+    exact all-pairs form for small SF / oracle checks. Size the (r, L)
+    knobs with :func:`srp_near_dup_params`: ``n_planes`` controls bucket
+    occupancy (and so candidate volume — adaptive r keeps it linear in
+    the corpus), ``n_tables`` > 1 is the standard L-table OR-construction
+    (:func:`_multi_table_sig`, shared with lsh_knn): a pair is a
+    candidate if ANY table's buckets collide, restoring recall for
+    borderline cos≈threshold pairs that more planes would split. The
+    exact cosine verify runs per table-collision and a ``distinct`` on
+    the (id_a, id_b, cos) output collapses multi-table hits — true dups
+    verify L times (rare rows), but candidates never re-shuffle
+    vectors."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   _norm(vec_col).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   _norm(vec_col).alias("nb"))
-    if bucketed:
+    if bucketed and n_tables > 1:
+        a = a.withColumn(
+            "ts", F.explode(_multi_table_sig("va", n_planes, dim, n_tables)))
+        b = b.withColumn(
+            "ts", F.explode(_multi_table_sig("vb", n_planes, dim, n_tables)))
+        joined = a.join(b, ["ts"]).filter(F.col("id_a") < F.col("id_b"))
+    elif bucketed:
         # plane-literal signatures via the one-parse expr path
         a = a.withColumn("sig", hyperplane_signature("va", n_planes, dim))
         b = b.withColumn("sig", hyperplane_signature("vb", n_planes, dim))
         joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return (
+    out = (
         joined
         .select("id_a", "id_b",
                 F.round(_cos_pre("va", "vb",
                                  F.col("na"), F.col("nb")), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    if bucketed and n_tables > 1:
+        out = out.distinct()        # collapse multi-table collisions
+    return out
 
 
 def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,

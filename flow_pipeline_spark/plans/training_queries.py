@@ -433,18 +433,27 @@ def filtered_knn(spark, sf_dir):
         "SRP-bucketed scale path (cosine_near_dup_pairs(bucketed=True)): "
         "vectors bucket by their random-hyperplane sign signature, the "
         "pair join runs per-bucket — never an all-pairs crossJoin "
-        "(asserted in tests/test_plans.py). Identical vectors collide "
-        "with probability 1 (same signs), so the 20 planted duplicates "
-        "are recovered exactly and the all-pairs SQL oracle matches: at "
-        "threshold 0.999 the only qualifying pairs in this corpus are "
-        "the planted identical copies (max organic cosine ≈0.51).",
+        "(asserted in tests/test_plans.py). The (planes, tables) knobs "
+        "come from srp_near_dup_params on the corpus count (one cheap "
+        "count job): planes scale with log2(n) so bucket occupancy — "
+        "and with it candidate-pair volume — stays LINEAR in the corpus "
+        "(the round-7 realistic-sf1 probe caught the fixed-8-plane form "
+        "saturating its 256 buckets: ~100x candidates on 10x vectors), "
+        "and the L-table OR-construction holds recall at the threshold "
+        "angle. Identical vectors collide with probability 1 in every "
+        "table (same signs), so the 20 planted duplicates are recovered "
+        "exactly and the all-pairs SQL oracle matches: at threshold "
+        "0.999 the only qualifying pairs in this corpus are the planted "
+        "identical copies (max organic cosine ≈0.51).",
 )
 def embedding_near_dup(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     copies = (e.filter(F.col("vec_id") < 20)
               .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
     corpus = e.unionByName(copies)
-    return (S.cosine_near_dup_pairs(corpus, threshold=0.999, bucketed=True)
+    planes, tables = S.srp_near_dup_params(corpus.count(), 0.999)
+    return (S.cosine_near_dup_pairs(corpus, threshold=0.999, bucketed=True,
+                                    n_planes=planes, n_tables=tables)
             .orderBy("id_a", "id_b"))
 
 

@@ -30,7 +30,7 @@ NOTES = {
   "part_type_revenue": "part dimension broadcast; lineitem never shuffles before aggregation",
   "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
   "local_supplier_volume": "6-table Q5 topology: broadcast supplier dim chain, co-nation residual, one orderkey/custkey shuffle spine",
-  "embedding_near_dup": "SRP-bucketed pair join on the signature key — no CartesianProduct / all-pairs",
+  "embedding_near_dup": "SRP-bucketed pair join on the (table, signature) key — no CartesianProduct / all-pairs; (planes, tables) adapt to the corpus count (srp_near_dup_params) so bucket occupancy and candidate volume stay LINEAR (the round-7 realistic-sf1 probe caught the fixed-8-plane form at ~100x candidates on 10x vectors); distinct collapses multi-table hits on (id, id, cos) rows, vectors never re-shuffle",
   "ngram_jaccard_dups": "LSH candidates verified with array_intersect on doc-id joins; no shuffle ever partitions on the shingle",
   "flows_top_src_ips": "render-AFTER-aggregate: ArrowEvalPython sits above the raw (addr,Etype) HashAggregate, UDF input = |distinct addrs|",
   "flows_pg_src_ip_panel": "Go-render panel, same two-level agg: raw-bytes partials below the Arrow boundary",
@@ -54,6 +54,7 @@ NOTES = {
   "curation_full_pipeline": "per-row gates fuse into the scan; the ExactSubstr stage adds ONE corpus-wide shuffle (partial-aggregated fp groupBy) + a hits-only window; then the digest dedup shuffle, broadcast benchmark shingles, 2-group aggregate",
   "ann_pq_adc_exact": "quantize is a map-side projection; codebooks and queries broadcast (8 + 10 rows); codes come from a (vec, subspace) window over |corpus|*ks*m tiny rows; ADC join ships (vec, j, code) rows only — the corpus embedding column never shuffles",
   "bpe_encode_corpus": "corpus tokens stay JVM-side: explode -> broadcast word->subwords join -> per-doc reassembly groupBy (the only shuffle); Python runs once per DISTINCT word in the vocab frame",
+  "bpe_encode_stored": "the PRODUCTION tokenize plan (train-once/encode-many): identical encode shape to bpe_encode_corpus but the merge table reads from the persisted model artifact — NO trainer rounds in-plan, so the plan is pure encode cost (mirror of bm25_search_stored)",
   "dsir_importance": "both LM vocab tables broadcast to the scoring join; the exploded corpus never shuffles on the token — the only wide ops are the two vocab-bounded LM aggregates and the per-doc partial aggregate",
   "line_dedup": "one line-bounded frequency shuffle (map-side distinct first); each doc's own duplicated lines come back as a small array on a doc-id join; the line filter is a per-row higher-order function — the global dup-line set never collects or broadcasts",
   "bloom_dedup": "ZERO-shuffle query plan: the bitmap (built once via treeAggregate, outside this plan) rides the probe UDF closure; membership is a per-row ArrowEvalPython filter over the scan — the anti-join exchange is gone entirely",
