@@ -3248,16 +3248,25 @@ def _artifact_dir(prefix: str, sf_dir: str,
     could silently serve a stale index)."""
     import hashlib
 
+    def eat(h, path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+            if st.st_size > (1 << 20):
+                f.seek(max(st.st_size - (1 << 20), 1 << 20))
+                h.update(f.read())
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
-    h = hashlib.md5(
-        f"{prefix}:{os.path.abspath(src)}:{st.st_size}:"
-        f"{st.st_mtime_ns}".encode())
-    with open(src, "rb") as f:
-        h.update(f.read(1 << 20))
-        if st.st_size > (1 << 20):
-            f.seek(max(st.st_size - (1 << 20), 1 << 20))
-            h.update(f.read())
+    h = hashlib.md5(f"{prefix}:{os.path.abspath(src)}".encode())
+    if os.path.isdir(src):          # Spark-written layout: a part-file dir
+        for name in sorted(os.listdir(src)):
+            if name.startswith((".", "_")):
+                continue
+            eat(h, os.path.join(src, name))
+    else:
+        eat(h, src)
     return os.path.join(_cache_root(),
                         f"fps_{prefix}_{h.hexdigest()[:12]}")
 

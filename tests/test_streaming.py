@@ -1391,6 +1391,34 @@ def test_swap_in_survives_reader_recovery_race(spark, tmpdir, monkeypatch):
     assert not _os.path.isdir(store + "._swap_tmp")
 
 
+def test_swap_in_clears_leftover_old_dir(spark, tmpdir):
+    """Round-7 review: a leftover non-empty ._swap_old (e.g. a reader's
+    interrupted rmtree) made _swap_in's re-park rename raise ENOTEMPTY
+    outside the retried try and kill the epoch. The swap must clear the
+    leftover and complete."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+
+    store = f"{tmpdir}/leftover_store"
+    spark.range(5).write.parquet(store)
+    old = store + "._swap_old"
+
+    def write_tmp(tmp):
+        spark.range(9).write.mode("overwrite").parquet(tmp)
+        # plant the leftover AFTER _swap_in's own _recover_swap ran
+        # (write_tmp executes between recovery and the rename loop), so
+        # the rename loop itself faces old-exists-non-empty
+        _os.makedirs(f"{old}/sub")
+        with open(f"{old}/sub/partial.bin", "wb") as f:
+            f.write(b"x" * 128)
+
+    jobs._swap_in(store, write_tmp)
+    assert spark.read.parquet(store).count() == 9
+    assert not _os.path.isdir(old)
+    assert not _os.path.isdir(store + "._swap_tmp")
+
+
 def test_read_cdc_store_recovers_mid_swap_crash(spark, tmpdir):
     """A writer crash between _swap_in's two renames leaves the store
     directory MISSING with the superseded snapshot parked at

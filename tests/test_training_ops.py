@@ -1220,6 +1220,55 @@ def test_bpe_encode_stored_matches_corpus_form(spark):
         d, n_merges=8)
 
 
+def test_artifact_cache_root_and_content_keying(tmp_path, monkeypatch):
+    """Round-7 review hardening of the build-once artifact cache:
+    (a) the cache root honors SPARK_GRAFT_CACHE_DIR and is created mode
+    0700; (b) the key is a CONTENT digest — rewriting the corpus with a
+    PRESERVED mtime still changes the key (mtime-only keying silently
+    served a stale index); (c) directory-parquet corpora (Spark-written
+    layout, e.g. the sf1 probe tables) key without error, ignoring
+    hidden/_SUCCESS entries."""
+    import os
+    import stat
+
+    from flow_pipeline_spark.plans.training_queries import (_artifact_dir,
+                                                            _cache_root)
+
+    root = f"{tmp_path}/cacheroot"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", root)
+    got = _cache_root()
+    assert got == root and os.path.isdir(root)
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = sf / "documents.parquet"
+    src.write_bytes(b"A" * 4096)
+    st = os.stat(src)
+    k1 = _artifact_dir("t", str(sf))
+    # same content, same mtime -> same key (cache hit across sessions)
+    assert _artifact_dir("t", str(sf)) == k1
+    # rewrite with PRESERVED mtime and size -> key must change
+    src.write_bytes(b"B" * 4096)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+    k2 = _artifact_dir("t", str(sf))
+    assert k2 != k1
+    # prefix isolation
+    assert _artifact_dir("u", str(sf)) != k2
+
+    # directory layout: part files participate, hidden/_SUCCESS ignored
+    dsf = tmp_path / "dsf"
+    (dsf / "documents.parquet").mkdir(parents=True)
+    (dsf / "documents.parquet" / "part-00000.parquet").write_bytes(b"P1")
+    (dsf / "documents.parquet" / "_SUCCESS").write_bytes(b"")
+    d1 = _artifact_dir("t", str(dsf))
+    (dsf / "documents.parquet" / "_SUCCESS").write_bytes(b"ignored")
+    (dsf / "documents.parquet" / ".hidden.crc").write_bytes(b"ignored")
+    assert _artifact_dir("t", str(dsf)) == d1
+    (dsf / "documents.parquet" / "part-00000.parquet").write_bytes(b"P2")
+    assert _artifact_dir("t", str(dsf)) != d1
+
+
 def test_bpe_merge_fold_property(spark):
     """Property: the Spark fold-expression merge (_apply_merge) equals
     the single-process reference on arbitrary symbol sequences,
