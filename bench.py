@@ -229,34 +229,50 @@ def _gated_warm_samples(run_fn, io_baseline: float, n: int
     burst that starts mid-section pauses the section at the next sample
     boundary instead of contaminating the remaining samples; the probes
     BRACKETING a sample witness whether it ran clean (used by the
-    caller to publish the witness-clean subset). Returns
-    (samples, cals, loads) with ``len(cals) == n + 1`` — ``cals[i]``
-    and ``cals[i+1]`` bracket ``samples[i]``."""
-    samples, cals, loads = [], [], []
+    caller to publish the witness-clean subset).
+
+    The closing witness for sample i is the FIRST probe reading taken
+    right after it — NOT the post-wait settled value: a burst that
+    contaminates a sample but drains during the (up to 40 s) headroom
+    wait would otherwise leave both bracketing cals clean and the dirty
+    sample would publish as witnessed-clean (round-7 review
+    reproduction). The settled value, by contrast, is the OPENING
+    witness for the next sample — that is the disk state its run
+    actually starts into. Returns (samples, opens, closes, loads) with
+    ``opens[i]``/``closes[i]`` bracketing ``samples[i]``."""
+    samples, opens, closes, loads = [], [], [], []
+
+    def probe_and_settle() -> tuple[float, float]:
+        first = _io_calibration(64)
+        settled = first
+        if first < io_baseline / 2:
+            settled, _w = _await_write_headroom(io_baseline, retries=4,
+                                                sleep_s=10, size_mb=64)
+        return first, settled
+
+    _first, settled = probe_and_settle()
     for _ in range(n):
-        cal, _w = _await_write_headroom(io_baseline, retries=4,
-                                        sleep_s=10, size_mb=64)
-        cals.append(cal)
+        opens.append(settled)
         loads.append(round(os.getloadavg()[0], 1))
         samples.append(run_fn())
-    cal, _w = _await_write_headroom(io_baseline, retries=4,
-                                    sleep_s=10, size_mb=64)
-    cals.append(cal)
-    return samples, cals, loads
+        first, settled = probe_and_settle()
+        closes.append(first)
+    return samples, opens, closes, loads
 
 
-def _witness_clean_subset(samples: list[float], cals: list[float],
-                          io_baseline: float, min_clean: int
-                          ) -> tuple[list[float], int]:
+def _witness_clean_subset(samples: list[float], opens: list[float],
+                          closes: list[float], io_baseline: float,
+                          min_clean: int) -> tuple[list[float], int]:
     """Publishable subset of a gated warm section: sample i is
-    witness-clean iff both bracketing probes cleared baseline/2 (a
-    burst entirely INSIDE one sample still slips through — the
+    witness-clean iff both bracketing probes cleared baseline/2 — the
+    opening settled reading and the closing FIRST (pre-wait) reading
+    (a burst entirely INSIDE one sample still slips through — the
     floor-ratio gate downstream stays as the backstop). Falls back to
     the full set when fewer than ``min_clean`` samples qualify (then
     the attempt fails its gates honestly rather than publishing a
     2-sample median). Returns (subset, n_excluded)."""
     idx = [i for i in range(len(samples))
-           if cals[i] >= io_baseline / 2 and cals[i + 1] >= io_baseline / 2]
+           if opens[i] >= io_baseline / 2 and closes[i] >= io_baseline / 2]
     if len(idx) < min_clean:
         return samples, 0
     return [samples[i] for i in idx], len(samples) - len(idx)
@@ -355,17 +371,18 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # burst drains, and publishes the witness-clean subset
             # (>=3 of 5) instead of letting one bracketed-dirty sample
             # sink the attempt's floor gate
-            warm, sample_cals, warm_load = _gated_warm_samples(
+            warm, s_opens, s_closes, warm_load = _gated_warm_samples(
                 run_ingest, io_baseline, 5)
             cal_after, cal_trace = _settled_calibration(io_baseline)
             pub, n_excl = _witness_clean_subset(
-                warm, sample_cals, io_baseline, min_clean=3)
+                warm, s_opens, s_closes, io_baseline, min_clean=3)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             attempts.append({
                 "samples": [round(x) for x in pub],
                 "samples_all": [round(x) for x in warm],
                 "samples_excluded": n_excl,
-                "io_cal_per_sample": sample_cals,
+                "io_cal_sample_open": s_opens,
+                "io_cal_sample_close": s_closes,
                 "load1_at_start": warm_load,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
@@ -434,7 +451,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # decode writes its output partitioned to disk — same
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
-            dec_warm, dec_cals, _dl = _gated_warm_samples(
+            dec_warm, d_opens, d_closes, _dl = _gated_warm_samples(
                 run_decode, io_baseline, 3)
             # longer settle horizon than ingest (8 probes / 2 min): this
             # section's gate produced three consecutive false-contamination
@@ -443,13 +460,14 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             cal_after, cal_trace = _settled_calibration(
                 io_baseline, probes=8, sleep_s=15)
             pub, n_excl = _witness_clean_subset(
-                dec_warm, dec_cals, io_baseline, min_clean=2)
+                dec_warm, d_opens, d_closes, io_baseline, min_clean=2)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             dec_attempts.append({
                 "samples": [round(x) for x in pub],
                 "samples_all": [round(x) for x in dec_warm],
                 "samples_excluded": n_excl,
-                "io_cal_per_sample": dec_cals,
+                "io_cal_sample_open": d_opens,
+                "io_cal_sample_close": d_closes,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})

@@ -264,7 +264,8 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
 def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
                         target_bucket: int = 8, recall: float = 0.999,
-                        max_planes: int = 24) -> tuple[int, int]:
+                        max_planes: int = 24,
+                        max_tables: int = 8) -> tuple[int, int]:
     """Size-adaptive SRP-LSH parameters for
     :func:`cosine_near_dup_pairs` — the standard (r, L) parameterization
     (Charikar 2002 / Indyk-Motwani):
@@ -285,7 +286,16 @@ def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
 
     Floors at r=8 (the historical fixed form) so small corpora keep
     their plans; caps at ``max_planes`` to bound the signature literal
-    and keep the bucket id in a 32-bit int."""
+    and keep the bucket id in a 32-bit int, and at ``max_tables`` to
+    bound the corpus explode — each table replicates both join sides
+    once, so an uncapped L is a worse blow-up than the quadratic
+    bucket saturation this function exists to prevent (round-7 review:
+    threshold 0.9 solved to L=94, threshold 0.5 to L=6803). NEAR-DUP
+    thresholds (>= ~0.99) stay comfortably under the cap; a looser
+    threshold hits it and trades recall, which the table-miss formula
+    makes explicit — for genuinely low-threshold similarity search use
+    lsh_knn's multiprobe (query-side explode only) or the IVF path
+    instead of a pair join."""
     import math
 
     r = max(8, min(max_planes,
@@ -294,8 +304,9 @@ def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
     miss_table = 1.0 - p_plane ** r
     if miss_table <= 0.0:
         return r, 1
-    return r, max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
-                               / math.log(miss_table)))
+    return r, min(max_tables,
+                  max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
+                                   / math.log(miss_table))))
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,

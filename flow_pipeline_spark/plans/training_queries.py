@@ -2288,7 +2288,8 @@ def _bpe_stored_merges(spark, sf_dir) -> list:
         with open(os.path.join(tmp, "merges.json"), "w") as f:
             _json.dump(merges, f)
 
-    base = _publish_once(_artifact_dir("bpe_merges", sf_dir), build)
+    base = _publish_once(
+        _artifact_dir("bpe_merges", sf_dir, build_fn=build), build)
     with open(os.path.join(base, "merges.json")) as f:
         return [tuple(m) for m in _json.load(f)]
 
@@ -3226,6 +3227,14 @@ def _cache_root() -> str:
 
     root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
         tempfile.gettempdir(), f"fps_cache_{os.getuid()}")
+    # reject a symlinked root BEFORE makedirs/stat (both follow links):
+    # another user planting the predictable path as a symlink would
+    # otherwise redirect every artifact read/write — and the uid check
+    # below would pass if the TARGET happens to be ours (round-7 review)
+    if os.path.islink(root):
+        raise RuntimeError(
+            f"artifact cache {root} is a symlink — refusing to follow "
+            f"it; set SPARK_GRAFT_CACHE_DIR to a private directory")
     os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.stat(root)
     if st.st_uid != os.getuid():
@@ -3238,35 +3247,58 @@ def _cache_root() -> str:
 
 
 def _artifact_dir(prefix: str, sf_dir: str,
-                  table: str = "documents") -> str:
+                  table: str = "documents", build_fn=None) -> str:
     """Cache path for a build-once artifact derived from ``sf_dir``'s
     ``table``, under the per-user :func:`_cache_root`. Keyed on a
-    CONTENT digest — (size, mtime_ns) plus the first and last 1 MiB of
-    the parquet bytes (head + footer: the footer alone pins schema,
-    row-group stats and row count) — so a corpus rewritten with a
-    preserved mtime still rebuilds (round-7 review; mtime-only keying
-    could silently serve a stale index)."""
+    CONTENT digest — per data file: (name, size, mtime_ns) plus the
+    first and last 1 MiB of the parquet bytes (head + footer: the
+    footer alone pins schema, row-group stats and row count) — so a
+    corpus rewritten with a preserved mtime still rebuilds (round-7
+    review; mtime-only keying could silently serve a stale index).
+    Directory layouts (Spark-written, including partitioned
+    subdirectories) walk every visible data file. Pass the builder as
+    ``build_fn`` to fold its BYTECODE (recursively through nested code
+    objects) into the key: editing the builder then re-keys instead of
+    silently serving an artifact built by superseded code (round-7
+    review). The builder digest covers the function's own code and
+    constants, not transitive callees — bump ``prefix`` when a deep
+    dependency's semantics change; a Python upgrade re-keys too (cheap,
+    and in the safe direction)."""
     import hashlib
 
-    def eat(h, path):
+    def eat(h, path, name):
         st = os.stat(path)
-        h.update(f"{os.path.basename(path)}:{st.st_size}:"
-                 f"{st.st_mtime_ns}".encode())
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
         with open(path, "rb") as f:
             h.update(f.read(1 << 20))
             if st.st_size > (1 << 20):
                 f.seek(max(st.st_size - (1 << 20), 1 << 20))
                 h.update(f.read())
 
+    def eat_code(h, code):
+        h.update(code.co_code)
+        for c in code.co_consts:
+            if hasattr(c, "co_code"):
+                eat_code(h, c)
+            else:
+                h.update(repr(c).encode())
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5(f"{prefix}:{os.path.abspath(src)}".encode())
-    if os.path.isdir(src):          # Spark-written layout: a part-file dir
-        for name in sorted(os.listdir(src)):
-            if name.startswith((".", "_")):
-                continue
-            eat(h, os.path.join(src, name))
+    if build_fn is not None:
+        eat_code(h, build_fn.__code__)
+    if os.path.isdir(src):          # Spark-written layout (may partition)
+        for root, dirs, files in os.walk(src):
+            # prune + sort IN PLACE: os.walk is lazy/topdown, so this
+            # both skips hidden subtrees and fixes traversal order
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            for name in sorted(files):
+                if name.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, name)
+                eat(h, p, os.path.relpath(p, src))
     else:
-        eat(h, src)
+        eat(h, src, os.path.basename(src))
     return os.path.join(_cache_root(),
                         f"fps_{prefix}_{h.hexdigest()[:12]}")
 
@@ -3317,7 +3349,8 @@ def _bm25_stored_index(spark, sf_dir):
         with open(os.path.join(tmp, "_STATS.json"), "w") as f:
             _json.dump({"n_docs": n, "total_len": t}, f)
 
-    base = _publish_once(_artifact_dir("bm25_idx", sf_dir), build)
+    base = _publish_once(
+        _artifact_dir("bm25_idx", sf_dir, build_fn=build), build)
     with open(os.path.join(base, "_STATS.json")) as f:
         st = _json.load(f)
     return (spark.read.parquet(os.path.join(base, "postings")),
@@ -3401,7 +3434,8 @@ def _wet_corpus_dir(spark, sf_dir):
                      F.lit(".example/d"), F.col("doc_id")).alias("url"))
         write_wet(docs.repartition(8), tmp)
 
-    return _publish_once(_artifact_dir("wet", sf_dir), build)
+    return _publish_once(
+        _artifact_dir("wet", sf_dir, build_fn=build), build)
 
 
 @_q(

@@ -340,30 +340,59 @@ def host_key(url: "F.Column",
 
     By default NOT public-suffix-aware: subdomains count as distinct
     hosts, the conservative direction for quota caps. Pass ``psl`` (the
-    public-suffix list — a DATA file, e.g. publicsuffix.org's dat,
-    parsed to its suffix lines) to key by REGISTRABLE DOMAIN instead:
-    the longest candidate suffix of the host present in ``psl`` plus
-    one more label (``shop.example.co.uk`` → ``example.co.uk``); hosts
-    whose suffix is absent from the list fall back to the PSL's
-    prevailing-``*`` rule (last label is the suffix → last two labels);
-    a host that IS a public suffix keys as itself. Pure Column
-    expressions — the suffix probe compiles to an ``InSet`` over the
-    list literals (the bm25 stored-index ``isin`` device), evaluated
-    per-row JVM-side against candidate suffixes built with array
-    higher-order functions; no UDF, no join, no shuffle."""
+    public-suffix list — a DATA file, e.g. publicsuffix.org's dat as
+    lines; comments and blanks are skipped) to key by REGISTRABLE
+    DOMAIN instead: the longest matching rule plus one more label
+    (``shop.example.co.uk`` → ``example.co.uk``). All three PSL rule
+    forms are honored (round-7 review — the real dat file carries
+    ~1000 non-literal rules): literal suffixes, ``*.b`` wildcards (any
+    direct child of ``b`` is a suffix), and ``!x.b`` exceptions
+    (``x.b`` is NOT a suffix despite a covering wildcard; its parent
+    is). Hosts no rule matches fall back to the PSL's prevailing-``*``
+    rule (last label is the suffix → last two labels); a host that IS
+    a public suffix keys as itself. Pure Column expressions — the rule
+    probes compile to ``InSet`` over the list literals (the bm25
+    stored-index ``isin`` device), evaluated per-row JVM-side against
+    candidate suffixes built with array higher-order functions; no
+    UDF, no join, no shuffle."""
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     host = F.regexp_replace(host, r":\d+$", "")
     if psl is None:
         return F.regexp_replace(host, r"^www\.", "")
+    exact, wild, exc = set(), set(), set()
+    for line in psl:
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            exc.add(line[1:])
+            # an exception's public suffix is itself minus its first
+            # label (e.g. !www.ck -> suffix ck) — register it so the
+            # exception resolves by rule, not by the fallback
+            if "." in line[1:]:
+                exact.add(line[1:].split(".", 1)[1])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+        else:
+            exact.add(line)
+
+    def _in(col, values):
+        vals = sorted(values)
+        return col.isin(*vals) if vals else F.lit(False)
+
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # candidate suffixes, shortest→longest: the last k labels joined
-    cands = F.transform(
+
+    def cand(k):            # the last k labels of the host, joined
+        return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+    matched_ks = F.filter(
         F.sequence(F.lit(1), n),
-        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."))
-    matched = F.filter(cands, lambda s: s.isin(*sorted(set(psl))))
-    suffix_len = F.when(F.size(matched) > 0,
-                        F.size(F.split(F.element_at(matched, -1), r"\."))
+        lambda k: (_in(cand(k), exact)
+                   | ((k >= F.lit(2)) & _in(cand(k - 1), wild)))
+        & ~_in(cand(k), exc))
+    suffix_len = F.when(F.size(matched_ks) > 0,
+                        F.element_at(matched_ks, -1)
                         ).otherwise(F.lit(1))       # prevailing-* rule
     return F.when(n <= suffix_len, host).otherwise(
         F.array_join(F.slice(labels, n - suffix_len, suffix_len + 1),

@@ -1256,17 +1256,46 @@ def test_artifact_cache_root_and_content_keying(tmp_path, monkeypatch):
     # prefix isolation
     assert _artifact_dir("u", str(sf)) != k2
 
-    # directory layout: part files participate, hidden/_SUCCESS ignored
+    # directory layout: part files participate, hidden/_SUCCESS ignored,
+    # PARTITIONED subdirectories walked (round-7 review: open() on a
+    # Date=... subdir raised IsADirectoryError)
     dsf = tmp_path / "dsf"
-    (dsf / "documents.parquet").mkdir(parents=True)
+    (dsf / "documents.parquet" / "Date=2020-01-01").mkdir(parents=True)
     (dsf / "documents.parquet" / "part-00000.parquet").write_bytes(b"P1")
+    (dsf / "documents.parquet" / "Date=2020-01-01"
+     / "part-00001.parquet").write_bytes(b"N1")
     (dsf / "documents.parquet" / "_SUCCESS").write_bytes(b"")
     d1 = _artifact_dir("t", str(dsf))
     (dsf / "documents.parquet" / "_SUCCESS").write_bytes(b"ignored")
     (dsf / "documents.parquet" / ".hidden.crc").write_bytes(b"ignored")
     assert _artifact_dir("t", str(dsf)) == d1
-    (dsf / "documents.parquet" / "part-00000.parquet").write_bytes(b"P2")
+    (dsf / "documents.parquet" / "Date=2020-01-01"
+     / "part-00001.parquet").write_bytes(b"N2")
     assert _artifact_dir("t", str(dsf)) != d1
+
+    # builder-code keying: editing the build function re-keys (round-7
+    # review: content-only keys silently served artifacts built by
+    # superseded code)
+    def build_v1(tmp):
+        return ("v1", 200)
+
+    def build_v2(tmp):
+        return ("v1", 300)          # constant changed ~ edited logic
+
+    b1 = _artifact_dir("t", str(sf), build_fn=build_v1)
+    assert _artifact_dir("t", str(sf), build_fn=build_v1) == b1
+    assert _artifact_dir("t", str(sf), build_fn=build_v2) != b1
+    assert b1 != _artifact_dir("t", str(sf))    # keyed vs un-keyed differ
+
+    # symlinked cache root is refused outright (round-7 review: a
+    # squatter's symlink would redirect artifacts and pass the uid check)
+    target = tmp_path / "victim"
+    target.mkdir()
+    link = f"{tmp_path}/linkroot"
+    os.symlink(target, link)
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", link)
+    with pytest.raises(RuntimeError, match="symlink"):
+        _cache_root()
 
 
 def test_bpe_merge_fold_property(spark):
@@ -2611,7 +2640,8 @@ def test_warc_host_key_psl(spark):
 
     from flow_pipeline_spark.sources.warc import host_key
 
-    psl = ["co.uk", "com", "uk", "org"]
+    psl = ["// comment line", "", "co.uk", "com", "uk", "org",
+           "*.ck", "!www.ck"]
     cases = [
         (0, "https://shop.Example.co.uk/x", "example.co.uk"),
         (1, "https://www.example.com/p?q=1", "example.com"),
@@ -2620,6 +2650,12 @@ def test_warc_host_key_psl(spark):
         (4, "https://a.b.example.net:8443/", "example.net"),
         (5, "https://co.uk/", "co.uk"),                     # host IS suffix
         (6, "https://example.com", "example.com"),
+        # wildcard rule: any direct child of ck is a public suffix
+        (7, "https://shop.foo.bar.ck/x", "foo.bar.ck"),
+        (8, "https://bar.ck/", "bar.ck"),       # host IS a *.ck suffix
+        # exception rule: www.ck is registrable despite *.ck
+        (9, "https://www.ck/", "www.ck"),
+        (10, "https://a.www.ck/", "www.ck"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases],
                                "id int, url string")
