@@ -217,8 +217,9 @@ def _pick_attempt(attempts: list[dict], io_baseline: float
     return best, not clean
 
 
-def _gated_warm_samples(run_fn, io_baseline: float, n: int
-                        ) -> tuple[list[float], list[float], list[float]]:
+def _gated_warm_samples(
+        run_fn, io_baseline: float, n: int
+) -> tuple[list[float], list[float], list[float], list[float]]:
     """Per-sample contamination gating for a write-bound warm section
     (VERDICT r6 item #3): the r6 driver run published
     ``ingest_io_contended: true`` with floor_ratios 5.0/2.3 because a
@@ -242,20 +243,24 @@ def _gated_warm_samples(run_fn, io_baseline: float, n: int
     ``opens[i]``/``closes[i]`` bracketing ``samples[i]``."""
     samples, opens, closes, loads = [], [], [], []
 
-    def probe_and_settle() -> tuple[float, float]:
+    def probe_and_settle(settle: bool = True) -> tuple[float, float]:
         first = _io_calibration(64)
         settled = first
-        if first < io_baseline / 2:
+        if settle and first < io_baseline / 2:
             settled, _w = _await_write_headroom(io_baseline, retries=4,
                                                 sleep_s=10, size_mb=64)
         return first, settled
 
     _first, settled = probe_and_settle()
-    for _ in range(n):
+    for i in range(n):
         opens.append(settled)
         loads.append(round(os.getloadavg()[0], 1))
         samples.append(run_fn())
-        first, settled = probe_and_settle()
+        # the FINAL boundary needs only the pre-wait close witness —
+        # settling there would burn up to 40 s + 256 MB of fsync
+        # traffic computing an opening value no sample uses (round-7
+        # review); the caller's _settled_calibration follows anyway
+        first, settled = probe_and_settle(settle=i < n - 1)
         closes.append(first)
     return samples, opens, closes, loads
 

@@ -304,9 +304,22 @@ def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
     miss_table = 1.0 - p_plane ** r
     if miss_table <= 0.0:
         return r, 1
-    return r, min(max_tables,
-                  max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
-                                   / math.log(miss_table))))
+    need = max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
+                            / math.log(miss_table)))
+    if need > max_tables:
+        # loud, not silent: the caller asked for a recall the capped
+        # table count cannot deliver (round-7 review — returning the
+        # clamp without a signal would quietly drop true pairs)
+        import warnings
+        achieved = 1.0 - miss_table ** max_tables
+        warnings.warn(
+            f"srp_near_dup_params: recall {recall} at threshold "
+            f"{threshold} needs L={need} tables; capped at "
+            f"{max_tables} (achieved recall ~{achieved:.3f} for "
+            f"borderline pairs; identical vectors are unaffected). "
+            f"For loose thresholds use lsh_knn multiprobe or IVF.",
+            stacklevel=2)
+    return r, min(max_tables, need)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,

@@ -3227,15 +3227,19 @@ def _cache_root() -> str:
 
     root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
         tempfile.gettempdir(), f"fps_cache_{os.getuid()}")
-    # reject a symlinked root BEFORE makedirs/stat (both follow links):
-    # another user planting the predictable path as a symlink would
-    # otherwise redirect every artifact read/write — and the uid check
-    # below would pass if the TARGET happens to be ours (round-7 review)
-    if os.path.islink(root):
+    # reject a symlinked root: another user planting the predictable
+    # path as a symlink would redirect every artifact read/write — and
+    # the uid check below would pass if the TARGET happens to be ours
+    # (round-7 review). The lstat check runs AFTER makedirs — a symlink
+    # planted in a check-then-create window necessarily still exists
+    # here (review follow-up: a pre-makedirs-only check was TOCTOU).
+    import stat as _stat
+
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if _stat.S_ISLNK(os.lstat(root).st_mode):
         raise RuntimeError(
             f"artifact cache {root} is a symlink — refusing to follow "
             f"it; set SPARK_GRAFT_CACHE_DIR to a private directory")
-    os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.stat(root)
     if st.st_uid != os.getuid():
         raise RuntimeError(
@@ -3260,10 +3264,15 @@ def _artifact_dir(prefix: str, sf_dir: str,
     ``build_fn`` to fold its BYTECODE (recursively through nested code
     objects) into the key: editing the builder then re-keys instead of
     silently serving an artifact built by superseded code (round-7
-    review). The builder digest covers the function's own code and
-    constants, not transitive callees — bump ``prefix`` when a deep
-    dependency's semantics change; a Python upgrade re-keys too (cheap,
-    and in the safe direction)."""
+    review). The builder digest covers the function's own code,
+    constants and referenced NAMES (globals/locals/freevars — a callee
+    swap re-keys even though the bytecode's index operand wouldn't);
+    it deliberately does NOT hash closure-captured or default VALUES
+    (builders close over the SparkSession, whose repr is run-unique —
+    hashing it would make the key never hit) nor transitive callees —
+    bump ``prefix`` when a deep dependency's semantics or a captured
+    constant change; a Python upgrade re-keys too (cheap, and in the
+    safe direction)."""
     import hashlib
 
     def eat(h, path, name):
@@ -3277,9 +3286,17 @@ def _artifact_dir(prefix: str, sf_dir: str,
 
     def eat_code(h, code):
         h.update(code.co_code)
+        # names are the operands co_code only indexes (round-7 review:
+        # two builders calling different globals digested identically)
+        h.update(repr((code.co_names, code.co_varnames,
+                       code.co_freevars)).encode())
         for c in code.co_consts:
             if hasattr(c, "co_code"):
                 eat_code(h, c)
+            elif isinstance(c, frozenset):
+                # set reprs are hash-order-randomized across runs —
+                # raw repr() would make the key never hit
+                h.update(repr(sorted(map(repr, c))).encode())
             else:
                 h.update(repr(c).encode())
 

@@ -40,10 +40,13 @@ def test_gated_samples_close_witness_is_pre_wait_reading(monkeypatch):
     # probe sequence: opening probe, then after each sample. After
     # sample 2 the first probe reads 150 (burst), the retry reads 390
     # (drained) — the settled value opens sample 3.
+    # after sample 3 (the FINAL boundary) the probe is dirty too — the
+    # gater must take the single pre-wait reading and NOT settle (no
+    # extra probe elements exist: a settle attempt raises StopIteration)
     probes = iter([400.0,          # opening probe (clean, no wait)
                    400.0,          # after sample 1
                    150.0, 390.0,   # after sample 2: dirty, then drained
-                   400.0])         # after sample 3
+                   150.0])         # after sample 3: dirty, final — no settle
     monkeypatch.setattr(bench, "_io_calibration", lambda mb=64: next(probes))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
 
@@ -53,6 +56,13 @@ def test_gated_samples_close_witness_is_pre_wait_reading(monkeypatch):
     assert samples == [100.0, 40.0, 99.0]
     assert closes[1] == 150.0          # pre-wait reading, NOT 390
     assert opens[2] == 390.0           # sample 3 started into drained disk
+    assert closes[2] == 150.0          # final boundary: pre-wait only
+    # samples 2 AND 3 are witness-dirty (3's close saw the second
+    # burst): with min_clean=2 only one clean sample remains, so the
+    # subset falls back to the full set and the floor gate decides
     pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
                                               base, min_clean=2)
-    assert pub == [100.0, 99.0] and n_excl == 1
+    assert pub == samples and n_excl == 0
+    pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
+                                              base, min_clean=1)
+    assert pub == [100.0] and n_excl == 2

@@ -1287,6 +1287,18 @@ def test_artifact_cache_root_and_content_keying(tmp_path, monkeypatch):
     assert _artifact_dir("t", str(sf), build_fn=build_v2) != b1
     assert b1 != _artifact_dir("t", str(sf))    # keyed vs un-keyed differ
 
+    # a callee NAME swap must re-key too (round-7 review: co_code's
+    # LOAD_GLOBAL operand index is unchanged, so hashing bytecode alone
+    # digested different-callee builders identically)
+    def build_g1(tmp):
+        return some_builder_fn(tmp)             # noqa: F821 — never called
+
+    def build_g2(tmp):
+        return other_builder_fn(tmp)            # noqa: F821 — never called
+
+    assert (_artifact_dir("t", str(sf), build_fn=build_g1)
+            != _artifact_dir("t", str(sf), build_fn=build_g2))
+
     # symlinked cache root is refused outright (round-7 review: a
     # squatter's symlink would redirect artifacts and pass the uid check)
     target = tmp_path / "victim"
