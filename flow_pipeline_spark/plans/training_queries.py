@@ -3449,7 +3449,14 @@ def _wet_corpus_dir(spark, sf_dir):
             "doc_id", "text",
             F.concat(F.lit("https://"), F.lower(F.col("source")),
                      F.lit(".example/d"), F.col("doc_id")).alias("url"))
-        write_wet(docs.repartition(8), tmp)
+        # archive count scales with the corpus (the CC convention this
+        # writer documents: per-archive size is FIXED, archive count
+        # grows) — a hardcoded 8 made each sf1 archive 10x bigger and
+        # the one-task-per-archive reader 22.5x slower on 10x data
+        # (round-7 sf1 re-run); ~2.5k docs per archive keeps per-task
+        # parse work constant as the corpus grows
+        n_parts = max(8, docs.count() // 2500)
+        write_wet(docs.repartition(n_parts), tmp)
 
     return _publish_once(
         _artifact_dir("wet", sf_dir, build_fn=build), build)
