@@ -43,6 +43,39 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.rollup import compact_rollup, rollup_flat
 
+_DEFAULT_TRIGGER = {"processingTime": "5 seconds"}
+
+
+def _start_file_sink(df: DataFrame, out_dir: str, checkpoint_dir: str, *,
+                     partition_by: str | None = None,
+                     trigger: dict | None = None) -> StreamingQuery:
+    """Shared parquet file sink (exactly-once via Spark's file-sink
+    commit log) — the writeStream boilerplate the file-sink MVs share,
+    factored so the per-sink differences (partition column, trigger)
+    read at a glance instead of across eight drifting copies (round-7
+    review)."""
+    writer = (df.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer = (writer.outputMode("append")
+              .trigger(**(trigger or _DEFAULT_TRIGGER)))
+    return writer.start()
+
+
+def _start_foreach_batch(df: DataFrame, fn, checkpoint_dir: str, *,
+                         output_mode: str = "update",
+                         trigger: dict | None = None) -> StreamingQuery:
+    """Shared foreachBatch starter — checkpoint + trigger boilerplate;
+    delivery semantics are the CALLBACK's responsibility (each caller
+    documents its idempotence/ledger story)."""
+    writer = (df.writeStream.foreachBatch(fn)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode(output_mode)
+              .trigger(**(trigger or _DEFAULT_TRIGGER)))
+    return writer.start()
+
 
 def start_raw_persist(flows_stream: DataFrame, out_dir: str,
                       checkpoint_dir: str, *,
@@ -53,16 +86,9 @@ def start_raw_persist(flows_stream: DataFrame, out_dir: str,
     casts + Date column.
     """
     from ..sources.mocker import flows_raw
-    out = flows_raw(flows_stream)
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("Date")
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(flows_raw(flows_stream), out_dir,
+                            checkpoint_dir, partition_by="Date",
+                            trigger=trigger)
 
 
 def start_enriched_persist(flows_stream: DataFrame, asn_dim: DataFrame,
@@ -85,41 +111,48 @@ def start_enriched_persist(flows_stream: DataFrame, asn_dim: DataFrame,
     from ..operators.enrich import enrich_by_asn
     from ..sources.mocker import flows_raw
     enriched = enrich_by_asn(flows_raw(flows_stream), asn_dim)
-    writer = (
-        enriched.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("Date")
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(enriched, out_dir, checkpoint_dir,
+                            partition_by="Date", trigger=trigger)
+
+
+def _write_rollup_epoch(batch_df: DataFrame, batch_id: int,
+                        rollup_dir: str) -> None:
+    """One epoch's partial rollup rows, written REPLAY-IDEMPOTENTLY:
+    each epoch owns its ``epoch=N`` subdirectory and a replayed epoch
+    overwrites exactly that directory. The round-7 review caught the
+    previous plain ``mode("append")``: foreachBatch is at-least-once,
+    so a crash between the parquet append and the checkpoint commit
+    re-appended the same partials — and the summing algebra means
+    duplicates INFLATE every later read/compaction, permanently.
+    Readers discover ``epoch`` as a partition column and re-aggregate
+    through compact_rollup, which drops it."""
+    (rollup_flat(batch_df)
+     .write.mode("overwrite")
+     .partitionBy("Date")
+     .parquet(os.path.join(rollup_dir, f"epoch={batch_id}")))
 
 
 def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
                         checkpoint_dir: str, *,
                         trigger: dict | None = None) -> StreamingQuery:
-    """S9/A7/W4/W5 — per-micro-batch partial 5-min rollup, appended.
+    """S9/A7/W4/W5 — per-micro-batch partial 5-min rollup.
 
     foreachBatch aggregates ONLY the current micro-batch (partial sums per
-    rollup key) and appends — stateless streaming, the SummingMergeTree
-    insert path (create.sh:92-110). Merge happens at read/compaction.
+    rollup key) and writes it to a per-epoch directory — stateless
+    streaming, the SummingMergeTree insert path (create.sh:92-110), made
+    exactly-once by epoch-scoped overwrite (:func:`_write_rollup_epoch`).
+    Merge happens at read/compaction. Layout note: ``rollup_dir`` gains
+    an ``epoch=N`` partition level; start fresh dirs with this layout, or
+    run :func:`run_compaction` once on a legacy flat dir first (it
+    migrates the layout by writing its merged output as ``epoch=-1``).
     """
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-        (rollup_flat(batch_df)
-         .write.mode("append")
-         .partitionBy("Date")
-         .parquet(rollup_dir))
+        _write_rollup_epoch(batch_df, batch_id, rollup_dir)
 
-    writer = (
-        flows_raw_stream.writeStream
-        .foreachBatch(write_partials)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(flows_raw_stream, write_partials, checkpoint_dir,
+                                output_mode="update",
+                                trigger=trigger)
 
 
 def _recover_swap(store_dir: str) -> None:
@@ -149,7 +182,8 @@ def _recover_swap(store_dir: str) -> None:
                 pass    # another reader/writer completed the recovery
 
 
-def _swap_in(store_dir: str, write_tmp) -> None:
+def _swap_in(store_dir: str, write_tmp, *,
+             salvage_known: "set[str] | None" = None) -> None:
     """Crash-recoverable store replacement (the compaction/state-store
     idiom): ``write_tmp(tmp_path)`` materializes the new snapshot into
     a sibling tmp dir (use ``mode("overwrite")`` so a leftover partial
@@ -171,12 +205,38 @@ def _swap_in(store_dir: str, write_tmp) -> None:
     compaction, register max, set union) the replayed epoch converges
     to the same store. A truly gap-free swap needs a version-pointer
     indirection (write vN, flip a pointer file); at one swap per epoch
-    the recover-on-read contract is the simpler sufficient form."""
+    the recover-on-read contract is the simpler sufficient form.
+
+    ``salvage_known`` (a set of top-level entry names captured when the
+    caller snapshotted the store) opts in to CONCURRENT-APPENDER rescue:
+    before each publish, top-level entries of the superseded snapshot
+    that are NOT in the set — e.g. epoch directories a live
+    start_rollup_stream landed after the compaction's read — are COPIED
+    into the new snapshot instead of dying with the rmtree (round-7
+    review: compaction racing a live appender silently lost those
+    epochs; the stream's checkpoint had already committed them, so they
+    never replayed). Copy, not move: a crash mid-rescue must leave the
+    superseded snapshot restorable by :func:`_recover_swap`. Residual
+    window, documented: a crash while a RACING retry loop has already
+    cleared the parked snapshot (data then lives only in the unpublished
+    tmp) is unrecoverable without a manifest protocol — for strict
+    guarantees under crashes, pause the appender around compaction; the
+    algebra makes any non-crash interleaving safe."""
     import shutil
     _recover_swap(store_dir)
     tmp = store_dir.rstrip("/") + "._swap_tmp"
     old = store_dir.rstrip("/") + "._swap_old"
     write_tmp(tmp)
+
+    def _salvage(src: str) -> None:
+        if salvage_known is None or not os.path.isdir(src):
+            return
+        for name in os.listdir(src):
+            if name in salvage_known or name.startswith((".", "_")):
+                continue
+            dst = os.path.join(tmp, name)
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(src, name), dst)
     # Bounded retry around the two renames: a CONCURRENT reader running
     # _recover_swap in the window between them sees old-exists/store-
     # missing and renames the superseded snapshot back into place — the
@@ -190,12 +250,15 @@ def _swap_in(store_dir: str, write_tmp) -> None:
             if os.path.isdir(store_dir):
                 # a leftover `old` (e.g. a concurrent reader's interrupted
                 # rmtree left a partial dir) would make the re-park rename
-                # raise ENOTEMPTY — clear it first, and keep BOTH renames
-                # inside the retried try so a race here re-loops instead
-                # of killing the epoch (round-7 review finding)
+                # raise ENOTEMPTY — salvage any unknown entries it holds,
+                # clear it, and keep BOTH renames inside the retried try
+                # so a race here re-loops instead of killing the epoch
+                # (round-7 review finding)
                 if os.path.isdir(old):
+                    _salvage(old)
                     shutil.rmtree(old, ignore_errors=True)
                 os.rename(store_dir, old)
+            _salvage(old)       # appender entries landed since snapshot
             os.rename(tmp, store_dir)
             break
         except OSError:
@@ -216,18 +279,46 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     """D3 — OPTIMIZE TABLE equivalent (README.md:164-173): rewrite the
     rollup with partials merged. Idempotent; safe under repeated runs.
 
-    Writes to a sibling tmp dir then atomically swaps, so concurrent readers
-    never see partial state. Per-Date parallel; no cross-partition shuffle
-    (Date is in the group key)."""
+    Writes to a sibling tmp dir then atomically swaps, so concurrent
+    readers never see partial state; the merged output lands as the
+    reserved ``epoch=-1`` partition (stream epochs are >= 0), keeping
+    one consistent ``epoch=N/Date=D`` layout — which also MIGRATES a
+    legacy flat Date-partitioned dir on first compaction. Safe to run
+    alongside a live :func:`start_rollup_stream`: the input is pinned to
+    the epoch directories listed at snapshot time, and any epoch dir the
+    stream lands during the rewrite is rescued into the new snapshot by
+    the swap's salvage pass (see :func:`_swap_in`; on a LEGACY flat dir
+    concurrent appends mutate existing Date dirs in place and cannot be
+    rescued — quiesce for the one migrating run). Per-Date parallel; no
+    cross-partition shuffle (Date is in the group key)."""
+    from ..operators.rollup import ROLLUP_KEY, SUB_KEY
+
     _recover_swap(rollup_dir)
-    compacted = compact_rollup(spark.read.parquet(rollup_dir))
+    entries = sorted(e for e in os.listdir(rollup_dir)
+                     if not e.startswith((".", "_")))
+    if not entries:
+        return
+    needed = [*ROLLUP_KEY, SUB_KEY, "Bytes", "Packets", "Count"]
+    epochs = [e for e in entries if e.startswith("epoch=")]
+    flat = [e for e in entries if not e.startswith("epoch=")]
+    parts = []
+    for group in (epochs, flat):
+        if group:
+            parts.append(
+                spark.read.option("basePath", rollup_dir)
+                .parquet(*[os.path.join(rollup_dir, e) for e in group])
+                .select(*needed))
+    src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    compacted = compact_rollup(src)
     # O3 — the table's physical clustering order (create.sh:90 composite
     # sort key): sortWithinPartitions writes each file in key order, so
     # parquet row-group min/max stats give the range-scan behavior of the
     # MergeTree primary key with zero extra shuffle (sort is per-task).
     _swap_in(rollup_dir, lambda tmp: (
-        compacted.sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
-        .write.mode("overwrite").partitionBy("Date").parquet(tmp)))
+        compacted.withColumn("epoch", F.lit(-1))
+        .sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
+        .write.mode("overwrite").partitionBy("epoch", "Date")
+        .parquet(tmp)), salvage_known=set(entries))
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -257,14 +348,9 @@ def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
         (batch_df.write.mode("append")
          .jdbc(jdbc_url, table, properties=properties or {}))
 
-    writer = (
-        projected.writeStream
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(projected, write_batch, checkpoint_dir,
+                                output_mode="append",
+                                trigger=trigger)
 
 
 def _dbapi(con):
@@ -274,9 +360,16 @@ def _dbapi(con):
     cursor and use format-style ``%s`` — round-6 review caught the
     writers below crashing on both differences under the documented
     psycopg2 usage. The paramstyle comes from the driver module's own
-    DB-API ``paramstyle`` attribute (falling back to qmark)."""
+    DB-API ``paramstyle`` attribute (falling back to qmark).
+
+    Prefer ``con.cursor()`` whenever it exists (round-7 review: the old
+    has-executemany heuristic misrouted sqlite3, whose CONNECTION has
+    executemany shortcuts but no fetchone — every standard driver's
+    cursor carries the full execute/fetch surface, and DuckDB's
+    cursor() is a sibling connection to the same database, equally
+    transactional)."""
     import sys
-    cur = con if hasattr(con, "executemany") else con.cursor()
+    cur = con.cursor() if hasattr(con, "cursor") else con
     root = type(con).__module__.split(".")[0]
     style = getattr(sys.modules.get(root, None), "paramstyle", "qmark")
     return cur, ("?" if style == "qmark" else "%s")
@@ -341,15 +434,18 @@ def exactly_once_batch_writer(con_factory, table: str, *,
                 return
             # materialize the batch only AFTER the replay check — a
             # replayed committed epoch triggers no Spark job at all
-            # (the staged/JDBC siblings' pre-check device)
-            pdf = batch_df.toPandas()
-            cols = ", ".join(list(pdf.columns) + ["batch_id"])
-            marks = ", ".join([ph] * (len(pdf.columns) + 1))
+            # (the staged/JDBC siblings' pre-check device). collect()
+            # Rows, NOT toPandas (round-7 review): pandas turns a
+            # nullable int64 column into float64 with NaN, so one null
+            # SrcAS made executemany feed NaN into a BIGINT and
+            # crash-loop the epoch; Row tuples keep exact ints and None.
+            batch_cols = batch_df.columns
+            cols = ", ".join(batch_cols + ["batch_id"])
+            marks = ", ".join([ph] * (len(batch_cols) + 1))
             cur.execute(f"DELETE FROM {table} WHERE batch_id = {ph}",
                         [batch_id])
-            if len(pdf):
-                rows = [tuple(r) + (batch_id,)
-                        for r in pdf.itertuples(index=False, name=None)]
+            rows = [tuple(r) + (batch_id,) for r in batch_df.collect()]
+            if rows:
                 cur.executemany(
                     f"INSERT INTO {table} ({cols}) VALUES ({marks})", rows)
             cur.execute(
@@ -440,10 +536,16 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
             shutil.rmtree(epoch_dir, ignore_errors=True)
             return
 
-        batch_has_rows = not batch_df.isEmpty()
+        # independent EXPECTED count from the Spark side (round-7
+        # review): counting only the VISIBLE staged parts would pass a
+        # PARTIALLY visible stage (driver-local parts present, remote
+        # executors' parts not) — committing a subset the ledger then
+        # pins forever. The count is one extra job over the micro-batch,
+        # the price of an authoritative yardstick.
+        expected = batch_df.count()
         batch_df.write.mode("overwrite").parquet(epoch_dir)
         parts = glob.glob(os.path.join(epoch_dir, "*.parquet"))
-        if batch_has_rows and not parts:
+        if expected and not parts:
             raise RuntimeError(
                 f"staged epoch {batch_id} is non-empty but no parquet "
                 f"parts are visible at {epoch_dir} — stage_dir must be "
@@ -473,6 +575,13 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
                     cur.execute(
                         f"SELECT count(*) FROM read_parquet({files_sql})")
                     staged = cur.fetchone()[0]
+                    if staged != expected:
+                        raise RuntimeError(
+                            f"epoch {batch_id}: batch has {expected} "
+                            f"rows but the visible staged parts hold "
+                            f"{staged} — a PARTIALLY visible stage "
+                            f"(non-shared stage_dir?); aborting before "
+                            f"the ledger mark (txn rolls back)")
                     cur.execute(
                         f"INSERT INTO {table} ({collist}, batch_id) "
                         f"SELECT {collist}, {ph} "
@@ -505,6 +614,31 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
         shutil.rmtree(epoch_dir, ignore_errors=True)
 
     return write_batch
+
+
+def _jdbc_table_exists_error(e: Exception) -> bool:
+    """Locale-proof duplicate-table detection for the ledger DDL:
+    SQLState X0Y32 (Derby) / 42P07 (PostgreSQL and ANSI-compliant
+    dialects) read from the underlying java.sql.SQLException chain,
+    with the English-substring test only as a fallback for drivers
+    that bury the state (round-7 review: a Postgres server with
+    lc_messages=de_DE says "existiert bereits" — the substring test
+    re-raised and killed every restart after the first)."""
+    je = getattr(e, "java_exception", None)
+    for _ in range(8):              # bounded cause-chain walk
+        if je is None:
+            break
+        try:
+            if je.getSQLState() in ("X0Y32", "42P07"):
+                return True
+        except Exception:
+            pass
+        try:
+            je = je.getCause()
+        except Exception:
+            break
+    s = str(e)
+    return "X0Y32" in s or "42P07" in s or "already exists" in s
 
 
 def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
@@ -576,7 +710,7 @@ def exactly_once_staged_jdbc_writer(jdbc_url: str, table: str, *,
                     f'CREATE TABLE {ledger} ("batch_id" BIGINT '
                     f'PRIMARY KEY, "committed_at" TIMESTAMP)')
             except Exception as e:  # no IF NOT EXISTS in Derby
-                if "X0Y32" not in str(e) and "already exists" not in str(e):
+                if not _jdbc_table_exists_error(e):
                     raise
             finally:
                 st0.close()
@@ -697,14 +831,9 @@ def start_transactional_inserter(flows_stream: DataFrame, con_factory,
     else:
         batch_writer = exactly_once_batch_writer(
             con_factory, table, ledger_table=ledger_table)
-    writer = (
-        projected.writeStream
-        .foreachBatch(batch_writer)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(projected, batch_writer, checkpoint_dir,
+                                output_mode="append",
+                                trigger=trigger)
 
 
 def inserter_projection(flows: DataFrame) -> DataFrame:
@@ -780,15 +909,8 @@ def start_dedup_stream(flows_raw_stream: DataFrame, out_dir: str,
         .withWatermark("TimeReceived", lateness)
         .dropDuplicatesWithinWatermark(keys)
     )
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("Date")
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(deduped, out_dir, checkpoint_dir,
+                            partition_by="Date", trigger=trigger)
 
 
 def start_session_stream(events_stream: DataFrame, out_dir: str,
@@ -820,14 +942,8 @@ def start_session_stream(events_stream: DataFrame, out_dir: str,
                 F.col("w.end").alias("session_end"),
                 "n_events")
     )
-    writer = (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(sessions, out_dir, checkpoint_dir,
+                            trigger=trigger)
 
 
 def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
@@ -870,15 +986,8 @@ def start_rollup_stream_watermarked(flows_raw_stream: DataFrame,
             "SrcAS", "DstAS", SUB_KEY, "Bytes", "Packets", "Count",
         )
     )
-    writer = (
-        agg.writeStream.format("parquet")
-        .option("path", rollup_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("Date")
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(agg, rollup_dir, checkpoint_dir,
+                            partition_by="Date", trigger=trigger)
 
 
 def start_drift_monitor_stream(docs_stream: DataFrame,
@@ -901,13 +1010,23 @@ def start_drift_monitor_stream(docs_stream: DataFrame,
     replay (the staged-writer contract); readers see an ``epoch``
     partition column. Scale: per batch, one n_bins-bounded aggregate +
     the broadcast-sized reference join — the monitor's cost is
-    independent of corpus history."""
-    from ..operators.profile import psi_from_counts
+    independent of corpus history.
+
+    ``ref_counts`` is accepted in either column spelling: raw
+    ``bin_histogram`` output (bin, c) — the docstring-recommended
+    artifact, which previously CRASHED with an unresolved ``c_ref``
+    (round-7 review) — or the pre-renamed (bin, c_ref) form. The
+    current batch bins through the SAME ``bin_histogram`` operator the
+    reference was built with, so the two sides cannot drift apart."""
+    from ..operators.profile import bin_histogram, psi_from_counts
+
+    ref = (ref_counts.withColumnRenamed("c", "c_ref")
+           if "c_ref" not in ref_counts.columns else ref_counts)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cur = (batch_df.select(bin_col.alias("bin"))
-               .groupBy("bin").agg(F.count("*").alias("c_cur")))
-        rows = (psi_from_counts(ref_counts, cur, n_bins)
+        cur = (bin_histogram(batch_df, bin_col)
+               .withColumnRenamed("c", "c_cur"))
+        rows = (psi_from_counts(ref, cur, n_bins)
                 .agg(F.max("psi_e6").alias("psi_e6"),
                      F.sum("c_cur").alias("n_docs")).first())
         spark = batch_df.sparkSession
@@ -918,12 +1037,9 @@ def start_drift_monitor_stream(docs_stream: DataFrame,
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
 
-    writer = (docs_stream.writeStream
-              .foreachBatch(write_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(docs_stream, write_batch, checkpoint_dir,
+                                output_mode="append",
+                                trigger=trigger)
 
 
 def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
@@ -1107,21 +1223,11 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
             (out.write.mode("overwrite").partitionBy("source")
              .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
 
-        writer = (sink_df.writeStream
-                  .foreachBatch(write_scrubbed)
-                  .option("checkpointLocation", checkpoint_dir)
-                  .outputMode("append"))
-    else:
-        writer = (
-            sink_df
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .partitionBy("source")
-            .outputMode("append")
-        )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+        return _start_foreach_batch(sink_df, write_scrubbed,
+                                    checkpoint_dir, output_mode="append",
+                                    trigger=trigger)
+    return _start_file_sink(sink_df, out_dir, checkpoint_dir,
+                            partition_by="source", trigger=trigger)
 
 
 def start_interval_join_stream(left_stream: DataFrame,
@@ -1176,14 +1282,8 @@ def start_interval_join_stream(left_stream: DataFrame,
            <= F.col(left_ts) + F.expr(f"INTERVAL {band}"))
     )
     joined = lw.join(rw, cond, how).drop(f"r_{key}")
-    writer = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(joined, out_dir, checkpoint_dir,
+                            trigger=trigger)
 
 
 def start_funnel_stream(events_stream: DataFrame, out_dir: str,
@@ -1198,14 +1298,7 @@ def start_funnel_stream(events_stream: DataFrame, out_dir: str,
 
     out = streaming_funnel(events_stream, steps,
                            horizon_secs=horizon_secs)
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_file_sink(out, out_dir, checkpoint_dir, trigger=trigger)
 
 
 def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
@@ -1255,12 +1348,9 @@ def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
         _swap_in(store_dir, lambda tmp:
                  compacted.write.mode("overwrite").parquet(tmp))
 
-    writer = (cdc_stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("update"))
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(cdc_stream, apply_batch, checkpoint_dir,
+                                output_mode="update",
+                                trigger=trigger)
 
 
 def read_cdc_store(spark: SparkSession, store_dir: str,
@@ -1347,19 +1437,18 @@ def start_bitmap_state_stream(events_stream: DataFrame, store_dir: str,
     2^chunk_bits longs; each epoch's merge is one key+chunk-bounded
     groupBy over store ∪ delta. For very wide key spaces, partition
     the store by a key column and rewrite only touched partitions."""
-    from ..operators.rollup import bitmap_state
-
-    def merge(base: DataFrame, delta: DataFrame) -> DataFrame:
-        return (base.unionByName(delta)
-                .groupBy(*keys, "chunk")
-                .agg(F.array_sort(F.array_distinct(
-                    F.flatten(F.collect_list("vals")))).alias("vals")))
+    from ..operators.rollup import bitmap_merge, bitmap_state
 
     return _start_state_merge_stream(
         events_stream, store_dir, checkpoint_dir,
         state_fn=lambda b: bitmap_state(b, keys, value_col,
                                         chunk_bits=chunk_bits),
-        merge_fn=merge, trigger=trigger)
+        # the batch operator IS the merge (round-7 review: an inline
+        # re-implementation could silently drift from the operator the
+        # store claims exact parity with)
+        merge_fn=lambda base, delta: bitmap_merge(
+            base.unionByName(delta), keys),
+        trigger=trigger)
 
 
 def start_kmv_state_stream(events_stream: DataFrame, store_dir: str,
@@ -1402,9 +1491,6 @@ def _start_state_merge_stream(events_stream: DataFrame, store_dir: str,
         _swap_in(store_dir, lambda tmp:
                  merged.write.mode("overwrite").parquet(tmp))
 
-    writer = (events_stream.writeStream
-              .foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("update"))
-    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
-    return writer.start()
+    return _start_foreach_batch(events_stream, apply_batch, checkpoint_dir,
+                                output_mode="update",
+                                trigger=trigger)

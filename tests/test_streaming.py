@@ -671,8 +671,10 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmpdir):
     bin_col = F.least(F.floor(token_count(F.col("text")) / 8),
                       F.lit(9)).cast("int")
     ref = docs.filter(F.col("doc_id") < 250)
-    ref_counts = (bin_histogram(ref, bin_col)
-                  .withColumnRenamed("c", "c_ref").localCheckpoint())
+    # pass the RAW bin_histogram artifact (round-7 review: the monitor
+    # previously required a manual c->c_ref rename its own docstring
+    # never mentioned, crashing the documented usage)
+    ref_counts = bin_histogram(ref, bin_col).localCheckpoint()
 
     ok_batch = docs.filter(F.col("doc_id") >= 250)
     # shifted batch: truncate every text to 3 tokens → all mass in bin 0
@@ -1654,3 +1656,138 @@ def test_kmv_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
     again = {(r["g"], tuple(r["kmv"]))
              for r in spark.read.parquet(store).collect()}
     assert again == want
+
+
+def test_rollup_epoch_replay_is_idempotent(spark, tmpdir, flow_source):
+    """Round-7 review: the rollup stream's plain parquet append made a
+    crash-replayed epoch DOUBLE its partials — and the summing algebra
+    inflates every later read forever. The epoch-scoped overwrite must
+    make a replay a byte-level no-op on the totals."""
+    from flow_pipeline_spark.streaming import jobs
+
+    src, _ = flow_source
+    raw = flows_raw(spark.read.parquet(src))
+    d = f"{tmpdir}/rollup_replay"
+    jobs._write_rollup_epoch(raw, 3, d)
+    once = spark.read.parquet(d).count()
+    jobs._write_rollup_epoch(raw, 3, d)    # crash-replay of epoch 3
+    assert spark.read.parquet(d).count() == once
+    merged = read_rollup(spark, d)
+    expect = rollup_flat(raw)
+    assert merged.exceptAll(expect).isEmpty()
+    assert expect.exceptAll(merged).isEmpty()
+
+
+def test_compaction_salvages_epoch_landed_mid_compaction(
+        spark, tmpdir, monkeypatch, flow_source):
+    """Round-7 review: run_compaction racing a live rollup stream used
+    to rmtree epoch directories the stream's checkpoint had already
+    committed — permanent loss. The swap's salvage pass must carry an
+    epoch that lands between the compaction's snapshot and its publish
+    into the new store."""
+    from flow_pipeline_spark.streaming import jobs
+
+    src, _ = flow_source
+    raw = flows_raw(spark.read.parquet(src))
+    even = raw.filter(F.col("SrcAS") % 2 == 0)
+    odd = raw.filter(F.col("SrcAS") % 2 != 0)
+    d = f"{tmpdir}/rollup_race"
+    jobs._write_rollup_epoch(even, 0, d)
+
+    real_swap = jobs._swap_in
+
+    def racing_swap(store_dir, write_tmp, **kw):
+        # the live stream lands epoch 99 AFTER the compaction snapshot
+        jobs._write_rollup_epoch(odd, 99, d)
+        return real_swap(store_dir, write_tmp, **kw)
+
+    monkeypatch.setattr(jobs, "_swap_in", racing_swap)
+    run_compaction(spark, d)
+    monkeypatch.undo()
+
+    names = sorted(e for e in __import__("os").listdir(d)
+                   if e.startswith("epoch="))
+    assert "epoch=-1" in names and "epoch=99" in names
+    merged = read_rollup(spark, d)
+    expect = rollup_flat(raw)                  # even ∪ odd — nothing lost
+    assert merged.exceptAll(expect).isEmpty()
+    assert expect.exceptAll(merged).isEmpty()
+    # and a quiet re-compaction folds the salvaged epoch in, idempotent
+    run_compaction(spark, d)
+    merged2 = read_rollup(spark, d)
+    assert merged2.exceptAll(expect).isEmpty()
+    assert expect.exceptAll(merged2).isEmpty()
+
+
+def test_staged_writer_detects_partially_visible_stage(spark, tmpdir,
+                                                       monkeypatch):
+    """Round-7 review: the stage-visibility guard only caught the
+    zero-parts case — a PARTIALLY visible stage (multi-node stage_dir on
+    local disk) committed the visible subset and the ledger pinned the
+    loss. The writer must compare the staged count against the batch's
+    own count and refuse."""
+    import glob as glob_mod
+
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_staged_writer, inserter_projection)
+
+    db = f"{tmpdir}/partial.duckdb"
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    batch = inserter_projection(synthetic_flows(spark, 300, seed=41)) \
+        .repartition(4)
+    write_batch = exactly_once_staged_writer(
+        lambda: duckdb.connect(db), "flows_pg", f"{tmpdir}/stage_partial")
+
+    real_glob = glob_mod.glob
+
+    def partial_glob(pattern):
+        parts = real_glob(pattern)
+        return parts[:-1] if len(parts) > 1 else parts  # hide one part
+
+    monkeypatch.setattr(glob_mod, "glob", partial_glob)
+    with pytest.raises(RuntimeError, match="PARTIALLY visible"):
+        write_batch(batch, 5)
+    monkeypatch.undo()
+
+    con = duckdb.connect(db)
+    # nothing committed, nothing ledgered — the epoch will replay
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 0
+    write_batch(batch, 5)                   # healthy retry lands it all
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM flows_pg").fetchone()[0] == 300
+
+
+def test_batch_writer_sqlite_and_nullable_ints(spark, tmpdir):
+    """Round-7 review pair: (a) the DB-API shim misrouted sqlite3 (its
+    connection has executemany but no fetchone — 'any DB-API connection'
+    crashed on the standard-library driver); (b) toPandas turned a
+    nullable BIGINT column into float64+NaN, crash-looping the epoch.
+    collect()-based rows must keep exact ints and None end-to-end."""
+    import sqlite3
+
+    from flow_pipeline_spark.streaming.jobs import exactly_once_batch_writer
+
+    db = f"{tmpdir}/writer.sqlite3"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (a BIGINT, b VARCHAR, batch_id BIGINT)")
+    con.commit()
+    con.close()
+
+    batch = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (2_000_000_000_000, "z")],
+        "a long, b string")
+    write_batch = exactly_once_batch_writer(
+        lambda: sqlite3.connect(db), "t")
+    write_batch(batch, 1)
+    write_batch(batch, 1)                    # replay: ledger skip
+
+    con = sqlite3.connect(db)
+    got = sorted(con.execute("SELECT a, b FROM t").fetchall(),
+                 key=lambda r: (r[0] is None, r[0] or 0))
+    assert got == [(1, "x"), (2_000_000_000_000, "z"), (None, "y")]
+    assert all(isinstance(a, int) for a, _ in got if a is not None)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 3
