@@ -5,12 +5,17 @@ accumulated OR 5 seconds have elapsed, whichever comes first
 (inserter/inserter.go:35-36,113-121,189-192 — flags ``flush.count`` /
 ``flush.dur``). Structured Streaming has no count-based trigger (SURVEY W1),
 so the idiomatic port is a *custom stateful operator*: per-key state holds
-the running buffer aggregate; a batch is emitted the moment the buffered
-count crosses ``flush_count``, and a processing-time timeout emits whatever
-remains when ``flush_ms`` elapses with no new data — bit-parity with the
-inserter's dual trigger, minus its crash-lossiness (state is checkpointed,
-so this is at-least-once rather than the reference's "roughly once",
-SURVEY W2).
+the running buffer aggregate; a batch is emitted at every ``flush_count``
+crossing (per-message semantics — a large Arrow chunk emits one flush per
+crossing, not one oversized batch), and the ``flush_ms`` path is a true
+TICKER anchored to the buffer's own age, like the inserter's
+``time.Ticker``: checked on the data path (so a steady sub-threshold
+trickle still flushes every ``flush_ms`` — re-arming a timeout per
+invocation would starve it, round-7 review) and backstopped by an
+absolute-deadline processing-time timeout for keys that go quiet — parity
+with the inserter's dual trigger, minus its crash-lossiness (state is
+checkpointed, so this is at-least-once rather than the reference's
+"roughly once", SURVEY W2).
 
 Scale: state is O(distinct keys) — a few counters per key, not buffered
 rows. Keys hash-partition across executors; RocksDB state store handles
@@ -34,33 +39,58 @@ FLUSH_OUT_SCHEMA = T.StructType([
     T.StructField("flushed_by", T.StringType()),
 ])
 
-# state: (buffered_row_count, buffered_byte_sum)
+# state: (buffered_row_count, buffered_byte_sum,
+#         processing-time ms when the buffer became non-empty; 0 = empty)
 FLUSH_STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("b", T.LongType()),
+    T.StructField("first_ms", T.LongType()),
 ])
 
 
 def _make_flush_fn(flush_count: int, flush_ms: int):
     def flush_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
-        n, b = state.get if state.exists else (0, 0)
+        n, b, first = state.get if state.exists else (0, 0, 0)
+        now = state.getCurrentProcessingTimeMs()
         out = []
         for pdf in pdfs:  # empty iterator on a timeout invocation
-            n += len(pdf)
-            b += int(pdf["Bytes"].sum()) if len(pdf) else 0
-            if n >= flush_count:
-                # the inserter flushes the WHOLE buffer once the count
-                # threshold is crossed (inserter.go:118), not exactly 100
-                out.append((key[0], n, b, "count"))
-                n, b = 0, 0
+            # per-CROSSING flushes, like the inserter's per-message check
+            # (inserter.go:113-121): one large Arrow chunk emits one
+            # flush per threshold crossing, each of exactly flush_count
+            # rows — not a single oversized batch (round-7 review)
+            vals = pdf["Bytes"].to_numpy()
+            i = 0
+            while i < len(vals):
+                take = min(flush_count - n, len(vals) - i)
+                if n == 0 and first == 0:
+                    first = now
+                n += take
+                b += int(vals[i:i + take].sum())
+                i += take
+                if n >= flush_count:
+                    out.append((key[0], n, b, "count"))
+                    n, b, first = 0, 0, 0
+        # ticker semantics (inserter.go:189-192: flush.dur fires whether
+        # or not messages keep arriving): the old form re-armed the
+        # timeout on EVERY data invocation, so a steady sub-threshold
+        # trickle pushed the deadline forever and the buffer never
+        # flushed (round-7 review). The deadline is now anchored to the
+        # buffer's own age — checked here on the data path (a trickling
+        # key never gets a timeout invocation) and backstopped by an
+        # absolute-deadline timeout for keys that go quiet.
+        if n and now - first >= flush_ms:
+            out.append((key[0], n, b, "timer"))
+            n, b, first = 0, 0, 0
         if state.hasTimedOut:
             if n or b:
                 out.append((key[0], n, b, "timer"))
             state.remove()
-        else:
-            state.update((n, b))
-            state.setTimeoutDuration(flush_ms)
+        elif n:
+            state.update((n, b, first))
+            state.setTimeoutDuration(max(1, first + flush_ms - now))
+        elif state.exists:
+            state.remove()          # empty buffer needs no state row
         if out:
             yield pd.DataFrame(
                 out, columns=["SrcAS", "n_rows", "sum_bytes", "flushed_by"])
@@ -109,6 +139,8 @@ def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         stage, t1us, tkus = state.get if state.exists else (0, 0, 0)
+        if stage >= n_steps:
+            return              # converted: no work, state already final
         parts = [pdf[["ts", "event_type"]] for pdf in pdfs if len(pdf)]
         out = []
         if parts:
@@ -116,7 +148,11 @@ def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
             for ts, ty in evs.itertuples(index=False):
                 if stage >= n_steps:
                     break
-                if ty != steps[stage]:
+                if ty != steps[stage] or pd.isna(ts):
+                    # null-safe like the batch funnel's `_ts > tk`
+                    # comparison: a NaT match must not seed t1/tk with
+                    # NaT.value = -2^63, which would let every later
+                    # event advance (round-7 review)
                     continue
                 tsus = ts.value // 1000
                 if stage == 0:
@@ -127,7 +163,11 @@ def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
                     stage += 1
                     tkus = tsus
                     out.append((key[0], stage, ts))
-        state.update((int(stage), int(t1us), int(tkus)))
+        if stage or state.exists:
+            # never materialize (0,0,0) rows for non-participants — the
+            # state store must stay O(funnel participants), not
+            # O(every user that ever emitted any event) (round-7 review)
+            state.update((int(stage), int(t1us), int(tkus)))
         if out:
             yield pd.DataFrame(out,
                                columns=["user_id", "stage", "stage_ts"])
@@ -152,9 +192,15 @@ def streaming_funnel(events: DataFrame, steps: list[str], *,
     before its stage-(k-1) predecessor is not reconsidered, matching
     the batch operator's no-backtracking rule.
 
-    Scale: state is O(|users|) × 24 bytes — never buffered events;
-    keys hash across executors, RocksDB for big user spaces."""
+    Scale: state is O(|funnel participants|) × 24 bytes — never
+    buffered events, and users who never match ``steps[0]`` never get a
+    state row; keys hash across executors, RocksDB for big user
+    spaces."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     return (events
+            .filter(F.col(ts_col).isNotNull()
+                    & F.col(type_col).isNotNull())
             .select(F.col(user_col).cast("long").alias("user_id"),
                     F.col(ts_col).alias("ts"),
                     F.col(type_col).alias("event_type"))

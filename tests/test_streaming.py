@@ -1791,3 +1791,123 @@ def test_batch_writer_sqlite_and_nullable_ints(spark, tmpdir):
     assert got == [(1, "x"), (2_000_000_000_000, "z"), (None, "y")]
     assert all(isinstance(a, int) for a, _ in got if a is not None)
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 3
+
+
+class _FakeGroupState:
+    """Deterministic stand-in for GroupState — lets the flush/funnel
+    kernels be exercised at exact processing-time points without
+    wall-clock streaming runs."""
+
+    def __init__(self, now_ms=0):
+        self._v, self._now = None, now_ms
+        self.hasTimedOut = False
+        self.timeout_set = None
+        self.removed = False
+        self.updates = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.removed, self.updates = v, False, self.updates + 1
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentProcessingTimeMs(self):
+        return self._now
+
+
+def test_flush_fn_trickle_does_not_starve_the_timer():
+    """Round-7 review: re-arming the timeout on every data invocation
+    let a steady sub-threshold trickle push the deadline forever — the
+    reference inserter's ticker flushes every flush.dur REGARDLESS of
+    arrivals. The buffer-age check on the data path must emit once the
+    first-buffered row is flush_ms old, even though data keeps coming."""
+    from flow_pipeline_spark.streaming.stateful import _make_flush_fn
+
+    fn = _make_flush_fn(flush_count=100, flush_ms=5000)
+    st = _FakeGroupState()
+    emitted = []
+    for i in range(12):                      # 1 row per second per key
+        st._now = i * 1000
+        one = pd.DataFrame({"Bytes": [10]})
+        for out in fn((7,), iter([one]), st):
+            emitted.extend(out.to_dict("records"))
+    assert emitted, "trickle starved the flush timer"
+    # the ticker fires every ~flush_ms of buffer age despite the steady
+    # trickle: rows 0-5 flush at t=5s, rows 6-11 at t=11s
+    assert [e["flushed_by"] for e in emitted] == ["timer", "timer"]
+    assert [e["n_rows"] for e in emitted] == [6, 6]
+    assert emitted[0]["sum_bytes"] == 60
+    # the second flush emptied the buffer — no state row lingers
+    assert not st.exists
+
+
+def test_flush_fn_emits_per_threshold_crossing():
+    """Round-7 review: one large Arrow chunk used to emit a single
+    oversized flush; the inserter checks per message, so a 1000-row
+    chunk at flush_count=100 must emit ten exact-100 flushes."""
+    from flow_pipeline_spark.streaming.stateful import _make_flush_fn
+
+    fn = _make_flush_fn(flush_count=100, flush_ms=60_000)
+    st = _FakeGroupState()
+    chunk = pd.DataFrame({"Bytes": [1] * 1005})
+    out = list(fn((1,), iter([chunk]), st))[0]
+    assert list(out["flushed_by"].unique()) == ["count"]
+    assert list(out["n_rows"]) == [100] * 10
+    assert st.get[0] == 5                    # 5-row tail buffered
+
+
+def test_funnel_fn_state_hygiene_and_null_ts():
+    """Round-7 review pair: (a) users who never match steps[0] must not
+    materialize a state row (the store stays O(participants)); (b) a
+    NaT-timestamp match must not seed state with NaT.value = -2^63 and
+    unlock every later event."""
+    from flow_pipeline_spark.streaming.stateful import _make_funnel_fn
+
+    fn = _make_funnel_fn(["view", "click"], None)
+
+    # (a) non-participant: no state row
+    st = _FakeGroupState()
+    evs = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01"]),
+                        "event_type": ["scroll"]})
+    assert list(fn((1,), iter([evs]), st)) == []
+    assert not st.exists and st.updates == 0
+
+    # (b) NaT view then a valid click: neither stage may fire
+    st = _FakeGroupState()
+    evs = pd.DataFrame({
+        "ts": pd.to_datetime([pd.NaT, "2026-01-01 00:00:05"]),
+        "event_type": ["view", "click"]})
+    assert list(fn((2,), iter([evs]), st)) == []
+    assert st.updates == 0
+
+    # a valid funnel still advances and a converted user short-circuits
+    st = _FakeGroupState()
+    evs = pd.DataFrame({
+        "ts": pd.to_datetime(["2026-01-01 00:00:01",
+                              "2026-01-01 00:00:02"]),
+        "event_type": ["view", "click"]})
+    out = list(fn((3,), iter([evs]), st))[0]
+    assert list(out["stage"]) == [1, 2] and st.get[0] == 2
+    more = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01 00:00:09"]),
+                         "event_type": ["view"]})
+    assert list(fn((3,), iter([more]), st)) == []   # completed: no work
+
+
+def test_streaming_funnel_rejects_empty_steps(spark):
+    from flow_pipeline_spark.streaming.stateful import streaming_funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="at least one step"):
+        streaming_funnel(df, [])
