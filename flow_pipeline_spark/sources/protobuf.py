@@ -83,6 +83,11 @@ DECODED_SCHEMA = T.StructType([
 # --- wire-level primitives (public protobuf encoding) ----------------------
 
 def _write_varint(out: bytearray, v: int) -> None:
+    # negatives encode as 64-bit two's complement (proto.Marshal's form
+    # for negative int32/int64) — without the mask, Python's arithmetic
+    # shift keeps -1 >> 7 == -1 and the loop appends 0xFF forever
+    # (round-7 review: an executor-hanging infinite loop)
+    v &= 0xFFFFFFFFFFFFFFFF
     while True:
         b = v & 0x7F
         v >>= 7
@@ -103,8 +108,34 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return result, pos
         shift += 7
-        if shift > 70:
+        if shift > 63:
+            # spec maximum is 10 bytes (the 10th byte sits at shift 63);
+            # the old `> 70` bound accepted 11-byte varints that
+            # conformant parsers (Go, ClickHouse) reject (round-7 review)
             raise ValueError("varint too long")
+
+
+# u32/enum columns store as SIGNED int32 (DECODED_SCHEMA; the standard
+# Spark/Java unsigned-as-signed reinterpretation): a 4-byte ASN >= 2^31
+# (RFC 6996 private range) round-trips EXACTLY because the encoders mask
+# each varint back to its field width below — but it DISPLAYS negative
+# in Spark. _varint_mask is that width: 32-bit for int columns, 64-bit
+# for _LONG_FIELDS (round-7 review: the unmasked encode of a wrapped
+# negative fed the infinite-loop path; now it regenerates the exact
+# bytes proto.Marshal produced for the original unsigned value).
+def _varint_mask(name: str) -> int:
+    return (0xFFFFFFFFFFFFFFFF if name in _LONG_FIELDS
+            else 0xFFFFFFFF)
+
+
+def _signed64(v: int) -> int:
+    """Wire varint value → the int64 cell the batch decoders store:
+    values >= 2^63 (legal uint64 on the wire) reinterpret as negative
+    two's complement instead of raising OverflowError at the numpy
+    assignment (round-7 review); the encoder's 64-bit mask inverts this
+    exactly."""
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - 0x10000000000000000 if v >= 0x8000000000000000 else v
 
 
 def encode_flow_message(rec: dict) -> bytes:
@@ -114,10 +145,10 @@ def encode_flow_message(rec: dict) -> bytes:
     for num in sorted(FLOW_FIELDS):
         name, kind = FLOW_FIELDS[num]
         v = rec.get(name)
-        if v is None:
+        if v is None or v != v:     # None or NaN (Arrow nullable-int form)
             continue
         if kind == "varint":
-            v = int(v)
+            v = int(v) & _varint_mask(name)
             if v == 0:
                 continue
             _write_varint(out, (num << 3) | 0)
@@ -155,7 +186,13 @@ def decode_flow_message(buf: bytes) -> dict:
         else:
             raise ValueError(f"unsupported wire type {wire}")
         if num in FLOW_FIELDS:
-            rec[FLOW_FIELDS[num][0]] = v
+            name, kind = FLOW_FIELDS[num]
+            # wire type must match the declared kind (round-7 review: a
+            # wire-2 payload on a varint field, or a varint on a bytes
+            # field, stored a mistyped value; mismatches now skip like
+            # any unknown field — the vectorized path's behavior)
+            if (wire == 2) == (kind == "bytes"):
+                rec[name] = v
     return rec
 
 
@@ -262,6 +299,25 @@ def flow_descriptor_set() -> bytes:
 # --- batch codecs (column-oriented; the Arrow-UDF hot path) -----------------
 
 _SORTED_FIELDS = sorted(FLOW_FIELDS.items())  # [(num, (name, kind)), ...]
+_VEC_LUTS = None
+
+
+def _vec_luts():
+    """Module-level (lazily built) numpy lookup tables for the
+    vectorized decoder: field number → slot / kind (1 varint, 2 bytes).
+    Previously rebuilt per Arrow batch on the streaming hot path
+    (round-7 review); numpy stays a function-local import elsewhere, so
+    the build is deferred to first decode rather than module import."""
+    global _VEC_LUTS
+    if _VEC_LUTS is None:
+        import numpy as np
+        slot_lut = np.full(_MAX_NUM, -1, dtype=np.int64)
+        kind_lut = np.zeros(_MAX_NUM, dtype=np.int64)
+        for num, (name, kind) in FLOW_FIELDS.items():
+            slot_lut[num] = _NUM_TO_SLOT[num]
+            kind_lut[num] = 1 if kind == "varint" else 2
+        _VEC_LUTS = (slot_lut, kind_lut)
+    return _VEC_LUTS
 _MAX_NUM = max(FLOW_FIELDS) + 1
 # field number -> output-column slot, -1 = unknown field (skip)
 _NUM_TO_SLOT = [-1] * _MAX_NUM
@@ -285,16 +341,16 @@ def encode_flow_batch(pdf: pd.DataFrame, *, fixed_length: bool = False) -> list:
         if name not in pdf.columns:
             continue
         vals = pdf[name].tolist()  # numpy scalars -> plain Python ints
-        cols.append((num, kind, vals))
+        cols.append((num, kind, vals, _varint_mask(name)))
     out = []
     for i in range(n):
         buf = bytearray()
-        for num, kind, vals in cols:
+        for num, kind, vals, mask in cols:
             v = vals[i]
-            if v is None:
-                continue
+            if v is None or v != v:  # None or NaN — Arrow renders a
+                continue             # nullable int column as float64+NaN
             if kind == "varint":
-                v = int(v)
+                v = int(v) & mask
                 if v == 0:
                     continue
                 _write_varint(buf, (num << 3) | 0)
@@ -321,7 +377,10 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
     """
     import numpy as np
 
-    msgs = [bytes(b) for b in bufs]
+    # None (a Kafka tombstone / null value column) decodes like the
+    # empty message — a full proto3-defaults row — instead of raising
+    # TypeError and killing the streaming query (round-7 review)
+    msgs = [b"" if b is None else bytes(b) for b in bufs]
     n = len(msgs)
     arrays = []
     for kind in _SLOT_KIND:
@@ -332,9 +391,12 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
             a = np.zeros(n, dtype="int64")
         arrays.append(a)
     num_to_slot = _NUM_TO_SLOT
+    slot_kind = _SLOT_KIND
     max_num = _MAX_NUM
     for i in range(n):
         buf = msgs[i]
+        if not buf:
+            continue            # empty/None message → all-defaults row
         pos = 0
         ln = len(buf)
         if fixed_length:
@@ -394,13 +456,30 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                 raise ValueError(f"unsupported wire type {wire}")
             if num < max_num:
                 slot = num_to_slot[num]
-                if slot >= 0:
-                    arrays[slot][i] = v
+                # store only when the wire type matches the declared
+                # kind (round-7 review: a wire-2 blob raised ValueError
+                # assigning into the int64 array; a varint into a bytes
+                # column broke Arrow serialization downstream)
+                if slot >= 0 and (wire == 2) == (slot_kind[slot] == "bytes"):
+                    if wire == 2:
+                        arrays[slot][i] = v
+                    else:
+                        # uint64 wire values >= 2^63 reinterpret as
+                        # signed int64 (see _signed64) instead of
+                        # OverflowError at the numpy assignment
+                        v &= 0xFFFFFFFFFFFFFFFF
+                        if v >= 0x8000000000000000:
+                            v -= 0x10000000000000000
+                        arrays[slot][i] = v
     data = {}
     for slot, name in enumerate(_SLOT_NAMES):
         a = arrays[slot]
         if _SLOT_KIND[slot] != "bytes":
-            # narrow u32/enums back to int32 to match DECODED_SCHEMA
+            # narrow u32/enums back to int32 to match DECODED_SCHEMA —
+            # an unsigned value >= 2^31 (4-byte ASN) REINTERPRETS as
+            # negative (the Spark/Java unsigned-as-signed convention,
+            # documented at _varint_mask); the encoders' field-width
+            # mask makes the round trip exact
             if name not in _LONG_FIELDS:
                 a = a.astype("int32")
         data[name] = a
@@ -545,7 +624,7 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
     returns identical frames (equivalence is property-tested)."""
     import numpy as np
 
-    msgs = [bytes(b) for b in bufs]
+    msgs = [b"" if b is None else bytes(b) for b in bufs]
     n = len(msgs)
     if n == 0:
         return decode_flow_batch(msgs, fixed_length=fixed_length)
@@ -561,11 +640,7 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
     # the actual byte slices are cut once at the end (one tight loop per
     # slot) — per-row dict stores measured 3× slower
     blob_frags: list[tuple] = []
-    slot_lut = np.full(_MAX_NUM, -1, dtype=np.int64)
-    kind_lut = np.zeros(_MAX_NUM, dtype=np.int64)  # 1 varint, 2 bytes
-    for num, (name, kind) in FLOW_FIELDS.items():
-        slot_lut[num] = _NUM_TO_SLOT[num]
-        kind_lut[num] = 1 if kind == "varint" else 2
+    slot_lut, kind_lut = _vec_luts()
 
     pos = starts.copy()
     ends = starts + lens
@@ -577,7 +652,10 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
         b0 = buf[pos].astype(np.int64)
         two = b0 >= 128
         b1 = buf[pos + 1].astype(np.int64)
-        bad |= two & (b1 >= 128)
+        # lens > 0: an empty message has no prefix byte to read (its b0
+        # is the NEXT message's first byte — garbage that must neither
+        # mark it bad nor activate it; pos == ends keeps it inactive)
+        bad |= (two & ((b1 >= 128) | (pos + 1 >= ends))) & (lens > 0)
         mlen = np.where(two, (b0 & 0x7F) | (b1 << 7), b0)
         plen = 1 + two.astype(np.int64)
         pos = pos + plen
@@ -592,7 +670,11 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
         b0 = buf[p].astype(np.int64)
         two = b0 >= 128
         b1 = buf[p + 1].astype(np.int64)
-        overlong = two & (b1 >= 128)
+        # a 2-byte tag whose second byte lies PAST the message end would
+        # silently read the next message's bytes out of the flat buffer
+        # (round-7 review: truncated messages produced garbage rows where
+        # the scalar decoder raises) — route such rows to the fallback
+        overlong = two & ((b1 >= 128) | (p + 1 >= ends[active]))
         if overlong.any():
             bad[active[overlong]] = True
             keep = ~overlong
@@ -618,8 +700,12 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
             cont = win >= 128
             term = cont.argmin(axis=1)       # first non-continuation byte
             toolong = cont.all(axis=1)
-            if toolong.any():
-                bad[active[np.flatnonzero(w0)[toolong]]] = True
+            # varint bytes running past the message end read the NEXT
+            # message in the flat buffer — fallback instead (round-7)
+            cross = vp + term + 1 > ends[active[w0]]
+            badv = toolong | cross
+            if badv.any():
+                bad[active[w0][badv]] = True
                 term = np.where(toolong, 0, term)
             val = ((win & 0x7F) * weights * (koffs <= term[:, None])) \
                 .sum(axis=1)
@@ -630,8 +716,12 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
         w2 = wire == 2
         if w2.any():
             lp = (p + tlen)[w2]
+            e2 = ends[active[w2]]
             ln = buf[lp].astype(np.int64)
-            big = ln >= 128
+            # big: multi-byte length prefix; lp >= e2: the length byte
+            # itself lies past the message end (truncated message whose
+            # read would cross into the neighbor — round-7 review)
+            big = (ln >= 128) | (lp >= e2)
             if big.any():
                 bad[active[np.flatnonzero(w2)[big]]] = True
                 ln = np.where(big, 0, ln)
@@ -639,7 +729,10 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
             sl = slot_lut[nums2]
             st = lp + 1
             rows = active[w2]
-            keep = (sl >= 0) & (kind_lut[nums2] == 2)
+            overrun = st + ln > e2     # payload crosses the message end
+            if overrun.any():
+                bad[rows[overrun]] = True
+            keep = (sl >= 0) & (kind_lut[nums2] == 2) & ~overrun
             if keep.any():
                 blob_frags.append((sl[keep], rows[keep], st[keep], ln[keep]))
             newpos[w2] = st + ln

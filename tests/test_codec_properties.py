@@ -143,3 +143,63 @@ def test_vectorized_decoder_falls_back_on_exotic_wire_types():
     assert b["Bytes"].tolist() == [1234567, 10, 1234567]
     assert b["SrcPort"].tolist() == [443, 0, 443]
     assert b["SrcAS"].tolist() == [65032, 65001, 65032]
+
+
+def test_codec_wire_robustness_round7():
+    """Round-7 review fixes, each pinned: negative varints encode as
+    64-bit two's complement instead of infinite-looping; None (Kafka
+    tombstone) decodes as a defaults row; u32 >= 2^31 survives the
+    int32 reinterpretation with EXACT wire parity on re-encode;
+    truncated messages raise in BOTH decoders (the vectorized one used
+    to read the neighboring message's bytes); NaN encodes as default;
+    uint64 >= 2^63 decodes via signed reinterpretation and round-trips;
+    wire-type/declared-kind mismatches skip like unknown fields in the
+    scalar paths (vectorized parity); varints are capped at the spec's
+    10 bytes."""
+    import pandas as pd
+    import pytest
+
+    from flow_pipeline_spark.sources import protobuf as P
+
+    out = bytearray()
+    P._write_varint(out, -1)
+    assert len(out) == 10                 # two's complement, no hang
+
+    for fn in (P.decode_flow_batch, P.decode_flow_batch_vectorized):
+        df = fn([None, P.encode_flow_message({"Type": 3})])
+        assert df["Type"].tolist() == [0, 3], fn.__name__
+
+    msg = P.encode_flow_message({"SrcAS": 4_200_000_000})
+    d = P.decode_flow_batch([msg])
+    assert d["SrcAS"].iloc[0] == 4_200_000_000 - 2**32
+    assert P.encode_flow_batch(d)[0] == msg          # exact wire parity
+
+    valid = P.encode_flow_message({"Type": 3})
+    for fn in (P.decode_flow_batch, P.decode_flow_batch_vectorized):
+        with pytest.raises(IndexError):
+            fn([b"\x08", valid])          # tag with truncated varint
+    tp = bytes.fromhex("32") + bytes([10]) + b"abc"  # short wire-2 payload
+    a = P.decode_flow_batch([tp, valid])
+    b = P.decode_flow_batch_vectorized([tp, valid])
+    assert a["SrcAddr"].tolist() == b["SrcAddr"].tolist()
+
+    enc = P.encode_flow_batch(pd.DataFrame(
+        {"Type": [float("nan"), 3.0], "SrcAddr": [b"", b"x"]}))
+    assert P.decode_flow_batch(enc)["Type"].tolist() == [0, 3]
+
+    big = 2**63 + 5
+    m = P.encode_flow_message({"Bytes": big})
+    d = P.decode_flow_batch([m])
+    assert d["Bytes"].iloc[0] == big - 2**64
+    assert P.encode_flow_batch(d)[0] == m
+
+    mis = bytes.fromhex("a201") + bytes([2]) + b"ab"  # Proto field, wire 2
+    assert "Proto" not in P.decode_flow_message(mis)
+    assert P.decode_flow_batch([mis])["Proto"].iloc[0] == 0
+    mis0 = bytes.fromhex("30") + bytes([5])           # SrcAddr field, wire 0
+    assert "SrcAddr" not in P.decode_flow_message(mis0)
+    assert P.decode_flow_batch([mis0])["SrcAddr"].iloc[0] == b""
+
+    with pytest.raises(ValueError):
+        P._read_varint(b"\x80" * 10 + b"\x01", 0)     # 11 bytes: reject
+    assert P._read_varint(b"\x80" * 9 + b"\x01", 0)[0] == 1 << 63
