@@ -32,10 +32,18 @@ HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Group docs by content hash; keep_id = min id per group (the
-    deterministic survivor). Returns (content_hash, n_copies, keep_id)."""
-    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    deterministic survivor). Returns (content_hash, n_copies, keep_id).
+
+    NULL text (an upstream extraction failure) yields a NULL digest;
+    groupBy would lump every such doc into ONE group and exact_dedup
+    would then drop all but one (round-7 review — and inconsistent with
+    incremental/bloom dedup, where a NULL digest never matches). Each
+    NULL-text doc instead keys as its own singleton group (a synthetic
+    ``null:<id>`` hash), so it passes through every survivor filter."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    h = F.coalesce(h, F.concat(F.lit("null:"), F.col(id_col).cast("string")))
     return (
-        df.select(h, F.col(id_col))
+        df.select(h.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_copies"),
              F.min(id_col).alias("keep_id"))
@@ -101,8 +109,12 @@ def minhash_band_table(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     # join degenerates to an n×n cross product; a non-dividing bands
     # silently dropped trailing signature components (a weaker LSH
     # curve than configured). Fail loudly instead.
-    assert 1 <= bands <= n_hashes and n_hashes % bands == 0, (
-        f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    if not (1 <= bands <= n_hashes and n_hashes % bands == 0):
+        # ValueError, not assert: these are CALLER-input checks and must
+        # survive python -O (round-7 review — stripped asserts re-enable
+        # the silent n^2 cross product they were added to prevent)
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})")
     rows = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, k, text_col, id_col,
                              hash_fn=hash_fn)
@@ -187,6 +199,16 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4)
 
     if candidates is not None:
+        # semi-join FIRST: only docs that actually appear in a candidate
+        # pair get shingled/aggregated — without it the whole corpus's
+        # shingle sets build and shuffle just to be discarded by the
+        # pair joins (round-7 review; at 100 TB with 0.1% candidates
+        # that is 99.9% wasted shuffle)
+        cand_ids = (candidates
+                    .select(F.explode(F.array("id_a", "id_b"))
+                            .alias(id_col))
+                    .distinct())
+        df = df.join(cand_ids, id_col, "left_semi")
         # collect_set dedups in-aggregate (partially map-side), so no
         # pre-distinct shuffle; sz comes free from the set
         doc_sets = (
@@ -304,12 +326,14 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     shuffles on (band_idx, band_value) — never all-pairs. Exact popcount
     (bit_count(xor)) filters candidates.
     """
-    assert max_hamming <= bands - 1, "exactness needs max_hamming <= bands-1"
+    if not max_hamming <= bands - 1:
+        raise ValueError("exactness needs max_hamming <= bands-1")
     # bands > 16 would give width 0 / mask 0 (every doc in one bucket —
     # an all-pairs join); a non-dividing bands would leave the top bits
     # outside every band, silently weakening candidate precision
-    assert 1 <= bands <= 16 and 16 % bands == 0, (
-        f"bands ({bands}) must divide the 16-bit simhash width")
+    if not (1 <= bands <= 16 and 16 % bands == 0):
+        raise ValueError(
+            f"bands ({bands}) must divide the 16-bit simhash width")
     s = simhash_table(df, text_col, id_col)
     width = 16 // bands
     mask = (1 << width) - 1
@@ -481,10 +505,21 @@ def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
 
 
 def dedup_by_clusters(df: DataFrame, pairs: DataFrame, *,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      algorithm: str = "propagate",
+                      **cluster_kwargs) -> DataFrame:
     """Corpus-level near-dup resolution: drop every doc that belongs to a
-    duplicate cluster but is not its min-id canonical representative."""
-    clusters = duplicate_clusters(pairs)
+    duplicate cluster but is not its min-id canonical representative.
+
+    ``algorithm="star"`` routes through :func:`duplicate_clusters_star`
+    (O(log n) rounds — the escape hatch for chain-shaped duplicate
+    graphs whose diameter exceeds the default propagation budget;
+    round-7 review: the hardwired form crashed on a 14-doc chain);
+    ``cluster_kwargs`` (``max_iter``/``max_rounds``, pair column names)
+    pass through to the chosen resolver."""
+    resolver = (duplicate_clusters_star if algorithm == "star"
+                else duplicate_clusters)
+    clusters = resolver(pairs, **cluster_kwargs)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
@@ -534,7 +569,21 @@ def repeated_span_table(df: DataFrame, k: int = 8,
     the vocab_top_bigrams shape); the join back ships only REPEATED
     fingerprints (min≠max doc), and the islands window shuffles only the
     HIT positions on doc id — documents never shuffle whole, and no
-    global suffix order is ever materialized. ``hash_fn='md5'`` for the
+    global suffix order is ever materialized.
+
+    KNOWN EDGE (round-7 review, deliberate deferral): the token stream
+    inherits ``tokens()``'s documented phantom-``''`` on text with
+    trailing/leading NON-space whitespace (a final ``'\\n'``), so two
+    whitespace-terminated docs sharing a (k-1)-token suffix collide at
+    k. The behavior is bit-mirrored in the DuckDB oracles (same trim
+    semantics), so it is cross-engine consistent — but it deviates from
+    the strict Lee-et-al k-token rule on such text, and the pinned
+    Python reference (``str.split``, drops empties) differs there.
+    Fixing it means filtering ``''`` in BOTH this table and
+    :func:`remove_repeated_spans` (positions must stay aligned) and in
+    both span SQL oracles together.
+
+    ``hash_fn='md5'`` for the
     cross-engine oracle; ``'xxhash64'`` (JVM intrinsic) in production.
     """
     from pyspark.sql import Window as W
@@ -688,6 +737,13 @@ def bloom_build(history: DataFrame, hash_col: str = "content_hash", *,
     corpus size."""
     import numpy as np
 
+    sized_here = n_items is None
+    if sized_here:
+        # the geometry count and the bitmap aggregate each scan the full
+        # history pipeline — persist between the two so the (possibly
+        # explode/normalize/md5-heavy) lineage executes once (round-7
+        # review); callers at scale should pass n_items and skip both
+        history = history.persist()
     n = n_items if n_items is not None else history.count()
     m_bits, k = _bloom_geometry(n, fpp)
     nbytes = (m_bits + 7) // 8
@@ -705,6 +761,8 @@ def bloom_build(history: DataFrame, hash_col: str = "content_hash", *,
     bitmap = (history.select(hash_col).rdd
               .treeAggregate(np.zeros(nbytes, dtype=np.uint8),
                              seq_op, comb_op))
+    if sized_here:
+        history.unpersist()
     return bitmap.tobytes(), m_bits, k
 
 
@@ -716,13 +774,28 @@ def bloom_seen_udf(bloom: tuple[bytes, int, int]):
     ``history_bloom``) applies the same gate per micro-batch with zero
     per-batch join cost."""
     import numpy as np
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     bitmap_bytes, m_bits, k = bloom
-    arr = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+    # explicit SparkContext.broadcast, NOT a closure capture: a captured
+    # bitmap re-ships inside the pickled task binary of EVERY job that
+    # uses the UDF (round-7 review — the streaming QC gate is a new job
+    # per micro-batch, so a ~1.2 GB production bitmap would re-serialize
+    # every few seconds); a Broadcast handle pickles as a tiny id and
+    # the bytes transfer once per executor. Falls back to the closure
+    # form only when no session exists (plain-Python unit tests).
+    session = SparkSession.getActiveSession()
+    bc = (session.sparkContext.broadcast(
+        np.frombuffer(bitmap_bytes, dtype=np.uint8))
+        if session is not None else None)
+    arr_local = (np.frombuffer(bitmap_bytes, dtype=np.uint8)
+                 if bc is None else None)
 
     @pandas_udf(T.BooleanType())
     def _seen(s: pd.Series) -> pd.Series:
+        arr = bc.value if bc is not None else arr_local
+
         def probe(d):
             if not d:
                 return False
@@ -885,7 +958,11 @@ def dedup_lines(df: DataFrame, min_doc_freq: int = 2,
                       F.explode(F.split(F.col(text_col), "\n"))
                       .alias("_l"))
     norm = normalize_text(F.col("_l"))
-    per_doc = (lines.select(id_col, norm.alias("line")).distinct()
+    # same '' filter as line_doc_frequency: dup can never contain '',
+    # and matching subtrees let ReuseExchange share the corpus-wide
+    # (doc, line) distinct instead of shuffling it twice (round-7)
+    per_doc = (lines.select(id_col, norm.alias("line"))
+               .filter(F.col("line") != "").distinct()
                .join(dup, "line")
                .groupBy(id_col)
                .agg(F.collect_set("line").alias("_dup")))
