@@ -31,7 +31,7 @@ NOTES = {
   "customers_no_orders": "anti join: probe streams through, only non-matches emitted",
   "local_supplier_volume": "6-table Q5 topology: broadcast supplier dim chain, co-nation residual, one orderkey/custkey shuffle spine",
   "embedding_near_dup": "SRP-bucketed pair join on the (table, signature) key — no CartesianProduct / all-pairs; (planes, tables) adapt to the corpus count (srp_near_dup_params) so bucket occupancy and candidate volume stay LINEAR (the round-7 realistic-sf1 probe caught the fixed-8-plane form at ~100x candidates on 10x vectors); distinct collapses multi-table hits on (id, id, cos) rows, vectors never re-shuffle",
-  "ngram_jaccard_dups": "LSH candidates verified with array_intersect on doc-id joins; no shuffle ever partitions on the shingle",
+  "ngram_jaccard_dups": "LSH candidates verified with array_intersect on doc-id joins after a left-semi prune to candidate docs (verification work proportional to the candidate set, round 7); no shuffle ever partitions on the shingle",
   "flows_top_src_ips": "render-AFTER-aggregate: ArrowEvalPython sits above the raw (addr,Etype) HashAggregate, UDF input = |distinct addrs|",
   "flows_pg_src_ip_panel": "Go-render panel, same two-level agg: raw-bytes partials below the Arrow boundary",
   "metrics_rate_sum_by": "one series-key exchange reused by lag, bucket agg, and sliding frame; sum-by re-aggregates tiny rows",
@@ -57,7 +57,7 @@ NOTES = {
   "bpe_encode_stored": "the PRODUCTION tokenize plan (train-once/encode-many): identical encode shape to bpe_encode_corpus but the merge table reads from the persisted model artifact — NO trainer rounds in-plan, so the plan is pure encode cost (mirror of bm25_search_stored)",
   "dsir_importance": "both LM vocab tables broadcast to the scoring join; the exploded corpus never shuffles on the token — the only wide ops are the two vocab-bounded LM aggregates and the per-doc partial aggregate",
   "line_dedup": "one line-bounded frequency shuffle (map-side distinct first); each doc's own duplicated lines come back as a small array on a doc-id join; the line filter is a per-row higher-order function — the global dup-line set never collects or broadcasts",
-  "bloom_dedup": "ZERO-shuffle query plan: the bitmap (built once via treeAggregate, outside this plan) rides the probe UDF closure; membership is a per-row ArrowEvalPython filter over the scan — the anti-join exchange is gone entirely",
+  "bloom_dedup": "ZERO-shuffle query plan: the bitmap (built once via treeAggregate, outside this plan) ships via an explicit SparkContext broadcast — once per executor, not per job (round 7); membership is a per-row ArrowEvalPython filter over the scan — the anti-join exchange is gone entirely",
   "table_profile": "ALL five columns' aggregates compute in ONE partial+final aggregate over one scan; the per-column rows unpivot from the 1-row result (explode of a struct array) — no per-column rescans",
   "token_length_drift": "two bin-bounded aggregates (10 rows each) + broadcast joins for the totals — the snapshots never co-shuffle; the PSI arithmetic is a codegen'd projection over 10 rows",
   "filtered_knn": "label equi-join composes BEFORE scoring (broadcast queries); at scale the corpus partitions by the filter column so the join becomes partition pruning; two-phase top-k as in knn_cosine",
