@@ -304,8 +304,15 @@ def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
     miss_table = 1.0 - p_plane ** r
     if miss_table <= 0.0:
         return r, 1
-    need = max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
-                            / math.log(miss_table)))
+    if miss_table >= 1.0:
+        # p_plane == 0 (threshold == -1, the clamp's lower edge): every
+        # table misses a borderline pair with certainty, so no finite L
+        # reaches the recall — take the loud-cap path below instead of
+        # math.log(1.0) == 0 dividing by zero (round-7 review)
+        need = max_tables + 1
+    else:
+        need = max(1, math.ceil(math.log(max(1.0 - recall, 1e-12))
+                                / math.log(miss_table)))
     if need > max_tables:
         # loud, not silent: the caller asked for a recall the capped
         # table count cannot deliver (round-7 review — returning the

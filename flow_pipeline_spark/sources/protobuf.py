@@ -410,6 +410,8 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                 if not b & 0x80:
                     break
                 shift += 7
+                if shift > 63:      # same 10-byte spec bound as _read_varint
+                    raise ValueError("varint too long")
             ln = pos + mlen
         while pos < ln:
             # inline varint tag
@@ -422,6 +424,8 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                 if not b & 0x80:
                     break
                 shift += 7
+                if shift > 63:
+                    raise ValueError("varint too long")
             num = tag >> 3
             wire = tag & 0x07
             if wire == 0:
@@ -434,6 +438,13 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                     if not b & 0x80:
                         break
                     shift += 7
+                    if shift > 63:
+                        # keep the two batch APIs and the scalar dict API
+                        # agreeing on malformed wire data: an 11+-byte
+                        # varint is a spec violation conformant parsers
+                        # reject, not a value to mask (round-7 review —
+                        # only _read_varint had the bound before)
+                        raise ValueError("varint too long")
             elif wire == 2:
                 blen = 0
                 shift = 0
@@ -444,6 +455,8 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                     if not b & 0x80:
                         break
                     shift += 7
+                    if shift > 63:
+                        raise ValueError("varint too long")
                 v = buf[pos:pos + blen]
                 pos += blen
             elif wire == 5:
@@ -464,13 +477,7 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                     if wire == 2:
                         arrays[slot][i] = v
                     else:
-                        # uint64 wire values >= 2^63 reinterpret as
-                        # signed int64 (see _signed64) instead of
-                        # OverflowError at the numpy assignment
-                        v &= 0xFFFFFFFFFFFFFFFF
-                        if v >= 0x8000000000000000:
-                            v -= 0x10000000000000000
-                        arrays[slot][i] = v
+                        arrays[slot][i] = _signed64(v)
     data = {}
     for slot, name in enumerate(_SLOT_NAMES):
         a = arrays[slot]

@@ -394,6 +394,13 @@ def host_key(url: "F.Column",
     suffix_len = F.when(F.size(matched_ks) > 0,
                         F.element_at(matched_ks, -1)
                         ).otherwise(F.lit(1))       # prevailing-* rule
-    return F.when(n <= suffix_len, host).otherwise(
+    # IP-literal hosts (common in crawl data) have no registrable
+    # domain: the prevailing-* fallback would key 1.2.3.4 and 9.8.3.4
+    # both as "3.4", merging unrelated servers into one quota bucket
+    # (round-7 review). Key them by the full literal, matching both the
+    # default (psl=None) behavior and real PSL libraries' IP handling.
+    is_ip = (host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")    # IPv4
+             | host.contains(":"))                     # IPv6 (any form)
+    return F.when(is_ip | (n <= suffix_len), host).otherwise(
         F.array_join(F.slice(labels, n - suffix_len, suffix_len + 1),
                      "."))

@@ -228,15 +228,30 @@ def _swap_in(store_dir: str, write_tmp, *,
     old = store_dir.rstrip("/") + "._swap_old"
     write_tmp(tmp)
 
+    def _merge_copy(s: str, d: str) -> None:
+        # File-level merge, not skip-if-dir-exists: an appender epoch
+        # whose part files straddle TWO park renames (some committed
+        # before rename(store, old), the rest into the recreated store)
+        # is salvaged twice under the same top-level name — the second
+        # pass must add the new part files into the already-copied dir,
+        # not skip it (round-7 review: skip-if-exists silently dropped
+        # the second fragment of a checkpoint-committed epoch). Part
+        # file names are task-attempt-unique, so copy-if-missing at the
+        # file level is a correct merge.
+        if os.path.isdir(s):
+            os.makedirs(d, exist_ok=True)
+            for n in os.listdir(s):
+                _merge_copy(os.path.join(s, n), os.path.join(d, n))
+        elif not os.path.exists(d):
+            shutil.copy2(s, d)
+
     def _salvage(src: str) -> None:
         if salvage_known is None or not os.path.isdir(src):
             return
         for name in os.listdir(src):
             if name in salvage_known or name.startswith((".", "_")):
                 continue
-            dst = os.path.join(tmp, name)
-            if not os.path.exists(dst):
-                shutil.copytree(os.path.join(src, name), dst)
+            _merge_copy(os.path.join(src, name), os.path.join(tmp, name))
     # Bounded retry around the two renames: a CONCURRENT reader running
     # _recover_swap in the window between them sees old-exists/store-
     # missing and renames the superseded snapshot back into place — the

@@ -203,3 +203,19 @@ def test_codec_wire_robustness_round7():
     with pytest.raises(ValueError):
         P._read_varint(b"\x80" * 10 + b"\x01", 0)     # 11 bytes: reject
     assert P._read_varint(b"\x80" * 9 + b"\x01", 0)[0] == 1 << 63
+
+    # round-7 second pass: the 10-byte bound holds in the BATCH decoders
+    # too — the inlined loops used to silently mask an 11-byte varint
+    # the scalar dict API rejects, so the APIs disagreed on the same
+    # malformed bytes
+    overlong = b"\x08" + b"\x80" * 10 + b"\x01"   # field 1, 11-byte varint
+    with pytest.raises(ValueError):
+        P.decode_flow_message(overlong)
+    for fn in (P.decode_flow_batch, P.decode_flow_batch_vectorized):
+        with pytest.raises(ValueError):
+            fn([overlong, valid])
+    # ...while the LEGAL 10-byte maximum (uint64 >= 2^63 needs all 10)
+    # is accepted by every path, vectorized included (it routes >9-byte
+    # varints through the scalar fallback)
+    dv = P.decode_flow_batch_vectorized([m])
+    assert dv["Bytes"].iloc[0] == big - 2**64

@@ -1719,6 +1719,56 @@ def test_compaction_salvages_epoch_landed_mid_compaction(
     assert expect.exceptAll(merged2).isEmpty()
 
 
+def test_swap_salvage_merges_epoch_split_across_two_parks(tmp_path,
+                                                          monkeypatch):
+    """Round-7 review, second pass: an appender epoch whose part files
+    straddle TWO park renames — some parked by the first
+    rename(store, old), the rest landing in the recreated store before
+    the retry — used to lose the second fragment: _salvage skipped any
+    top-level name already present in tmp. It must merge at the FILE
+    level (part names are task-attempt-unique)."""
+    import os
+
+    from flow_pipeline_spark.streaming import jobs
+
+    store = str(tmp_path / "store")
+    ep = os.path.join(store, "epoch=5")
+    os.makedirs(ep)
+    with open(os.path.join(ep, "part-a"), "w") as f:
+        f.write("a")
+
+    def write_tmp(tmp):
+        d = os.path.join(tmp, "epoch=-1")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "merged"), "w") as f:
+            f.write("m")
+
+    real_rename = os.rename
+    fired = []
+
+    def racy_rename(src, dst):
+        if dst == store and not fired:
+            fired.append(1)
+            # the live appender recreates the store and lands the SECOND
+            # fragment of epoch 5 inside the swap's rename window; the
+            # real rename then fails ENOTEMPTY and the loop re-parks
+            d = os.path.join(store, "epoch=5")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-b"), "w") as f:
+                f.write("b")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    jobs._swap_in(store, write_tmp, salvage_known=set())
+    monkeypatch.undo()
+
+    assert sorted(os.listdir(os.path.join(store, "epoch=5"))) == \
+        ["part-a", "part-b"]                 # both fragments survive
+    with open(os.path.join(store, "epoch=-1", "merged")) as f:
+        assert f.read() == "m"
+    assert not os.path.isdir(store + "._swap_old")
+
+
 def test_staged_writer_detects_partially_visible_stage(spark, tmpdir,
                                                        monkeypatch):
     """Round-7 review: the stage-visibility guard only caught the

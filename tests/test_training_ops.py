@@ -2681,6 +2681,17 @@ def test_warc_host_key_psl(spark):
     assert plain[0] == "shop.example.co.uk"
     assert plain[1] == "example.com"
     assert plain[2] == "deep.sub.example.org"
+    # IP-literal hosts (round-7 second pass): no registrable domain —
+    # the prevailing-* fallback used to key 1.2.3.4 and 9.8.3.4 both as
+    # "3.4", merging unrelated servers into one quota bucket. PSL mode
+    # must key them by the full literal, like default mode does.
+    ipdf = spark.createDataFrame(
+        [(0, "http://1.2.3.4/x"), (1, "http://9.8.3.4/y"),
+         (2, "http://1.2.3.4:8080/z")], "id int, url string")
+    got_ip = {r.id: r.h for r in
+              ipdf.select("id", host_key(F.col("url"), psl).alias("h"))
+              .collect()}
+    assert got_ip == {0: "1.2.3.4", 1: "9.8.3.4", 2: "1.2.3.4"}
 
 
 def test_wet_to_curation_composition(spark, tmp_path):
@@ -2822,3 +2833,28 @@ def test_bm25_postings_ignore_blank_documents(spark):
     assert (n_docs, total) == (2, 4)        # docs 1 and 4 only
     pos = positional_postings(docs)
     assert pos.filter("term = ''").count() == 0
+
+
+def test_srp_near_dup_params_edges():
+    """Adaptive (r, L) edges (round-7 review, second pass): the growth
+    direction (more rows -> more planes), the loud recall-cap warning
+    for loose thresholds, and the threshold=-1 boundary — p_plane == 0
+    makes every table miss borderline pairs with certainty, which used
+    to reach math.log(1.0) and die with ZeroDivisionError instead of
+    taking the documented warning path."""
+    import warnings
+
+    from flow_pipeline_spark.operators.similarity import (
+        srp_near_dup_params)
+
+    r_small, _ = srp_near_dup_params(1_000, 0.999)
+    r_big, _ = srp_near_dup_params(1_000_000, 0.999)
+    assert r_small == 8                      # floor: historical fixed form
+    assert r_big > r_small                   # planes grow with the corpus
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, tables = srp_near_dup_params(100_000, 0.5, max_tables=128)
+        assert tables == 128                 # capped, not need=6803
+        _, t_edge = srp_near_dup_params(100_000, -1.0, max_tables=128)
+        assert t_edge == 128                 # no ZeroDivisionError
+    assert sum("srp_near_dup_params" in str(x.message) for x in w) == 2
