@@ -73,7 +73,6 @@ def funnel(events: DataFrame, steps: list[str], *,
                .select("u", "t1", "tk")
                .localCheckpoint(eager=False))
         stages.append(cur)
-    spark = events.sparkSession
     counts = [df.agg(F.count("*").cast("long").alias("n")) for df in stages]
     rows = None
     for i, c in enumerate(counts):
@@ -117,8 +116,12 @@ def retention(events: DataFrame, *, user_col: str = "user_id",
                    .alias("k"), "u"))
     if max_k is not None:
         ret = ret.filter(F.col("k") <= max_k)
+    # count(*), not count(distinct u): `active` is already DISTINCT on
+    # (u, bucket) and cohort/k are functions of that pair, so the rows
+    # are unique per (cohort, k, u) — the distinct form planned an
+    # extra keyed re-aggregate for identical output (round-7 review)
     counts = (ret.groupBy("cohort", "k")
-              .agg(F.countDistinct("u").cast("long").alias("n_users")))
+              .agg(F.count("*").cast("long").alias("n_users")))
     size = (counts.filter(F.col("k") == 0)
             .select(F.col("cohort").alias("_c"),
                     F.col("n_users").alias("_n0")))

@@ -46,21 +46,6 @@ def enrich_by_asn(flows: DataFrame, asn_dim: DataFrame) -> DataFrame:
     )
 
 
-def expand_prefix_dim(prefix_dim: DataFrame, bucket_bytes: int = 1) -> DataFrame:
-    """Explode each (ip_start, ip_end) range into one row per coarse bucket
-    it spans (bucket = first ``bucket_bytes`` bytes of the address).
-
-    The dimension is small (thousands–millions of prefixes); expansion
-    multiplies only rows spanning multiple buckets. Runs once, then
-    broadcast."""
-    start_b = F.conv(F.hex(F.substring("ip_start", 1, bucket_bytes)), 16, 10).cast("long")
-    end_b = F.conv(F.hex(F.substring("ip_end", 1, bucket_bytes)), 16, 10).cast("long")
-    return (
-        prefix_dim
-        .withColumn("bucket", F.explode(F.sequence(start_b, end_b)))
-    )
-
-
 def flatten_prefix_dim(prefix_dim: DataFrame) -> DataFrame:
     """Resolve longest-prefix-match AT DIM BUILD TIME: decompose the
     (possibly nested/overlapping) prefix ranges into DISJOINT atomic

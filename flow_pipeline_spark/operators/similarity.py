@@ -75,6 +75,32 @@ def _topk_per_query(scored, k: int):
             .select("q", "n", "cos", "rank"))
 
 
+def _local_topk_tied(col, ids, take):
+    """Indices of the local top-``take`` rows under the pinned
+    (score DESC, id ASC) order, TIE-CORRECT at the cut boundary —
+    returned already in that order. ``np.argpartition`` alone keeps an
+    arbitrary subset of boundary-tied rows, and quantized or
+    duplicate-heavy corpora (this module's target domain) tie at 4dp
+    constantly: a dropped smallest-id tie can never be recovered by the
+    global merge, so results varied with Arrow batch layout (round-7
+    review). Rows strictly above the take-th score all enter; the
+    remaining slots go to the boundary ties with the smallest ids.
+    O(n) selection + O(kept·log kept) ordering, same as before."""
+    import numpy as np
+
+    if take >= len(ids):
+        sel = np.arange(len(ids))
+    else:
+        kth = col[np.argpartition(-col, take - 1)[take - 1]]
+        above = np.flatnonzero(col > kth)
+        tied = np.flatnonzero(col == kth)
+        # above.size <= take-1 by definition of the take-th largest,
+        # so at least one slot remains for the tied rows
+        tied = tied[np.argsort(ids[tied])[:take - above.size]]
+        sel = np.concatenate([above, tied])
+    return sel[np.lexsort((ids[sel], -col[sel]))]
+
+
 def brute_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
@@ -403,8 +429,9 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     q_rows = queries.select(F.col(id_col).alias("q"),
                             F.col(vec_col).alias("qv")).collect()
     q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
-    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    if q_rows:
+        qm = np.array([r["qv"] for r in q_rows], dtype="float64")
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
 
     out_schema = T.StructType([
         T.StructField("q", T.LongType()),
@@ -415,6 +442,8 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype="int64")
+            if not len(ids):
+                continue
             m = np.array(list(pdf[vec_col]), dtype="float64")
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             # HALF-UP at 4dp like brute_knn's F.round — np.round is
@@ -426,15 +455,20 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             take = min(k + 1, len(ids))           # +1 absorbs self-matches
             for j, qid in enumerate(q_ids):
                 col = cos[:, j]
-                # argpartition: O(n) local top-(k+1), then exact order
-                top = np.argpartition(-col, take - 1)[:take]
-                top = top[np.lexsort((ids[top], -col[top]))]
+                # O(n) local top-(k+1) with the boundary ties resolved
+                # by ascending id — the same order the global merge uses
+                top = _local_topk_tied(col, ids, take)
                 mask = ids[top] != qid
                 sel = top[mask][:k]
                 yield pd.DataFrame({"q": qid, "n": ids[sel],
                                     "cos": col[sel]})
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    if not q_rows:
+        # shape (0,) qm would AxisError above; brute_knn returns an
+        # empty frame here, so the drop-in form must too (round-7)
+        local = corpus.sparkSession.createDataFrame([], out_schema)
+    else:
+        local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -474,6 +508,10 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
         return [x / n for x in v]
 
     centroids = [normalize([float(x) for x in r["cv"]]) for r in cent_rows]
+    if not centroids:
+        # loud like minhash_band_table's guards, not a bare IndexError
+        # at the dim probe below (round-7 review)
+        raise ValueError("kmeans_fit: corpus is empty — no seed vectors")
     # embedding width comes from the data itself (the seed vectors), never
     # from a parameter — a width mismatch would silently zero-pad or
     # IndexError the accumulator below
@@ -1109,10 +1147,14 @@ def _build_adc_lut(queries: DataFrame, codebooks, *,
     import numpy as np
 
     B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
-    m_, _, d_sub = B.shape
+    m_, ks_, d_sub = B.shape
     q_rows = queries.select(F.col(id_col).alias("q"),
                             F.col(vec_col).alias("qv")).collect()
     q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
+    if not q_rows:
+        # shape-(0,) qm would AxisError at the norm below (round-7) —
+        # an empty LUT keeps both PQ paths returning empty frames
+        return q_ids, np.zeros((0, m_, ks_)), m_
     qm = np.array([r["qv"] for r in q_rows], dtype="float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
     lut = np.stack([qm[:, j * d_sub:(j + 1) * d_sub] @ B[j].T
@@ -1184,14 +1226,19 @@ def pq_knn(codes: DataFrame, queries: DataFrame,
         import pandas as pd
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype="int64")
+            if not len(ids):
+                continue
             C = np.array(list(pdf[codes_col]), dtype="int64")  # (n, m)
             take = min(kk + 1, len(ids))
             for qi, qid in enumerate(q_ids):
                 # gather: scores = sum_j lut[qi, j, C[:, j]]
                 s = lut[qi, np.arange(m_)[None, :], C].sum(axis=1)
-                s = np.round(s, 4)
-                top = np.argpartition(-s, take - 1)[:take]
-                top = top[np.lexsort((ids[top], -s[top]))]
+                # HALF-UP at 4dp, the module-wide rounding device —
+                # np.round is half-to-even and formed tie groups
+                # differently from every other ANN path (round-7 review)
+                s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+                # tie-correct local cut: lossy PQ codes tie constantly
+                top = _local_topk_tied(s, ids, take)
                 mask = ids[top] != qid
                 sel = top[mask][:kk]
                 yield pd.DataFrame({"q": qid, "n": ids[sel],
@@ -1265,7 +1312,9 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         qi = _np.array([qidx[int(x)] for x in qs])
         C = _np.array(list(cs), dtype="int64")
         s = lut[qi[:, None], _np.arange(m_)[None, :], C].sum(axis=1)
-        return pd.Series(_np.round(s, 4))
+        # HALF-UP 4dp, matching pq_knn's kernel and every ANN path here
+        return pd.Series(_np.sign(s) * _np.floor(_np.abs(s) * 1e4 + 0.5)
+                         / 1e4)
 
     kk = k if not rerank else (shortlist or 4 * k)
     scored = (codes_cells.join(F.broadcast(probes), "cell")

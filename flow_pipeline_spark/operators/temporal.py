@@ -42,8 +42,17 @@ def asof_join(events: DataFrame, dim: DataFrame, key: str, *,
     """
     e = events.withColumn("__is_dim", F.lit(0))
     for c in payload:
-        if c not in e.columns:
-            e = e.withColumn(c, F.lit(None))
+        if c in events.columns:
+            # the old keep-existing-values path silently MIXED an
+            # already-present events column into the last(ignorenulls)
+            # propagation: an event inherited a stale non-null value
+            # from an EARLIER EVENT instead of the preceding dim row,
+            # and the "NULL when no dim precedes" contract broke
+            # (round-7 review) — ambiguous input, refuse loudly
+            raise ValueError(
+                f"asof_join: events already has a column {c!r} named in "
+                f"payload — rename or drop it before the join")
+        e = e.withColumn(c, F.lit(None))
     d = dim.select(
         F.col(key), F.col(dim_time).alias(event_time),
         *[F.col(c) for c in payload]).withColumn("__is_dim", F.lit(1))

@@ -108,6 +108,14 @@ def test_asof_join_semantics(spark):
     assert got[3] == 2.0           # latest at-or-before wins
     assert got[4] is None          # b's dim row is later than the event
     assert got[5] == 4.0           # keys isolated
+    # round-7 review, second pass: an events frame that ALREADY carries
+    # a payload-named column used to silently mix its non-null values
+    # into the last(ignorenulls) propagation (an event inherited a
+    # stale value from an earlier EVENT, not the preceding dim row) —
+    # ambiguous input must refuse loudly
+    ev_clash = ev.withColumn("rate", F.lit(9.0))
+    with pytest.raises(ValueError, match="already has a column"):
+        asof_join(ev_clash, dim, "k", payload=["rate"])
 
 
 def test_approx_top_k_bounds_under_trim(spark):

@@ -2858,3 +2858,43 @@ def test_srp_near_dup_params_edges():
         _, t_edge = srp_near_dup_params(100_000, -1.0, max_tables=128)
         assert t_edge == 128                 # no ZeroDivisionError
     assert sum("srp_near_dup_params" in str(x.message) for x in w) == 2
+
+
+def test_ann_tie_determinism_and_empty_edges(spark):
+    """Round-7 review, second pass: the vectorized kernels' local
+    argpartition cut kept an ARBITRARY subset of boundary-tied rows —
+    on duplicate-heavy corpora (where 4dp score ties are the norm) the
+    returned neighbors depended on Arrow batch layout instead of the
+    pinned (score DESC, id ASC) rule. 30 identical vectors, frame
+    ordered by DESCENDING id so a position-based selection favors the
+    WRONG (largest) ids; and the empty-queries / empty-corpus edges
+    brute_knn already handles must not AxisError in the numpy forms."""
+    rows = [(int(i), [1.0, 0.5] * 4) for i in range(29, -1, -1)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    queries = corpus.filter(F.col("vec_id") == 0)
+    want = {(0, n) for n in range(1, 6)}         # smallest ids win ties
+
+    exact = {(r["q"], r["n"])
+             for r in S.brute_knn(corpus, queries, k=5).collect()}
+    vec = {(r["q"], r["n"])
+           for r in S.brute_knn_vectorized(corpus, queries, k=5).collect()}
+    assert exact == want
+    assert vec == want
+
+    books = S.pq_train(corpus, m=4, ks=4, n_iter=1)
+    codes = S.pq_encode(corpus, books)
+    got_pq = {(r["q"], r["n"])
+              for r in S.pq_knn(codes, queries, books, k=5).collect()}
+    assert got_pq == want                        # all codes tie exactly
+    # ...and the result is partitioning-independent
+    got_pq7 = {(r["q"], r["n"])
+               for r in S.pq_knn(codes.repartition(7), queries, books,
+                                 k=5).collect()}
+    assert got_pq7 == want
+
+    none = queries.filter(F.col("vec_id") < 0)
+    assert S.brute_knn_vectorized(corpus, none, k=3).count() == 0
+    assert S.pq_knn(codes, none, books, k=3).count() == 0
+    with pytest.raises(ValueError, match="corpus is empty"):
+        S.kmeans_fit(corpus.filter(F.col("vec_id") < 0), n_cells=4)
