@@ -59,15 +59,21 @@ def ipv4_from_flow_addr(addr: Column) -> Column:
 
 
 def ipv4_num_to_string(num: Column) -> Column:
-    """Dotted-quad render of a u32. ≡ ClickHouse ``IPv4NumToString``."""
+    """Dotted-quad render of a u32. ≡ ClickHouse ``IPv4NumToString``.
+
+    NULL in → NULL out: ``concat_ws`` SKIPS null arguments, so without
+    the guard a NULL address rendered as ``''`` — an empty-string bucket
+    in dashboard group-bys, disagreeing with the registered SQL UDF of
+    the same name (round-7 review)."""
     n = num.cast("long")
-    return F.concat_ws(
-        ".",
-        ((n / 16777216).cast("long") % 256).cast("string"),
-        ((n / 65536).cast("long") % 256).cast("string"),
-        ((n / 256).cast("long") % 256).cast("string"),
-        (n % 256).cast("string"),
-    )
+    return F.when(n.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws(
+            ".",
+            ((n / 16777216).cast("long") % 256).cast("string"),
+            ((n / 65536).cast("long") % 256).cast("string"),
+            ((n / 256).cast("long") % 256).cast("string"),
+            (n % 256).cast("string"),
+        ))
 
 
 def ipv4_string_to_num(s: Column) -> Column:

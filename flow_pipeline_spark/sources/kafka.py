@@ -50,9 +50,20 @@ def read_flow_stream(spark: SparkSession, brokers: str, topic: str = "flows",
 
 
 def write_flow_stream(flows: DataFrame, brokers: str, topic: str = "flows",
-                      checkpoint_dir: str = "/tmp/flow-kafka-ckpt", *,
+                      checkpoint_dir: str | None = None, *,
                       fixed_length: bool = True):
-    """S4/S6 — encode + produce (the mocker's output edge)."""
+    """S4/S6 — encode + produce (the mocker's output edge).
+
+    ``checkpoint_dir`` must be provided and per-job unique: the old
+    fixed default (``/tmp/flow-kafka-ckpt``) made two producer jobs
+    started with defaults collide on one checkpoint location — the
+    second start failed, or resumed from the first job's offsets
+    (round-7 review; every writer in streaming/jobs.py already treats
+    the checkpoint as a required parameter)."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "write_flow_stream: checkpoint_dir is required (per-job "
+            "unique — a shared default collides across producers)")
     encoded = to_flow_protobuf(flows, fixed_length=fixed_length)
     return (
         encoded.writeStream.format("kafka")

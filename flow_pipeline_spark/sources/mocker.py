@@ -122,8 +122,8 @@ def mocker_stream(spark: SparkSession, *, rows_per_second: int = 4,
         .select(F.col("value").alias("id"), F.col("timestamp"))
     )
     ts = F.unix_timestamp("timestamp")  # wall-clock, as the mocker does
-    return _flow_columns(src, ts, seed=seed,
-                         ipv4_fraction=ipv4_fraction).drop("timestamp")
+    # _flow_columns' select already projects only the flow columns
+    return _flow_columns(src, ts, seed=seed, ipv4_fraction=ipv4_fraction)
 
 
 def flows_raw(flows: DataFrame) -> DataFrame:

@@ -413,6 +413,13 @@ def decode_flow_batch(bufs, *, fixed_length: bool = False) -> pd.DataFrame:
                 if shift > 63:      # same 10-byte spec bound as _read_varint
                     raise ValueError("varint too long")
             ln = pos + mlen
+            if ln > len(buf):
+                # a prefix overstating the actual bytes is malformed —
+                # raise the codec's deliberate error instead of a raw
+                # IndexError mid-parse, and keep parity with the
+                # vectorized path (round-7 review: that path silently
+                # decoded the truncated view)
+                raise ValueError("framed length overruns buffer")
         while pos < ln:
             # inline varint tag
             tag = 0
@@ -520,6 +527,15 @@ def encode_flow_batch_vectorized(pdf: pd.DataFrame, *,
             v = np.where(pd.isna(v), 0, v).astype(np.int64)
             if (v < 0).any():
                 return encode_flow_batch(pdf, fixed_length=fixed_length)
+            if name not in _LONG_FIELDS:
+                # field-width mask, like encode_flow_message's
+                # _varint_mask: a 4-byte field's value encodes modulo
+                # 2^32 (round-7 review — this path emitted full 64-bit
+                # varints for u32 fields when handed a LongType column,
+                # diverging byte-wise from the scalar encoder and from
+                # proto.Marshal). 64-bit fields need no mask here:
+                # negatives already fell back to the scalar path.
+                v = v & np.int64(0xFFFFFFFF)
             cols[num] = ("varint", v)
         else:
             payloads = [b"" if p is None else bytes(p) for p in pdf[name]]
@@ -666,6 +682,11 @@ def decode_flow_batch_vectorized(bufs, *, fixed_length: bool = False
         mlen = np.where(two, (b0 & 0x7F) | (b1 << 7), b0)
         plen = 1 + two.astype(np.int64)
         pos = pos + plen
+        # a prefix overstating the actual bytes is malformed: route to
+        # the scalar path (which raises "framed length overruns buffer")
+        # instead of silently decoding the truncated view (round-7
+        # review — the two decoders disagreed on the same bytes)
+        bad |= (pos + mlen > ends) & (lens > 0)
         ends = np.minimum(ends, pos + mlen)
 
     weights = (128 ** np.arange(9, dtype=np.int64))

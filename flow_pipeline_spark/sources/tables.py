@@ -52,6 +52,24 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _events_cache_dir(sf_dir: str) -> str:
+    """Cache location for :func:`partitioned_events_dir`, keyed on the
+    FULL path digest, not the basename alone: ``/run1/sf0.01`` and
+    ``/run2/sf0.01`` collided on one cache entry and the second caller
+    silently read the FIRST warehouse's rows (round-7 review). The
+    basename stays as a human-readable prefix; the per-user root avoids
+    cross-user /tmp squatting (plans._cache_root's hardening)."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = "{}_{}".format(os.path.basename(norm) or "sf",
+                         hashlib.md5(norm.encode()).hexdigest()[:12])
+    return os.path.join(tempfile.gettempdir(),
+                        f"flow_pipeline_partitioned_{os.getuid()}",
+                        tag, "events_by_day")
+
+
 def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf dir) a Date-partitioned copy of ``events``
     — the layout the raw-persist MV writes in production
@@ -67,9 +85,7 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    dest = os.path.join(tempfile.gettempdir(),
-                        "flow_pipeline_partitioned", tag, "events_by_day")
+    dest = _events_cache_dir(sf_dir)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         parent = os.path.dirname(dest)
         os.makedirs(parent, exist_ok=True)

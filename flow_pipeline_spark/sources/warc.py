@@ -227,6 +227,21 @@ def strip_http_headers(payload: "F.Column") -> "F.Column":
     return F.encode(body, "ISO-8859-1")
 
 
+def _hdr_safe(v) -> str:
+    """WARC header-value sanitizer: a bare CR/LF (or other C0 control)
+    inside an interpolated value terminates the header block early and
+    breaks record framing — the reader then quarantines the record AND
+    stops at the framing error, losing every later record in the
+    archive (round-7 review; crawl Target-URIs are adversarial).
+    Control characters are illegal in URIs anyway; percent-encode them
+    so distinct inputs stay distinct."""
+    s = str(v)
+    if not any(ord(c) < 0x20 or ord(c) == 0x7F for c in s):
+        return s
+    return "".join(f"%{ord(c):02X}" if (ord(c) < 0x20 or ord(c) == 0x7F)
+                   else c for c in s)
+
+
 def _stream_wet_records(rows, tmp: str, final: str, *,
                         text_col: str, url_col: str, id_col: str,
                         date: str, gzip_files: bool) -> bool:
@@ -255,8 +270,8 @@ def _stream_wet_records(rows, tmp: str, final: str, *,
                         if gzip_files else raw)
             payload = (r[text_col] or "").encode("utf-8")
             hdr = (f"WARC/1.1\r\nWARC-Type: conversion\r\n"
-                   f"WARC-Record-ID: <urn:doc:{r[id_col]}>\r\n"
-                   f"WARC-Target-URI: {r[url_col]}\r\n"
+                   f"WARC-Record-ID: <urn:doc:{_hdr_safe(r[id_col])}>\r\n"
+                   f"WARC-Target-URI: {_hdr_safe(r[url_col])}\r\n"
                    f"WARC-Date: {date}\r\n"
                    f"Content-Length: {len(payload)}\r\n\r\n")
             sink.write(hdr.encode() + payload + b"\r\n\r\n")

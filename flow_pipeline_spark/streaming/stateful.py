@@ -59,7 +59,12 @@ def _make_flush_fn(flush_count: int, flush_ms: int):
             # (inserter.go:113-121): one large Arrow chunk emits one
             # flush per threshold crossing, each of exactly flush_count
             # rows — not a single oversized batch (round-7 review)
-            vals = pdf["Bytes"].to_numpy()
+            # fillna BEFORE to_numpy: a NULL Bytes row reaches pandas as
+            # float64+NaN (the nullable-long Arrow rendering documented
+            # at exactly_once_batch_writer) and int(NaN) would kill the
+            # streaming query in a checkpoint-replay crash loop (round-7
+            # review). NULL counts as a buffered row of 0 bytes.
+            vals = pdf["Bytes"].fillna(0).to_numpy()
             i = 0
             while i < len(vals):
                 take = min(flush_count - n, len(vals) - i)

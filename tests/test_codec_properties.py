@@ -219,3 +219,20 @@ def test_codec_wire_robustness_round7():
     # varints through the scalar fallback)
     dv = P.decode_flow_batch_vectorized([m])
     assert dv["Bytes"].iloc[0] == big - 2**64
+
+    # framed-length overrun: a prefix overstating the actual bytes is
+    # malformed in BOTH decoders — the vectorized path used to silently
+    # decode the truncated view where the scalar one died mid-parse
+    framed_ok = bytes([len(valid)]) + valid
+    framed_over = bytes([len(valid) + 5]) + valid
+    for fn in (P.decode_flow_batch, P.decode_flow_batch_vectorized):
+        assert fn([framed_ok], fixed_length=True)["Type"].tolist() == [3]
+        with pytest.raises(ValueError, match="overruns"):
+            fn([framed_over], fixed_length=True)
+
+    # vectorized encode applies the u32 field-width mask like the
+    # scalar path: a LongType 2^45 on a 4-byte field masks to 0 (field
+    # omitted), 2^32+7 masks to 7 — byte parity, not a 64-bit varint
+    pdf32 = pd.DataFrame({"SrcAS": [2**45, 2**32 + 7]})
+    assert (P.encode_flow_batch_vectorized(pdf32)
+            == P.encode_flow_batch(pdf32))

@@ -107,3 +107,25 @@ def test_sql_registered_functions(spark):
     assert go["nil"] == "0.0.0.0"
     assert go["mapped"] == "10.0.0.1"
     assert go["v6"] == "101:a8c0::"
+
+
+def test_null_address_renders_null_not_empty(spark):
+    """Round-7 review: concat_ws SKIPS null args, so a NULL address
+    rendered as '' — an empty-string bucket in dashboard group-bys,
+    disagreeing with the registered SQL UDF of the same name. NULL must
+    propagate through both arms of the dual render."""
+    from flow_pipeline_spark.functions.ip import register_sql_functions
+
+    df = spark.createDataFrame([(None, 0x800), (None, 0x86DD)],
+                               "addr binary, etype int")
+    got = [r["ip"] for r in df.select(
+        flow_addr_to_string(F.col("addr"), F.col("etype")).alias("ip")
+    ).collect()]
+    assert got == [None, None]
+    assert _one(spark,
+                ipv4_num_to_string(F.lit(None).cast("long"))) is None
+    register_sql_functions(spark)
+    row = spark.sql("SELECT ipv4_num_to_string(CAST(NULL AS LONG)) AS a, "
+                    "flow_addr_to_string(CAST(NULL AS BINARY), 2048) AS b"
+                    ).collect()[0]
+    assert row["a"] is None and row["b"] is None

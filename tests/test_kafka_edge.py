@@ -244,3 +244,17 @@ def test_kafka_roundtrip_e2e(spark, tmpdir):
     want = flows_raw(flows).orderBy("SequenceNum")
     assert [r.asDict() for r in got.collect()] == \
            [r.asDict() for r in want.collect()]
+
+
+def test_write_flow_stream_requires_checkpoint_dir(spark):
+    """Round-7 review: the fixed /tmp default made two producer jobs
+    started with defaults collide on one checkpoint location (the
+    second resumed from the first's offsets). The checkpoint is now a
+    required, per-job argument — enforced before any Kafka machinery,
+    so this pins jarlessly."""
+    from flow_pipeline_spark.sources.kafka import write_flow_stream
+    from flow_pipeline_spark.sources.mocker import synthetic_flows
+
+    flows = synthetic_flows(spark, 10, seed=1)
+    with pytest.raises(ValueError, match="checkpoint_dir is required"):
+        write_flow_stream(flows, "localhost:9092", "flows")

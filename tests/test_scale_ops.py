@@ -477,3 +477,22 @@ def test_kmv_state_matches_python_reference_randomized(spark):
             want = math.floor((k - 1) * 100.0 * float(1 << 60) / hs[-1]
                               + 0.5)
         assert got_est[g] == want, g
+
+
+def test_events_cache_key_distinguishes_same_basename_dirs():
+    """Round-7 review: the /tmp cache for the Date-partitioned events
+    copy was keyed by the sf dir's BASENAME only, so /run1/sf0.01 and
+    /run2/sf0.01 collided and the second caller silently read the first
+    warehouse's rows. The key must cover the full path (and live under
+    a per-user root)."""
+    import os
+
+    from flow_pipeline_spark.sources.tables import _events_cache_dir
+
+    a = _events_cache_dir("/run1/sf0.01")
+    b = _events_cache_dir("/run2/sf0.01")
+    assert a != b
+    assert f"_{os.getuid()}" in a            # per-user root
+    # stable for the same input (the cache must still hit)
+    assert a == _events_cache_dir("/run1/sf0.01")
+    assert a == _events_cache_dir("/run1//sf0.01/")   # normalized

@@ -1917,6 +1917,22 @@ def test_flush_fn_emits_per_threshold_crossing():
     assert st.get[0] == 5                    # 5-row tail buffered
 
 
+def test_flush_fn_null_bytes_counts_as_zero():
+    """Round-7 review, second pass: a NULL Bytes row reaches pandas as
+    float64+NaN (the nullable-long Arrow rendering) and int(NaN) killed
+    the streaming query in a checkpoint-replay crash loop. The row must
+    count toward the flush threshold with 0 bytes."""
+    from flow_pipeline_spark.streaming.stateful import _make_flush_fn
+
+    fn = _make_flush_fn(flush_count=3, flush_ms=60_000)
+    st = _FakeGroupState()
+    chunk = pd.DataFrame({"Bytes": [5.0, float("nan"), 7.0]})
+    out = list(fn((1,), iter([chunk]), st))[0]
+    assert list(out["n_rows"]) == [3]
+    assert list(out["sum_bytes"]) == [12]
+    assert list(out["flushed_by"]) == ["count"]
+
+
 def test_funnel_fn_state_hygiene_and_null_ts():
     """Round-7 review pair: (a) users who never match steps[0] must not
     materialize a state row (the store stays O(participants)); (b) a

@@ -2543,6 +2543,25 @@ def test_write_wet_round_trip(spark, tmp_path):
     ids = {r.record_id for r in back.collect()}
     assert ids == {f"<urn:doc:{i}>" for i in range(40)}
 
+    # round-7 review, second pass: a URL carrying bare CR/LF used to be
+    # interpolated verbatim into the WARC header block, terminating it
+    # early — the reader quarantined at the framing error and DROPPED
+    # every later record in the archive. Header values percent-encode
+    # control bytes; the payload (Content-Length framed) is untouched.
+    hostile = [(100, "http://x.test/a\r\n\r\nWARC-Type: fake", "evil doc"),
+               (101, "http://y.test/ok", "benign doc")]
+    df2 = spark.createDataFrame(hostile,
+                                "doc_id long, url string, text string")
+    out2 = f"{tmp_path}/hostile"
+    write_wet(df2.coalesce(1), out2)
+    back2 = wet_documents(read_warc(spark, out2))
+    got2 = {r.record_id: (r.url, r.text) for r in back2.collect()}
+    assert len(got2) == 2                    # nothing lost to framing
+    assert got2["<urn:doc:101>"] == ("http://y.test/ok", "benign doc")
+    assert got2["<urn:doc:100>"][1] == "evil doc"
+    assert "\r" not in got2["<urn:doc:100>"][0]
+    assert "%0D%0A" in got2["<urn:doc:100>"][0]
+
 
 def test_read_warc_truncated_gzip_quarantine(spark, tmp_path):
     """A TRUNCATED gzip member raises EOFError and corrupted deflate
