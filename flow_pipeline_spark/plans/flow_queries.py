@@ -43,7 +43,10 @@ def _top_by_traffic(flows_raw: DataFrame, key: Column, key_name: str,
         .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("sumbytes"))
         .orderBy(F.desc("sumbytes"), F.asc(key_name))
     )
-    return out.limit(k) if k else out
+    # k=0 must mean an EMPTY top-0, not 'no limit' (round-7 review:
+    # the falsy check turned a zero-sized panel into a full-table
+    # ordered materialization); None alone means unlimited
+    return out.limit(k) if k is not None else out
 
 
 def _top_by_addr_traffic(flows_raw: DataFrame, addr_col: str, key_name: str,
@@ -72,7 +75,10 @@ def _top_by_addr_traffic(flows_raw: DataFrame, addr_col: str, key_name: str,
         .agg(F.sum("_sb").alias("sumbytes"))
         .orderBy(F.desc("sumbytes"), F.asc(key_name))
     )
-    return out.limit(k) if k else out
+    # k=0 must mean an EMPTY top-0, not 'no limit' (round-7 review:
+    # the falsy check turned a zero-sized panel into a full-table
+    # ordered materialization); None alone means unlimited
+    return out.limit(k) if k is not None else out
 
 
 def top_src_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:

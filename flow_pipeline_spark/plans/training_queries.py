@@ -33,6 +33,25 @@ _SHINGLES = (f"list_transform(range(1, len({_TOKS})-1), "
              f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])")
 
 
+# the deterministic train/val assignment shared by EVERY pipeline that
+# tags splits (train_val_split, corpus_curation, curation_full_pipeline):
+# md5(doc_id || ':split') hex-prefix < 'd3' (~82.4% train). One Spark
+# definition + one SQL fragment so the documented cross-pipeline
+# invariant — all queries assign the same split — cannot drift when the
+# salt or threshold changes (round-7 review: three hand-inlined copies
+# of each form).
+_SPLIT_SQL = ("CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || "
+              "':split'), 1, 2) < 'd3' THEN 'train' ELSE 'val' END "
+              "AS split")
+
+
+def _split_col():
+    return F.when(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 2) < "d3",
+        "train").otherwise("val")
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -618,12 +637,10 @@ def ann_brute_vectorized(spark, sf_dir):
 
 @_q(
     "train_val_split",
-    """
+    f"""
     WITH tagged AS (
       SELECT doc_id, n_chars,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
-                                 1, 2) < 'd3'
-                  THEN 'train' ELSE 'val' END AS split
+             {_SPLIT_SQL}
       FROM documents)
     SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -637,10 +654,7 @@ def ann_brute_vectorized(spark, sf_dir):
         "grouped count; no shuffle of documents.",
 )
 def train_val_split(spark, sf_dir):
-    split = F.when(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
-                                   F.lit(":split"))), 1, 2) < "d3",
-        "train").otherwise("val")
+    split = _split_col()
     return (
         _docs(spark, sf_dir)
         .select("doc_id", "n_chars", split.alias("split"))
@@ -873,9 +887,7 @@ def ann_ivf_knn(spark, sf_dir):
       JOIN hashed t ON t.doc_id = s.doc_id),
     tagged AS (
       SELECT doc_id, n_tokens,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
-                                 1, 2) < 'd3'
-                  THEN 'train' ELSE 'val' END AS split
+             {_SPLIT_SQL}
       FROM kept)
     SELECT split, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -902,10 +914,7 @@ def corpus_curation(spark, sf_dir):
     survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     kept = survivors.select("doc_id").join(
         hashed.select("doc_id", "n_tokens"), "doc_id")
-    split = F.when(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
-                                   F.lit(":split"))), 1, 2) < "d3",
-        "train").otherwise("val")
+    split = _split_col()
     return (kept
             .select("doc_id", "n_tokens", split.alias("split"))
             .groupBy("split")
@@ -1002,9 +1011,7 @@ def corpus_curation(spark, sf_dir):
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
     tagged AS (
       SELECT doc_id, n_tokens,
-             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
-                                 1, 2) < 'd3'
-                  THEN 'train' ELSE 'val' END AS split
+             {_SPLIT_SQL}
       FROM clean)
     SELECT split, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -1084,10 +1091,7 @@ def curation_full_pipeline(spark, sf_dir):
         .select("doc_id"))
     clean = kept.join(contaminated, "doc_id", "left_anti")
 
-    split = F.when(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
-                                   F.lit(":split"))), 1, 2) < "d3",
-        "train").otherwise("val")
+    split = _split_col()
     return (clean
             .select("doc_id", "n_tokens", split.alias("split"))
             .groupBy("split")

@@ -52,19 +52,51 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _events_content_sig(path: str) -> str:
+    """Cheap content signature of the events source (file or directory
+    parquet): per-part size + head/tail bytes. A warehouse regenerated
+    IN PLACE (same path, even a preserved mtime) still changes the
+    parquet footer, so the signature — and the cache key — changes
+    instead of silently serving the previous warehouse's rows (round-7
+    review; same head+footer device as plans._artifact_dir)."""
+    import hashlib
+
+    h = hashlib.md5()
+
+    def one(f: str) -> None:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read(65536))
+            if st.st_size > 65536:
+                fh.seek(max(st.st_size - 65536, 0))
+                h.update(fh.read(65536))
+
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".parquet"):
+                one(os.path.join(path, fn))
+    elif os.path.exists(path):
+        one(path)
+    return h.hexdigest()[:12]
+
+
 def _events_cache_dir(sf_dir: str) -> str:
     """Cache location for :func:`partitioned_events_dir`, keyed on the
-    FULL path digest, not the basename alone: ``/run1/sf0.01`` and
-    ``/run2/sf0.01`` collided on one cache entry and the second caller
-    silently read the FIRST warehouse's rows (round-7 review). The
-    basename stays as a human-readable prefix; the per-user root avoids
-    cross-user /tmp squatting (plans._cache_root's hardening)."""
+    FULL path digest plus the events content signature, not the
+    basename alone: ``/run1/sf0.01`` and ``/run2/sf0.01`` collided on
+    one cache entry and the second caller silently read the FIRST
+    warehouse's rows (round-7 review). The basename stays as a
+    human-readable prefix; the per-user root avoids cross-user /tmp
+    squatting (plans._cache_root's hardening)."""
     import hashlib
     import tempfile
 
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    tag = "{}_{}".format(os.path.basename(norm) or "sf",
-                         hashlib.md5(norm.encode()).hexdigest()[:12])
+    sig = _events_content_sig(os.path.join(norm, "events.parquet"))
+    tag = "{}_{}_{}".format(os.path.basename(norm) or "sf",
+                            hashlib.md5(norm.encode()).hexdigest()[:12],
+                            sig)
     return os.path.join(tempfile.gettempdir(),
                         f"flow_pipeline_partitioned_{os.getuid()}",
                         tag, "events_by_day")

@@ -66,3 +66,55 @@ def test_gated_samples_close_witness_is_pre_wait_reading(monkeypatch):
     pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
                                               base, min_clean=1)
     assert pub == [100.0] and n_excl == 2
+
+
+def test_gated_samples_seed_opening_cal_skips_duplicate_probe(monkeypatch):
+    """Round-7 review, second pass: the caller's _await_write_headroom
+    already measured headroom right before the section — re-probing
+    doubled the gate (extra waits + fsync traffic into the measured
+    disk). A clean opening_cal seeds sample 0's opening witness with NO
+    initial probe; a dirty one still probes."""
+    base = 400.0
+    # exactly n boundary probes (no opening probe must be consumed)
+    probes = iter([400.0, 400.0, 400.0])
+    monkeypatch.setattr(bench, "_io_calibration", lambda mb=64: next(probes))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    runs = iter([10.0, 20.0, 30.0])
+    samples, opens, closes, _l = bench._gated_warm_samples(
+        lambda: next(runs), base, 3, opening_cal=395.0)
+    assert samples == [10.0, 20.0, 30.0]
+    assert opens[0] == 395.0            # the caller's reading, verbatim
+
+    # dirty opening_cal: the initial probe+settle still runs
+    probes2 = iter([100.0, 380.0,       # opening: dirty then settled
+                    400.0, 400.0, 400.0])   # boundary probes
+    monkeypatch.setattr(bench, "_io_calibration",
+                        lambda mb=64: next(probes2))
+    runs2 = iter([10.0, 20.0, 30.0])
+    _s, opens2, _c, _l2 = bench._gated_warm_samples(
+        lambda: next(runs2), base, 3, opening_cal=100.0)
+    assert opens2[0] == 380.0           # settled, not the dirty seed
+
+
+def test_shipping_zip_is_content_keyed(tmp_path, monkeypatch):
+    """Round-7 review: the pid-keyed zip name collided across container
+    launches (same pid, persistent /tmp) and shipped STALE code after a
+    source edit. The digest must change with any .py content change and
+    be stable otherwise."""
+    import os
+
+    from flow_pipeline_spark.shipping import _pkg_digest
+
+    pkg = tmp_path / "pkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "a.py").write_text("x = 1\n")
+    (pkg / "sub" / "b.py").write_text("y = 2\n")
+    d1 = _pkg_digest(str(pkg))
+    assert d1 == _pkg_digest(str(pkg))          # stable
+    (pkg / "a.py").write_text("x = 999\n")
+    assert _pkg_digest(str(pkg)) != d1          # content-sensitive
+    # non-.py files are irrelevant to what ships
+    (pkg / "notes.txt").write_text("irrelevant")
+    d2 = _pkg_digest(str(pkg))
+    (pkg / "notes.txt").write_text("changed")
+    assert _pkg_digest(str(pkg)) == d2

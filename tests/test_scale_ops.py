@@ -496,3 +496,25 @@ def test_events_cache_key_distinguishes_same_basename_dirs():
     # stable for the same input (the cache must still hit)
     assert a == _events_cache_dir("/run1/sf0.01")
     assert a == _events_cache_dir("/run1//sf0.01/")   # normalized
+
+
+def test_events_cache_key_tracks_content(tmp_path):
+    """Regenerating the warehouse IN PLACE (same path) must change the
+    cache key — the old key served the previous warehouse's partitioned
+    copy while the oracle read the new parquet (round-7 review)."""
+    from flow_pipeline_spark.sources.tables import _events_cache_dir
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"PAR1" + b"a" * 100)
+    k1 = _events_cache_dir(str(sf))
+    assert k1 == _events_cache_dir(str(sf))       # stable per content
+    (sf / "events.parquet").write_bytes(b"PAR1" + b"b" * 100)
+    assert _events_cache_dir(str(sf)) != k1       # rewrite -> new key
+    # directory-parquet form participates too
+    d = sf / "events.parquet"
+    d.unlink(); d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"PAR1" + b"c" * 50)
+    k3 = _events_cache_dir(str(sf))
+    (d / "part-0.parquet").write_bytes(b"PAR1" + b"d" * 50)
+    assert _events_cache_dir(str(sf)) != k3
