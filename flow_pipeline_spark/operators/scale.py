@@ -26,6 +26,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _fact_salt(n_salts: int):
+    """The fact-side salt column: a uniform pseudo-random int in
+    [0, n_salts) derived from the row-unique monotonically_increasing_id,
+    so a hot key's rows spread across all n_salts shuffle keys. One
+    definition, used by salted_join AND pinned directly by the spread
+    test (round-7 review: the test re-implemented the expression inline,
+    so it kept passing no matter what salted_join actually did)."""
+    return (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                   F.lit(n_salts))).cast("int")
+
+
 def salted_join(fact: DataFrame, other: DataFrame, key: str, *,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Join ``fact`` (skew-keyed) with ``other`` on ``key``, spreading each
@@ -42,9 +53,7 @@ def salted_join(fact: DataFrame, other: DataFrame, key: str, *,
         # right/full-outer semantics
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    f = fact.withColumn(
-        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                          F.lit(n_salts))).cast("int"))
+    f = fact.withColumn("__salt", _fact_salt(n_salts))
     o = other.withColumn("__salt", F.explode(salts))
     out = f.join(o, [key, "__salt"], how)
     return out.drop("__salt")

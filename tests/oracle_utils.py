@@ -52,7 +52,18 @@ def compare(spark_df, oracle_df, *, float_tol: float = 1e-9) -> list[str]:
                 fy = float(y) if y is not None else math.nan
                 if math.isnan(fx) and math.isnan(fy):
                     continue
-                if abs(fx - fy) > float_tol * max(1.0, abs(fx), abs(fy)):
+                # round-7 review: NaN/inf arithmetic silently PASSED the
+                # old `abs(fx-fy) > tol` form (nan > t is False; inf-inf
+                # is nan; inf > tol*inf is False) — a NULL-vs-value or
+                # inf-vs-value divergence green-lit the oracle. One-side
+                # NaN and any non-finite value is a mismatch unless
+                # exactly equal (inf == inf passes, inf vs -inf fails).
+                if math.isnan(fx) or math.isnan(fy):
+                    problems.append(f"{col}[{i}]: {x!r} != {y!r}")
+                elif not (math.isfinite(fx) and math.isfinite(fy)):
+                    if fx != fy:
+                        problems.append(f"{col}[{i}]: {x!r} != {y!r}")
+                elif abs(fx - fy) > float_tol * max(1.0, abs(fx), abs(fy)):
                     problems.append(f"{col}[{i}]: {x!r} != {y!r}")
             else:
                 sx, sy = str(x), str(y)

@@ -30,22 +30,6 @@ def test_enrich_by_asn(spark, flows):
     assert len(pdf) == flows.count()  # left join preserves all flows
 
 
-def _pfx(cidr: str, asn: int, country: str, pad_v4_goflow: bool = False):
-    """Build (ip_start, ip_end, prefix_len, asn, country) for a CIDR in the
-    flow byte layout (v6 native; v4 left-aligned goflow layout)."""
-    net = ipaddress.ip_network(cidr)
-    if net.version == 6:
-        start, end = net[0].packed, net[-1].packed
-        plen = net.prefixlen
-    else:
-        start = net[0].packed + b"\x00" * 12
-        end = net[-1].packed + b"\xff" * 12 if not pad_v4_goflow else net[-1].packed + b"\x00" * 12
-        # goflow layout pads v4 with zero bytes; ranges must cover them
-        end = net[-1].packed + b"\x00" * 12
-        plen = net.prefixlen
-    return (bytearray(start), bytearray(end), plen, asn, country)
-
-
 def test_enrich_by_prefix_longest_match(spark, flows):
     schema = T.StructType([
         T.StructField("ip_start", T.BinaryType()),

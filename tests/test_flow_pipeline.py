@@ -46,7 +46,10 @@ def test_generator_invariants(flows, fpd):
     assert set(fpd["Etype"]) == {0x800, 0x86DD}
     # all 9 AS pairs (FIXTURES.md F1 invariant)
     assert len(fpd.groupby(["SrcAS", "DstAS"])) == 9
-    assert fpd["TimeReceived"].is_monotonic_increasing or True  # sorted by id
+    # non-decreasing by construction (cumulative jitter steps over id
+    # order); the old `or True` short-circuit made this unfalsifiable
+    # (round-7 review)
+    assert fpd["TimeReceived"].is_monotonic_increasing
     assert (fpd["Bytes"] < 1500).all() and (fpd["Packets"] < 100).all()
     # ≥3 distinct 5-min buckets and ≥2 dates would need long spans; at 250ms
     # mean step 8000 rows ≈ 33 min → ≥3 buckets

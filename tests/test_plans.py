@@ -244,7 +244,10 @@ def test_exact_substring_spans_no_doc_shuffle_no_cartesian(plans):
     assert "CartesianProduct" not in p
     for exch in re.findall(r"Exchange [^\n]*", p):
         assert "text" not in exch, exch
-    assert "partial_min" in p or "partial" in p.lower()
+    # specifically the fp aggregate's map-side partial, not any
+    # 'partial' anywhere in the plan (round-7 review: the lowercase
+    # fallback matched every plan with any partial aggregate)
+    assert "partial_min" in p
 
 
 def test_routed_query_scans_stored_rollup_not_raw(spark, tmp_path):

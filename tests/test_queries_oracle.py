@@ -116,10 +116,21 @@ def test_demotion_ledger_representatives_windowed():
         f"demotion ledger: {unledgered}"
 
 
+# queries whose EMPTY result is correct at sf0.001 (measured): the
+# no-orders anti-join finds nothing in a 150-customer warehouse where
+# every customer ordered. Everything else must return rows — the old
+# `count() >= 0` could never fail (round-7 review).
+_EMPTY_OK_AT_TINY_SF = {"customers_no_orders"}
+
+
 def test_all_queries_return_rows(spark):
     for name, qd in QUERIES.items():
         df = qd.spark(spark, SF_DIR)
-        assert df.count() >= 0, name
+        n = df.count()
+        if name in _EMPTY_OK_AT_TINY_SF:
+            assert n >= 0, name          # smoke only: runs without error
+        else:
+            assert n > 0, name
 
 
 def test_approx_percentiles_error_bound(spark):

@@ -37,13 +37,21 @@ def test_salted_join_equivalence(spark, skewed):
 
 
 def test_salted_join_left_keeps_unmatched(spark, skewed):
+    # dim covers ONLY the hot key (k=1, 90% of fact rows) so BOTH left-
+    # join halves are exercised: matched rows carry attr exactly once
+    # (salting must not duplicate them) and unmatched rows survive with
+    # NULL. The old dim keyed k=0, which the fact domain never contains
+    # — every assert degenerated to all-rows-unmatched (round-7 review).
     f, _ = skewed
-    d_partial = spark.range(0, 1).select(F.col("id").alias("k"),
+    d_partial = spark.range(1, 2).select(F.col("id").alias("k"),
                                          F.lit(7).alias("attr"))
     out = salted_join(f, d_partial, "k", n_salts=4, how="left")
-    assert out.count() == f.count()
+    n_hot = f.filter(F.col("k") == 1).count()
+    assert n_hot > 0
+    assert out.count() == f.count()          # no replication leakage
+    assert out.filter(F.col("attr") == 7).count() == n_hot
     assert out.filter(F.col("attr").isNull()).count() == \
-        f.filter(F.col("k") != 0).count()
+        f.count() - n_hot
 
 
 def test_salted_join_rejects_outer(spark, skewed):
@@ -53,13 +61,20 @@ def test_salted_join_rejects_outer(spark, skewed):
 
 
 def test_salted_join_spreads_hot_key(spark, skewed):
-    """The hot key must occupy n_salts distinct (key, salt) shuffle keys."""
-    f, _ = skewed
-    n = (f.withColumn("__salt",
-                      F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                             F.lit(8)).cast("int"))
+    """The hot key must occupy n_salts distinct (key, salt) shuffle keys.
+    Pins salted_join's OWN salt expression (_fact_salt) and the join
+    condition — the old form re-implemented the expression inline, so it
+    passed no matter what salted_join did (round-7 review)."""
+    from flow_pipeline_spark.operators.scale import _fact_salt
+
+    f, d = skewed
+    n = (f.withColumn("__salt", _fact_salt(8))
          .filter(F.col("k") == 1).select("__salt").distinct().count())
     assert n == 8
+    # and the join itself keys on the salt (not just the business key)
+    plan = (salted_join(f, d, "k", n_salts=8)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "__salt" in plan
 
 
 def test_bucketed_join_no_shuffle(spark):
@@ -124,12 +139,18 @@ def test_approx_top_k_bounds_under_trim(spark):
     and every true heavy hitter (freq > n/(capacity+1)) is reported."""
     from flow_pipeline_spark.operators.scale import approx_top_k
 
-    # skewed synthetic: key j appears ~n/(j+1) times (zipf-ish), many
-    # singletons as noise, spread over several partitions
-    n = 60_000
-    df = (spark.range(n).repartition(8)
-          .select((F.floor(F.sqrt(F.col("id") % 10_000))).cast("long")
-                  .alias("key")))
+    # skewed synthetic: key j appears ~sqrt-spread times (zipf-ish tail)
+    # PLUS one genuinely heavy key (30k rows of key 7) so the
+    # completeness clause below is non-vacuous — the old data's max
+    # frequency (1,194) never crossed err = n/(capacity+1) (3,529), so
+    # `heavy` was always empty and the loop asserted nothing (round-7
+    # review)
+    spread = (spark.range(60_000)
+              .select((F.floor(F.sqrt(F.col("id") % 10_000))).cast("long")
+                      .alias("key")))
+    hot = spark.range(30_000).select(F.lit(7).cast("long").alias("key"))
+    df = spread.unionByName(hot).repartition(8)
+    n = 90_000
     capacity = 16
     k = 8
     got = approx_top_k(df, "key", k=k, capacity=capacity).collect()
@@ -145,6 +166,7 @@ def test_approx_top_k_bounds_under_trim(spark):
     # the top-k as long as k is large enough to hold them
     heavy = sorted((kk for kk, c in true.items() if c > err),
                    key=lambda kk: (-true[kk], kk))[:k]
+    assert heavy, "test data must contain at least one true heavy hitter"
     reported = {r["key"] for r in got}
     for kk in heavy:
         assert kk in reported, (kk, true[kk], err)

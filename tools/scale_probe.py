@@ -508,6 +508,13 @@ def main() -> None:
         filler = "lorem " * 20
         for n in [50_000, 200_000,
                   400_000 if args.fast else 800_000]:
+            # record the MATERIALIZED count: integer division truncated
+            # 50,000 to 12 files x 4,000 = 48,000 records while rows/s
+            # divided by the nominal n, inflating the smallest step's
+            # throughput ~4% vs the evenly-dividing steps (round-7
+            # review) — that bias is exactly what a flat-scaling probe
+            # must not carry
+            n = (n // per_file) * per_file
             wdir = f"{d}/warc_{n}"
             os.makedirs(wdir, exist_ok=True)
             for fi in range(n // per_file):
