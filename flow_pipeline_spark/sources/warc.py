@@ -234,7 +234,10 @@ def _hdr_safe(v) -> str:
     stops at the framing error, losing every later record in the
     archive (round-7 review; crawl Target-URIs are adversarial).
     Control characters are illegal in URIs anyway; percent-encode them
-    so distinct inputs stay distinct."""
+    so control-character variants of a value stay distinct. NOT a
+    reversible encoding: a value that already contains a literal
+    ``%0A`` collides with an encoded newline — acceptable for header
+    identity/quota keys, which is all these fields feed."""
     s = str(v)
     if not any(ord(c) < 0x20 or ord(c) == 0x7F for c in s):
         return s

@@ -2917,3 +2917,55 @@ def test_ann_tie_determinism_and_empty_edges(spark):
     assert S.pq_knn(codes, none, books, k=3).count() == 0
     with pytest.raises(ValueError, match="corpus is empty"):
         S.kmeans_fit(corpus.filter(F.col("vec_id") < 0), n_cells=4)
+
+
+def test_local_topk_tied_matches_full_sort_property():
+    """Property: for ANY scores/ids and any take, the tie-correct local
+    cut returns exactly the first `take` indices of the full
+    (score DESC, id ASC) sort — the contract the vectorized ANN kernels
+    (brute/PQ) rely on at their batch boundaries. Scores are drawn from
+    a tiny value set so boundary ties are dense (the regime the helper
+    exists for)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flow_pipeline_spark.operators.similarity import _local_topk_tied
+
+    @given(st.lists(st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+                    min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=70),
+           st.randoms(use_true_random=False))
+    @settings(max_examples=300, deadline=None)
+    def check(scores, take, rng):
+        col = np.array(scores, dtype="float64")
+        ids = np.arange(len(scores), dtype="int64")
+        rng.shuffle(ids)                 # ids independent of position
+        got = _local_topk_tied(col, ids, take)
+        ref = np.lexsort((ids, -col))[:take]
+        assert np.array_equal(got, ref), (scores, ids.tolist(), take)
+
+    check()
+
+
+def test_hdr_safe_properties():
+    """_hdr_safe invariants: output never contains C0/DEL bytes (the
+    framing-break class), clean strings pass through byte-identical,
+    control-character variants of a value stay distinct, and the
+    function is idempotent (not reversible — documented)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flow_pipeline_spark.sources.warc import _hdr_safe
+
+    @given(st.text(min_size=0, max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        out = _hdr_safe(s)
+        assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in out)
+        if not any(ord(c) < 0x20 or ord(c) == 0x7F for c in s):
+            assert out == s
+        assert _hdr_safe(out) == out     # idempotent
+
+    check()
+    assert _hdr_safe("a\r\nb") != _hdr_safe("a\nb")   # distinctness kept
