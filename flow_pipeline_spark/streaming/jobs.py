@@ -241,6 +241,16 @@ def _swap_in(store_dir: str, write_tmp, *,
         if os.path.isdir(s):
             os.makedirs(d, exist_ok=True)
             for n in os.listdir(s):
+                if n.startswith(".") or n == "_temporary":
+                    # NEVER salvage committer internals: a mid-write
+                    # attempt file copied out of _temporary can later be
+                    # PROMOTED by the writer's own task commit into a
+                    # final part file with a truncated footer (reproduced
+                    # by the concurrency stress test). Committed part
+                    # files arrive by atomic rename, so they are always
+                    # complete; _SUCCESS is copied (it only exists after
+                    # every file is visible), .crc sidecars are not.
+                    continue
                 _merge_copy(os.path.join(s, n), os.path.join(d, n))
         elif not os.path.exists(d):
             shutil.copy2(s, d)
@@ -294,6 +304,35 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     """D3 — OPTIMIZE TABLE equivalent (README.md:164-173): rewrite the
     rollup with partials merged. Idempotent; safe under repeated runs.
 
+    Bounded retry wrapper: a concurrent appender's epoch REPLAY
+    (foreachBatch is at-least-once; the epoch overwrite deletes the
+    target dir before rewriting) can delete files between this pass's
+    listing and its read — the store's documented reader contract is
+    retry-on-transient-FileNotFound, and the compactor is a reader too
+    (reproduced by the concurrency stress test). Each retry
+    re-snapshots, so the stale listing heals; non-transient errors
+    raise immediately."""
+    for attempt in range(4):
+        try:
+            return _run_compaction_once(spark, rollup_dir)
+        except Exception as e:
+            msg = str(e)
+            # the two stale-listing shapes the stress test reproduced:
+            # a planned file deleted before execution, and an epoch dir
+            # momentarily EMPTY mid-overwrite (no footers at planning
+            # time -> schema inference fails)
+            transient = ("FAILED_READ_FILE" in msg
+                         or "FileNotFoundException" in msg
+                         or "does not exist" in msg
+                         or "UNABLE_TO_INFER_SCHEMA" in msg)
+            if not transient or attempt == 3:
+                raise
+
+
+def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
+    """One compaction pass (see :func:`run_compaction` for the retry
+    contract).
+
     Writes to a sibling tmp dir then atomically swaps, so concurrent
     readers never see partial state; the merged output lands as the
     reserved ``epoch=-1`` partition (stream epochs are >= 0), keeping
@@ -315,7 +354,22 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
         return
     needed = [*ROLLUP_KEY, SUB_KEY, "Bytes", "Packets", "Count"]
     epochs = [e for e in entries if e.startswith("epoch=")]
+    # pin the input to COMPLETE epochs (job-commit _SUCCESS marker): an
+    # epoch whose commit is in flight at snapshot time has a PARTIALLY
+    # visible file set — merging the visible half while salvage_known
+    # skipped the late files lost them with no crash at all (round-7
+    # review, second pass). An incomplete epoch stays out of the
+    # snapshot AND out of salvage_known, so the swap's file-level
+    # salvage carries whatever it has landed by publish time; its
+    # writer's own commit then either completes into the recreated
+    # store or fails visibly and replays (epoch overwrite is
+    # idempotent either way).
+    epochs = [e for e in epochs
+              if os.path.exists(os.path.join(rollup_dir, e, "_SUCCESS"))]
     flat = [e for e in entries if not e.startswith("epoch=")]
+    snapshot = set(flat) | set(epochs)
+    if not snapshot:
+        return
     parts = []
     for group in (epochs, flat):
         if group:
@@ -333,7 +387,7 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
         compacted.withColumn("epoch", F.lit(-1))
         .sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
         .write.mode("overwrite").partitionBy("epoch", "Date")
-        .parquet(tmp)), salvage_known=set(entries))
+        .parquet(tmp)), salvage_known=snapshot)
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:

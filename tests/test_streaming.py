@@ -1719,6 +1719,62 @@ def test_compaction_salvages_epoch_landed_mid_compaction(
     assert expect.exceptAll(merged2).isEmpty()
 
 
+def test_compaction_appender_concurrency_stress(spark, tmpdir, flow_source):
+    """The salvage contract under REAL thread concurrency, not a
+    scripted interleave: a live appender lands epochs (with the
+    streaming engine's retry-on-failure semantics — foreachBatch is
+    at-least-once and the epoch overwrite is idempotent) while
+    compactions loop in the main thread. The documented guarantee is
+    that any non-crash interleaving loses nothing; this drives the
+    park/retry/salvage windows for dozens of real interleavings. Also
+    exercises the round-7 _SUCCESS snapshot gate: an epoch mid-commit
+    at compaction snapshot time must not be half-merged."""
+    import threading
+
+    from flow_pipeline_spark.streaming import jobs
+
+    src, _ = flow_source
+    raw = flows_raw(spark.read.parquet(src))
+    slices = [raw.filter(F.col("SrcAS") % 3 == i).localCheckpoint()
+              for i in range(3)]
+    d = f"{tmpdir}/rollup_stress"
+    jobs._write_rollup_epoch(slices[0], 0, d)
+
+    n_epochs = 8
+    errs = []
+
+    def appender():
+        try:
+            for e in range(1, n_epochs + 1):
+                for attempt in range(3):      # streaming-engine replay
+                    try:
+                        jobs._write_rollup_epoch(slices[e % 3], e, d)
+                        break
+                    except Exception:
+                        if attempt == 2:
+                            raise
+        except Exception as ex:               # pragma: no cover
+            errs.append(ex)
+
+    t = threading.Thread(target=appender, daemon=True)
+    t.start()
+    try:
+        while t.is_alive():
+            run_compaction(spark, d)
+    finally:
+        t.join(timeout=600)
+    assert not errs, errs
+    run_compaction(spark, d)                  # quiesced final fold
+
+    expect_src = slices[0]
+    for e in range(1, n_epochs + 1):
+        expect_src = expect_src.unionByName(slices[e % 3])
+    expect = rollup_flat(expect_src)
+    merged = read_rollup(spark, d)
+    assert merged.exceptAll(expect).isEmpty()
+    assert expect.exceptAll(merged).isEmpty()
+
+
 def test_swap_salvage_merges_epoch_split_across_two_parks(tmp_path,
                                                           monkeypatch):
     """Round-7 review, second pass: an appender epoch whose part files
