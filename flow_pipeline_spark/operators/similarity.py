@@ -75,6 +75,19 @@ def _topk_per_query(scored, k: int):
             .select("q", "n", "cos", "rank"))
 
 
+def _half_up_4dp(a):
+    """The module-wide rounding device on numpy arrays: HALF-UP at 4
+    decimal places, matching Spark's F.round and the DuckDB oracles —
+    np.round is half-to-even and can differ by 1e-4 exactly at a
+    rounding boundary, flipping a rank or forming tie groups
+    differently (round-6/7 reviews). ONE definition: seven hand-inlined
+    copies previously had to stay bit-identical by discipline alone.
+    """
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
+
+
 def _local_topk_tied(col, ids, take):
     """Indices of the local top-``take`` rows under the pinned
     (score DESC, id ASC) order, TIE-CORRECT at the cut boundary —
@@ -451,7 +464,7 @@ def brute_knn_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
             # boundary, flipping a rank (round-6 review; the other
             # GEMM kernels in this module already use this form)
             cos = m @ qm.T                        # |batch| × |Q|
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            cos = _half_up_4dp(cos)
             take = min(k + 1, len(ids))           # +1 absorbs self-matches
             for j, qid in enumerate(q_ids):
                 col = cos[:, j]
@@ -837,7 +850,7 @@ def _cell_pairs_vectorized(assigned: DataFrame, threshold: float, *,
         m = np.array(list(pdf[vec_col]), dtype="float64")
         vn = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         cos = (m @ m.T) / (vn * vn.T)
-        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        cos = _half_up_4dp(cos)
         ia, ib = np.triu_indices(len(ids), k=1)   # id_a < id_b (sorted)
         vals = cos[ia, ib]
         keep = vals >= threshold
@@ -897,7 +910,7 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
                     np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
                 cos = (m @ cm.T) / (vn * cn[None, :])
                 # HALF-UP at 4dp (cosines can be negative: away from 0)
-                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+                cos = _half_up_4dp(cos)
                 yield pd.DataFrame({id_col: ids,
                                     out_col: cids[cos.argmax(1)]})
 
@@ -979,7 +992,7 @@ def incremental_semantic_dedup(new_batch: DataFrame, store: DataFrame,
             cos = (nm @ hm.T) / (nn * hn.T)
             # HALF-UP at 4dp, matching the HOF verify (see
             # _cell_pairs_vectorized)
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            cos = _half_up_4dp(cos)
             ia, ib = np.nonzero(cos >= threshold)
             return pd.DataFrame({"new_id": nid[ia], "hist_id": hid[ib],
                                  "cos": cos[ia, ib]})
@@ -1236,7 +1249,7 @@ def pq_knn(codes: DataFrame, queries: DataFrame,
                 # HALF-UP at 4dp, the module-wide rounding device —
                 # np.round is half-to-even and formed tie groups
                 # differently from every other ANN path (round-7 review)
-                s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+                s = _half_up_4dp(s)
                 # tie-correct local cut: lossy PQ codes tie constantly
                 top = _local_topk_tied(s, ids, take)
                 mask = ids[top] != qid
@@ -1313,8 +1326,7 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         C = _np.array(list(cs), dtype="int64")
         s = lut[qi[:, None], _np.arange(m_)[None, :], C].sum(axis=1)
         # HALF-UP 4dp, matching pq_knn's kernel and every ANN path here
-        return pd.Series(_np.sign(s) * _np.floor(_np.abs(s) * 1e4 + 0.5)
-                         / 1e4)
+        return pd.Series(_half_up_4dp(s))
 
     kk = k if not rerank else (shortlist or 4 * k)
     scored = (codes_cells.join(F.broadcast(probes), "cell")
@@ -1436,7 +1448,7 @@ def semantic_gate_udf(store: DataFrame, threshold: float = 0.999):
             # raw dot / (norm · norm) — the batch verify's operand order
             cos = (m @ x) / (hn * xn)
             # HALF-UP at 4dp — the batch verify's rounding
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            cos = _half_up_4dp(cos)
             out.append(bool((cos >= threshold).any()))
         return pd.Series(out)
 

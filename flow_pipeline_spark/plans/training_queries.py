@@ -3225,33 +3225,14 @@ def _cache_root() -> str:
     predictable cache dir — permission failures at best, silently
     reading someone else's bytes at worst). ``SPARK_GRAFT_CACHE_DIR``
     overrides (e.g. point it at scratch storage all executors share on
-    a real cluster); the default is ``$TMPDIR/fps_cache_<uid>``. Loudly
-    refuses a root owned by another user instead of trusting it."""
-    import tempfile
+    a real cluster); the default is ``$TMPDIR/fps_cache_<uid>``. The
+    squat/symlink/uid defenses live in ONE place —
+    :func:`flow_pipeline_spark.cachedir.user_cache_root` — shared with
+    the partitioned-events cache (round-7 review: the sibling cache had
+    re-implemented the root without them)."""
+    from ..cachedir import user_cache_root
 
-    root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
-        tempfile.gettempdir(), f"fps_cache_{os.getuid()}")
-    # reject a symlinked root: another user planting the predictable
-    # path as a symlink would redirect every artifact read/write — and
-    # the uid check below would pass if the TARGET happens to be ours
-    # (round-7 review). The lstat check runs AFTER makedirs — a symlink
-    # planted in a check-then-create window necessarily still exists
-    # here (review follow-up: a pre-makedirs-only check was TOCTOU).
-    import stat as _stat
-
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    if _stat.S_ISLNK(os.lstat(root).st_mode):
-        raise RuntimeError(
-            f"artifact cache {root} is a symlink — refusing to follow "
-            f"it; set SPARK_GRAFT_CACHE_DIR to a private directory")
-    st = os.stat(root)
-    if st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"artifact cache {root} is owned by uid {st.st_uid}, not "
-            f"this process's uid {os.getuid()} — another user holds the "
-            f"path; set SPARK_GRAFT_CACHE_DIR to a private directory")
-    os.chmod(root, 0o700)
-    return root
+    return user_cache_root("fps_cache", env_var="SPARK_GRAFT_CACHE_DIR")
 
 
 def _artifact_dir(prefix: str, sf_dir: str,

@@ -90,15 +90,18 @@ def _events_cache_dir(sf_dir: str) -> str:
     human-readable prefix; the per-user root avoids cross-user /tmp
     squatting (plans._cache_root's hardening)."""
     import hashlib
-    import tempfile
+
+    from ..cachedir import user_cache_root
 
     norm = os.path.abspath(os.path.normpath(sf_dir))
     sig = _events_content_sig(os.path.join(norm, "events.parquet"))
     tag = "{}_{}_{}".format(os.path.basename(norm) or "sf",
                             hashlib.md5(norm.encode()).hexdigest()[:12],
                             sig)
-    return os.path.join(tempfile.gettempdir(),
-                        f"flow_pipeline_partitioned_{os.getuid()}",
+    # the root carries the squat/symlink/uid defenses (cachedir —
+    # round-7 review: this cache had re-implemented the root without
+    # them, leaving the predictable path plantable by another user)
+    return os.path.join(user_cache_root("flow_pipeline_partitioned"),
                         tag, "events_by_day")
 
 
@@ -119,7 +122,19 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
     dest = _events_cache_dir(sf_dir)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        parent = os.path.dirname(dest)
+        import shutil as _sh
+
+        parent = os.path.dirname(dest)          # <root>/<tag>
+        # content-keyed tags strand the PREVIOUS warehouse's full copy
+        # when the data is regenerated in place — clear superseded
+        # siblings (same basename+path-digest prefix, older content
+        # signature) before building the new one (round-7 review:
+        # unbounded /tmp growth across bench/test reruns)
+        root, tag = os.path.split(parent)
+        stale_prefix = tag.rsplit("_", 1)[0] + "_"
+        for sib in os.listdir(root):
+            if sib != tag and sib.startswith(stale_prefix):
+                _sh.rmtree(os.path.join(root, sib), ignore_errors=True)
         os.makedirs(parent, exist_ok=True)
         tmp = tempfile.mkdtemp(prefix="events_by_day_", dir=parent)
         (load_table(spark, sf_dir, "events")

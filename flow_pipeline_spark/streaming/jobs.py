@@ -364,8 +364,15 @@ def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
     # writer's own commit then either completes into the recreated
     # store or fails visibly and replays (epoch overwrite is
     # idempotent either way).
+    # epoch=-1 is compaction's OWN output, published atomically by the
+    # swap — it never carries an inner _SUCCESS (the partitioned write
+    # leaves the marker at the store root), so gating it would exclude
+    # it from every future merge: each compaction would then only
+    # salvage-copy the ever-growing epoch=-1 history instead of
+    # re-merging it (round-7 review of the gate itself).
     epochs = [e for e in epochs
-              if os.path.exists(os.path.join(rollup_dir, e, "_SUCCESS"))]
+              if e == "epoch=-1"
+              or os.path.exists(os.path.join(rollup_dir, e, "_SUCCESS"))]
     flat = [e for e in entries if not e.startswith("epoch=")]
     snapshot = set(flat) | set(epochs)
     if not snapshot:

@@ -1773,6 +1773,13 @@ def test_compaction_appender_concurrency_stress(spark, tmpdir, flow_source):
     merged = read_rollup(spark, d)
     assert merged.exceptAll(expect).isEmpty()
     assert expect.exceptAll(merged).isEmpty()
+    # and OPTIMIZE actually OPTIMIZED: the quiesced fold leaves one
+    # merged epoch, not a salvage-carried pile (round-7 review: the
+    # _SUCCESS gate briefly excluded epoch=-1 — compaction's own
+    # atomically-published output — so nothing ever re-merged)
+    import os as _os
+    names = sorted(e for e in _os.listdir(d) if e.startswith("epoch="))
+    assert names == ["epoch=-1"], names
 
 
 def test_reader_vs_swap_atomic_view_stress(spark, tmpdir):
