@@ -208,8 +208,15 @@ def _pick_attempt(attempts: list[dict], io_baseline: float
     import statistics
 
     def _clean(a: dict) -> bool:
+        # witness_ok: uniform slowness passes the floor-ratio gate and
+        # the closing calibration can recover during the settle — an
+        # attempt that could not produce enough witness-clean samples
+        # is dirty no matter what the other two gates say (round-7,
+        # second pass: a run with every close at ~20 MB/s published
+        # 'clean' decode 7x below its own same-week figure)
         return (a["floor_ratio"] <= 2
-                and a["io_cal_after"] >= io_baseline / 2)
+                and a["io_cal_after"] >= io_baseline / 2
+                and a.get("witness_ok", True))
 
     clean = [a for a in attempts if _clean(a)]
     pool = clean or attempts
@@ -276,20 +283,24 @@ def _gated_warm_samples(
 
 def _witness_clean_subset(samples: list[float], opens: list[float],
                           closes: list[float], io_baseline: float,
-                          min_clean: int) -> tuple[list[float], int]:
+                          min_clean: int) -> tuple[list[float], int, bool]:
     """Publishable subset of a gated warm section: sample i is
     witness-clean iff both bracketing probes cleared baseline/2 — the
     opening settled reading and the closing FIRST (pre-wait) reading
     (a burst entirely INSIDE one sample still slips through — the
     floor-ratio gate downstream stays as the backstop). Falls back to
-    the full set when fewer than ``min_clean`` samples qualify (then
-    the attempt fails its gates honestly rather than publishing a
-    2-sample median). Returns (subset, n_excluded)."""
+    the full set when fewer than ``min_clean`` samples qualify, with
+    ``witness_ok=False`` — the attempt's gates MUST treat that as dirty
+    (round-7, second pass: a section whose every close collapsed to
+    ~20 MB/s published 'clean' because uniform slowness passes the
+    floor-ratio gate and the closing calibration recovered during the
+    long settle; too-few-witnessed-samples IS the contamination
+    signal). Returns (subset, n_excluded, witness_ok)."""
     idx = [i for i in range(len(samples))
            if opens[i] >= io_baseline / 2 and closes[i] >= io_baseline / 2]
     if len(idx) < min_clean:
-        return samples, 0
-    return [samples[i] for i in idx], len(samples) - len(idx)
+        return samples, 0, False
+    return [samples[i] for i in idx], len(samples) - len(idx), True
 
 
 def _steady(build, runs: int = 2) -> float:
@@ -388,7 +399,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             warm, s_opens, s_closes, warm_load = _gated_warm_samples(
                 run_ingest, io_baseline, 5, opening_cal=cal_before)
             cal_after, cal_trace = _settled_calibration(io_baseline)
-            pub, n_excl = _witness_clean_subset(
+            pub, n_excl, wit_ok = _witness_clean_subset(
                 warm, s_opens, s_closes, io_baseline, min_clean=3)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             attempts.append({
@@ -400,8 +411,9 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
                 "load1_at_start": warm_load,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
+                "witness_ok": wit_ok,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})
-            if med <= 2 * lo and cal_after >= io_baseline / 2:
+            if med <= 2 * lo and cal_after >= io_baseline / 2 and wit_ok:
                 break
             more = ("re-running the warm section" if attempt < 2 else
                     "attempts exhausted, publishing the best attempt")
@@ -475,7 +487,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # give it the minute rather than publish "contaminated"
             cal_after, cal_trace = _settled_calibration(
                 io_baseline, probes=8, sleep_s=15)
-            pub, n_excl = _witness_clean_subset(
+            pub, n_excl, wit_ok = _witness_clean_subset(
                 dec_warm, d_opens, d_closes, io_baseline, min_clean=2)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
             dec_attempts.append({
@@ -486,8 +498,9 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
                 "io_cal_sample_close": d_closes,
                 "io_cal_before": cal_before, "io_cal_after": cal_after,
                 "io_cal_after_trace": cal_trace,
+                "witness_ok": wit_ok,
                 "floor_ratio": round(med / max(lo, 1e-9), 2)})
-            if med <= 2 * lo and cal_after >= io_baseline / 2:
+            if med <= 2 * lo and cal_after >= io_baseline / 2 and wit_ok:
                 break
             more = ("re-running" if attempt < 2 else
                     "attempts exhausted, publishing the best attempt")

@@ -15,9 +15,10 @@ def test_witness_clean_subset_drops_bracketed_dirty_sample():
     samples = [100.0, 101.0, 40.0, 99.0, 100.0]
     opens = [400.0, 400.0, 400.0, 390.0, 400.0]
     closes = [400.0, 400.0, 150.0, 400.0, 400.0]   # burst around sample 2
-    pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
-                                              base, min_clean=3)
+    pub, n_excl, ok = bench._witness_clean_subset(samples, opens, closes,
+                                                  base, min_clean=3)
     assert pub == [100.0, 101.0, 99.0, 100.0] and n_excl == 1
+    assert ok is True
 
 
 def test_witness_clean_subset_falls_back_below_min_clean():
@@ -25,10 +26,18 @@ def test_witness_clean_subset_falls_back_below_min_clean():
     samples = [100.0, 40.0, 42.0]
     opens = [400.0, 150.0, 150.0]
     closes = [150.0, 150.0, 150.0]
-    pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
-                                              base, min_clean=2)
-    # only 0 clean samples — publish everything, let the floor gate fail
+    pub, n_excl, ok = bench._witness_clean_subset(samples, opens, closes,
+                                                  base, min_clean=2)
+    # only 0 clean samples — publish everything, but witness_ok=False
+    # MUST make the attempt dirty: uniform contention passes the floor
+    # gate and the closing calibration can recover during the settle
+    # (round-7 second pass: such a run published 'clean' decode 7x low)
     assert pub == samples and n_excl == 0
+    assert ok is False
+    contended = bench._pick_attempt(
+        [{"floor_ratio": 1.0, "io_cal_after": base,
+          "witness_ok": False, "samples": pub}], base)[1]
+    assert contended is True
 
 
 def test_gated_samples_close_witness_is_pre_wait_reading(monkeypatch):
@@ -60,10 +69,10 @@ def test_gated_samples_close_witness_is_pre_wait_reading(monkeypatch):
     # samples 2 AND 3 are witness-dirty (3's close saw the second
     # burst): with min_clean=2 only one clean sample remains, so the
     # subset falls back to the full set and the floor gate decides
-    pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
+    pub, n_excl, _ok = bench._witness_clean_subset(samples, opens, closes,
                                               base, min_clean=2)
     assert pub == samples and n_excl == 0
-    pub, n_excl = bench._witness_clean_subset(samples, opens, closes,
+    pub, n_excl, _ok = bench._witness_clean_subset(samples, opens, closes,
                                               base, min_clean=1)
     assert pub == [100.0] and n_excl == 2
 
