@@ -54,18 +54,25 @@ def register_views(spark: SparkSession, sf_dir: str,
 
 def _events_content_sig(path: str) -> str:
     """Cheap content signature of the events source (file or directory
-    parquet): per-part size + head/tail bytes. A warehouse regenerated
-    IN PLACE (same path, even a preserved mtime) still changes the
-    parquet footer, so the signature — and the cache key — changes
-    instead of silently serving the previous warehouse's rows (round-7
-    review; same head+footer device as plans._artifact_dir)."""
+    parquet): per-part size + mtime_ns + head/tail bytes. A warehouse
+    regenerated IN PLACE (same path) almost always changes the parquet
+    footer (row-group stats live in the tail), so the signature — and
+    the cache key — changes instead of silently serving the previous
+    warehouse's rows (round-7 review; same head+footer device as
+    plans._artifact_dir). The byte sampling is PROBABILISTIC, not a
+    full-content hash: a regeneration confined strictly to mid-file
+    bytes with identical sizes would keep the same sample — mtime_ns
+    is folded in as the cheap discriminator for exactly that case
+    (round-7 advice; a rewrite that also forges mtime is outside the
+    threat model of a local test-warehouse cache)."""
     import hashlib
 
     h = hashlib.md5()
 
     def one(f: str) -> None:
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}"
+                 .encode())
         with open(f, "rb") as fh:
             h.update(fh.read(65536))
             if st.st_size > 65536:
@@ -125,16 +132,6 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
         import shutil as _sh
 
         parent = os.path.dirname(dest)          # <root>/<tag>
-        # content-keyed tags strand the PREVIOUS warehouse's full copy
-        # when the data is regenerated in place — clear superseded
-        # siblings (same basename+path-digest prefix, older content
-        # signature) before building the new one (round-7 review:
-        # unbounded /tmp growth across bench/test reruns)
-        root, tag = os.path.split(parent)
-        stale_prefix = tag.rsplit("_", 1)[0] + "_"
-        for sib in os.listdir(root):
-            if sib != tag and sib.startswith(stale_prefix):
-                _sh.rmtree(os.path.join(root, sib), ignore_errors=True)
         os.makedirs(parent, exist_ok=True)
         tmp = tempfile.mkdtemp(prefix="events_by_day_", dir=parent)
         (load_table(spark, sf_dir, "events")
@@ -149,4 +146,25 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
             os.rename(tmp, dest)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+        # content-keyed tags strand the PREVIOUS warehouse's full copy
+        # when the data is regenerated in place — clear superseded
+        # siblings (same basename+path-digest prefix, older content
+        # signature), but only AFTER this cache's _SUCCESS is published
+        # and only siblings old enough that no straddling process is
+        # still reading them (round-7 advice: the pre-build rmtree
+        # deleted a superseded cache out from under a concurrent bench
+        # run mid-query)
+        import time
+        root, tag = os.path.split(parent)
+        stale_prefix = tag.rsplit("_", 1)[0] + "_"
+        cutoff = time.time() - 900          # 15-min reader grace
+        for sib in os.listdir(root):
+            if sib == tag or not sib.startswith(stale_prefix):
+                continue
+            sib_path = os.path.join(root, sib)
+            try:
+                if os.stat(sib_path).st_mtime < cutoff:
+                    _sh.rmtree(sib_path, ignore_errors=True)
+            except OSError:
+                pass                        # racer already cleaned it
     return dest

@@ -312,21 +312,48 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
     (reproduced by the concurrency stress test). Each retry
     re-snapshots, so the stale listing heals; non-transient errors
     raise immediately."""
+    import time
     for attempt in range(4):
         try:
             return _run_compaction_once(spark, rollup_dir)
         except Exception as e:
-            msg = str(e)
-            # the two stale-listing shapes the stress test reproduced:
-            # a planned file deleted before execution, and an epoch dir
-            # momentarily EMPTY mid-overwrite (no footers at planning
-            # time -> schema inference fails)
-            transient = ("FAILED_READ_FILE" in msg
-                         or "FileNotFoundException" in msg
-                         or "does not exist" in msg
-                         or "UNABLE_TO_INFER_SCHEMA" in msg)
-            if not transient or attempt == 3:
+            if not _is_transient_read_error(e) or attempt == 3:
                 raise
+            # short backoff so a replaying appender's delete window can
+            # pass before the re-snapshot (round-7 advice: immediate
+            # retries could hit the same mid-overwrite gap four times)
+            time.sleep(0.2 * (attempt + 1))
+
+
+def _is_transient_read_error(e: Exception) -> bool:
+    """Is ``e`` one of the stale-listing shapes a concurrent appender's
+    epoch overwrite produces (a planned file deleted before execution;
+    an epoch dir momentarily EMPTY mid-overwrite so schema inference
+    fails)?  Classified by Spark's structured error condition when the
+    exception carries one — round-7 advice: the old substring-only match
+    ('does not exist') also caught permanent analysis errors phrased the
+    same way (e.g. a missing column) and retried them 4x. Exceptions
+    without a condition (Py4J-wrapped executor IOExceptions) fall back
+    to the substring forms the stress test reproduced, minus the
+    ambiguous one."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):    # 4.x / 3.x names
+        fn = getattr(e, attr, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    if cond:
+        return cond.split(".")[0] in {
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA", "FAILED_READ_FILE"}
+    msg = str(e)
+    return ("FAILED_READ_FILE" in msg
+            or "FileNotFoundException" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg)
 
 
 def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
