@@ -125,11 +125,35 @@ def _write_rollup_epoch(batch_df: DataFrame, batch_id: int,
     re-appended the same partials — and the summing algebra means
     duplicates INFLATE every later read/compaction, permanently.
     Readers discover ``epoch`` as a partition column and re-aggregate
-    through compact_rollup, which drops it."""
+    through compact_rollup, which drops it.
+
+    The epoch lands inside the CURRENT pointer version (see
+    :func:`_swap_in`), and the pointer is re-checked after the write: a
+    concurrent compaction that published mid-write would otherwise
+    leave this epoch in the superseded snapshot (the compaction's own
+    salvage passes usually carry it, but the appender closes its own
+    race instead of relying on the racer). If the superseded snapshot
+    was ALREADY GC'd (two publishes completed inside one epoch write),
+    the write itself failed or the data is gone — raise so the
+    streaming engine replays the epoch (the overwrite is idempotent)."""
+    target_root = _resolve_store(rollup_dir) or _init_store(rollup_dir)
+    ep = f"epoch={batch_id}"
     (rollup_flat(batch_df)
      .write.mode("overwrite")
      .partitionBy("Date")
-     .parquet(os.path.join(rollup_dir, f"epoch={batch_id}")))
+     .parquet(os.path.join(target_root, ep)))
+    while True:
+        cur = _resolve_store(rollup_dir)
+        if cur == target_root:
+            return
+        src = os.path.join(target_root, ep)
+        if not os.path.isdir(src):
+            raise OSError(
+                f"rollup epoch {batch_id} at {rollup_dir} was "
+                f"garbage-collected mid-write (two compactions "
+                f"published inside one epoch) — replaying the epoch")
+        _merge_copy(src, os.path.join(cur, ep))
+        target_root = cur
 
 
 def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
@@ -155,149 +179,343 @@ def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
                                 trigger=trigger)
 
 
-def _recover_swap(store_dir: str) -> None:
-    """Repair a store directory after a crash mid-:func:`_swap_in`.
+# ---------------------------------------------------------------------------
+# Versioned store layout (the swap-managed state-store protocol)
+#
+# Every swap-managed store (rollup compaction, CDC store, uniq/bitmap/KMV
+# state stores) is a directory of immutable-once-published SNAPSHOT versions
+# plus one atomically-replaced pointer file:
+#
+#     store_dir/
+#       _POINTER        one line: "<current> [<previous>]", e.g. "v00000007 v00000006"
+#       v00000007/      the published snapshot (parquet; for the rollup,
+#                       epoch=*/Date=* subdirs), with a hidden ._merged.json
+#                       manifest naming the entries its publish folded in
+#       v00000006/      the previously published snapshot, retained one
+#                       generation as reader grace, GC'd at the next publish
+#
+# Publishing = write the new snapshot dir, then os.replace the pointer —
+# one atomic metadata operation. There is NO moment with no store, no
+# reader-recovery race, no bounded rename-retry loop, and no unrecoverable
+# crash window: the round-7 two-rename protocol documented all four and
+# closed only three (jobs.py history); the manifest closes the last (see
+# _gc_versions). On HDFS the pointer replace maps to an atomic rename; on
+# S3-class stores use a conditional PUT of the pointer object.
+# ---------------------------------------------------------------------------
 
-    The swap's only non-atomic window is between its two renames; the
-    ``._swap_old`` sibling makes every crash state recognizable:
-      - old exists, store missing -> crashed between the renames: the
-        superseded snapshot in ``old`` is intact and the epoch will
-        replay, so rename it back;
-      - old exists, store exists  -> crashed before cleanup: ``old`` is
-        superseded, remove it.
-    Call before READING the store (epoch start) — :func:`_swap_in`
-    re-runs it defensively before swapping."""
+_PTR = "_POINTER"
+_MANIFEST = "._merged.json"
+_VERSION_RE = __import__("re").compile(r"^v(\d{8})$")
+
+
+def _read_pointer(store_dir: str) -> "tuple[str | None, str | None]":
+    """(current, previous) version names from the pointer file, or
+    (None, None) for an uninitialized store. The pointer is written by
+    one atomic os.replace, so a reader sees exactly one full line."""
+    try:
+        with open(os.path.join(store_dir, _PTR)) as fh:
+            toks = fh.read().split()
+    except OSError:
+        return None, None
+    return (toks[0] if toks else None,
+            toks[1] if len(toks) > 1 else None)
+
+
+def _publish_pointer(store_dir: str, current: str,
+                     previous: "str | None") -> None:
+    """Atomically flip the store pointer: write a sibling tmp file,
+    fsync, os.replace. A crash at any point leaves either the old or
+    the new pointer — never a torn one."""
+    import tempfile
+    fd, tmp = tempfile.mkstemp(prefix="._POINTER.", dir=store_dir)
+    try:
+        content = current if previous is None else f"{current} {previous}"
+        with os.fdopen(fd, "w") as fh:
+            fh.write(content + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(store_dir, _PTR))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _version_names(store_dir: str) -> "list[str]":
+    try:
+        return sorted(e for e in os.listdir(store_dir)
+                      if _VERSION_RE.match(e))
+    except OSError:
+        return []
+
+
+def _next_version_name(store_dir: str) -> str:
+    """Fresh version name: one past the max of every on-disk version dir
+    and both pointer tokens (a crashed unpublished write must never be
+    reused under readers that could already list it)."""
+    nums = [int(_VERSION_RE.match(n).group(1))
+            for n in _version_names(store_dir)]
+    for tok in _read_pointer(store_dir):
+        m = _VERSION_RE.match(tok or "")
+        if m:
+            nums.append(int(m.group(1)))
+    return "v%08d" % (max(nums) + 1 if nums else 0)
+
+
+def _read_manifest(vdir: "str | None"):
+    """The snapshot's merged-entries manifest: ``"*"`` (this publish
+    superseded the ENTIRE previous snapshot — the state-store form), a
+    set of entry names folded into the merged output (the compaction
+    form), or an empty set when the dir carries no manifest (a legacy
+    migration, or an appender-initialized v0 that merged nothing)."""
+    if not vdir:
+        return set()
+    try:
+        import json
+        with open(os.path.join(vdir, _MANIFEST)) as fh:
+            merged = json.load(fh)["merged"]
+        return "*" if merged == "*" else set(merged)
+    except (OSError, ValueError, KeyError):
+        return set()
+
+
+def _merge_copy(s: str, d: str) -> None:
+    """File-level idempotent merge of directory trees (part file names
+    are task-attempt-unique, so copy-if-missing at the file level is a
+    correct merge; round-7 review: skip-if-dir-exists dropped the second
+    fragment of an epoch salvaged in two passes). Each file lands by
+    copy-to-hidden-tmp + atomic rename, so a concurrent reader of the
+    destination never sees a torn file; ``_SUCCESS`` is copied LAST so
+    the completeness gate cannot certify a half-copied epoch. Committer
+    internals (dot-files, ``_temporary``) are never copied: a mid-write
+    attempt file salvaged out of _temporary can later be promoted by
+    its own task commit into a part file with a truncated footer."""
+    import shutil
+    if os.path.isdir(s):
+        os.makedirs(d, exist_ok=True)
+        names = [n for n in os.listdir(s)
+                 if not n.startswith(".") and n != "_temporary"]
+        for n in sorted(names, key=lambda n: n == "_SUCCESS"):
+            _merge_copy(os.path.join(s, n), os.path.join(d, n))
+    elif not os.path.exists(d):
+        tmp = os.path.join(os.path.dirname(d),
+                           "." + os.path.basename(d) + ".copytmp")
+        shutil.copy2(s, tmp)
+        os.replace(tmp, d)
+
+
+def _salvage_into(src_dir: str, dst_dir: str,
+                  known: "set[str]") -> None:
+    """Merge-copy every visible top-level entry of ``src_dir`` that is
+    neither in ``known`` (already folded into the merged output) nor a
+    marker/manifest — the concurrent-appender rescue: epoch directories
+    a live start_rollup_stream lands after a compaction's snapshot are
+    carried into the new snapshot instead of dying with the GC."""
+    try:
+        names = os.listdir(src_dir)
+    except OSError:
+        return
+    for name in names:
+        if name in known or name.startswith((".", "_")):
+            continue
+        _merge_copy(os.path.join(src_dir, name),
+                    os.path.join(dst_dir, name))
+
+
+def _gc_versions(store_dir: str, keep: "set[str]", cur_path: str) -> None:
+    """Delete superseded/garbage version dirs, salvaging first. An entry
+    of a doomed version is deletable iff some RETAINED version's manifest
+    names it (its data was folded into that publish) or it is physically
+    present in the current snapshot (salvaged, or re-landed by the
+    appender's own pointer check); anything else is a true orphan — e.g.
+    an epoch that landed between a crashed publish's snapshot and its
+    pointer flip — and is merge-copied into the current snapshot before
+    the delete. This check is what makes the protocol manifest-complete:
+    the two-rename swap's documented unrecoverable window (data living
+    only in an unpublished tmp) cannot arise, because no version is ever
+    parked or cleared — only GC deletes, and GC proves each entry safe
+    or carries it forward."""
+    import shutil
+    manifests = [_read_manifest(os.path.join(store_dir, n))
+                 for n in keep if os.path.isdir(os.path.join(store_dir, n))]
+    for name in sorted(set(_version_names(store_dir)) - keep, reverse=True):
+        vpath = os.path.join(store_dir, name)
+        try:
+            entries = os.listdir(vpath)
+        except OSError:
+            continue
+        for e in entries:
+            if e.startswith((".", "_")):
+                continue
+            if any(m == "*" or e in m for m in manifests):
+                continue
+            if os.path.exists(os.path.join(cur_path, e)):
+                continue
+            _merge_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
+        shutil.rmtree(vpath, ignore_errors=True)
+
+
+def _orphan_sweep(store_dir: str, cur_path: str) -> None:
+    """Carry true orphans from OLDER versions into the current snapshot
+    (same deletability predicate as :func:`_gc_versions`, without the
+    delete): after a writer crash between the pointer flip and the
+    post-flip salvage, an appender epoch can sit only in the previous
+    version — the sweep makes it readable again at the very next
+    resolve instead of the next publish. No-op (one listdir) on stores
+    whose manifests are ``"*"`` or whose old entries are all merged."""
+    cur_name = os.path.basename(cur_path)
+    manifest = _read_manifest(cur_path)
+    for name in _version_names(store_dir):
+        if name >= cur_name:
+            continue
+        vpath = os.path.join(store_dir, name)
+        try:
+            entries = os.listdir(vpath)
+        except OSError:
+            continue
+        for e in entries:
+            if e.startswith((".", "_")):
+                continue
+            if manifest == "*" or e in manifest:
+                continue
+            if os.path.exists(os.path.join(cur_path, e)):
+                continue
+            _merge_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
+
+
+def _recover_swap(store_dir: str) -> None:
+    """On a current-layout store this is a pointer-existence check and
+    nothing else (the pointer protocol has no crash state to repair —
+    os.replace is atomic). Retained for LEGACY stores written by the
+    pre-pointer two-rename protocol: repairs its recognizable crash
+    states (``._swap_old`` sibling present), then migrates the flat
+    layout into ``v00000000`` + pointer. Migration moves entries within
+    the same filesystem and is resumable: a crash mid-move leaves some
+    entries at the root and no pointer, and the next call finishes the
+    move; quiesce writers of a legacy store for its one migrating call
+    (the same caveat the legacy layout already carried for compaction)."""
     import shutil
     old = store_dir.rstrip("/") + "._swap_old"
     if os.path.isdir(old):
         if os.path.isdir(store_dir):
-            # ignore_errors: a concurrent writer's own cleanup (or a
-            # second reader's recovery) can delete `old` mid-walk —
-            # whoever finishes the rmtree is equally correct
+            # superseded legacy snapshot (or, on a pointer-layout store,
+            # pure debris a legacy-era crash left behind): remove
             shutil.rmtree(old, ignore_errors=True)
         else:
             try:
                 os.rename(old, store_dir)
             except OSError:
-                pass    # another reader/writer completed the recovery
+                pass    # another reader/writer completed the repair
+    leftover_tmp = store_dir.rstrip("/") + "._swap_tmp"
+    if os.path.isdir(leftover_tmp):     # legacy unpublished tmp: its
+        shutil.rmtree(leftover_tmp, ignore_errors=True)  # epoch replays
+    if os.path.isfile(os.path.join(store_dir, _PTR)):
+        return
+    if not os.path.isdir(store_dir):
+        return
+    entries = [e for e in os.listdir(store_dir)
+               if not _VERSION_RE.match(e) and e != _PTR
+               and not e.startswith("._POINTER")]
+    if not any(not e.startswith(".") for e in entries):
+        return                          # nothing to migrate
+    v0 = os.path.join(store_dir, "v00000000")
+    os.makedirs(v0, exist_ok=True)
+    for e in entries:
+        try:
+            os.rename(os.path.join(store_dir, e), os.path.join(v0, e))
+        except OSError:
+            pass                        # concurrent migrator moved it
+    _publish_pointer(store_dir, "v00000000", None)
+
+
+def _resolve_store(store_dir: str) -> "str | None":
+    """Path of the current published snapshot, or None for an empty /
+    uninitialized store. This is the WHOLE read-side contract now: no
+    recovery, no retry — the pointer is always readable and always names
+    a complete snapshot (a version dir becomes current only after its
+    write finished). Also migrates legacy-layout stores and sweeps
+    crash orphans forward (both no-ops on a healthy current store)."""
+    _recover_swap(store_dir)
+    cur, _ = _read_pointer(store_dir)
+    if cur is None:
+        return None
+    path = os.path.join(store_dir, cur)
+    if not os.path.isdir(path):
+        raise RuntimeError(
+            f"store pointer at {store_dir} names a missing snapshot "
+            f"{cur!r} — the store was tampered with outside the swap "
+            f"protocol (GC only deletes versions older than the "
+            f"pointer's previous token)")
+    if len(_version_names(store_dir)) > 1:
+        _orphan_sweep(store_dir, path)
+    return path
+
+
+def _init_store(store_dir: str) -> str:
+    """Initialize an empty store to an empty ``v00000000`` snapshot and
+    return its path (the appender's first-epoch target). Idempotent
+    under concurrent initializers: both publish the same pointer."""
+    os.makedirs(store_dir, exist_ok=True)
+    cur = _resolve_store(store_dir)
+    if cur is not None:
+        return cur
+    v0 = os.path.join(store_dir, "v00000000")
+    os.makedirs(v0, exist_ok=True)
+    _publish_pointer(store_dir, "v00000000", None)
+    return v0
 
 
 def _swap_in(store_dir: str, write_tmp, *,
              salvage_known: "set[str] | None" = None) -> None:
-    """Crash-recoverable store replacement (the compaction/state-store
-    idiom): ``write_tmp(tmp_path)`` materializes the new snapshot into
-    a sibling tmp dir (use ``mode("overwrite")`` so a leftover partial
-    tmp from a crashed attempt is clobbered), then two renames swap it
-    in. Readers never observe PARTIAL state (the tmp dir only becomes
-    the store after a complete write), but the window between the two
-    renames — and, after a crash inside it, the gap until the next
-    :func:`_recover_swap` — has NO store directory at all: a concurrent
-    reader gets a transient FileNotFound and should call
-    :func:`_recover_swap` first and/or retry (the in-repo read paths,
-    e.g. :func:`read_cdc_store`/:func:`read_state_store`, do). The
-    converse race — a reader's recovery resurrecting the superseded
-    snapshot while the writer is BETWEEN its renames — makes the
-    writer's second rename fail; the swap loop below retries (re-park,
-    rename again) until it wins, so reader recovery can delay but not
-    kill a live writer. A crash
-    at ANY point leaves a state :func:`_recover_swap` repairs, and
-    because every caller's merge is idempotent (latest-version
-    compaction, register max, set union) the replayed epoch converges
-    to the same store. A truly gap-free swap needs a version-pointer
-    indirection (write vN, flip a pointer file); at one swap per epoch
-    the recover-on-read contract is the simpler sufficient form.
+    """Publish a new store snapshot by version-pointer indirection:
+    ``write_tmp(new_version_dir)`` materializes the snapshot into a
+    fresh unpublished version dir (invisible to readers — they resolve
+    through the pointer), the merged-entries manifest is written beside
+    it, the pointer flips atomically, late appender entries are salvaged
+    once more, and superseded versions are GC'd (previous is retained
+    one generation as reader grace).
 
-    ``salvage_known`` (a set of top-level entry names captured when the
-    caller snapshotted the store) opts in to CONCURRENT-APPENDER rescue:
-    before each publish, top-level entries of the superseded snapshot
-    that are NOT in the set — e.g. epoch directories a live
-    start_rollup_stream landed after the compaction's read — are COPIED
-    into the new snapshot instead of dying with the rmtree (round-7
-    review: compaction racing a live appender silently lost those
-    epochs; the stream's checkpoint had already committed them, so they
-    never replayed). Copy, not move: a crash mid-rescue must leave the
-    superseded snapshot restorable by :func:`_recover_swap`. Residual
-    window, documented: a crash while a RACING retry loop has already
-    cleared the parked snapshot (data then lives only in the unpublished
-    tmp) is unrecoverable without a manifest protocol — for strict
-    guarantees under crashes, pause the appender around compaction; the
-    algebra makes any non-crash interleaving safe."""
-    import shutil
-    _recover_swap(store_dir)
-    tmp = store_dir.rstrip("/") + "._swap_tmp"
-    old = store_dir.rstrip("/") + "._swap_old"
-    write_tmp(tmp)
+    Crash at ANY point is safe: before the flip the old snapshot is
+    untouched and the partial new version is garbage the next publish
+    GC-checks and deletes; the flip itself is one atomic os.replace;
+    after the flip, unmerged appender entries still sitting in the
+    previous version are found by the next resolve's orphan sweep or by
+    GC's salvage-before-delete (see :func:`_gc_versions`) — there is no
+    interleaving, crash or not, in which a checkpoint-committed entry
+    has no on-disk home, which retires the two-rename protocol's
+    documented unrecoverable window.
 
-    def _merge_copy(s: str, d: str) -> None:
-        # File-level merge, not skip-if-dir-exists: an appender epoch
-        # whose part files straddle TWO park renames (some committed
-        # before rename(store, old), the rest into the recreated store)
-        # is salvaged twice under the same top-level name — the second
-        # pass must add the new part files into the already-copied dir,
-        # not skip it (round-7 review: skip-if-exists silently dropped
-        # the second fragment of a checkpoint-committed epoch). Part
-        # file names are task-attempt-unique, so copy-if-missing at the
-        # file level is a correct merge.
-        if os.path.isdir(s):
-            os.makedirs(d, exist_ok=True)
-            for n in os.listdir(s):
-                if n.startswith(".") or n == "_temporary":
-                    # NEVER salvage committer internals: a mid-write
-                    # attempt file copied out of _temporary can later be
-                    # PROMOTED by the writer's own task commit into a
-                    # final part file with a truncated footer (reproduced
-                    # by the concurrency stress test). Committed part
-                    # files arrive by atomic rename, so they are always
-                    # complete; _SUCCESS is copied (it only exists after
-                    # every file is visible), .crc sidecars are not.
-                    continue
-                _merge_copy(os.path.join(s, n), os.path.join(d, n))
-        elif not os.path.exists(d):
-            shutil.copy2(s, d)
-
-    def _salvage(src: str) -> None:
-        if salvage_known is None or not os.path.isdir(src):
-            return
-        for name in os.listdir(src):
-            if name in salvage_known or name.startswith((".", "_")):
-                continue
-            _merge_copy(os.path.join(src, name), os.path.join(tmp, name))
-    # Bounded retry around the two renames: a CONCURRENT reader running
-    # _recover_swap in the window between them sees old-exists/store-
-    # missing and renames the superseded snapshot back into place — the
-    # writer's rename(tmp, store) then fails (rename onto a non-empty
-    # dir). That reader action is correct from its side (it cannot
-    # distinguish a live swap from a crashed one); the writer simply
-    # re-parks the resurrected snapshot and swaps again. Converges
-    # unless a reader wins the race five times in a row.
-    for _ in range(5):
-        try:
-            if os.path.isdir(store_dir):
-                # a leftover `old` (e.g. a concurrent reader's interrupted
-                # rmtree left a partial dir) would make the re-park rename
-                # raise ENOTEMPTY — salvage any unknown entries it holds,
-                # clear it, and keep BOTH renames inside the retried try
-                # so a race here re-loops instead of killing the epoch
-                # (round-7 review finding)
-                if os.path.isdir(old):
-                    _salvage(old)
-                    shutil.rmtree(old, ignore_errors=True)
-                os.rename(store_dir, old)
-            _salvage(old)       # appender entries landed since snapshot
-            os.rename(tmp, store_dir)
-            break
-        except OSError:
-            continue            # racing reader resurrected the old dir
-    else:
-        raise OSError(
-            f"store swap at {store_dir} lost the rename race 5 times "
-            f"against concurrent reader recovery — new snapshot left "
-            f"at {tmp}")
-    if os.path.isdir(old):
-        # ignore_errors: a reader's _recover_swap can rmtree `old`
-        # concurrently once the new store is in place — either side
-        # finishing the delete is correct, neither may crash the epoch
-        shutil.rmtree(old, ignore_errors=True)
+    ``salvage_known`` names the top-level entries the caller's snapshot
+    already folded into the new version (the compaction form) — entries
+    of the current snapshot NOT in it (live-appender epochs landed since
+    the caller's read) are merge-copied into the new version before and
+    after the flip. ``None`` means the new snapshot supersedes the
+    previous one completely (the state-store form; manifest ``"*"``)."""
+    import json
+    os.makedirs(store_dir, exist_ok=True)
+    cur_path = _resolve_store(store_dir)
+    cur = os.path.basename(cur_path) if cur_path else None
+    nxt = _next_version_name(store_dir)
+    new_dir = os.path.join(store_dir, nxt)
+    write_tmp(new_dir)
+    merged = "*" if salvage_known is None else sorted(salvage_known)
+    with open(os.path.join(new_dir, _MANIFEST), "w") as fh:
+        json.dump({"merged": merged}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    if cur_path is not None and salvage_known is not None:
+        _salvage_into(cur_path, new_dir, salvage_known)
+    _publish_pointer(store_dir, nxt, cur)
+    if cur_path is not None and salvage_known is not None:
+        # post-flip pass: an appender epoch that completed into the old
+        # current between the pre-flip scan and the flip is carried over
+        # as soon as the publish finishes (file-level merge, idempotent
+        # with both the pre-flip pass and the appender's own re-land)
+        _salvage_into(cur_path, new_dir, salvage_known)
+    _gc_versions(store_dir, {nxt} | ({cur} if cur else set()),
+                 cur_path=new_dir)
 
 
 def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
@@ -360,22 +578,25 @@ def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
     """One compaction pass (see :func:`run_compaction` for the retry
     contract).
 
-    Writes to a sibling tmp dir then atomically swaps, so concurrent
-    readers never see partial state; the merged output lands as the
-    reserved ``epoch=-1`` partition (stream epochs are >= 0), keeping
-    one consistent ``epoch=N/Date=D`` layout — which also MIGRATES a
-    legacy flat Date-partitioned dir on first compaction. Safe to run
+    Writes the merge into a fresh unpublished version dir and flips the
+    store pointer (:func:`_swap_in`), so concurrent readers see either
+    the whole old snapshot or the whole new one; the merged output lands
+    as the reserved ``epoch=-1`` partition (stream epochs are >= 0),
+    keeping one consistent ``epoch=N/Date=D`` layout — a legacy flat
+    Date-partitioned dir is migrated into the versioned layout by
+    :func:`_recover_swap` and its Date dirs merged here. Safe to run
     alongside a live :func:`start_rollup_stream`: the input is pinned to
-    the epoch directories listed at snapshot time, and any epoch dir the
-    stream lands during the rewrite is rescued into the new snapshot by
-    the swap's salvage pass (see :func:`_swap_in`; on a LEGACY flat dir
-    concurrent appends mutate existing Date dirs in place and cannot be
-    rescued — quiesce for the one migrating run). Per-Date parallel; no
-    cross-partition shuffle (Date is in the group key)."""
+    the epoch directories listed at snapshot time, any epoch the stream
+    lands during the rewrite is rescued by the swap's salvage passes or
+    re-landed by the appender's own pointer check, and GC proves every
+    entry merged/salvaged before deleting a superseded version. Per-Date
+    parallel; no cross-partition shuffle (Date is in the group key)."""
     from ..operators.rollup import ROLLUP_KEY, SUB_KEY
 
-    _recover_swap(rollup_dir)
-    entries = sorted(e for e in os.listdir(rollup_dir)
+    cur = _resolve_store(rollup_dir)
+    if cur is None:
+        return
+    entries = sorted(e for e in os.listdir(cur)
                      if not e.startswith((".", "_")))
     if not entries:
         return
@@ -388,18 +609,19 @@ def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
     # review, second pass). An incomplete epoch stays out of the
     # snapshot AND out of salvage_known, so the swap's file-level
     # salvage carries whatever it has landed by publish time; its
-    # writer's own commit then either completes into the recreated
-    # store or fails visibly and replays (epoch overwrite is
-    # idempotent either way).
+    # writer's own commit then either completes into the still-visible
+    # previous version (and re-lands via the appender's pointer check)
+    # or fails visibly and replays (epoch overwrite is idempotent
+    # either way).
     # epoch=-1 is compaction's OWN output, published atomically by the
-    # swap — it never carries an inner _SUCCESS (the partitioned write
-    # leaves the marker at the store root), so gating it would exclude
-    # it from every future merge: each compaction would then only
-    # salvage-copy the ever-growing epoch=-1 history instead of
-    # re-merging it (round-7 review of the gate itself).
+    # pointer flip — it never carries an inner _SUCCESS (the partitioned
+    # write leaves the marker at the version-dir root), so gating it
+    # would exclude it from every future merge: each compaction would
+    # then only salvage-copy the ever-growing epoch=-1 history instead
+    # of re-merging it (round-7 review of the gate itself).
     epochs = [e for e in epochs
               if e == "epoch=-1"
-              or os.path.exists(os.path.join(rollup_dir, e, "_SUCCESS"))]
+              or os.path.exists(os.path.join(cur, e, "_SUCCESS"))]
     flat = [e for e in entries if not e.startswith("epoch=")]
     snapshot = set(flat) | set(epochs)
     if not snapshot:
@@ -408,8 +630,8 @@ def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
     for group in (epochs, flat):
         if group:
             parts.append(
-                spark.read.option("basePath", rollup_dir)
-                .parquet(*[os.path.join(rollup_dir, e) for e in group])
+                spark.read.option("basePath", cur)
+                .parquet(*[os.path.join(cur, e) for e in group])
                 .select(*needed))
     src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     compacted = compact_rollup(src)
@@ -417,18 +639,20 @@ def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:
     # sort key): sortWithinPartitions writes each file in key order, so
     # parquet row-group min/max stats give the range-scan behavior of the
     # MergeTree primary key with zero extra shuffle (sort is per-task).
-    _swap_in(rollup_dir, lambda tmp: (
+    _swap_in(rollup_dir, lambda new: (
         compacted.withColumn("epoch", F.lit(-1))
         .sortWithinPartitions("Timeslot", "SrcAS", "DstAS")
         .write.mode("overwrite").partitionBy("epoch", "Date")
-        .parquet(tmp)), salvage_known=snapshot)
+        .parquet(new)), salvage_known=snapshot)
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Reader view of the rollup: always re-aggregates, so stored partials
     are indistinguishable from merged rows (ClickHouse readers must do the
-    same, README.md:164-173)."""
-    return compact_rollup(spark.read.parquet(rollup_dir))
+    same, README.md:164-173). Resolves the store pointer, so the read is
+    one consistent snapshot regardless of concurrent compaction."""
+    return compact_rollup(
+        spark.read.parquet(_resolve_store(rollup_dir) or rollup_dir))
 
 
 def start_jdbc_inserter(flows_stream: DataFrame, jdbc_url: str, table: str,
@@ -1438,22 +1662,30 @@ def start_cdc_stream(cdc_stream: DataFrame, store_dir: str,
     key spaces, partition the store by a key hash and rewrite only the
     partitions the batch touches — noted here, not needed at this
     scale."""
-    from ..operators.cdc import latest_state
-
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        _recover_swap(store_dir)
-        merged = batch
-        if os.path.isdir(store_dir):
-            base = spark.read.parquet(store_dir)
-            merged = base.unionByName(batch.select(*base.columns))
-        compacted = latest_state(merged, keys, order_cols)
-        _swap_in(store_dir, lambda tmp:
-                 compacted.write.mode("overwrite").parquet(tmp))
+        _apply_cdc_batch(batch.sparkSession, store_dir, batch,
+                         keys=keys, order_cols=order_cols)
 
     return _start_foreach_batch(cdc_stream, apply_batch, checkpoint_dir,
                                 output_mode="update",
                                 trigger=trigger)
+
+
+def _apply_cdc_batch(spark: SparkSession, store_dir: str, batch: DataFrame,
+                     *, keys: list[str], order_cols: list[str]) -> None:
+    """One CDC epoch apply (the body :func:`start_cdc_stream` runs per
+    micro-batch, factored out so the concurrency stress drives the
+    production path): merge the batch into the store's latest-version
+    compaction and publish via pointer swap."""
+    from ..operators.cdc import latest_state
+    cur = _resolve_store(store_dir)
+    merged = batch
+    if cur is not None:
+        base = spark.read.parquet(cur)
+        merged = base.unionByName(batch.select(*base.columns))
+    compacted = latest_state(merged, keys, order_cols)
+    _swap_in(store_dir, lambda new:
+             compacted.write.mode("overwrite").parquet(new))
 
 
 def read_cdc_store(spark: SparkSession, store_dir: str,
@@ -1461,17 +1693,15 @@ def read_cdc_store(spark: SparkSession, store_dir: str,
     """Reader view of the CDC store: the live rows (tombstones
     filtered) — the FINAL-semantics read of the Replacing view.
 
-    Repairs a crashed mid-swap store first (:func:`_recover_swap`), so
-    a reader arriving after a writer crash between the two swap renames
-    sees the intact superseded snapshot instead of FileNotFound. A
-    reader RACING a live swap can still catch the instant between the
-    renames — retry on FileNotFound (see :func:`_swap_in`).
+    Resolves the store pointer (:func:`_resolve_store`), so the read is
+    always one complete published snapshot — a concurrent or crashed
+    swap is invisible (the pointer flip is atomic and a version becomes
+    current only after its write finished).
 
     A NULL ``deleted_col`` value counts as live (``coalesce(_, false)``)
     — a feed that only stamps the flag on tombstones doesn't silently
     drop its un-stamped keys."""
-    _recover_swap(store_dir)
-    df = spark.read.parquet(store_dir)
+    df = spark.read.parquet(_resolve_store(store_dir) or store_dir)
     if deleted_col is not None:
         df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     return df
@@ -1479,11 +1709,11 @@ def read_cdc_store(spark: SparkSession, store_dir: str,
 
 def read_state_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """Reader view of any swap-managed state store (uniq/bitmap/KMV):
-    repairs a crashed mid-swap directory, then reads it. Use this (not
-    a bare ``read.parquet``) so a writer crash between the swap renames
-    cannot surface as FileNotFound to dashboards."""
-    _recover_swap(store_dir)
-    return spark.read.parquet(store_dir)
+    resolves the store pointer and reads that snapshot. Use this (not a
+    bare ``read.parquet`` of the store root — the root holds version
+    dirs plus the pointer file, not parquet) so the read is one
+    consistent published version."""
+    return spark.read.parquet(_resolve_store(store_dir) or store_dir)
 
 
 def start_uniq_state_stream(events_stream: DataFrame, store_dir: str,
@@ -1586,14 +1816,24 @@ def _start_state_merge_stream(events_stream: DataFrame, store_dir: str,
     which is what makes replay safe without a ledger), atomic-swap the
     store directory."""
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        _recover_swap(store_dir)
-        merged = state_fn(batch)
-        if os.path.isdir(store_dir):
-            merged = merge_fn(spark.read.parquet(store_dir), merged)
-        _swap_in(store_dir, lambda tmp:
-                 merged.write.mode("overwrite").parquet(tmp))
+        _apply_state_merge(batch.sparkSession, store_dir, batch,
+                           state_fn=state_fn, merge_fn=merge_fn)
 
     return _start_foreach_batch(events_stream, apply_batch, checkpoint_dir,
                                 output_mode="update",
                                 trigger=trigger)
+
+
+def _apply_state_merge(spark: SparkSession, store_dir: str,
+                       batch: DataFrame, *, state_fn, merge_fn) -> None:
+    """One state-merge epoch apply (the body
+    :func:`_start_state_merge_stream` runs per micro-batch, factored out
+    so the concurrency stress drives the production path): fold the
+    batch's state rows into the persisted store and publish via pointer
+    swap."""
+    cur = _resolve_store(store_dir)
+    merged = state_fn(batch)
+    if cur is not None:
+        merged = merge_fn(spark.read.parquet(cur), merged)
+    _swap_in(store_dir, lambda new:
+             merged.write.mode("overwrite").parquet(new))

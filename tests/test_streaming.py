@@ -121,8 +121,10 @@ def test_rollup_stream_and_compaction(spark, tmpdir, flow_source):
                             trigger={"availableNow": True})
     _await_done(q)
 
+    from flow_pipeline_spark.streaming import jobs
+
     batch_rollup = rollup_flat(flows_raw(spark.read.parquet(src)))
-    partials = spark.read.parquet(rollup_dir)
+    partials = spark.read.parquet(jobs._resolve_store(rollup_dir))
     # reader view merges partials
     merged = read_rollup(spark, rollup_dir)
     assert merged.exceptAll(batch_rollup).isEmpty()
@@ -132,7 +134,7 @@ def test_rollup_stream_and_compaction(spark, tmpdir, flow_source):
     # results unchanged, idempotent
     n_before = partials.count()
     run_compaction(spark, rollup_dir)
-    after = spark.read.parquet(rollup_dir)
+    after = spark.read.parquet(jobs._resolve_store(rollup_dir))
     assert after.count() <= n_before
     assert after.count() == batch_rollup.count()
     run_compaction(spark, rollup_dir)  # idempotent
@@ -1356,69 +1358,132 @@ def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
     expect = {(r["k"], r["state"], r["del"]) for r in
               latest_state(batch, ["k"], ["ts", "eid"]).collect()}
     got = {(r["k"], r["state"], r["del"]) for r in
-           spark.read.parquet(store).collect()}
+           read_cdc_store(spark, store).collect()}  # no filter: all rows
     assert got == expect            # stream store ≡ batch compaction
     assert ("B", "b1", True) in got  # tombstone retained in the store
 
 
-def test_swap_in_survives_reader_recovery_race(spark, tmpdir, monkeypatch):
-    """Round-6 review: a concurrent reader's _recover_swap firing in
-    the gap between _swap_in's two renames resurrects the superseded
-    snapshot and makes the writer's rename(tmp, store) fail — the swap
-    loop must re-park and retry, not kill the epoch. Simulated
-    deterministically by injecting the reader's recovery rename into
-    the writer's first rename."""
+def test_pointer_swap_crash_injection_every_publish_step(spark, tmpdir):
+    """Crash-inject the pointer-swap publish sequence at EVERY step
+    (write → manifest → pre-flip salvage → flip → post-flip salvage →
+    GC) and verify the two protocol invariants after each crash: a
+    reader always gets one complete published snapshot (never a gap,
+    never a mix), and retrying the publish converges to the new
+    snapshot with no version-dir debris."""
     import os as _os
 
     from flow_pipeline_spark.streaming import jobs
 
-    store = f"{tmpdir}/race_store"
-    spark.range(5).write.parquet(store)
-    real_rename = _os.rename
-    fired = {"done": False}
+    class Boom(Exception):
+        pass
 
-    def racing_rename(src, dst):
-        real_rename(src, dst)
-        if not fired["done"] and str(dst).endswith("._swap_old"):
-            fired["done"] = True            # the reader wins the gap:
-            real_rename(dst, store)         # _recover_swap old -> store
+    store = f"{tmpdir}/crash_inject_store"
+    jobs._swap_in(store, lambda d:
+                  spark.range(5).write.mode("overwrite").parquet(d))
+    assert jobs.read_state_store(spark, store).count() == 5
 
-    monkeypatch.setattr(jobs.os, "rename", racing_rename)
-    jobs._swap_in(store, lambda tmp:
-                  spark.range(9).write.mode("overwrite").parquet(tmp))
-    monkeypatch.undo()
+    def write9(d):
+        spark.range(9).write.mode("overwrite").parquet(d)
 
-    assert spark.read.parquet(store).count() == 9   # new snapshot won
-    assert not _os.path.isdir(store + "._swap_old")
-    assert not _os.path.isdir(store + "._swap_tmp")
+    # step 1: crash inside the snapshot write itself
+    def crash_write(d):
+        write9(d)
+        raise Boom()
+
+    for step, patched, fn in [
+        ("write", None, crash_write),
+        ("manifest", "_read_manifest", write9),      # placeholder below
+        ("pre-flip-flip", "_publish_pointer", write9),
+        ("post-flip-gc", "_gc_versions", write9),
+    ]:
+        if step == "write":
+            try:
+                jobs._swap_in(store, fn)
+            except Boom:
+                pass
+        elif step == "manifest":
+            # crash between the manifest fsync and the pointer flip:
+            # simulated by blowing up in the pre-flip _salvage_into
+            real = jobs._salvage_into
+            calls = {"n": 0}
+
+            def boom_salvage(*a, **kw):
+                calls["n"] += 1
+                raise Boom()
+            jobs._salvage_into = boom_salvage
+            try:
+                jobs._swap_in(store, fn, salvage_known=set())
+            except Boom:
+                pass
+            finally:
+                jobs._salvage_into = real
+            assert calls["n"] == 1
+        elif step == "pre-flip-flip":
+            real = jobs._publish_pointer
+
+            def boom_publish(*a, **kw):
+                raise Boom()
+            jobs._publish_pointer = boom_publish
+            try:
+                jobs._swap_in(store, fn)
+            except Boom:
+                pass
+            finally:
+                jobs._publish_pointer = real
+        else:
+            real = jobs._gc_versions
+
+            def boom_gc(*a, **kw):
+                raise Boom()
+            jobs._gc_versions = boom_gc
+            try:
+                jobs._swap_in(store, fn)        # flip SUCCEEDED, GC died
+            except Boom:
+                pass
+            finally:
+                jobs._gc_versions = real
+        # invariant 1: a reader still sees exactly one complete snapshot
+        n = jobs.read_state_store(spark, store).count()
+        if step == "post-flip-gc":
+            assert n == 9       # the flip happened before the crash
+        else:
+            assert n == 5       # pre-flip crash: old snapshot intact
+        # invariant 2: a clean retry converges (and GCs the debris)
+        jobs._swap_in(store, write9)
+        assert jobs.read_state_store(spark, store).count() == 9
+        vnames = jobs._version_names(store)
+        assert len(vnames) <= 2, (step, vnames)   # current + grace only
+        # reset to the 5-row snapshot for the next step's asserts
+        jobs._swap_in(store, lambda d:
+                      spark.range(5).write.mode("overwrite").parquet(d))
+        assert jobs.read_state_store(spark, store).count() == 5
 
 
-def test_swap_in_clears_leftover_old_dir(spark, tmpdir):
-    """Round-7 review: a leftover non-empty ._swap_old (e.g. a reader's
-    interrupted rmtree) made _swap_in's re-park rename raise ENOTEMPTY
-    outside the retried try and kill the epoch. The swap must clear the
-    leftover and complete."""
+def test_pointer_swap_garbage_version_is_invisible_and_collected(
+        spark, tmpdir):
+    """A crashed unpublished write leaves a garbage version dir. It must
+    be invisible to readers (the pointer never named it) and deleted by
+    the next successful publish's GC — and the next publish must pick a
+    FRESH version number, never reuse the garbage name."""
     import os as _os
 
     from flow_pipeline_spark.streaming import jobs
 
-    store = f"{tmpdir}/leftover_store"
-    spark.range(5).write.parquet(store)
-    old = store + "._swap_old"
-
-    def write_tmp(tmp):
-        spark.range(9).write.mode("overwrite").parquet(tmp)
-        # plant the leftover AFTER _swap_in's own _recover_swap ran
-        # (write_tmp executes between recovery and the rename loop), so
-        # the rename loop itself faces old-exists-non-empty
-        _os.makedirs(f"{old}/sub")
-        with open(f"{old}/sub/partial.bin", "wb") as f:
-            f.write(b"x" * 128)
-
-    jobs._swap_in(store, write_tmp)
-    assert spark.read.parquet(store).count() == 9
-    assert not _os.path.isdir(old)
-    assert not _os.path.isdir(store + "._swap_tmp")
+    store = f"{tmpdir}/garbage_store"
+    jobs._swap_in(store, lambda d:
+                  spark.range(5).write.mode("overwrite").parquet(d))
+    # plant garbage: a half-written unpublished version
+    garbage = _os.path.join(store, jobs._next_version_name(store))
+    _os.makedirs(f"{garbage}/sub")
+    with open(f"{garbage}/sub/partial.bin", "wb") as f:
+        f.write(b"x" * 128)
+    assert jobs.read_state_store(spark, store).count() == 5
+    jobs._swap_in(store, lambda d:
+                  spark.range(9).write.mode("overwrite").parquet(d))
+    assert jobs.read_state_store(spark, store).count() == 9
+    assert _os.path.basename(garbage) not in jobs._version_names(store)
+    cur, prev = jobs._read_pointer(store)
+    assert int(cur[1:]) > int(_os.path.basename(garbage)[1:])
 
 
 def test_read_cdc_store_recovers_mid_swap_crash(spark, tmpdir):
@@ -1458,7 +1523,8 @@ def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
 
     from flow_pipeline_spark.operators.rollup import (
         uniq_register_merge, uniq_register_state)
-    from flow_pipeline_spark.streaming.jobs import start_uniq_state_stream
+    from flow_pipeline_spark.streaming.jobs import (read_state_store,
+                                                    start_uniq_state_stream)
 
     df = spark.range(3000).select(
         (F.col("id") % 4).cast("string").alias("k"),
@@ -1482,7 +1548,7 @@ def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
         _await_done(q)
 
     run(ckpt)
-    stored = spark.read.parquet(store)
+    stored = read_state_store(spark, store)
     got = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
            for r in uniq_register_merge(stored, ["k"]).collect()}
     batch = uniq_register_state(df, ["k"], "v")
@@ -1493,7 +1559,7 @@ def test_uniq_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
     run(f"{tmpdir}/uniq_ckpt2")          # full replay, fresh checkpoint
     again = {r["k"]: (r["n_regs"], r["s_scaled"], r["est_e2"])
              for r in uniq_register_merge(
-                 spark.read.parquet(store), ["k"]).collect()}
+                 read_state_store(spark, store), ["k"]).collect()}
     assert again == want
 
 
@@ -1506,7 +1572,8 @@ def test_bitmap_state_stream_matches_batch_and_overlap(spark, tmpdir):
 
     from flow_pipeline_spark.operators.rollup import (
         bitmap_set_cardinalities, bitmap_state)
-    from flow_pipeline_spark.streaming.jobs import start_bitmap_state_stream
+    from flow_pipeline_spark.streaming.jobs import (
+        read_state_store, start_bitmap_state_stream)
 
     df = spark.range(900).select(
         F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("seg"),
@@ -1533,15 +1600,15 @@ def test_bitmap_state_stream_matches_batch_and_overlap(spark, tmpdir):
     want = {(r["seg"], r["chunk"], tuple(r["vals"]))
             for r in bitmap_state(df, ["seg"], "v", chunk_bits=4).collect()}
     got = {(r["seg"], r["chunk"], tuple(r["vals"]))
-           for r in spark.read.parquet(store).collect()}
+           for r in read_state_store(spark, store).collect()}
     assert got == want
 
     run(f"{tmpdir}/bm_ckpt2")            # full replay, fresh checkpoint
     again = {(r["seg"], r["chunk"], tuple(r["vals"]))
-             for r in spark.read.parquet(store).collect()}
+             for r in read_state_store(spark, store).collect()}
     assert again == want
 
-    st = spark.read.parquet(store)
+    st = read_state_store(spark, store)
     a = st.filter(F.col("seg") == "a").select("chunk", "vals")
     b = st.filter(F.col("seg") == "b").select("chunk", "vals")
     ov = bitmap_set_cardinalities(a, b).collect()[0]
@@ -1566,7 +1633,7 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
     from flow_pipeline_spark.operators.rollup import (
         bitmap_cardinality, bitmap_state)
     from flow_pipeline_spark.streaming.jobs import (
-        _recover_swap, start_bitmap_state_stream)
+        _recover_swap, read_state_store, start_bitmap_state_stream)
 
     def batch(lo, hi):
         return spark.range(lo, hi).select(
@@ -1596,7 +1663,7 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
     batch(100, 150).repartition(1).write.mode("append").parquet(src)
     run(f"{tmpdir}/ck2")                 # fresh checkpoint: full replay
     card = bitmap_cardinality(
-        spark.read.parquet(store), ["seg"]).collect()[0]["card"]
+        read_state_store(spark, store), ["seg"]).collect()[0]["card"]
     assert card == 150                   # 0..99 NOT lost, 100..149 added
 
     # (b) simulate a crash after swap-in but before old-cleanup
@@ -1604,7 +1671,7 @@ def test_state_store_swap_crash_recovery(spark, tmpdir):
     batch(150, 160).repartition(1).write.mode("append").parquet(src)
     run(f"{tmpdir}/ck3")                 # must not brick on rename
     card = bitmap_cardinality(
-        spark.read.parquet(store), ["seg"]).collect()[0]["card"]
+        read_state_store(spark, store), ["seg"]).collect()[0]["card"]
     assert card == 160
     assert not os.path.isdir(store + "._swap_old")
 
@@ -1621,7 +1688,8 @@ def test_kmv_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
     from pyspark.sql import functions as F
 
     from flow_pipeline_spark.operators.rollup import kmv_state
-    from flow_pipeline_spark.streaming.jobs import start_kmv_state_stream
+    from flow_pipeline_spark.streaming.jobs import (read_state_store,
+                                                    start_kmv_state_stream)
 
     k = 16
     df = spark.range(2000).select(
@@ -1649,12 +1717,12 @@ def test_kmv_state_stream_matches_batch_and_survives_replay(spark, tmpdir):
     want = {(r["g"], tuple(r["kmv"]))
             for r in kmv_state(df, ["g"], "v", k=k).collect()}
     got = {(r["g"], tuple(r["kmv"]))
-           for r in spark.read.parquet(store).collect()}
+           for r in read_state_store(spark, store).collect()}
     assert got == want
 
     run(f"{tmpdir}/kmv_ck2")              # full replay, fresh checkpoint
     again = {(r["g"], tuple(r["kmv"]))
-             for r in spark.read.parquet(store).collect()}
+             for r in read_state_store(spark, store).collect()}
     assert again == want
 
 
@@ -1669,9 +1737,9 @@ def test_rollup_epoch_replay_is_idempotent(spark, tmpdir, flow_source):
     raw = flows_raw(spark.read.parquet(src))
     d = f"{tmpdir}/rollup_replay"
     jobs._write_rollup_epoch(raw, 3, d)
-    once = spark.read.parquet(d).count()
+    once = spark.read.parquet(jobs._resolve_store(d)).count()
     jobs._write_rollup_epoch(raw, 3, d)    # crash-replay of epoch 3
-    assert spark.read.parquet(d).count() == once
+    assert spark.read.parquet(jobs._resolve_store(d)).count() == once
     merged = read_rollup(spark, d)
     expect = rollup_flat(raw)
     assert merged.exceptAll(expect).isEmpty()
@@ -1705,7 +1773,7 @@ def test_compaction_salvages_epoch_landed_mid_compaction(
     run_compaction(spark, d)
     monkeypatch.undo()
 
-    names = sorted(e for e in __import__("os").listdir(d)
+    names = sorted(e for e in __import__("os").listdir(jobs._resolve_store(d))
                    if e.startswith("epoch="))
     assert "epoch=-1" in names and "epoch=99" in names
     merged = read_rollup(spark, d)
@@ -1778,7 +1846,8 @@ def test_compaction_appender_concurrency_stress(spark, tmpdir, flow_source):
     # _SUCCESS gate briefly excluded epoch=-1 — compaction's own
     # atomically-published output — so nothing ever re-merged)
     import os as _os
-    names = sorted(e for e in _os.listdir(d) if e.startswith("epoch="))
+    names = sorted(e for e in _os.listdir(jobs._resolve_store(d))
+                   if e.startswith("epoch="))
     assert names == ["epoch=-1"], names
 
 
@@ -1810,17 +1879,19 @@ def test_reader_vs_swap_atomic_view_stress(spark, tmpdir):
     def reader():
         while not stop.is_set():
             try:
-                jobs._recover_swap(d)
+                snap = jobs.read_state_store(spark, d)
                 versions = {r["version"] for r in
-                            spark.read.parquet(d)
-                            .select("version").distinct().collect()}
-                n = spark.read.parquet(d).count()
+                            snap.select("version").distinct().collect()}
+                n = snap.count()
                 if len(versions) != 1 or n not in (0, 50):
                     # n==0 impossible for a complete snapshot of 50 rows;
                     # record anything that isn't a whole single version
                     bad.append((versions, n))
             except Exception:
-                continue            # transient mid-swap gap: retry
+                # a read can only fail by out-living the one-generation
+                # reader grace (its resolved version GC'd two publishes
+                # later) — re-resolve and retry, same as production
+                continue
     t = threading.Thread(target=reader, daemon=True)
     t.start()
     try:
@@ -1830,59 +1901,201 @@ def test_reader_vs_swap_atomic_view_stress(spark, tmpdir):
         stop.set()
         t.join(timeout=120)
     assert not bad, bad
-    final = spark.read.parquet(d)
+    final = jobs.read_state_store(spark, d)
     assert final.count() == 50
     assert final.select("version").distinct().count() == 1
 
 
-def test_swap_salvage_merges_epoch_split_across_two_parks(tmp_path,
-                                                          monkeypatch):
-    """Round-7 review, second pass: an appender epoch whose part files
-    straddle TWO park renames — some parked by the first
-    rename(store, old), the rest landing in the recreated store before
-    the retry — used to lose the second fragment: _salvage skipped any
-    top-level name already present in tmp. It must merge at the FILE
-    level (part names are task-attempt-unique)."""
+def test_swap_salvage_merges_epoch_split_across_flip(tmp_path,
+                                                     monkeypatch):
+    """An appender epoch whose part files straddle the pointer flip —
+    part-a visible at the pre-flip salvage scan, part-b landing in the
+    (still-current) old version just before the flip — must be merged
+    at the FILE level into the published snapshot by the post-flip
+    salvage pass (part names are task-attempt-unique; round-7 review
+    caught the dir-level skip dropping the second fragment under the
+    predecessor protocol)."""
     import os
 
     from flow_pipeline_spark.streaming import jobs
 
     store = str(tmp_path / "store")
+    # legacy flat store with the first fragment of epoch 5 — migration
+    # folds it into v00000000
     ep = os.path.join(store, "epoch=5")
     os.makedirs(ep)
     with open(os.path.join(ep, "part-a"), "w") as f:
         f.write("a")
 
-    def write_tmp(tmp):
-        d = os.path.join(tmp, "epoch=-1")
+    def write_new(new):
+        d = os.path.join(new, "epoch=-1")
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "merged"), "w") as f:
             f.write("m")
 
-    real_rename = os.rename
+    real_publish = jobs._publish_pointer
     fired = []
 
-    def racy_rename(src, dst):
-        if dst == store and not fired:
+    def racy_publish(store_dir, current, previous):
+        # skip the legacy-migration publish (previous=None): the race
+        # under test is the compaction flip, which carries a previous
+        if not fired and previous is not None:
             fired.append(1)
-            # the live appender recreates the store and lands the SECOND
-            # fragment of epoch 5 inside the swap's rename window; the
-            # real rename then fails ENOTEMPTY and the loop re-parks
-            d = os.path.join(store, "epoch=5")
-            os.makedirs(d)
-            with open(os.path.join(d, "part-b"), "w") as f:
+            # the appender lands the SECOND fragment into the old
+            # current AFTER the pre-flip salvage scan, BEFORE the flip
+            cur = os.path.join(store, previous)
+            with open(os.path.join(cur, "epoch=5", "part-b"), "w") as f:
                 f.write("b")
-        return real_rename(src, dst)
+        return real_publish(store_dir, current, previous)
 
-    monkeypatch.setattr(os, "rename", racy_rename)
-    jobs._swap_in(store, write_tmp, salvage_known=set())
+    monkeypatch.setattr(jobs, "_publish_pointer", racy_publish)
+    jobs._swap_in(store, write_new, salvage_known=set())
     monkeypatch.undo()
 
-    assert sorted(os.listdir(os.path.join(store, "epoch=5"))) == \
+    cur = jobs._resolve_store(store)
+    assert sorted(os.listdir(os.path.join(cur, "epoch=5"))) == \
         ["part-a", "part-b"]                 # both fragments survive
-    with open(os.path.join(store, "epoch=-1", "merged")) as f:
+    with open(os.path.join(cur, "epoch=-1", "merged")) as f:
         assert f.read() == "m"
-    assert not os.path.isdir(store + "._swap_old")
+
+
+@pytest.mark.parametrize("kind", ["cdc", "uniq", "bitmap", "kmv"])
+def test_state_store_writer_reader_concurrency_stress(spark, tmpdir, kind):
+    """The pointer-swap guarantee under real thread concurrency for
+    EVERY swap-managed store algebra, not just rollup compaction
+    (round-7 verdict ask): a writer folds epochs through the exact
+    production apply path (_apply_cdc_batch / _apply_state_merge) while
+    a reader thread hammers read_state_store. Every successful read
+    must be one complete published snapshot, so each store's monotone
+    invariant (distinct keys / register sums / bitmap sizes / sketch
+    fills only ever grow under its merge algebra) can never regress —
+    a torn or mixed read would show as a dip. The final store must
+    equal a single batch build over all epochs (merge associativity,
+    whatever interleaving the reader forced)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.operators.cdc import latest_state
+    from flow_pipeline_spark.operators.rollup import (
+        bitmap_merge, bitmap_state, kmv_merge, kmv_state,
+        uniq_register_merge, uniq_register_state)
+    from flow_pipeline_spark.streaming import jobs
+
+    n_epochs, per_epoch = 12, 400
+
+    def rows(e):
+        lo = e * per_epoch
+        return spark.range(lo, lo + per_epoch).select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            (F.col("id") % 997).cast("long").alias("v"),
+            F.col("id").alias("ver")).localCheckpoint()
+
+    all_rows = rows(0)
+    epochs = [rows(e) for e in range(n_epochs)]
+    for e in range(1, n_epochs):
+        all_rows = all_rows.unionByName(epochs[e])
+
+    if kind == "cdc":
+        def apply(store, e):
+            jobs._apply_cdc_batch(spark, store, epochs[e],
+                                  keys=["k", "v"], order_cols=["ver"])
+
+        def metric(df):
+            return df.select("k", "v").distinct().count()
+
+        def final_check(store):
+            got = {(r["k"], r["v"], r["ver"]) for r in
+                   jobs.read_state_store(spark, store).collect()}
+            want = {(r["k"], r["v"], r["ver"]) for r in
+                    latest_state(all_rows, ["k", "v"], ["ver"]).collect()}
+            assert got == want
+    elif kind == "uniq":
+        def apply(store, e):
+            jobs._apply_state_merge(
+                spark, store, epochs[e],
+                state_fn=lambda b: uniq_register_state(b, ["k"], "v"),
+                merge_fn=lambda base, d: (base.unionByName(d)
+                                          .groupBy("k", "bucket")
+                                          .agg(F.max("r").alias("r"))))
+
+        def metric(df):
+            return df.agg(F.sum("r")).collect()[0][0]
+
+        def final_check(store):
+            got = {(r["k"], r["n_regs"], r["s_scaled"]) for r in
+                   uniq_register_merge(
+                       jobs.read_state_store(spark, store), ["k"]).collect()}
+            want = {(r["k"], r["n_regs"], r["s_scaled"]) for r in
+                    uniq_register_merge(
+                        uniq_register_state(all_rows, ["k"], "v"),
+                        ["k"]).collect()}
+            assert got == want
+    elif kind == "bitmap":
+        def apply(store, e):
+            jobs._apply_state_merge(
+                spark, store, epochs[e],
+                state_fn=lambda b: bitmap_state(b, ["k"], "v",
+                                                chunk_bits=6),
+                merge_fn=lambda base, d: bitmap_merge(
+                    base.unionByName(d), ["k"]))
+
+        def metric(df):
+            return df.agg(F.sum(F.size("vals"))).collect()[0][0]
+
+        def final_check(store):
+            got = {(r["k"], r["chunk"], tuple(r["vals"])) for r in
+                   jobs.read_state_store(spark, store).collect()}
+            want = {(r["k"], r["chunk"], tuple(r["vals"])) for r in
+                    bitmap_state(all_rows, ["k"], "v",
+                                 chunk_bits=6).collect()}
+            assert got == want
+    else:
+        def apply(store, e):
+            jobs._apply_state_merge(
+                spark, store, epochs[e],
+                state_fn=lambda b: kmv_state(b, ["k"], "v", k=32),
+                merge_fn=lambda base, d: kmv_merge(
+                    base.unionByName(d), ["k"], k=32))
+
+        def metric(df):
+            return df.agg(F.sum(F.size("kmv"))).collect()[0][0]
+
+        def final_check(store):
+            got = {(r["k"], tuple(r["kmv"])) for r in
+                   jobs.read_state_store(spark, store).collect()}
+            want = {(r["k"], tuple(r["kmv"])) for r in
+                    kmv_state(all_rows, ["k"], "v", k=32).collect()}
+            assert got == want
+
+    store = f"{tmpdir}/stress_{kind}"
+    apply(store, 0)
+    seen, bad, stop = [metric(jobs.read_state_store(spark, store))], [], \
+        threading.Event()
+
+    def reader():
+        last = seen[0]
+        while not stop.is_set():
+            try:
+                m = metric(jobs.read_state_store(spark, store))
+            except Exception:
+                continue        # out-lived the one-generation grace
+            if m < last:
+                bad.append((last, m))
+            last = m
+            seen.append(m)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for e in range(1, n_epochs):
+            apply(store, e)
+    finally:
+        stop.set()
+        t.join(timeout=300)
+    assert not bad, bad
+    assert len(seen) >= 2       # the reader actually raced the writer
+    final_check(store)
 
 
 def test_staged_writer_detects_partially_visible_stage(spark, tmpdir,
