@@ -127,3 +127,32 @@ def test_shipping_zip_is_content_keyed(tmp_path, monkeypatch):
     d2 = _pkg_digest(str(pkg))
     (pkg / "notes.txt").write_text("changed")
     assert _pkg_digest(str(pkg)) == d2
+
+
+def test_retry_budget_allows_then_exhausts(monkeypatch):
+    """Round-8 (VERDICT r7 item #2): a dirty section's retry loop must
+    grant the legacy 3 attempts unconditionally, keep granting while
+    wall time spent stays under RETRY_BUDGET_SEC, and stop at the
+    budget or the MAX_ATTEMPTS hard cap — the exhausted path is what
+    lets a driver-run record say retries_exhausted honestly."""
+    import time as _time
+
+    import bench
+
+    t0 = _time.monotonic()
+    # first three attempts: always allowed, even with zero budget
+    monkeypatch.setattr(bench, "RETRY_BUDGET_SEC", 0.0)
+    assert bench._more_attempts(0, t0)
+    assert bench._more_attempts(1, t0)
+    assert bench._more_attempts(2, t0)
+    assert not bench._more_attempts(3, t0)      # budget already spent
+    # with budget remaining, attempts continue past 3...
+    monkeypatch.setattr(bench, "RETRY_BUDGET_SEC", 10_000.0)
+    assert bench._more_attempts(3, t0)
+    assert bench._more_attempts(bench.MAX_ATTEMPTS - 1, t0)
+    # ...but never past the hard cap
+    assert not bench._more_attempts(bench.MAX_ATTEMPTS, t0)
+    # and a section that has out-spent the budget stops at 3
+    old_start = t0 - bench.RETRY_BUDGET_SEC - 1
+    assert bench._more_attempts(2, old_start)
+    assert not bench._more_attempts(3, old_start)
