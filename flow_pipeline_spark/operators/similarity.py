@@ -304,7 +304,8 @@ def lsh_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
                         target_bucket: int = 8, recall: float = 0.999,
                         max_planes: int = 24,
-                        max_tables: int = 8) -> tuple[int, int]:
+                        max_tables: int = 8,
+                        small_corpus_floor: int = 50_000) -> tuple[int, int]:
     """Size-adaptive SRP-LSH parameters for
     :func:`cosine_near_dup_pairs` — the standard (r, L) parameterization
     (Charikar 2002 / Indyk-Motwani):
@@ -365,6 +366,22 @@ def srp_near_dup_params(n_rows: int, threshold: float = 0.999, *,
             f"borderline pairs; identical vectors are unaffected). "
             f"For loose thresholds use lsh_knn multiprobe or IVF.",
             stacklevel=2)
+    if n_rows < small_corpus_floor:
+        # Small-corpus floor (round-8, VERDICT r7 item #3): the L-table
+        # OR-construction exists to hold BORDERLINE-pair recall at
+        # scale, but each table replicates both join sides — at sf0.1
+        # sizes the r7 adaptive form's L=4 cost a flat 1.5x over the
+        # historical single-table plan while defending a recall tail
+        # that small corpora barely have (expected borderline-pair
+        # count scales with n; a single r-plane table already catches
+        # ~p_plane^r ≈ 0.87-0.9 of them, and IDENTICAL vectors collide
+        # in every table regardless). Below the floor, cap L at 2
+        # (~0.99 borderline recall at threshold 0.999/r=8), and at 1
+        # under 10k rows (the historical single-table plan; expected
+        # borderline pairs there round to zero); adaptive growth
+        # resumes above the floor — the sf1 realistic-duplication
+        # probe's corpus clears it and keeps full L.
+        return r, min(1 if n_rows < 10_000 else 2, need, max_tables)
     return r, min(max_tables, need)
 
 
