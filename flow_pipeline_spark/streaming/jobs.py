@@ -1616,15 +1616,18 @@ def start_interval_join_stream(left_stream: DataFrame,
 def start_funnel_stream(events_stream: DataFrame, out_dir: str,
                         checkpoint_dir: str, *, steps: list[str],
                         horizon_secs: int | None = None,
+                        lateness_secs: int | None = None,
                         trigger: dict | None = None) -> StreamingQuery:
     """Run :func:`flow_pipeline_spark.streaming.stateful.streaming_funnel`
     to a parquet conversion log — one row per (user, stage advance),
-    appended live. See streaming_funnel for the ordering contract and
-    the stream ≡ batch guarantee."""
+    appended live. See streaming_funnel for the two delivery contracts
+    (``lateness_secs`` buys cross-batch disorder tolerance via a
+    watermark buffer) and the stream ≡ batch guarantee."""
     from .stateful import streaming_funnel
 
     out = streaming_funnel(events_stream, steps,
-                           horizon_secs=horizon_secs)
+                           horizon_secs=horizon_secs,
+                           lateness_secs=lateness_secs)
     return _start_file_sink(out, out_dir, checkpoint_dir, trigger=trigger)
 
 

@@ -136,6 +136,17 @@ FUNNEL_STATE_SCHEMA = T.StructType([
     T.StructField("tkus", T.LongType()),
 ])
 
+# ordered-mode state: funnel progress + the processed event-time frontier
+# + the per-user buffer of step events still above the watermark
+FUNNEL_ORD_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.LongType()),
+    T.StructField("t1us", T.LongType()),
+    T.StructField("tkus", T.LongType()),
+    T.StructField("done_us", T.LongType()),
+    T.StructField("buf_ts", T.ArrayType(T.LongType())),
+    T.StructField("buf_st", T.ArrayType(T.LongType())),
+])
+
 
 def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
     n_steps = len(steps)
@@ -180,40 +191,146 @@ def _make_funnel_fn(steps: list[str], horizon_secs: int | None):
     return fn
 
 
+def _make_ordered_funnel_fn(steps: list[str], horizon_secs: int | None):
+    """Watermark-buffered funnel kernel (the ``lateness_secs`` mode of
+    :func:`streaming_funnel`): step events ABOVE the stream's event-time
+    watermark wait in per-user state; each invocation processes the
+    buffered prefix at-or-below the watermark in global event-time
+    order, so cross-batch disorder within the lateness bound cannot
+    change the transition sequence — stream ≡ batch for ANY delivery
+    order the watermark admits (round-8; the unordered kernel delegated
+    this to caller discipline). Events at-or-below the already-processed
+    frontier are dropped, exactly as Spark's watermarked stateful
+    operators drop late rows."""
+    n_steps = len(steps)
+    hor_us = None if horizon_secs is None else int(horizon_secs) * 1_000_000
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stage, t1us, tkus, done_us, bts, bst = state.get
+            buf = list(zip(bts, bst))
+        else:
+            stage, t1us, tkus, done_us, buf = 0, 0, 0, 0, []
+        for pdf in pdfs:        # empty iterator on a timeout invocation
+            for ts, ty in pdf[["ts", "event_type"]].itertuples(index=False):
+                si = idx.get(ty)
+                if si is None or pd.isna(ts):
+                    continue
+                tsus = ts.value // 1000
+                if tsus <= done_us:
+                    continue    # beyond-lateness late row: dropped
+                buf.append((tsus, si))
+        frontier_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        if buf:
+            # process the at-or-below-watermark prefix in event-time
+            # order; keep the rest buffered (ALWAYS split on the
+            # frontier, even when the watermark hasn't advanced — a new
+            # event landing at-or-below an unadvanced watermark must be
+            # processed now, or its buffered timestamp would arm a
+            # timeout in the past, which Spark rejects)
+            buf.sort()
+            ready = [e for e in buf if e[0] <= frontier_us]
+            buf = [e for e in buf if e[0] > frontier_us]
+            for tsus, si in ready:
+                if stage >= n_steps:
+                    break
+                if si != stage:     # only the NEXT step advances
+                    continue
+                if stage == 0:
+                    stage, t1us, tkus = 1, tsus, tsus
+                    out.append((key[0], 1, tsus))
+                elif tsus > tkus and (hor_us is None
+                                      or tsus <= t1us + hor_us):
+                    stage += 1
+                    tkus = tsus
+                    out.append((key[0], stage, tsus))
+        done_us = max(done_us, frontier_us)
+        if stage >= n_steps:
+            buf = []            # converted: later events cannot matter
+        if stage or buf or state.exists:
+            state.update((int(stage), int(t1us), int(tkus), int(done_us),
+                          [t for t, _ in buf], [s for _, s in buf]))
+            if buf and stage < n_steps:
+                # wake this user when the watermark passes its oldest
+                # buffered event, even if no further events arrive —
+                # without this the stream's TAIL would never finalize.
+                # +1 ms: the buffered min is strictly above the current
+                # watermark in µs but integer division can tie in ms,
+                # and Spark requires a strictly-future timeout.
+                state.setTimeoutTimestamp(
+                    min(t for t, _ in buf) // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                [(u, s, pd.to_datetime(t, unit="us")) for u, s, t in out],
+                columns=["user_id", "stage", "stage_ts"])
+
+    return fn
+
+
 def streaming_funnel(events: DataFrame, steps: list[str], *,
                      horizon_secs: int | None = None,
+                     lateness_secs: int | None = None,
                      user_col: str = "user_id", ts_col: str = "ts",
                      type_col: str = "event_type") -> DataFrame:
     """Streaming ordered-funnel tracker — the live form of
     ``operators/behavior.py:funnel`` (ClickHouse windowFunnel on a
-    stream): per-user state is three integers (stage reached, first-
-    step time, last-stage time); an output row emits the moment a user
-    ADVANCES a stage, so the sink accumulates the conversion log in
-    real time. Min-chaining processed in event-time order is exactly
-    the batch semantics, so stream ≡ batch holds whenever delivery is
-    time-ordered per user (events are sorted WITHIN each micro-batch
-    here; cross-batch disorder is the caller's watermark discipline —
-    same contract as start_dedup_stream). A stage-k event arriving
-    before its stage-(k-1) predecessor is not reconsidered, matching
-    the batch operator's no-backtracking rule.
+    stream): per-user state tracks (stage reached, first-step time,
+    last-stage time); an output row emits the moment a user ADVANCES a
+    stage, so the sink accumulates the conversion log in real time.
 
-    Scale: state is O(|funnel participants|) × 24 bytes — never
-    buffered events, and users who never match ``steps[0]`` never get a
-    state row; keys hash across executors, RocksDB for big user
-    spaces."""
+    Two delivery contracts:
+
+    - ``lateness_secs=None`` (default): events are sorted WITHIN each
+      micro-batch; stream ≡ batch holds whenever delivery is
+      time-ordered per user ACROSS batches (the caller's discipline).
+      State is three integers per participant — the cheapest form.
+    - ``lateness_secs=L``: an event-time watermark of ``L`` seconds is
+      applied and step events wait in per-user state until the
+      watermark passes them, then process in global event-time order —
+      stream ≡ batch for ANY cross-batch disorder within ``L``
+      (a deliberately shuffled delivery is pytest-pinned against the
+      batch operator). Emission lags the watermark by construction;
+      state grows by the step events inside the lateness window
+      (bounded by L × per-user step rate), and a user's buffer clears
+      the moment the funnel completes.
+
+    A stage-k event arriving before its stage-(k-1) predecessor within
+    one processed prefix is not reconsidered, matching the batch
+    operator's no-backtracking rule; events later than the watermark
+    admits are dropped like any watermarked stateful operator.
+
+    Scale: state is O(|funnel participants|) × 24 bytes (plus the
+    bounded lateness buffer in ordered mode) — non-step events are
+    filtered before the shuffle and users who never emit a step event
+    never get a state row; keys hash across executors, RocksDB for big
+    user spaces."""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    return (events
-            .filter(F.col(ts_col).isNotNull()
-                    & F.col(type_col).isNotNull())
-            .select(F.col(user_col).cast("long").alias("user_id"),
-                    F.col(ts_col).alias("ts"),
-                    F.col(type_col).alias("event_type"))
+    sel = (events
+           .filter(F.col(ts_col).isNotNull()
+                   & F.col(type_col).isNotNull()
+                   & F.col(type_col).isin(list(steps)))
+           .select(F.col(user_col).cast("long").alias("user_id"),
+                   F.col(ts_col).alias("ts"),
+                   F.col(type_col).alias("event_type")))
+    if lateness_secs is None:
+        return (sel.groupBy("user_id")
+                .applyInPandasWithState(
+                    _make_funnel_fn(list(steps), horizon_secs),
+                    outputStructType=FUNNEL_OUT_SCHEMA,
+                    stateStructType=FUNNEL_STATE_SCHEMA,
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                ))
+    return (sel.withWatermark("ts", f"{int(lateness_secs)} seconds")
             .groupBy("user_id")
             .applyInPandasWithState(
-                _make_funnel_fn(list(steps), horizon_secs),
+                _make_ordered_funnel_fn(list(steps), horizon_secs),
                 outputStructType=FUNNEL_OUT_SCHEMA,
-                stateStructType=FUNNEL_STATE_SCHEMA,
+                stateStructType=FUNNEL_ORD_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
             ))

@@ -1314,6 +1314,84 @@ def test_funnel_stream_matches_batch(spark, tmpdir):
     assert got == want and want[1] > want[3] > 0
 
 
+def test_funnel_stream_shuffled_delivery_matches_batch(spark, tmpdir):
+    """The ordered (lateness_secs) funnel mode closes the round-7
+    caveat: stream ≡ batch must hold under DELIBERATE cross-batch
+    disorder, not just time-ordered delivery. Events are delivered in
+    an order skewed up to 20,000 s away from event time (files split by
+    a jittered delivery key, far beyond single-batch sorting), with a
+    25,000 s lateness bound; the per-stage conversion counts must equal
+    the batch funnel and no (user, stage) may emit twice. Two trailing
+    watermark-pusher events finalize the tail (their own rows stay
+    above the final watermark, so they emit nothing)."""
+    import time as _time
+
+    from flow_pipeline_spark.operators.behavior import funnel
+    from flow_pipeline_spark.streaming.jobs import start_funnel_stream
+
+    src = f"{tmpdir}/fnord_src"
+    out_dir, ckpt = f"{tmpdir}/fnord_out", f"{tmpdir}/fnord_ckpt"
+    base = 1_600_000_000
+    types = ["view", "click", "purchase", "error"]
+    ev = (spark.range(4000)
+          .select((F.col("id") % 120).alias("user_id"),
+                  F.element_at(
+                      F.array(*[F.lit(t) for t in types]),
+                      (F.abs(F.xxhash64("id")) % 4 + 1).cast("int"))
+                  .alias("event_type"),
+                  F.timestamp_seconds(
+                      F.lit(base) + (F.col("id") * 97) % 250_000)
+                  .alias("ts")))
+    ev = ev.localCheckpoint(eager=True)
+
+    # delivery order = event time + per-event jitter up to 20,000 s —
+    # an event can arrive AFTER events from 20,000 s of its future,
+    # across micro-batch boundaries (8 sequential delivery files)
+    ranked = ev.withColumn(
+        "dk", F.unix_timestamp("ts")
+        + F.abs(F.xxhash64("user_id", "ts")) % 20_000)
+    cuts = [base + 270_000 * (i + 1) // 8 for i in range(7)]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        sl = ranked
+        if lo is not None:
+            sl = sl.filter(F.col("dk") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("dk") < hi)
+        sl.drop("dk").repartition(1).write.mode("append").parquet(src)
+        lo = hi
+        _time.sleep(0.05)
+    # trailing watermark pushers: step-type events for unused users
+    # whose timestamps drag the watermark past every buffered event
+    for j, off in enumerate((300_000, 301_000)):
+        (spark.createDataFrame(
+            [(1_000_001 + j, "view")], "user_id long, event_type string")
+         .select("user_id", "event_type",
+                 F.timestamp_seconds(F.lit(base + off)).alias("ts"))
+         .repartition(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_funnel_stream(stream, out_dir, ckpt,
+                            steps=["view", "click", "purchase"],
+                            horizon_secs=86_400,
+                            lateness_secs=25_000,
+                            trigger={"availableNow": True})
+    _await_done(q)
+
+    log = spark.read.parquet(out_dir)
+    assert log.filter(F.col("user_id") > 1_000_000).count() == 0
+    assert (log.groupBy("user_id", "stage").count()
+            .filter(F.col("count") > 1).count()) == 0
+    got = {r.stage: r.n for r in
+           (log.groupBy("stage")
+            .agg(F.countDistinct("user_id").alias("n")).collect())}
+    want = {r.stage: r.n_users for r in
+            funnel(ev, ["view", "click", "purchase"],
+                   horizon_secs=86_400).collect()}
+    assert got == want and want[1] > want[3] > 0
+
+
 def test_cdc_stream_matches_batch_compaction(spark, tmpdir):
     """start_cdc_stream: after three micro-batches of upserts/deletes
     (maxFilesPerTrigger=1 forces per-file epochs), the store equals
@@ -2204,6 +2282,18 @@ class _FakeGroupState:
     def getCurrentProcessingTimeMs(self):
         return self._now
 
+    def setTimeoutTimestamp(self, ms):
+        if ms <= self.watermark_ms:
+            raise ValueError(
+                f"timeout timestamp {ms} must exceed watermark "
+                f"{self.watermark_ms}")     # Spark's own contract
+        self.timeout_set = ms
+
+    watermark_ms = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
 
 def test_flush_fn_trickle_does_not_starve_the_timer():
     """Round-7 review: re-arming the timeout on every data invocation
@@ -2297,6 +2387,51 @@ def test_funnel_fn_state_hygiene_and_null_ts():
     more = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01 00:00:09"]),
                          "event_type": ["view"]})
     assert list(fn((3,), iter([more]), st)) == []   # completed: no work
+
+
+def test_ordered_funnel_fn_buffer_bound_and_late_drop():
+    """The ordered funnel kernel's state-size bound (round-8): after
+    every invocation the buffer retains ONLY step events strictly above
+    the watermark — i.e. at most lateness_window x per-user step rate —
+    a completed funnel clears its buffer entirely, and an event at or
+    below the processed frontier is dropped like any watermarked
+    stateful operator drops late rows."""
+    from flow_pipeline_spark.streaming.stateful import (
+        _make_ordered_funnel_fn)
+
+    fn = _make_ordered_funnel_fn(["view", "click"], None)
+
+    def ts(s):
+        return pd.to_datetime(s, unit="s", origin="2026-01-01")
+
+    # watermark at 0: everything buffers, nothing emits
+    st = _FakeGroupState()
+    evs = pd.DataFrame({"ts": ts([100, 50, 200]),
+                        "event_type": ["click", "view", "click"]})
+    assert list(fn((1,), iter([evs]), st)) == []
+    stage, _t1, _tk, done, bts, bst = st.get
+    assert stage == 0 and len(bts) == 3        # all above watermark
+    assert st.timeout_set == min(bts) // 1000 + 1   # wake past oldest
+
+    # watermark passes 120s: the <=120s prefix processes IN EVENT-TIME
+    # ORDER (view@50 then click@100 -> stages 1, 2), buffer keeps only
+    # the above-watermark tail — which a completed funnel then clears
+    st.watermark_ms = (ts(120).value) // 10**6
+    out = list(fn((1,), iter([]), st))[0]
+    assert list(out["stage"]) == [1, 2]
+    stage, _t1, _tk, done, bts, bst = st.get
+    assert stage == 2 and bts == []            # converted: buffer cleared
+    assert done == st.watermark_ms * 1000
+
+    # late drop: an event at/below the processed frontier never buffers
+    st2 = _FakeGroupState()
+    st2.watermark_ms = (ts(100).value) // 10**6
+    first = pd.DataFrame({"ts": ts([150]), "event_type": ["view"]})
+    assert list(fn((2,), iter([first]), st2)) == []
+    late = pd.DataFrame({"ts": ts([90]), "event_type": ["view"]})
+    assert list(fn((2,), iter([late]), st2)) == []
+    _stage, _t1, _tk, _done, bts, _bst = st2.get
+    assert bts == [ts(150).value // 1000]      # the 90s row was dropped
 
 
 def test_streaming_funnel_rejects_empty_steps(spark):
