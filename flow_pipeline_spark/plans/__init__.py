@@ -126,6 +126,14 @@ _DEMOTED_VARIANTS = {
     # (iterative propagation, strictly the harder device; BFS hop counts
     # stay fully DuckDB-oracled in pytest)
     "nation_trade_hops": ["nation_trade_pagerank"],
+    # round 8: mmr_diverse_knn gains a DuckDB oracle (the greedy rounds
+    # unrolled into chained CTEs) and PROMOTES into the window — the
+    # diversified-re-rank class had no driver row; bloom_dedup demoted
+    # in exchange: the dedup class keeps its exact-digest representative
+    # and the cross-snapshot anti-join form, while the Bloom filter's
+    # false-positive bound stays pytest-asserted and the query stays
+    # fully DuckDB-oracled in pytest
+    "bloom_dedup": ["dedup_exact", "incremental_dedup"],
     "text_quality": ["quality_classifier"],            # per-row QC stats
     "repetition_stats": ["quality_classifier"],        # per-row QC gate
     "c4_line_filter": ["quality_classifier"],          # per-row line rules
@@ -145,7 +153,8 @@ _DEMOTED_VARIANTS = {
                                                        # windowed assignment
     "curation_full_pipeline": ["corpus_curation",      # composition of
                                "exact_substring_spans",  # windowed stages
-                               "bloom_dedup"],
+                               "dedup_exact"],         # (bloom_dedup left
+                                                       # the window, round 8)
     "dataset_card": ["quality_classifier",             # release report over
                      "dedup_exact", "corpus_curation"],  # windowed devices
     "constraint_checks": ["table_profile"],            # Deequ checks; same

@@ -1931,7 +1931,12 @@ def zorder_bucket_stats(spark, sf_dir):
 
 @_q(
     "uniq_state_rollup",
-    None,
+    None,  # the persisted states are DataSketches HLL blobs — DuckDB
+    # has no DataSketches, and the estimator's internals are not
+    # SQL-replicable; merge ≡ direct-sketch EXACT equality and the
+    # estimate-vs-exact bound are pytest-asserted. The md5-register
+    # twin (uniq_register_rollup) carries the windowed oracle for this
+    # class.
     doc="AggregatingMergeTree / uniqState+uniqMerge "
         "(operators/rollup.py:uniq_state,uniq_merge) — the distinct-count "
         "sibling of the SummingMergeTree rollup tier: per-(event_type, "

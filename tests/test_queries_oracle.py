@@ -41,11 +41,18 @@ def test_registry_window_ordering():
                      # driver row (approx_percentiles demoted, the W7
                      # sketch twin of windowed value_percentiles)
                      "ann_pq_adc_exact",
-                     # round 5: importance resampling, line-granular
-                     # dedup, and Bloom membership dedup each land a
-                     # driver row (doc_chunks / text_quality /
-                     # conditional_class demoted — see plans/__init__)
-                     "dsir_importance", "line_dedup", "bloom_dedup",
+                     # round 5: importance resampling and line-granular
+                     # dedup each land a driver row (doc_chunks /
+                     # text_quality / conditional_class demoted — see
+                     # plans/__init__); round 8: bloom_dedup demoted in
+                     # exchange for mmr_diverse_knn (the Bloom bound
+                     # stays pytest-asserted; the dedup class keeps
+                     # dedup_exact + incremental_dedup)
+                     "dsir_importance", "line_dedup",
+                     # round 8: diversified re-ranking (MMR) lands a
+                     # driver row — the greedy argmax rounds unrolled
+                     # into chained CTEs gave it a DuckDB oracle
+                     "mmr_diverse_knn",
                      # round 5 cont.: EWMA temporal anomaly detection
                      # and iterative rank propagation land driver rows
                      # (simhash_near_dup demoted — its banding class
