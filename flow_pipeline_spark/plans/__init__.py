@@ -142,6 +142,10 @@ _DEMOTED_VARIANTS = {
     "lang_id": ["quality_classifier"],                 # per-row marker gate
     "bigram_perplexity": ["doc_perplexity"],           # n-gram LM extension
     "filtered_knn": ["knn_cosine"],                    # metadata-filtered kNN
+    "ann_brute_vectorized": ["knn_cosine"],            # same answer set, GEMM
+                                                       # physical plan (round 8
+                                                       # oracle; pytest-pinned
+                                                       # equal to knn_cosine)
     "stratified_sample": ["train_val_split"],          # md5-threshold device
     "mixture_sample": ["train_val_split",              # + epoch replication
                        "source_quota_sample"],

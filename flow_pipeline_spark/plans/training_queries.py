@@ -641,9 +641,27 @@ def ann_lsh_knn(spark, sf_dir):
 
 @_q(
     "ann_brute_vectorized",
-    None,  # result set is pytest-asserted equal to knn_cosine (which IS
-    # oracled); kept rows-only because the numpy fold order makes 4dp
-    # rounding theoretically engine-sensitive at exact boundaries.
+    # round-8: shares knn_cosine's oracle verbatim (below) — the result
+    # sets are pytest-asserted identical (test_brute_knn_vectorized_
+    # matches_hof), so the only residual risk is a numpy-GEMM fold-order
+    # 4dp boundary, which that test would catch loudly first; verified
+    # cell-exact vs DuckDB at sf0.001/0.01/0.1. Ledgered as a demoted
+    # twin of knn_cosine (same answer, different physical plan).
+    f"""
+    WITH e AS ({_EMB_EXPLODED.format(src='embeddings')}),
+    scored AS (
+      SELECT qe.vec_id AS q, ce.vec_id AS n,
+             round(sum(qe.v * ce.v) /
+                   (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))), 4) AS cos
+      FROM e qe JOIN e ce ON qe.i = ce.i AND qe.vec_id < 10
+                         AND ce.vec_id != qe.vec_id
+      GROUP BY qe.vec_id, ce.vec_id),
+    ranked AS (
+      SELECT q, n, cos,
+             row_number() OVER (PARTITION BY q ORDER BY cos DESC, n ASC) AS rank
+      FROM scored)
+    SELECT q, n, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q, rank
+    """,
     doc="Throughput form of exact kNN: Arrow batches → one numpy GEMM per "
         "batch inside mapInPandas, local top-k per batch, exact global "
         "merge of |partitions|·|Q|·k rows. The corpus never shuffles "

@@ -177,10 +177,17 @@ def test_mocker_stream_domains(spark, tmpdir):
          .option("checkpointLocation", ckpt)
          .trigger(processingTime="1 seconds").start())
     import time
-    deadline = time.time() + 30
+    # wait for BOTH the rows on disk and a non-zero listener progress
+    # event: onQueryProgress delivery is asynchronous, so under
+    # full-suite host load the rows can land while every progress entry
+    # still reads 0 at stop time (observed as a flaky bare
+    # `assert any(...)` below — round 8)
+    deadline = time.time() + 120
     while time.time() < deadline:
         try:
-            if spark.read.parquet(out).count() >= 100:
+            if (spark.read.parquet(out).count() >= 100
+                    and any(p["num_input_rows"]
+                            for p in listener.progress)):
                 break
         except Exception:
             pass
