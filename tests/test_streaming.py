@@ -2183,6 +2183,89 @@ def test_state_store_writer_reader_concurrency_stress(spark, tmpdir, kind):
     final_check(store)
 
 
+def test_crash_after_flip_orphan_epoch_recovered_by_next_resolve(
+        tmp_path, monkeypatch):
+    """THE scenario the two-rename protocol documented as unrecoverable
+    (round-7 verdict, 'the oldest known hole'): an appender epoch lands
+    in the current snapshot after the publisher's pre-flip salvage scan,
+    and the publisher CRASHES right after the pointer flip — the epoch
+    now exists only in the superseded version. Under the pointer
+    protocol the data has an on-disk home (versions are never parked or
+    cleared), the very next resolve's orphan sweep carries it into the
+    current snapshot, and the next publish's GC still proves it safe."""
+    import os
+
+    from flow_pipeline_spark.streaming import jobs
+
+    class Boom(Exception):
+        pass
+
+    store = str(tmp_path / "store")
+    ep1 = os.path.join(store, "epoch=1")
+    os.makedirs(ep1)
+    with open(os.path.join(ep1, "part-a"), "w") as f:
+        f.write("a")
+
+    def write_new(new):
+        d = os.path.join(new, "epoch=-1")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "merged"), "w") as f:
+            f.write("m")
+
+    real_pub = jobs._publish_pointer
+    real_salv = jobs._salvage_into
+    state = {"salvages": 0}
+
+    def racy_pub(store_dir, current, previous):
+        if previous is not None:
+            # the appender lands epoch=7 into the still-current old
+            # version AFTER the pre-flip salvage scan, BEFORE the flip
+            d = os.path.join(store, previous, "epoch=7")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "part-x"), "w") as f:
+                f.write("x")
+        return real_pub(store_dir, current, previous)
+
+    def dying_salvage(src, dst, known):
+        state["salvages"] += 1
+        if state["salvages"] == 2:      # the post-flip pass: crash here
+            raise Boom()
+        return real_salv(src, dst, known)
+
+    monkeypatch.setattr(jobs, "_publish_pointer", racy_pub)
+    monkeypatch.setattr(jobs, "_salvage_into", dying_salvage)
+    try:
+        jobs._swap_in(store, write_new, salvage_known={"epoch=1"})
+        raise AssertionError("expected the injected post-flip crash")
+    except Boom:
+        pass
+    monkeypatch.undo()
+
+    # pointer flipped; epoch=7 lives only in the superseded version
+    cur_name, prev_name = jobs._read_pointer(store)
+    assert prev_name is not None
+    assert not os.path.isdir(os.path.join(store, cur_name, "epoch=7"))
+    assert os.path.isdir(os.path.join(store, prev_name, "epoch=7"))
+
+    # the next resolve's orphan sweep recovers it — no compaction needed
+    cur = jobs._resolve_store(store)
+    with open(os.path.join(cur, "epoch=7", "part-x")) as f:
+        assert f.read() == "x"
+    with open(os.path.join(cur, "epoch=-1", "merged")) as f:
+        assert f.read() == "m"
+
+    # a quiesced follow-up publish (write_new re-merges only epoch=-1,
+    # so the epoch dirs ride the salvage pass) GCs the debris and keeps
+    # everything
+    jobs._swap_in(store, write_new, salvage_known={"epoch=-1"})
+    cur = jobs._resolve_store(store)
+    assert os.path.isdir(os.path.join(cur, "epoch=7"))
+    # epoch=1 was DECLARED merged by the first publish's manifest, so GC
+    # rightly drops it rather than resurrecting already-merged partials
+    assert not os.path.isdir(os.path.join(cur, "epoch=1"))
+    assert len(jobs._version_names(store)) <= 2
+
+
 def test_staged_writer_detects_partially_visible_stage(spark, tmpdir,
                                                        monkeypatch):
     """Round-7 review: the stage-visibility guard only caught the
