@@ -293,6 +293,7 @@ def _merge_copy(s: str, d: str) -> None:
     attempt file salvaged out of _temporary can later be promoted by
     its own task commit into a part file with a truncated footer."""
     import shutil
+    import tempfile
     if os.path.isdir(s):
         os.makedirs(d, exist_ok=True)
         names = [n for n in os.listdir(s)
@@ -300,10 +301,25 @@ def _merge_copy(s: str, d: str) -> None:
         for n in sorted(names, key=lambda n: n == "_SUCCESS"):
             _merge_copy(os.path.join(s, n), os.path.join(d, n))
     elif not os.path.exists(d):
-        tmp = os.path.join(os.path.dirname(d),
-                           "." + os.path.basename(d) + ".copytmp")
-        shutil.copy2(s, tmp)
-        os.replace(tmp, d)
+        # UNIQUE tmp per copier (round-8 review): the compactor's
+        # post-flip salvage, the appender's pointer re-check, and a
+        # reader's orphan sweep can all copy the same file concurrently
+        # — a SHARED tmp name lets one copier's os.replace publish
+        # another's half-written truncation. With unique tmps the
+        # racers each replace with identical complete content.
+        fd, tmp = tempfile.mkstemp(
+            prefix="." + os.path.basename(d) + ".copytmp.",
+            dir=os.path.dirname(d))
+        os.close(fd)
+        try:
+            shutil.copy2(s, tmp)
+            os.replace(tmp, d)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
 
 def _salvage_into(src_dir: str, dst_dir: str,
