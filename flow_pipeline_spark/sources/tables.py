@@ -112,6 +112,33 @@ def _events_cache_dir(sf_dir: str) -> str:
                         tag, "events_by_day")
 
 
+# Reader grace before a superseded events_by_day cache may be deleted:
+# 2x the bench retry budget (RETRY_BUDGET_SEC=900 in bench.py), per
+# round-8 advice — a straddling multi-pass bench re-resolves (and so
+# re-touches the lease) at each pass, so lease age only has to cover
+# one retried pass, but the margin is cheap.
+_READER_GRACE_SEC = 1800
+_LEASE = "._reader_lease"
+
+
+def _touch_lease(cache_dir: str) -> None:
+    """Record 'a reader resolved this cache now' — cleanup of superseded
+    sibling caches keys on this, because directory mtime does not
+    advance on reads."""
+    try:
+        with open(os.path.join(cache_dir, _LEASE), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass                # lease is advisory; resolve must not fail
+
+
+def _lease_mtime(cache_dir: str) -> float:
+    try:
+        return os.stat(os.path.join(cache_dir, _LEASE)).st_mtime
+    except OSError:
+        return 0.0
+
+
 def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf dir) a Date-partitioned copy of ``events``
     — the layout the raw-persist MV writes in production
@@ -125,46 +152,55 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     marker; a half-finished concurrent write is invisible (written to a
     unique tmp dir, renamed into place atomically).
     """
+    import shutil
     import tempfile
+    import time
 
     dest = _events_cache_dir(sf_dir)
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        import shutil as _sh
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        _touch_lease(dest)
+        return dest
 
-        parent = os.path.dirname(dest)          # <root>/<tag>
-        os.makedirs(parent, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="events_by_day_", dir=parent)
-        (load_table(spark, sf_dir, "events")
-         .withColumn("day", F.to_date("ts"))
-         .repartition("day")          # one task per day-dir, no tiny files
-         .write.mode("overwrite").partitionBy("day").parquet(tmp))
-        import shutil
-        if (os.path.isdir(dest)
-                and not os.path.exists(os.path.join(dest, "_SUCCESS"))):
-            shutil.rmtree(dest)  # clear a half-finished previous write
+    parent = os.path.dirname(dest)          # <root>/<tag>
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="events_by_day_", dir=parent)
+    (load_table(spark, sf_dir, "events")
+     .withColumn("day", F.to_date("ts"))
+     .repartition("day")          # one task per day-dir, no tiny files
+     .write.mode("overwrite").partitionBy("day").parquet(tmp))
+    if (os.path.isdir(dest)
+            and not os.path.exists(os.path.join(dest, "_SUCCESS"))):
+        shutil.rmtree(dest)  # clear a half-finished previous write
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    _touch_lease(dest)
+    # content-keyed tags strand the PREVIOUS warehouse's full copy when
+    # the data is regenerated in place — clear superseded siblings (same
+    # basename+path-digest prefix, older content signature), but only
+    # AFTER this cache's _SUCCESS is published and only siblings no
+    # straddling process is still reading. Reader tracking is by LEASE
+    # file, not dir mtime (round-8 advice: a dir's mtime is set at
+    # creation and never advances on reads, so the old 15-min dir-mtime
+    # grace still rmtree'd a cache out from under a >15-min reader).
+    # Every resolve touches the lease, so lease age bounds the time
+    # since the last process STARTED a query against that cache; the
+    # grace is sized at 2x the bench retry budget (900 s), far above
+    # any single query pass.
+    root, tag = os.path.split(parent)
+    stale_prefix = tag.rsplit("_", 1)[0] + "_"
+    cutoff = time.time() - _READER_GRACE_SEC
+    for sib in os.listdir(root):
+        if sib == tag or not sib.startswith(stale_prefix):
+            continue
+        sib_path = os.path.join(root, sib)
         try:
-            os.rename(tmp, dest)
+            newest = max(
+                os.stat(sib_path).st_mtime,
+                _lease_mtime(os.path.join(sib_path, "events_by_day")))
+            if newest < cutoff:
+                shutil.rmtree(sib_path, ignore_errors=True)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
-        # content-keyed tags strand the PREVIOUS warehouse's full copy
-        # when the data is regenerated in place — clear superseded
-        # siblings (same basename+path-digest prefix, older content
-        # signature), but only AFTER this cache's _SUCCESS is published
-        # and only siblings old enough that no straddling process is
-        # still reading them (round-7 advice: the pre-build rmtree
-        # deleted a superseded cache out from under a concurrent bench
-        # run mid-query)
-        import time
-        root, tag = os.path.split(parent)
-        stale_prefix = tag.rsplit("_", 1)[0] + "_"
-        cutoff = time.time() - 900          # 15-min reader grace
-        for sib in os.listdir(root):
-            if sib == tag or not sib.startswith(stale_prefix):
-                continue
-            sib_path = os.path.join(root, sib)
-            try:
-                if os.stat(sib_path).st_mtime < cutoff:
-                    _sh.rmtree(sib_path, ignore_errors=True)
-            except OSError:
-                pass                        # racer already cleaned it
+            pass                        # racer already cleaned it
     return dest

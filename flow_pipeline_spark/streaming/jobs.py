@@ -194,14 +194,20 @@ def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
 #       v00000006/      the previously published snapshot, retained one
 #                       generation as reader grace, GC'd at the next publish
 #
-# Publishing = write the new snapshot dir, then os.replace the pointer —
-# one atomic metadata operation. There is NO moment with no store, no
-# reader-recovery race, no bounded rename-retry loop, and no unrecoverable
-# crash window: the round-7 two-rename protocol documented all four and
-# closed only three (jobs.py history); the manifest closes the last (see
-# _gc_versions). On HDFS the pointer replace maps to an atomic rename; on
-# S3-class stores use a conditional PUT of the pointer object.
+# Publishing = write the new snapshot dir, then atomically replace the
+# pointer — one atomic metadata operation. There is NO moment with no
+# store, no reader-recovery race, no bounded rename-retry loop, and no
+# unrecoverable crash window: the round-7 two-rename protocol documented
+# all four and closed only three (jobs.py history); the manifest closes
+# the last (see _gc_versions). Every filesystem touch below goes through
+# the _IO seam (store_io.LocalStoreIO) — the crash-safety argument rests
+# on the seam's four-primitive contract, not on POSIX: on HDFS
+# publish_text maps to an atomic rename, on S3-class stores to a
+# conditional PUT; the fault-injection suite crash-injects every
+# mutating seam call (tests/test_streaming.py).
 # ---------------------------------------------------------------------------
+
+from .store_io import LOCAL_IO as _IO  # noqa: E402  (seam; tests swap it)
 
 _PTR = "_POINTER"
 _MANIFEST = "._merged.json"
@@ -210,11 +216,10 @@ _VERSION_RE = __import__("re").compile(r"^v(\d{8})$")
 
 def _read_pointer(store_dir: str) -> "tuple[str | None, str | None]":
     """(current, previous) version names from the pointer file, or
-    (None, None) for an uninitialized store. The pointer is written by
-    one atomic os.replace, so a reader sees exactly one full line."""
+    (None, None) for an uninitialized store. The pointer is published
+    atomically, so a reader sees exactly one full line."""
     try:
-        with open(os.path.join(store_dir, _PTR)) as fh:
-            toks = fh.read().split()
+        toks = _IO.read_text(os.path.join(store_dir, _PTR)).split()
     except OSError:
         return None, None
     return (toks[0] if toks else None,
@@ -223,29 +228,16 @@ def _read_pointer(store_dir: str) -> "tuple[str | None, str | None]":
 
 def _publish_pointer(store_dir: str, current: str,
                      previous: "str | None") -> None:
-    """Atomically flip the store pointer: write a sibling tmp file,
-    fsync, os.replace. A crash at any point leaves either the old or
-    the new pointer — never a torn one."""
-    import tempfile
-    fd, tmp = tempfile.mkstemp(prefix="._POINTER.", dir=store_dir)
-    try:
-        content = current if previous is None else f"{current} {previous}"
-        with os.fdopen(fd, "w") as fh:
-            fh.write(content + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(store_dir, _PTR))
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    """Atomically flip the store pointer (seam primitive 1: crash at
+    any point leaves either the old or the new pointer durably — never
+    a torn one)."""
+    content = current if previous is None else f"{current} {previous}"
+    _IO.publish_text(store_dir, _PTR, content + "\n")
 
 
 def _version_names(store_dir: str) -> "list[str]":
     try:
-        return sorted(e for e in os.listdir(store_dir)
+        return sorted(e for e in _IO.listdir(store_dir)
                       if _VERSION_RE.match(e))
     except OSError:
         return []
@@ -274,8 +266,8 @@ def _read_manifest(vdir: "str | None"):
         return set()
     try:
         import json
-        with open(os.path.join(vdir, _MANIFEST)) as fh:
-            merged = json.load(fh)["merged"]
+        merged = json.loads(_IO.read_text(os.path.join(vdir, _MANIFEST)))[
+            "merged"]
         return "*" if merged == "*" else set(merged)
     except (OSError, ValueError, KeyError):
         return set()
@@ -286,40 +278,21 @@ def _merge_copy(s: str, d: str) -> None:
     are task-attempt-unique, so copy-if-missing at the file level is a
     correct merge; round-7 review: skip-if-dir-exists dropped the second
     fragment of an epoch salvaged in two passes). Each file lands by
-    copy-to-hidden-tmp + atomic rename, so a concurrent reader of the
-    destination never sees a torn file; ``_SUCCESS`` is copied LAST so
-    the completeness gate cannot certify a half-copied epoch. Committer
-    internals (dot-files, ``_temporary``) are never copied: a mid-write
-    attempt file salvaged out of _temporary can later be promoted by
-    its own task commit into a part file with a truncated footer."""
-    import shutil
-    import tempfile
-    if os.path.isdir(s):
-        os.makedirs(d, exist_ok=True)
-        names = [n for n in os.listdir(s)
+    the seam's atomic single-file publish, so a concurrent reader of
+    the destination never sees a torn file; ``_SUCCESS`` is copied LAST
+    so the completeness gate cannot certify a half-copied epoch.
+    Committer internals (dot-files, ``_temporary``) are never copied: a
+    mid-write attempt file salvaged out of _temporary can later be
+    promoted by its own task commit into a part file with a truncated
+    footer."""
+    if _IO.isdir(s):
+        _IO.makedirs(d)
+        names = [n for n in _IO.listdir(s)
                  if not n.startswith(".") and n != "_temporary"]
         for n in sorted(names, key=lambda n: n == "_SUCCESS"):
             _merge_copy(os.path.join(s, n), os.path.join(d, n))
-    elif not os.path.exists(d):
-        # UNIQUE tmp per copier (round-8 review): the compactor's
-        # post-flip salvage, the appender's pointer re-check, and a
-        # reader's orphan sweep can all copy the same file concurrently
-        # — a SHARED tmp name lets one copier's os.replace publish
-        # another's half-written truncation. With unique tmps the
-        # racers each replace with identical complete content.
-        fd, tmp = tempfile.mkstemp(
-            prefix="." + os.path.basename(d) + ".copytmp.",
-            dir=os.path.dirname(d))
-        os.close(fd)
-        try:
-            shutil.copy2(s, tmp)
-            os.replace(tmp, d)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+    elif not _IO.exists(d):
+        _IO.copy_file_atomic(s, d)
 
 
 def _salvage_into(src_dir: str, dst_dir: str,
@@ -330,7 +303,7 @@ def _salvage_into(src_dir: str, dst_dir: str,
     a live start_rollup_stream lands after a compaction's snapshot are
     carried into the new snapshot instead of dying with the GC."""
     try:
-        names = os.listdir(src_dir)
+        names = _IO.listdir(src_dir)
     except OSError:
         return
     for name in names:
@@ -340,37 +313,87 @@ def _salvage_into(src_dir: str, dst_dir: str,
                     os.path.join(dst_dir, name))
 
 
+def _all_manifests(store_dir: str) -> "dict[str, object]":
+    """name -> manifest for EVERY on-disk version, gathered in one pass
+    BEFORE any delete. The merged-evidence for an entry of version vX
+    can live in any version strictly newer than vX — not just the
+    current one: epoch 7 merged at publish P1 is named only in v1's
+    manifest, and after P2 (which merges v1's ``epoch=-1`` and names
+    {epoch=-1, epoch=8}) that evidence never reappears downstream
+    (round-8 review: consulting only the current/retained manifests
+    resurrected exactly that epoch as a false orphan, permanently
+    double-counting it in the summing rollup). Gathering up front also
+    keeps the evidence usable when GC deletes the evidencing version
+    itself earlier in the same pass (versions are GC'd newest-first)."""
+    return {n: _read_manifest(os.path.join(store_dir, n))
+            for n in _version_names(store_dir)}
+
+
+def _entry_superseded(entry: str, vname: str,
+                      manifests: "dict[str, object]") -> bool:
+    """True iff some on-disk version STRICTLY NEWER than ``vname``
+    proves ``entry`` merged: its manifest names the entry (the
+    compaction form) or is ``"*"`` (that publish superseded the entire
+    previous snapshot — the state-store form). The manifest chain is
+    intact until GC and each publish's content is carried into its
+    successor, so the union over newer manifests is exactly the set of
+    entries whose data already lives (possibly re-merged several
+    generations forward) in the current snapshot."""
+    for name, m in manifests.items():
+        if name <= vname:
+            continue
+        if m == "*" or entry in m:
+            return True
+    return False
+
+
+def _rescue_copy(src: str, dst: str) -> None:
+    """A salvage/sweep merge-copy racing a concurrent publish's GC: if
+    the SOURCE version vanishes mid-copy (rmtree between our listdir
+    and the copy), the GC that deleted it already proved every entry
+    merged or salvaged it itself — skipping is correct, and propagating
+    the FileNotFoundError would crash a pure READER'S resolve (round-8
+    review; the read contract is 'no recovery, no retry'). Any OSError
+    with the source still present is a real fault and re-raises."""
+    try:
+        _merge_copy(src, dst)
+    except OSError:
+        if _IO.exists(src):
+            raise
+
+
 def _gc_versions(store_dir: str, keep: "set[str]", cur_path: str) -> None:
     """Delete superseded/garbage version dirs, salvaging first. An entry
-    of a doomed version is deletable iff some RETAINED version's manifest
-    names it (its data was folded into that publish) or it is physically
-    present in the current snapshot (salvaged, or re-landed by the
-    appender's own pointer check); anything else is a true orphan — e.g.
-    an epoch that landed between a crashed publish's snapshot and its
-    pointer flip — and is merge-copied into the current snapshot before
-    the delete. This check is what makes the protocol manifest-complete:
-    the two-rename swap's documented unrecoverable window (data living
-    only in an unpublished tmp) cannot arise, because no version is ever
-    parked or cleared — only GC deletes, and GC proves each entry safe
-    or carries it forward."""
-    import shutil
-    manifests = [_read_manifest(os.path.join(store_dir, n))
-                 for n in keep if os.path.isdir(os.path.join(store_dir, n))]
+    of a doomed version vX is deletable iff some on-disk version
+    STRICTLY NEWER than vX proves it merged (:func:`_entry_superseded`
+    over manifests gathered before any rmtree — the evidence for an
+    old epoch can live in an intermediate version's manifest, and that
+    intermediate version may itself be doomed in this very pass) or it
+    is physically present in the current snapshot (salvaged, or
+    re-landed by the appender's own pointer check); anything else is a
+    true orphan — e.g. an epoch that landed between a crashed publish's
+    snapshot and its pointer flip — and is merge-copied into the
+    current snapshot before the delete. This check is what makes the
+    protocol manifest-complete: the two-rename swap's documented
+    unrecoverable window (data living only in an unpublished tmp)
+    cannot arise, because no version is ever parked or cleared — only
+    GC deletes, and GC proves each entry safe or carries it forward."""
+    manifests = _all_manifests(store_dir)       # before ANY rmtree
     for name in sorted(set(_version_names(store_dir)) - keep, reverse=True):
         vpath = os.path.join(store_dir, name)
         try:
-            entries = os.listdir(vpath)
+            entries = _IO.listdir(vpath)
         except OSError:
             continue
         for e in entries:
             if e.startswith((".", "_")):
                 continue
-            if any(m == "*" or e in m for m in manifests):
+            if _entry_superseded(e, name, manifests):
                 continue
-            if os.path.exists(os.path.join(cur_path, e)):
+            if _IO.exists(os.path.join(cur_path, e)):
                 continue
-            _merge_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
-        shutil.rmtree(vpath, ignore_errors=True)
+            _rescue_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
+        _IO.rmtree(vpath)
 
 
 def _orphan_sweep(store_dir: str, cur_path: str) -> None:
@@ -379,26 +402,33 @@ def _orphan_sweep(store_dir: str, cur_path: str) -> None:
     delete): after a writer crash between the pointer flip and the
     post-flip salvage, an appender epoch can sit only in the previous
     version — the sweep makes it readable again at the very next
-    resolve instead of the next publish. No-op (one listdir) on stores
-    whose manifests are ``"*"`` or whose old entries are all merged."""
+    resolve instead of the next publish. The predicate unions the
+    manifests of ALL on-disk versions newer than the orphan candidate's
+    (not just the current one): after a crash-before-GC two stale
+    versions can coexist, and an epoch merged one generation earlier is
+    named only by the INTERMEDIATE version's manifest (round-8 review —
+    the current-manifest-only check salvaged such an epoch back in,
+    permanently inflating the summing rollup). No-op (one listdir) on
+    stores whose manifests are ``"*"`` or whose old entries are all
+    merged."""
     cur_name = os.path.basename(cur_path)
-    manifest = _read_manifest(cur_path)
+    manifests = _all_manifests(store_dir)
     for name in _version_names(store_dir):
         if name >= cur_name:
             continue
         vpath = os.path.join(store_dir, name)
         try:
-            entries = os.listdir(vpath)
+            entries = _IO.listdir(vpath)
         except OSError:
             continue
         for e in entries:
             if e.startswith((".", "_")):
                 continue
-            if manifest == "*" or e in manifest:
+            if _entry_superseded(e, name, manifests):
                 continue
-            if os.path.exists(os.path.join(cur_path, e)):
+            if _IO.exists(os.path.join(cur_path, e)):
                 continue
-            _merge_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
+            _rescue_copy(os.path.join(vpath, e), os.path.join(cur_path, e))
 
 
 def _recover_swap(store_dir: str) -> None:
@@ -458,7 +488,7 @@ def _resolve_store(store_dir: str) -> "str | None":
     if cur is None:
         return None
     path = os.path.join(store_dir, cur)
-    if not os.path.isdir(path):
+    if not _IO.isdir(path):
         raise RuntimeError(
             f"store pointer at {store_dir} names a missing snapshot "
             f"{cur!r} — the store was tampered with outside the swap "
@@ -473,12 +503,12 @@ def _init_store(store_dir: str) -> str:
     """Initialize an empty store to an empty ``v00000000`` snapshot and
     return its path (the appender's first-epoch target). Idempotent
     under concurrent initializers: both publish the same pointer."""
-    os.makedirs(store_dir, exist_ok=True)
+    _IO.makedirs(store_dir)
     cur = _resolve_store(store_dir)
     if cur is not None:
         return cur
     v0 = os.path.join(store_dir, "v00000000")
-    os.makedirs(v0, exist_ok=True)
+    _IO.makedirs(v0)
     _publish_pointer(store_dir, "v00000000", None)
     return v0
 
@@ -510,17 +540,14 @@ def _swap_in(store_dir: str, write_tmp, *,
     after the flip. ``None`` means the new snapshot supersedes the
     previous one completely (the state-store form; manifest ``"*"``)."""
     import json
-    os.makedirs(store_dir, exist_ok=True)
+    _IO.makedirs(store_dir)
     cur_path = _resolve_store(store_dir)
     cur = os.path.basename(cur_path) if cur_path else None
     nxt = _next_version_name(store_dir)
     new_dir = os.path.join(store_dir, nxt)
     write_tmp(new_dir)
     merged = "*" if salvage_known is None else sorted(salvage_known)
-    with open(os.path.join(new_dir, _MANIFEST), "w") as fh:
-        json.dump({"merged": merged}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    _IO.publish_text(new_dir, _MANIFEST, json.dumps({"merged": merged}))
     if cur_path is not None and salvage_known is not None:
         _salvage_into(cur_path, new_dir, salvage_known)
     _publish_pointer(store_dir, nxt, cur)
@@ -551,7 +578,14 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
         try:
             return _run_compaction_once(spark, rollup_dir)
         except Exception as e:
-            if not _is_transient_read_error(e) or attempt == 3:
+            klass = _transient_read_error_class(e)
+            # fallback (substring-matched) classification is weaker
+            # evidence — it can catch a permanent error whose message
+            # merely MENTIONS FileNotFoundException (round-8 advice) —
+            # so it earns 1 retry, not 3: a real stale listing heals on
+            # the first re-snapshot, a permanent error surfaces fast.
+            limit = 3 if klass == "condition" else 1
+            if klass is None or attempt >= limit:
                 raise
             # short backoff so a replaying appender's delete window can
             # pass before the re-snapshot (round-7 advice: immediate
@@ -559,17 +593,20 @@ def run_compaction(spark: SparkSession, rollup_dir: str) -> None:
             time.sleep(0.2 * (attempt + 1))
 
 
-def _is_transient_read_error(e: Exception) -> bool:
+def _transient_read_error_class(e: Exception) -> "str | None":
     """Is ``e`` one of the stale-listing shapes a concurrent appender's
     epoch overwrite produces (a planned file deleted before execution;
     an epoch dir momentarily EMPTY mid-overwrite so schema inference
-    fails)?  Classified by Spark's structured error condition when the
-    exception carries one — round-7 advice: the old substring-only match
-    ('does not exist') also caught permanent analysis errors phrased the
-    same way (e.g. a missing column) and retried them 4x. Exceptions
-    without a condition (Py4J-wrapped executor IOExceptions) fall back
-    to the substring forms the stress test reproduced, minus the
-    ambiguous one."""
+    fails)?  Returns the evidence strength, not just a bool:
+    ``"condition"`` when Spark's structured error condition matches
+    (round-7 advice: the old substring-only match ('does not exist')
+    also caught permanent analysis errors phrased the same way, e.g. a
+    missing column, and retried them 4x), ``"fallback"`` when a
+    condition-less exception (Py4J-wrapped executor IOException)
+    matches the substring forms the stress test reproduced — weaker
+    evidence, so the caller bounds its retries lower (round-8 advice:
+    a permanent message can still MENTION FileNotFoundException) —
+    and ``None`` for everything else."""
     cond = None
     for attr in ("getCondition", "getErrorClass"):    # 4.x / 3.x names
         fn = getattr(e, attr, None)
@@ -581,13 +618,20 @@ def _is_transient_read_error(e: Exception) -> bool:
             if cond:
                 break
     if cond:
-        return cond.split(".")[0] in {
+        ok = cond.split(".")[0] in {
             "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA", "FAILED_READ_FILE"}
+        return "condition" if ok else None
     msg = str(e)
-    return ("FAILED_READ_FILE" in msg
+    if ("FAILED_READ_FILE" in msg
             or "FileNotFoundException" in msg
             or "PATH_NOT_FOUND" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg)
+            or "UNABLE_TO_INFER_SCHEMA" in msg):
+        return "fallback"
+    return None
+
+
+def _is_transient_read_error(e: Exception) -> bool:
+    return _transient_read_error_class(e) is not None
 
 
 def _run_compaction_once(spark: SparkSession, rollup_dir: str) -> None:

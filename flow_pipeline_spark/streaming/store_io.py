@@ -1,0 +1,123 @@
+"""Store-IO seam for the versioned pointer-store protocol.
+
+The protocol in :mod:`flow_pipeline_spark.streaming.jobs` (versioned
+snapshots + one atomically-replaced pointer) proves its crash-safety from
+FOUR primitives, not from POSIX details. This module names those
+primitives so the argument carries to a non-POSIX store and so tests can
+crash-inject through the seam itself (every mutating call, not just
+hand-picked steps):
+
+1. ``publish_text`` — atomic whole-object publish of a small control file
+   (the pointer, the manifest). Local: write-sibling-tmp + fsync +
+   ``os.replace`` + directory fsync. S3-class: a conditional PUT of the
+   object (If-Match on the read ETag gives the same lost-update guarantee
+   the single-writer compaction lock gives locally). HDFS: atomic rename.
+2. ``copy_file_atomic`` — publish one data file; a concurrent reader sees
+   the old object, the new object, or no object — never a torn one.
+   Local: copy to unique hidden tmp + ``os.replace``. S3-class: a plain
+   PUT (single-object PUTs are atomic).
+3. ``listdir`` / ``exists`` / ``isdir`` / ``read_text`` — listing and
+   reads; may be eventually consistent ONE publish behind, which the
+   protocol tolerates (a stale pointer read names a RETAINED version —
+   previous is kept one generation as reader grace).
+4. ``rmtree`` / ``makedirs`` — bulk namespace ops that may be slow and
+   non-atomic; the protocol never depends on their atomicity (GC deletes
+   only versions whose every entry it first proved merged or salvaged,
+   and a half-deleted version is re-GC'd at the next publish).
+
+The default instance is the local filesystem. Tests swap
+``jobs._IO`` for a fault-injecting wrapper (see
+``tests/test_streaming.py::test_pointer_protocol_crash_inject_through_io_seam``)
+to verify the two protocol invariants hold when ANY primitive dies at
+ANY call — the generalization of the step-level crash-injection test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+
+class LocalStoreIO:
+    """POSIX implementation of the store-IO contract (module docstring).
+
+    Stateless; one shared instance serves every store. All methods take
+    absolute paths; ``publish_text``/``copy_file_atomic`` are the only
+    primitives the protocol requires to be atomic.
+    """
+
+    # -- reads / listing ---------------------------------------------------
+    def listdir(self, path: str) -> "list[str]":
+        return os.listdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    # -- namespace ----------------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    # -- atomic publishes ----------------------------------------------------
+    def publish_text(self, dirpath: str, name: str, content: str) -> None:
+        """Atomically publish ``dirpath/name`` with ``content``: sibling
+        tmp + fsync + os.replace, then fsync the DIRECTORY — os.replace
+        alone orders the rename in the page cache, not on the platter,
+        so on power loss an un-fsynced pointer flip could revert after a
+        later publish already GC'd the version the reverted pointer
+        names (round-8 review). A crash at any point leaves either the
+        old or the new object durably — never a torn one."""
+        fd, tmp = tempfile.mkstemp(prefix=f".{name}.", dir=dirpath)
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(content)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(dirpath, name))
+            dfd = os.open(dirpath,
+                          os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def copy_file_atomic(self, src: str, dst: str) -> None:
+        """Publish ``dst`` as a copy of ``src``; readers of ``dst`` never
+        see a torn file. UNIQUE tmp per copier (round-8 review): the
+        compactor's post-flip salvage, the appender's pointer re-check,
+        and a reader's orphan sweep can all copy the same file
+        concurrently — a shared tmp name lets one copier's os.replace
+        publish another's half-written truncation; with unique tmps the
+        racers each replace with identical complete content."""
+        fd, tmp = tempfile.mkstemp(
+            prefix="." + os.path.basename(dst) + ".copytmp.",
+            dir=os.path.dirname(dst))
+        os.close(fd)
+        try:
+            shutil.copy2(src, tmp)
+            os.replace(tmp, dst)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+
+LOCAL_IO = LocalStoreIO()

@@ -156,3 +156,95 @@ def test_retry_budget_allows_then_exhausts(monkeypatch):
     old_start = t0 - bench.RETRY_BUDGET_SEC - 1
     assert bench._more_attempts(2, old_start)
     assert not bench._more_attempts(3, old_start)
+
+
+def test_dispersion_verdict_thresholds():
+    """Round-9 (VERDICT r8 #1): the per-query repeat-dispersion witness.
+    A quiet host (all ratios near 1) is ok; a median over 1.5 or >20%
+    of queries spreading past 2x refuses the clean label; one GC-pause
+    outlier among many quiet queries must NOT contaminate a round."""
+    import bench
+
+    assert bench._dispersion_verdict(
+        {f"q{i}": 1.1 for i in range(20)})["ok"]
+    # single outlier among 20 quiet queries: still ok
+    d = {f"q{i}": 1.1 for i in range(19)}
+    d["gc_pause"] = 3.0
+    assert bench._dispersion_verdict(d)["ok"]
+    # uniformly unstable host: refused
+    assert not bench._dispersion_verdict(
+        {f"q{i}": 1.8 for i in range(20)})["ok"]
+    # a quarter of queries spreading >2x: refused
+    d = {f"q{i}": 1.2 for i in range(15)}
+    d.update({f"w{i}": 2.4 for i in range(5)})
+    assert not bench._dispersion_verdict(d)["ok"]
+    assert bench._dispersion_verdict({})["ok"]        # empty: vacuous
+
+
+def test_cpu_speed_ratio():
+    import bench
+
+    now = {"python_kops": 200.0, "gemm_gflops": 50.0,
+           "pandas_groupby_mrows": 8.0}
+    half = {k: v / 2 for k, v in now.items()}
+    assert bench._cpu_speed_ratio(now, half) == 2.0
+    assert bench._cpu_speed_ratio(now, now) == 1.0
+    assert bench._cpu_speed_ratio(now, None) is None
+    assert bench._cpu_speed_ratio(now, {}) is None
+
+
+def test_detail_record_keeps_best_clean_at_head(tmp_path, capsys):
+    """Round-9 (VERDICT r8 #3): a slower clean run at the SAME HEAD with
+    the same query set must not displace a faster committed clean
+    record (last-clean-wins is not curation); a new HEAD, a changed
+    query set, or a missing record always refreshes; a contaminated
+    run never touches the curated file."""
+    import json
+    import os
+
+    import bench
+
+    here = str(tmp_path)
+
+    def record(head, total, contaminated=False, qs=("q1", "q2")):
+        return {"queries": {q: total / len(qs) for q in qs},
+                "git_head": head,
+                "host": {"contaminated": contaminated}}
+
+    fast = record("h1", 10.0)
+    bench._write_detail_records(here, fast, None, contaminated=False)
+    committed = bench._load_committed_detail(here)
+    assert committed["git_head"] == "h1"
+
+    # slower clean run, same HEAD, same queries: curated record kept
+    slow = record("h1", 30.0)
+    bench._write_detail_records(here, slow, committed, contaminated=False)
+    assert bench._load_committed_detail(here)["queries"]["q1"] == 5.0
+    # ...but the sidecar always has the latest run
+    with open(os.path.join(here, "BENCH_DETAIL_LAST.json")) as f:
+        assert json.load(f)["queries"]["q1"] == 15.0
+
+    # faster clean run, same HEAD: refreshes
+    faster = record("h1", 8.0)
+    bench._write_detail_records(here, faster, committed, contaminated=False)
+    assert bench._load_committed_detail(here)["queries"]["q1"] == 4.0
+
+    # slower clean run at a NEW head: refreshes (totals not comparable)
+    committed = bench._load_committed_detail(here)
+    new_head = record("h2", 40.0)
+    bench._write_detail_records(here, new_head, committed,
+                                contaminated=False)
+    assert bench._load_committed_detail(here)["git_head"] == "h2"
+
+    # changed query set at same head: refreshes
+    committed = bench._load_committed_detail(here)
+    widened = record("h2", 50.0, qs=("q1", "q2", "q3"))
+    bench._write_detail_records(here, widened, committed,
+                                contaminated=False)
+    assert "q3" in bench._load_committed_detail(here)["queries"]
+
+    # contaminated run: curated record untouched, sidecar updated
+    committed = bench._load_committed_detail(here)
+    dirty = record("h3", 5.0, contaminated=True)
+    bench._write_detail_records(here, dirty, committed, contaminated=True)
+    assert bench._load_committed_detail(here)["git_head"] == "h2"

@@ -540,3 +540,51 @@ def test_events_cache_key_tracks_content(tmp_path):
     k3 = _events_cache_dir(str(sf))
     (d / "part-0.parquet").write_bytes(b"PAR1" + b"d" * 50)
     assert _events_cache_dir(str(sf)) != k3
+
+
+def test_events_cache_cleanup_honors_reader_lease(spark, tmp_path):
+    """Round-8 advice: a directory's mtime is set at creation and never
+    advances on reads, so the old 15-min dir-mtime grace deleted a
+    superseded cache out from under a long-running reader. Cleanup now
+    keys on a LEASE file every resolve touches: a superseded sibling
+    with a FRESH lease survives the regeneration cleanup; with both
+    signals older than the grace it is collected."""
+    import os
+    import shutil
+    import time
+
+    from flow_pipeline_spark.sources import tables as T
+
+    sf = tmp_path / "sflease"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                sf / "events.parquet")
+    cache_a = T.partitioned_events_dir(spark, str(sf))
+    assert os.path.exists(os.path.join(cache_a, T._LEASE))
+    tag_a = os.path.dirname(cache_a)
+
+    # a cache-HIT must refresh the lease (the reader-tracking signal)
+    before = os.stat(os.path.join(cache_a, T._LEASE)).st_mtime_ns
+    time.sleep(0.02)
+    assert T.partitioned_events_dir(spark, str(sf)) == cache_a
+    assert os.stat(os.path.join(cache_a, T._LEASE)).st_mtime_ns > before
+
+    # regenerate the warehouse in place -> new tag; sibling A is now
+    # superseded but its lease is fresh: it must SURVIVE the cleanup
+    # even with its dir mtime backdated past the grace
+    old = time.time() - 2 * T._READER_GRACE_SEC
+    os.utime(tag_a, (old, old))
+    # mtime_ns is folded into the content signature, so an in-place
+    # regeneration is simulated by bumping the source's mtime
+    os.utime(sf / "events.parquet", ns=(1, 1))
+    cache_b = T.partitioned_events_dir(spark, str(sf))
+    assert cache_b != cache_a
+    assert os.path.isdir(cache_a), "fresh lease did not protect reader"
+
+    # backdate the lease too -> the next regeneration collects A
+    os.utime(os.path.join(cache_a, T._LEASE), (old, old))
+    os.utime(tag_a, (old, old))
+    os.utime(sf / "events.parquet", ns=(2, 2))
+    cache_c = T.partitioned_events_dir(spark, str(sf))
+    assert cache_c not in (cache_a, cache_b)
+    assert not os.path.exists(tag_a), "stale superseded cache not collected"

@@ -1571,6 +1571,331 @@ def test_pointer_swap_garbage_version_is_invisible_and_collected(
     assert int(cur[1:]) > int(_os.path.basename(garbage)[1:])
 
 
+def _land_plain_epoch(cur: str, name: str, content: str) -> None:
+    """Plant a complete epoch-style entry (part file + _SUCCESS) with
+    plain files — the pointer protocol is file-level, so these pure-FS
+    tests need no Spark write."""
+    import os as _os
+    d = _os.path.join(cur, name)
+    _os.makedirs(d, exist_ok=True)
+    with open(_os.path.join(d, "part-0"), "w") as f:
+        f.write(content)
+    open(_os.path.join(d, "_SUCCESS"), "w").close()
+
+
+def test_merged_epoch_not_resurrected_one_generation_later(tmp_path):
+    """Round-8 review, HIGH: the orphan predicate must union the
+    manifests of ALL on-disk versions newer than the candidate — the
+    proof that an epoch was merged can live in an INTERMEDIATE
+    version's manifest. Scenario: epoch=7 is merged at publish P1
+    (named only in v1's manifest), the appender lands epoch=8, and P2
+    crashes after the pointer flip but before GC, leaving v0(epoch=7),
+    v1(epoch=-1,epoch=8,manifest={epoch=7}), v2(epoch=-1) on disk.
+    The next resolve's orphan sweep — and the next publish's GC — must
+    NOT salvage epoch=7 back in (its partials are already folded into
+    epoch=-1; resurrection would permanently double-count it), while a
+    genuinely unmerged epoch in the same stale version IS rescued."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+
+    class Boom(Exception):
+        pass
+
+    store = str(tmp_path / "chain_store")
+    v0 = jobs._init_store(store)
+    _land_plain_epoch(v0, "epoch=7", "seven")
+    # P1: merge epoch=7 -> v1{epoch=-1}; GC retains v0 as reader grace
+    jobs._swap_in(store, lambda d: _land_plain_epoch(d, "epoch=-1", "m7"),
+                  salvage_known={"epoch=7"})
+    cur = jobs._resolve_store(store)
+    _land_plain_epoch(cur, "epoch=8", "eight")
+    # P2: merge {epoch=-1, epoch=8} -> v2; crash AFTER flip, BEFORE GC
+    real_gc = jobs._gc_versions
+    jobs._gc_versions = lambda *a, **k: (_ for _ in ()).throw(Boom())
+    try:
+        jobs._swap_in(store, lambda d: _land_plain_epoch(d, "epoch=-1", "m78"),
+                      salvage_known={"epoch=-1", "epoch=8"})
+    except Boom:
+        pass
+    finally:
+        jobs._gc_versions = real_gc
+    assert len(jobs._version_names(store)) == 3      # the crash window
+
+    # orphan sweep at the very next resolve: epoch=7 must stay merged
+    cur = jobs._resolve_store(store)
+    entries = {e for e in _os.listdir(cur) if not e.startswith((".", "_"))}
+    assert entries == {"epoch=-1"}, entries
+
+    # a TRUE orphan in the same stale v0 must still be rescued
+    _land_plain_epoch(_os.path.join(store, "v00000000"), "epoch=5", "five")
+    cur = jobs._resolve_store(store)
+    entries = {e for e in _os.listdir(cur) if not e.startswith((".", "_"))}
+    assert entries == {"epoch=-1", "epoch=5"}
+
+    # GC path: the next publish dooms BOTH v0 and v1; v1 (the evidence
+    # holder for epoch=7) is rmtree'd first — the manifests must have
+    # been gathered before any delete, so epoch=7 still stays merged
+    jobs._swap_in(store, lambda d: _land_plain_epoch(d, "epoch=-1", "mall"),
+                  salvage_known={"epoch=-1", "epoch=5"})
+    cur = jobs._resolve_store(store)
+    entries = {e for e in _os.listdir(cur) if not e.startswith((".", "_"))}
+    assert entries == {"epoch=-1"}
+    assert len(jobs._version_names(store)) <= 2      # debris collected
+
+    with open(_os.path.join(cur, "epoch=-1", "part-0")) as fh:
+        assert fh.read() == "mall"
+
+
+def test_rescue_copy_skips_source_gcd_mid_copy(tmp_path):
+    """Round-8 review, low: a reader's orphan sweep racing a concurrent
+    publish's GC rmtree must not crash the read — if the source version
+    vanished mid-copy, the GC that deleted it already proved the entry
+    merged (or salvaged it itself), so skipping is correct. An OSError
+    with the source still present is a real fault and must re-raise."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from flow_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "gone" / "epoch=3")
+    dst = str(tmp_path / "cur" / "epoch=3")
+    _os.makedirs(_os.path.dirname(dst))
+    # source vanished before the copy: silent no-op
+    jobs._rescue_copy(src, dst)
+    assert not _os.path.exists(dst)
+    # source present but destination parent is a plain FILE (tests run
+    # as root, so a permission block wouldn't bite): real fault
+    _land_plain_epoch(str(tmp_path / "gone"), "epoch=3", "three")
+    blocked = str(tmp_path / "blocked")
+    open(blocked, "w").close()
+    with _pytest.raises(OSError):
+        jobs._rescue_copy(src, _os.path.join(blocked, "epoch=3"))
+
+
+class _InjectedCrash(Exception):
+    """Deliberately NOT an OSError: the protocol swallows OSError only
+    where it can re-prove safety (e.g. _rescue_copy when the source is
+    gone) — an injected crash must always propagate like a process
+    death would."""
+
+
+class _FaultyIO:
+    """store_io seam wrapper that dies on the k-th call (mutating AND
+    read primitives — a store outage can interrupt a publish at either),
+    modeling a crash at every point of the protocol's IO sequence
+    rather than at hand-picked steps."""
+
+    PRIMITIVES = ("listdir", "exists", "isdir", "read_text",
+                  "makedirs", "rmtree", "publish_text", "copy_file_atomic")
+
+    def __init__(self, inner, fail_at=None):
+        self._inner = inner
+        self.fail_at = fail_at
+        self.calls = 0
+
+    def _step(self):
+        self.calls += 1
+        if self.fail_at is not None and self.calls > self.fail_at:
+            raise _InjectedCrash(f"injected at IO call {self.fail_at}")
+
+    def __getattr__(self, name):
+        if name not in self.PRIMITIVES:
+            raise AttributeError(name)
+        inner_fn = getattr(self._inner, name)
+
+        def wrapped(*a, **kw):
+            self._step()
+            return inner_fn(*a, **kw)
+        return wrapped
+
+
+def _store_total(jobs, store: str) -> int:
+    """Sum of the plain-file epoch values visible through one resolve —
+    the double-count/loss detector: epoch=-1 carries the merged sum, so
+    the total must equal the sum of every landed epoch EXACTLY once."""
+    import os as _os
+    cur = jobs._resolve_store(store)
+    total = 0
+    for e in _os.listdir(cur):
+        if e.startswith((".", "_")):
+            continue
+        with open(_os.path.join(cur, e, "part-0")) as fh:
+            total += int(fh.read())
+    return total
+
+
+def test_pointer_protocol_crash_inject_through_io_seam(tmp_path):
+    """Generalized crash injection: run the compaction-form publish
+    scenario (P1 merges epoch=7, appender lands epoch=8, P2 merges
+    {epoch=-1, epoch=8}) and kill the store-IO seam at EVERY k-th call
+    of P2 in turn. After each crash, with healthy IO restored: (a) a
+    reader resolves one complete snapshot whose merged total is exactly
+    7+8=15 — no loss, no double count, whichever side of the flip the
+    crash landed on; (b) a clean compaction retry converges to a single
+    merged entry and ≤2 retained versions. This checks the protocol
+    against the seam CONTRACT (atomic publish_text/copy_file_atomic),
+    the argument that carries to HDFS rename / S3 conditional-PUT
+    backends."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+    from flow_pipeline_spark.streaming.store_io import LOCAL_IO
+
+    def mini_compact(store):
+        """The compactor's shape: merge every visible entry's value
+        into a fresh epoch=-1, salvage_known = the merged entries."""
+        cur = jobs._resolve_store(store)
+        entries = [e for e in _os.listdir(cur)
+                   if not e.startswith((".", "_"))]
+        total = 0
+        for e in entries:
+            with open(_os.path.join(cur, e, "part-0")) as fh:
+                total += int(fh.read())
+        jobs._swap_in(
+            store, lambda d: _land_plain_epoch(d, "epoch=-1", str(total)),
+            salvage_known=set(entries))
+
+    def build(store):
+        v0 = jobs._init_store(store)
+        _land_plain_epoch(v0, "epoch=7", "7")
+        mini_compact(store)                      # P1: epoch=-1 == 7
+        _land_plain_epoch(jobs._resolve_store(store), "epoch=8", "8")
+
+    # probe: count P2's IO calls on a healthy store
+    probe = str(tmp_path / "probe")
+    build(probe)
+    counter = _FaultyIO(LOCAL_IO, fail_at=None)
+    jobs._IO = counter
+    try:
+        mini_compact(probe)
+    finally:
+        jobs._IO = LOCAL_IO
+    n_calls = counter.calls
+    assert n_calls > 10, n_calls    # sanity: the seam is actually in use
+    assert _store_total(jobs, probe) == 15
+
+    crashed_at = 0
+    for k in range(n_calls):
+        store = str(tmp_path / f"s{k}")
+        build(store)
+        jobs._IO = _FaultyIO(LOCAL_IO, fail_at=k)
+        try:
+            mini_compact(store)
+        except _InjectedCrash:
+            crashed_at += 1
+        finally:
+            jobs._IO = LOCAL_IO
+        # (a) reader sees one complete snapshot; exactly-once total
+        assert _store_total(jobs, store) == 15, f"crash at call {k}"
+        # (b) clean retry converges
+        mini_compact(store)
+        assert _store_total(jobs, store) == 15, f"retry after call {k}"
+        cur = jobs._resolve_store(store)
+        entries = {e for e in _os.listdir(cur)
+                   if not e.startswith((".", "_"))}
+        assert entries == {"epoch=-1"}, (k, entries)
+        assert len(jobs._version_names(store)) <= 2, k
+    assert crashed_at == n_calls    # every injection actually fired
+
+
+def test_state_store_crash_inject_through_io_seam(tmp_path):
+    """Same seam-level injection for the state-store form
+    (salvage_known=None, manifest '*'): after a crash at any IO call of
+    a v2 publish, a reader sees EITHER the complete old state or the
+    complete new state — never a mix — and a clean retry lands the new
+    state with ≤2 versions retained."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+    from flow_pipeline_spark.streaming.store_io import LOCAL_IO
+
+    def write_state(tag):
+        return lambda d: _land_plain_epoch(d, "state", tag)
+
+    def read_state(store):
+        cur = jobs._resolve_store(store)
+        with open(_os.path.join(cur, "state", "part-0")) as fh:
+            return fh.read()
+
+    probe = str(tmp_path / "probe")
+    jobs._swap_in(probe, write_state("old"))
+    counter = _FaultyIO(LOCAL_IO, fail_at=None)
+    jobs._IO = counter
+    try:
+        jobs._swap_in(probe, write_state("new"))
+    finally:
+        jobs._IO = LOCAL_IO
+    n_calls = counter.calls
+    assert read_state(probe) == "new"
+
+    for k in range(n_calls):
+        store = str(tmp_path / f"st{k}")
+        jobs._swap_in(store, write_state("old"))
+        jobs._IO = _FaultyIO(LOCAL_IO, fail_at=k)
+        try:
+            jobs._swap_in(store, write_state("new"))
+        except _InjectedCrash:
+            pass
+        finally:
+            jobs._IO = LOCAL_IO
+        assert read_state(store) in ("old", "new"), k   # never torn
+        jobs._swap_in(store, write_state("new"))
+        assert read_state(store) == "new", k
+        assert len(jobs._version_names(store)) <= 2, k
+
+
+def test_compaction_retry_bounded_lower_for_fallback_classification(
+        monkeypatch, tmp_path):
+    """Round-8 advice: substring-matched transience (a condition-less
+    exception whose message merely mentions FileNotFoundException) is
+    weaker evidence than Spark's structured error condition — it gets
+    ONE retry (2 attempts total), while a condition-classified stale
+    listing keeps the full budget (4 attempts)."""
+    from flow_pipeline_spark.streaming import jobs
+
+    calls = {"n": 0}
+
+    class CondErr(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    def make_raiser(exc):
+        def raiser(spark, d):
+            calls["n"] += 1
+            raise exc
+        return raiser
+
+    monkeypatch.setattr(
+        jobs, "_run_compaction_once",
+        make_raiser(Exception("java.io.FileNotFoundException: perm gone")))
+    monkeypatch.setattr(__import__("time"), "sleep", lambda s: None)
+    try:
+        jobs.run_compaction(None, str(tmp_path))
+    except Exception:
+        pass
+    assert calls["n"] == 2          # fallback class: one retry only
+
+    calls["n"] = 0
+    monkeypatch.setattr(jobs, "_run_compaction_once",
+                        make_raiser(CondErr("stale listing")))
+    try:
+        jobs.run_compaction(None, str(tmp_path))
+    except Exception:
+        pass
+    assert calls["n"] == 4          # condition class: full budget
+
+    calls["n"] = 0
+    monkeypatch.setattr(jobs, "_run_compaction_once",
+                        make_raiser(ValueError("not transient at all")))
+    try:
+        jobs.run_compaction(None, str(tmp_path))
+    except Exception:
+        pass
+    assert calls["n"] == 1          # unclassified: no retry
+
+
 def test_read_cdc_store_recovers_mid_swap_crash(spark, tmpdir):
     """A writer crash between _swap_in's two renames leaves the store
     directory MISSING with the superseded snapshot parked at
