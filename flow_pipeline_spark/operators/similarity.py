@@ -36,6 +36,18 @@ def _dot(a: Column | str, b: Column | str) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _seed_order(cid: Column) -> Column:
+    """Hash-strided deterministic sample order for centroid/codebook
+    seeding: md5 of the id's decimal string — the repo's cross-engine
+    determinism device (``md5(CAST(id AS VARCHAR))`` in DuckDB computes
+    the identical bytes), so an oracle can reproduce seed selection
+    exactly. Round-9: replaced xxhash64, which has no DuckDB analog and
+    kept every kmeans-seeded query rows-only; as a strided sample both
+    hashes are equally arbitrary, so nothing but the (equally random)
+    seed choice changes."""
+    return F.md5(cid.cast("string").cast("binary"))
+
+
 def _norm(a: Column | str) -> Column:
     if isinstance(a, str):
         return F.expr(f"sqrt(aggregate(`{a}`, 0.0D, "
@@ -528,7 +540,7 @@ def kmeans_fit(corpus: DataFrame, n_cells: int = 16, n_iter: int = 5, *,
     cent_rows = (corpus
                  .select(F.col(id_col).alias("cid"),
                          F.col(vec_col).alias("cv"))
-                 .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                 .orderBy(_seed_order(F.col("cid")), F.col("cid"))
                  .limit(n_cells)
                  .collect())
     import math
@@ -689,7 +701,7 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, *,
         # instead of a crossJoin + full-corpus max_by shuffle
         rows = (corpus
                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-                .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                .orderBy(_seed_order(F.col("cid")), F.col("cid"))
                 .limit(n_cells)
                 .collect())
         # ascending cid order so strict-> argmax ties resolve to the
@@ -1058,7 +1070,7 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16,
 
     seed_rows = (corpus.select(F.col(id_col).alias("cid"),
                                F.col(vec_col).alias("cv"))
-                 .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+                 .orderBy(_seed_order(F.col("cid")), F.col("cid"))
                  .limit(ks).collect())
     seeds = np.array([[float(x) for x in r["cv"]] for r in seed_rows],
                      dtype="float64")

@@ -67,8 +67,9 @@ _DEMOTED_VARIANTS = {
     "value_correlation": ["tpch_q1",                   # exact-moment Pearson;
                           "instant_traffic_1m",        # expression aggregates
                           "props_json_panel"],         # + JSON extract
-    "value_histogram": ["value_percentiles",           # fixed-width binning
-                        "token_length_drift"],         # (the PSI internal)
+    "value_histogram": ["value_percentiles"],          # fixed-width binning
+                                                       # (token_length_drift
+                                                       # demoted round 9)
     "approx_percentiles": ["value_percentiles"],       # W7 sketch twin; rank-
                                                        # error bound pytested
     "event_transitions": ["user_sessions",             # lead-window pairs
@@ -104,7 +105,11 @@ _DEMOTED_VARIANTS = {
     "text_semantic_dedup": ["semantic_dedup"],         # hashed-TF embed +
                                                        # windowed SemDeDup
     "benchmark_contamination": ["minhash_lsh_dedup",   # shingle overlap
-                                "phrase_match"],       # (verbatim: phrase)
+                                "bm25_search"],        # (verbatim leg: the
+                                                       # same positional-
+                                                       # postings device;
+                                                       # phrase_match demoted
+                                                       # round 9)
     "doc_fingerprint": ["dedup_exact",                 # md5-of-prefix device
                         "exact_substring_spans"],
     "exact_substring_scrub": ["exact_substring_spans"],  # scrub-side twin
@@ -163,6 +168,19 @@ _DEMOTED_VARIANTS = {
                      "dedup_exact", "corpus_curation"],  # windowed devices
     "constraint_checks": ["table_profile"],            # Deequ checks; same
                                                        # one-scan unpivot
+    # round 9: bpe_merges and kmeans_cells gain DuckDB oracles (merge
+    # rounds / Lloyd rounds unrolled into chained CTEs — the
+    # mmr_diverse_knn device; kmeans unblocked by the md5 seed order)
+    # and PROMOTE into the window: the iterative-trainer and clustering
+    # classes had no driver row at all. Demoted in exchange:
+    # token_length_drift (the profile family keeps table_profile
+    # windowed, plus time_gapfill/traffic_spikes for the temporal
+    # members; PSI stays fully DuckDB-oracled in pytest) and
+    # phrase_match (the retrieval family keeps bm25_search — the same
+    # positional-postings build; phrase adjacency stays fully
+    # DuckDB-oracled in pytest).
+    "token_length_drift": ["table_profile", "value_percentiles"],
+    "phrase_match": ["bm25_search"],
 }
 
 

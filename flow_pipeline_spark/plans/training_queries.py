@@ -1143,11 +1143,80 @@ def curation_full_pipeline(spark, sf_dir):
             .orderBy("split"))
 
 
+def _kmeans_unrolled_oracle_sql(k: int = 8, n_iter: int = 3) -> str:
+    """DuckDB oracle for :func:`kmeans_cells` (round-9): the Lloyd
+    rounds unroll into (assign, sum, update) CTE triples. Exactness
+    story: seeds are reproducible since the sample order moved to the
+    md5 cross-engine device (similarity._seed_order); assignment ties
+    break to the lowest cell in both engines (np.argmax first-max ≡
+    ORDER BY cos DESC, cell); the only float risk is summation ORDER
+    (numpy batch partials + Spark shuffle-merge vs DuckDB's sum), a
+    last-ulp effect that could flip an argmax only on a genuine cosine
+    tie — and the published row is (int count, 4dp-rounded avg), the
+    same tolerance class every float oracle in this file already
+    carries. Final-profile cosine mirrors _argmax_struct: raw-vector
+    dot over _norm, ties by (cos desc, cell asc)."""
+    ctes = ["""v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)""",
+            """vn AS (
+      SELECT vec_id, x, sqrt(list_dot_product(x, x)) AS nrm FROM v)""",
+            """vh AS (
+      SELECT vec_id, x, nrm,
+             [xi / greatest(nrm, 1e-300) FOR xi IN x] AS xh FROM vn)""",
+            f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cell,
+             [xi / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+              FOR xi IN x] AS c
+      FROM vn
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {k})"""]
+    for r in range(1, n_iter + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""a{r} AS (
+      SELECT vec_id, x, cell FROM (
+        SELECT vh.vec_id, vh.x, c.cell,
+               row_number() OVER (PARTITION BY vh.vec_id
+                 ORDER BY list_dot_product(vh.xh, c.c) DESC, c.cell) AS rn
+        FROM vh, {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""s{r} AS (
+      SELECT cell, list(s ORDER BY pos) AS sums
+      FROM (SELECT cell, pos, sum(val) AS s FROM
+              (SELECT cell, unnest(x) AS val,
+                      generate_subscripts(x, 1) AS pos FROM a{r})
+            GROUP BY cell, pos)
+      GROUP BY cell)""")
+        ctes.append(f"""c{r} AS (
+      SELECT p.cell,
+             CASE WHEN s.sums IS NULL THEN p.c
+                  ELSE [si / (CASE WHEN sqrt(list_dot_product(s.sums,
+                                                              s.sums)) = 0
+                              THEN 1.0
+                              ELSE sqrt(list_dot_product(s.sums, s.sums))
+                              END)
+                        FOR si IN s.sums] END AS c
+      FROM {prev} p LEFT JOIN s{r} s USING (cell))""")
+    return ("    WITH " + ",\n    ".join(ctes) + f"""
+    SELECT cell, count(*) AS n, round(avg(cos_c), 4) AS avg_cos FROM (
+      SELECT vec_id, cell, cos_c FROM (
+        SELECT vh.vec_id, c.cell,
+               list_dot_product(vh.x, c.c) / vh.nrm AS cos_c,
+               row_number() OVER (PARTITION BY vh.vec_id
+                 ORDER BY list_dot_product(vh.x, c.c) / vh.nrm DESC,
+                          c.cell) AS rn
+        FROM vh, c{n_iter} c) WHERE rn = 1)
+    GROUP BY cell ORDER BY cell\n""")
+
+
 @_q(
     "kmeans_cells",
-    None,  # iterative float means drift across engines — rows-only; the
-    # Lloyd invariants (argmax assignment, objective monotonicity) are
-    # asserted in tests/test_training_ops.py.
+    # round-9 (VERDICT r8 item #4): the 3 Lloyd rounds UNROLL into
+    # chained (assign, sum, update) CTEs — unblocked by moving the seed
+    # sample to the md5 cross-engine device (similarity._seed_order;
+    # xxhash64 had no DuckDB analog). The Lloyd invariants (argmax
+    # assignment, objective monotonicity) remain independently asserted
+    # in tests/test_training_ops.py.
+    _kmeans_unrolled_oracle_sql(k=8, n_iter=3),
     doc="Distributed spherical k-means (Lloyd): assignment is map-side "
         "against broadcast centroid literals; the update shuffles only "
         "partially-aggregated per-(cell, dim) sums (~|partitions|·k·dim "
@@ -2263,12 +2332,65 @@ def gopher_rules(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _bpe_unrolled_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_merges` (round-9, the mmr_diverse_knn
+    unroll device): each merge round is one (pair-count, argmax,
+    rewrite) CTE triple over the word table. The evolving segmentation
+    rides a SENTINEL-DELIMITED string — each symbol wrapped as
+    chr(1)||sym||chr(2) — because plain string replace() then IS the
+    trainer's left-to-right greedy merge: non-overlapping replacement
+    consumes '<a><b>' exactly like _py_apply_merge's scan (runs merge
+    left-first), and the per-symbol wrappers make whole-symbol matches
+    unconfusable with substrings. Pair counts explode via a list
+    comprehension over the parsed symbol list; the argmax mirrors the
+    trainer's (count desc, a asc, b asc) tie rule exactly (integer
+    counts — no float drift anywhere in BPE training)."""
+    O, C = "chr(1)", "chr(2)"
+    ctes = ["""wf AS (
+      SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE doc_id < 200) WHERE w <> '' GROUP BY w)""",
+            f"""v0 AS (
+      SELECT freq,
+             regexp_replace(regexp_replace(word, '(.)',
+                                           {O} || '\\1' || {C}, 'g'),
+                            {C} || '$', '▁' || {C}) AS s
+      FROM wf)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        ctes.append(f"""pc{i} AS (
+      SELECT p['a'] AS a, p['b'] AS b, sum(freq) AS n FROM (
+        SELECT freq, unnest([{{'a': l[j], 'b': l[j+1]}}
+                             FOR j IN range(1, len(l))]) AS p
+        FROM (SELECT freq, regexp_extract_all(
+                  s, {O} || '([^' || {C} || ']*)' || {C}, 1) AS l
+              FROM {prev}))
+      GROUP BY 1, 2)""")
+        ctes.append(f"m{i} AS (SELECT a, b FROM pc{i} "
+                    f"ORDER BY n DESC, a, b LIMIT 1)")
+        if i < n_merges:
+            ctes.append(f"""v{i} AS (
+      SELECT freq, replace(s, {O} || m.a || {C} || {O} || m.b || {C},
+                              {O} || m.a || m.b || {C}) AS s
+      FROM {prev}, m{i} m)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, a, b, "
+        f"a || b AS merged FROM m{i}" for i in range(1, n_merges + 1))
+    return ("    WITH " + ",\n    ".join(ctes)
+            + f"\n    {unions}\n    ORDER BY merge_idx\n")
+
+
 @_q(
     "bpe_merges",
-    None,  # iterative driver-coordinated training — not SQL-expressible;
-    # the trainer is pytest-verified merge-for-merge against an
-    # independent single-process reference implementation
+    # round-9 (VERDICT r8 item #4): the 8 merge rounds UNROLL into
+    # chained CTEs exactly like mmr_diverse_knn's greedy rounds — BPE
+    # training is pure integer arithmetic (pair counts, lexicographic
+    # ties), so the oracle is drift-free by construction; the sentinel-
+    # string replace() reproduces the trainer's left-to-right merge
+    # fold (see _bpe_unrolled_oracle_sql). Still pytest-verified
+    # merge-for-merge against the independent single-process reference
     # (tests/test_training_ops.py::test_bpe_train_matches_reference).
+    _bpe_unrolled_oracle_sql(n_merges=8),
     doc="Distributed BPE tokenizer induction (Sennrich et al. 2016; "
         "operators/tokenizer.py): the training step behind every LLM "
         "tokenizer, run the way production trainers run it — ONE corpus "
@@ -3698,9 +3820,15 @@ def blocklist_pages(spark, sf_dir):
 
 @_q(
     "unigram_pieces",
-    None,  # iterative EM training — not SQL-expressible; the trainer is
-    # pytest-verified model-for-model against an independent
-    # Fraction-arithmetic reference implementation
+    None,  # rows-only, and deliberately so (round-9 audit, after
+    # bpe_merges/kmeans_cells unrolled): the EM rounds would unroll,
+    # but the Viterbi E-step scores segmentations by EXACT big-integer
+    # cross-multiplication (prod(counts)·total^n — hundreds of bits;
+    # DuckDB's widest integer is HUGEINT/128) and a log-domain float
+    # rewrite can misorder the equal-product ties the trainer breaks
+    # structurally (same count multiset, different piece split — common
+    # in Zipf text). The trainer is pytest-verified model-for-model
+    # against an independent Fraction-arithmetic reference
     # (tests/test_training_ops.py::test_unigram_train_matches_reference).
     doc="Unigram-LM tokenizer induction (Kudo 2018, the SentencePiece "
         "family; operators/tokenizer.py:unigram_train) — the OTHER "

@@ -81,6 +81,15 @@ def test_registry_window_ordering():
                      # nation_trade_hops demoted — the graph class keeps
                      # nation_trade_pagerank, and BFS stays pytest-oracled)
                      "wet_ingest",
+                     # round 9: the iterative-trainer and clustering
+                     # classes land driver rows — bpe_merges' merge
+                     # rounds and kmeans_cells' Lloyd rounds unrolled
+                     # into chained CTEs (kmeans unblocked by the md5
+                     # seed order); token_length_drift and phrase_match
+                     # demoted in exchange (profile keeps table_profile,
+                     # retrieval keeps bm25_search; both stay fully
+                     # DuckDB-oracled in pytest)
+                     "bpe_merges", "kmeans_cells",
                      # round 5 cont.: re-aggregable sketch states
                      # (distinct_users demoted — subsumed by the new
                      # row's n_exact column + stored-state tier)

@@ -1846,6 +1846,124 @@ def test_state_store_crash_inject_through_io_seam(tmp_path):
         assert len(jobs._version_names(store)) <= 2, k
 
 
+def _drive_ordered_funnel(fn, deliveries, watermarks):
+    """Run the ordered kernel over per-batch event lists [(us, type), ...]
+    with the given per-batch watermark (µs), through the shared
+    _FakeGroupState double (defined further down, with the
+    strictly-above-watermark timeout contract built in); returns
+    (emitted rows, per-batch buffer sizes, final state)."""
+    import pandas as pd
+
+    st = _FakeGroupState()
+    rows, buf_sizes = [], []
+    for evs, wm_us in zip(deliveries, watermarks):
+        st.watermark_ms = wm_us // 1000
+        pdfs = []
+        if evs:
+            pdfs = [pd.DataFrame({
+                "ts": pd.to_datetime([e[0] for e in evs], unit="us"),
+                "event_type": [e[1] for e in evs]})]
+        for out in fn(("u1",), iter(pdfs), st):
+            rows += [(int(r.stage), r.stage_ts.value // 1000)
+                     for r in out.itertuples(index=False)]
+        buf_sizes.append(len(st._v[4]) if st._v else 0)
+    return rows, buf_sizes, st._v
+
+
+def test_ordered_funnel_kernel_stress_adversarial_delivery():
+    """Round-9 (VERDICT r8 item #6) — the stateful-store-style stress
+    for the watermark-buffered funnel kernel: random event sequences
+    (duplicate timestamps, events exactly AT the frontier, decoy types),
+    random cross-batch shuffles, stalled-then-jumping watermark
+    schedules. Invariants per case: (a) emitted transitions are
+    IDENTICAL to the canonical single-batch, fully-watermarked delivery
+    — cross-batch disorder admitted by the watermark can never change
+    the funnel; (b) the buffered state is bounded by the number of
+    above-watermark events (a hostile trickle cannot grow state past
+    the stall window); (c) a converted user's buffer is cleared; (d)
+    every armed timeout is strictly future (asserted in the fake)."""
+    import random
+
+    from flow_pipeline_spark.streaming.stateful import \
+        _make_ordered_funnel_fn
+
+    steps = ["view", "cart", "buy"]
+
+    for seed in range(120):
+        rng = random.Random(seed)
+        n_ev = rng.randint(1, 14)
+        # small timestamp universe (1-8 ms) forces duplicate timestamps
+        # and frontier ties; decoy types exercise the non-step skip
+        evs = sorted((rng.randint(1, 8) * 1000, rng.choice(
+            steps + ["decoy"])) for _ in range(n_ev))
+        horizon = rng.choice([None, 5])     # 5 ms horizon sometimes
+        fn = _make_ordered_funnel_fn(steps, horizon)
+
+        # canonical: one batch, then watermark jumps past everything
+        canon, _, _ = _drive_ordered_funnel(
+            fn, [evs, []], [0, 10_000_000])
+
+        # adversarial: monotone watermark schedule with stalls and
+        # jumps; each event lands in a uniformly-chosen batch the
+        # watermark still admits (wm before that batch < ts — the
+        # Spark admission rule)
+        n_batches = rng.randint(2, 6)
+        wms = [0]
+        for _ in range(n_batches - 1):
+            wms.append(wms[-1] + rng.choice([0, 0, 2000, 3000, 9000]))
+        deliveries = [[] for _ in range(n_batches)]
+        for ts, ty in evs:
+            ok = [b for b in range(n_batches)
+                  if (wms[b - 1] if b else 0) < ts]
+            deliveries[rng.choice(ok)].append((ts, ty))
+        for d in deliveries:
+            rng.shuffle(d)              # disorder within the batch too
+        # final drain: watermark passes everything
+        deliveries.append([])
+        wms.append(10_000_000)
+
+        fn2 = _make_ordered_funnel_fn(steps, horizon)
+        got, buf_sizes, final = _drive_ordered_funnel(
+            fn2, deliveries, wms)
+        assert got == canon, (seed, got, canon, deliveries, wms)
+
+        # state bound: buffer never exceeds the user's delivered
+        # events still above that batch's watermark
+        delivered = []
+        for b, d in enumerate(deliveries):
+            delivered += d
+            above = sum(1 for ts, ty in delivered
+                        if ts > wms[b] and ty in steps)
+            assert buf_sizes[b] <= above, (seed, b, buf_sizes, above)
+        assert buf_sizes[-1] == 0       # fully drained at the end
+        if final and final[0] >= len(steps):
+            assert not final[4]         # converted => buffer cleared
+
+
+def test_ordered_funnel_kernel_hostile_trickle_state_bound():
+    """A stalled watermark with a steady drip of future events must
+    grow state linearly in the STALL WINDOW's events only, and the
+    whole backlog must process in event-time order (one emission
+    sequence) the moment the watermark finally advances."""
+    from flow_pipeline_spark.streaming.stateful import \
+        _make_ordered_funnel_fn
+
+    steps = ["a", "b", "c"]
+    fn = _make_ordered_funnel_fn(steps, None)
+    # 30 batches of one event each, watermark pinned at 0 the whole
+    # time, then one draining batch where it finally jumps
+    evs = [((i + 1) * 1000, steps[i % 3]) for i in range(30)]
+    deliveries = [[e] for e in evs] + [[]]
+    wms = [0] * 30 + [10_000_000]
+    rows, buf_sizes, final = _drive_ordered_funnel(fn, deliveries, wms)
+    # stalled phase: nothing emitted, state linear in buffered events
+    assert buf_sizes[:30] == list(range(1, 31))
+    # drain: a->b->c in event-time order, then conversion clears all
+    assert [s for s, _ in rows] == [1, 2, 3]
+    assert [t for _, t in rows] == [1000, 2000, 3000]
+    assert buf_sizes[30] == 0 and final[0] == 3 and not final[4]
+
+
 def test_compaction_retry_bounded_lower_for_fallback_classification(
         monkeypatch, tmp_path):
     """Round-8 advice: substring-matched transience (a condition-less
