@@ -136,19 +136,38 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     """LSH banding: signature split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band hash become candidate
     pairs. Shuffle is on (band_idx, band_hash) — bounded by band
-    cardinality, never all-pairs. Returns distinct (id_a < id_b) pairs."""
+    cardinality, never all-pairs. Returns distinct (id_a < id_b) pairs.
+
+    Pair generation is ONE groupBy over the band table plus two
+    streamed Generates, not the former band-table self-join — the
+    self-join planned the whole shingle→signature pipeline TWICE (its
+    two inputs are clones, and exchange reuse does not survive AQE's
+    per-join replanning), which round-9 measured as most of this
+    query's small-SF constant (1.5x end-to-end). Identical pair set:
+    per (band, bh) bucket, collect_set ids, sort, emit (ids[i], ids[j>i])
+    via posexplode + a sliced second explode — id_a < id_b by the sort,
+    duplicates across bands removed by the same distinct. Scale parity
+    with the join it replaces: a bucket's id set buffers once in the
+    aggregate (O(bucket) per key — the sort-merge join buffered one
+    key's right side identically), a hot bucket's m² pairs STREAM
+    through the Generates exactly as they streamed out of the join
+    (never materialized as one array), and the pair count is the same
+    quadratic the LSH parameters bound in either formulation."""
     buckets = minhash_band_table(df, n_hashes, bands, k, text_col, id_col,
                                  hash_fn=hash_fn)
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    return (
-        a.join(b_, [F.col(f"a.band") == F.col("b.band"),
-                    F.col(f"a.bh") == F.col("b.bh"),
-                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    grouped = (buckets.groupBy("band", "bh")
+               .agg(F.collect_set(F.col(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1)
+               .select(F.array_sort("ids").alias("ids")))
+    n = F.size("ids")
+    lead = grouped.select(
+        "ids", F.posexplode(F.col("ids")).alias("i", "id_a"))
+    return (lead.select(
+        F.col("id_a"),
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2,
+                          F.greatest(n - F.col("i") - 1, F.lit(0))))
+        .alias("id_b"))
+        .distinct())
 
 
 def incremental_near_dup(new_batch: DataFrame, history_bands: DataFrame,

@@ -21,7 +21,7 @@ NOTES = {
   "enrichment_join": "nation/region broadcast; single custkey shuffle",
   "revenue_top_customers": "lineitem pre-aggregated to per-orderkey revenue before any join",
   "rollup_5m": "one shuffle on the 4-part rollup key, map-side partials",
-  "minhash_lsh_dedup": "band-key join only; exact Jaccard verification restricted to LSH candidates",
+  "minhash_lsh_dedup": "band-key groupBy + streamed pair Generates (round 9: the former band self-join planned the signature pipeline twice); exact Jaccard verification restricted to LSH candidates",
   "knn_cosine": "queries broadcast; corpus scan embarrassingly parallel; two-phase top-k",
   "asof_enrichment": "union + last-ignorenulls window: ONE shuffle on the key, no range explosion",
   "user_sessions": "one user_id exchange reused by lag window, cumulative sum, and final group-by",
