@@ -50,7 +50,8 @@ _DEMOTED_VARIANTS = {
     "flows_pg_dst_ip_panel": ["flows_pg_src_ip_panel"],  # P10/A3 dst twin
     "flows_pg_port_panel": ["flows_pg_src_ip_panel"],  # A3 panel twin
     "enrichment_join": ["range_band_join",             # J1 broadcast-dim chain
-                        "asof_enrichment", "local_supplier_volume"],
+                        "asof_enrichment"],            # (local_supplier_volume
+                                                       # demoted round 9)
     "nations_with_big_orders": ["set_ops"],            # J2 semi-join
     "customers_no_orders": ["set_ops"],                # J2 anti-join (EXCEPT)
     "late_order_priority": ["set_ops"],                # J2 correlated EXISTS
@@ -181,6 +182,15 @@ _DEMOTED_VARIANTS = {
     # DuckDB-oracled in pytest).
     "token_length_drift": ["table_profile", "value_percentiles"],
     "phrase_match": ["bm25_search"],
+    # round 9 cont.: the corpus BPE encode gains a full oracle (trainer
+    # CTEs + vocab-table encode mirrored in SQL) and promotes — the
+    # tokenizer-ENCODE class joins the trainer class in the window.
+    # Its stored-model twin shares the oracle (pytest-identical results,
+    # the ann_brute_vectorized device) and is demoted as redundant;
+    # local_supplier_volume demoted in exchange for the corpus form —
+    # the J1 enrichment class keeps range_band_join + asof_enrichment.
+    "bpe_encode_stored": ["bpe_encode_corpus"],
+    "local_supplier_volume": ["range_band_join", "asof_enrichment"],
 }
 
 

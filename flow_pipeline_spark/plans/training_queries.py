@@ -2332,20 +2332,24 @@ def gopher_rules(spark, sf_dir):
         .orderBy("doc_id"))
 
 
-def _bpe_unrolled_oracle_sql(n_merges: int = 8) -> str:
-    """DuckDB oracle for :func:`bpe_merges` (round-9, the mmr_diverse_knn
-    unroll device): each merge round is one (pair-count, argmax,
-    rewrite) CTE triple over the word table. The evolving segmentation
-    rides a SENTINEL-DELIMITED string — each symbol wrapped as
-    chr(1)||sym||chr(2) — because plain string replace() then IS the
-    trainer's left-to-right greedy merge: non-overlapping replacement
-    consumes '<a><b>' exactly like _py_apply_merge's scan (runs merge
-    left-first), and the per-symbol wrappers make whole-symbol matches
-    unconfusable with substrings. Pair counts explode via a list
-    comprehension over the parsed symbol list; the argmax mirrors the
-    trainer's (count desc, a asc, b asc) tie rule exactly (integer
-    counts — no float drift anywhere in BPE training)."""
-    O, C = "chr(1)", "chr(2)"
+_BPE_O, _BPE_C = "chr(1)", "chr(2)"     # symbol open/close sentinels
+
+
+def _bpe_trainer_ctes(n_merges: int = 8) -> list:
+    """Shared trainer CTEs for the BPE oracles (round-9, the
+    mmr_diverse_knn unroll device): each merge round is one
+    (pair-count, argmax, rewrite) CTE triple over the word table. The
+    evolving segmentation rides a SENTINEL-DELIMITED string — each
+    symbol wrapped as chr(1)||sym||chr(2) — because plain string
+    replace() then IS the trainer's left-to-right greedy merge:
+    non-overlapping replacement consumes '<a><b>' exactly like
+    _py_apply_merge's scan (runs merge left-first), and the per-symbol
+    wrappers make whole-symbol matches unconfusable with substrings.
+    Pair counts explode via a list comprehension over the parsed
+    symbol list; the argmax mirrors the trainer's (count desc, a asc,
+    b asc) tie rule exactly (integer counts — no float drift anywhere
+    in BPE training). Ends with m1..m{n} one-row merge CTEs."""
+    O, C = _BPE_O, _BPE_C
     ctes = ["""wf AS (
       SELECT w AS word, count(*) AS freq FROM (
         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
@@ -2373,11 +2377,75 @@ def _bpe_unrolled_oracle_sql(n_merges: int = 8) -> str:
       SELECT freq, replace(s, {O} || m.a || {C} || {O} || m.b || {C},
                               {O} || m.a || m.b || {C}) AS s
       FROM {prev}, m{i} m)""")
+    return ctes
+
+
+def _bpe_unrolled_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_merges` — the trainer CTEs
+    (:func:`_bpe_trainer_ctes`) with the learned merges unioned out in
+    order."""
+    ctes = _bpe_trainer_ctes(n_merges)
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({i - 1} AS BIGINT) AS merge_idx, a, b, "
         f"a || b AS merged FROM m{i}" for i in range(1, n_merges + 1))
     return ("    WITH " + ",\n    ".join(ctes)
             + f"\n    {unions}\n    ORDER BY merge_idx\n")
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_encode_corpus` (and its pytest-
+    identical stored twin): the trainer CTEs learn the merges, then the
+    ENCODE mirrors bpe_encode_vocab's exact shape — each DISTINCT word
+    encodes once (the same sentinel-string replace chain applies the
+    merges in learned order, which equals the encoder's ordered
+    rewrite), the word→subwords map joins back to the positional corpus
+    tokens, and per-doc counts + the space-joined first five symbols
+    reassemble by (word position, symbol position). Token-less docs
+    keep (0, '') via the left joins, matching the Spark side's
+    coalesce-to-empty-array."""
+    O, C = _BPE_O, _BPE_C
+    ctes = _bpe_trainer_ctes(n_merges)
+    ctes.append("""wds AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+               generate_subscripts(
+                 string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+        FROM documents) WHERE w <> '')""")
+    ctes.append(f"""e0 AS (
+      SELECT w, regexp_replace(regexp_replace(w, '(.)',
+                                              {O} || '\\1' || {C}, 'g'),
+                               {C} || '$', '▁' || {C}) AS s
+      FROM (SELECT DISTINCT w FROM wds))""")
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""e{i} AS (
+      SELECT w, replace(s, {O} || m.a || {C} || {O} || m.b || {C},
+                           {O} || m.a || m.b || {C}) AS s
+      FROM e{i - 1}, m{i} m)""")
+    ctes.append(f"""ev AS (
+      SELECT w, regexp_extract_all(s, {O} || '([^' || {C} || ']*)' || {C},
+                                   1) AS syms
+      FROM e{n_merges})""")
+    ctes.append("""persym AS (
+      SELECT doc_id, pos, j, sym FROM (
+        SELECT wds.doc_id, wds.pos, unnest(ev.syms) AS sym,
+               generate_subscripts(ev.syms, 1) AS j
+        FROM wds JOIN ev USING (w)))""")
+    ctes.append("""perdoc AS (
+      SELECT doc_id, count(*) AS n_syms FROM persym GROUP BY doc_id)""")
+    ctes.append("""heads AS (
+      SELECT doc_id, string_agg(sym, ' ' ORDER BY pos, j) AS head_syms
+      FROM (
+        SELECT doc_id, pos, j, sym,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos, j) AS rn
+        FROM persym) WHERE rn <= 5 GROUP BY doc_id)""")
+    return ("    WITH " + ",\n    ".join(ctes) + """
+    SELECT d.doc_id, CAST(coalesce(p.n_syms, 0) AS BIGINT) AS n_syms,
+           coalesce(h.head_syms, '') AS head_syms
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    LEFT JOIN heads h USING (doc_id)
+    ORDER BY d.doc_id\n""")
 
 
 @_q(
@@ -2416,10 +2484,14 @@ def bpe_merges(spark, sf_dir):
 
 @_q(
     "bpe_encode_corpus",
-    None,  # encoding under trained merges — merges come from the
-    # iterative trainer (not SQL-expressible); encoder parity with the
-    # per-row reference kernel is pytest-asserted token-for-token
+    # round-9: fully oracled — the trainer CTEs (bpe_merges' unroll)
+    # learn the merges in SQL, and the encode mirrors the vocab-table
+    # encoder word-for-word (see _bpe_encode_oracle_sql); head_syms
+    # became a space-joined string so the value-hash compares across
+    # engines. Encoder parity with the per-row reference kernel stays
+    # pytest-asserted token-for-token
     # (test_bpe_encode_vocab_matches_row_encoder).
+    _bpe_encode_oracle_sql(n_merges=8),
     doc="Corpus BPE encoding via the VOCAB-TABLE encoder "
         "(operators/tokenizer.py:bpe_encode_vocab) — the scale form "
         "every production tokenizer uses: each DISTINCT word encodes "
@@ -2438,7 +2510,8 @@ def bpe_encode_corpus(spark, sf_dir):
     enc = TOK.bpe_encode_vocab(d, merges)
     return (enc.select("doc_id",
                        F.size("bpe_tokens").cast("long").alias("n_syms"),
-                       F.slice("bpe_tokens", 1, 5).alias("head_syms"))
+                       F.concat_ws(" ", F.slice("bpe_tokens", 1, 5))
+                       .alias("head_syms"))
             .orderBy("doc_id"))
 
 
@@ -2467,14 +2540,15 @@ def _bpe_stored_merges(spark, sf_dir) -> list:
 
 @_q(
     "bpe_encode_stored",
-    None,  # stored-model encoding — merges come from the iterative
-    # trainer (not SQL-expressible); pytest asserts this form returns
-    # results IDENTICAL to bpe_encode_corpus (same corpus, same merges),
-    # whose encoder is itself parity-tested token-for-token against the
-    # per-row reference kernel.
+    # round-9: shares bpe_encode_corpus' oracle — pytest asserts this
+    # form returns results IDENTICAL to bpe_encode_corpus (same corpus,
+    # same merges; the ann_brute_vectorized/knn_cosine device), and that
+    # twin's encoder is itself parity-tested token-for-token against
+    # the per-row reference kernel.
+    _bpe_encode_oracle_sql(n_merges=8),
     doc="Corpus BPE encoding under a STORED merge table — the "
-        "production form of bpe_encode_corpus (demoted to rows-only "
-        "like its twin): the corpus form derives the merges in-plan "
+        "production form of bpe_encode_corpus (whose oracle it shares; "
+        "ledger-demoted as its twin): the corpus form derives the merges in-plan "
         "every run, but a real pipeline trains the tokenizer ONCE and "
         "encodes many corpora against the persisted model, so this "
         "entry's bench time is the marginal ENCODE cost alone — "
@@ -2491,7 +2565,8 @@ def bpe_encode_stored(spark, sf_dir):
     enc = TOK.bpe_encode_vocab(d, _bpe_stored_merges(spark, sf_dir))
     return (enc.select("doc_id",
                        F.size("bpe_tokens").cast("long").alias("n_syms"),
-                       F.slice("bpe_tokens", 1, 5).alias("head_syms"))
+                       F.concat_ws(" ", F.slice("bpe_tokens", 1, 5))
+                       .alias("head_syms"))
             .orderBy("doc_id"))
 
 

@@ -90,6 +90,13 @@ def test_registry_window_ordering():
                      # retrieval keeps bm25_search; both stay fully
                      # DuckDB-oracled in pytest)
                      "bpe_merges", "kmeans_cells",
+                     # round 9 cont.: the corpus BPE ENCODE lands a
+                     # driver row (trainer CTEs + vocab-table encode in
+                     # SQL; bpe_encode_stored shares the oracle and is
+                     # demoted as its pytest-identical twin;
+                     # local_supplier_volume demoted — J1 keeps
+                     # range_band_join + asof_enrichment)
+                     "bpe_encode_corpus",
                      # round 5 cont.: re-aggregable sketch states
                      # (distinct_users demoted — subsumed by the new
                      # row's n_exact column + stored-state tier)
