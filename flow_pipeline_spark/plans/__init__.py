@@ -146,7 +146,11 @@ _DEMOTED_VARIANTS = {
     "gopher_rules": ["quality_classifier"],            # per-row doc rules
     "blocklist_pages": ["quality_classifier"],         # per-row page gate
     "lang_id": ["quality_classifier"],                 # per-row marker gate
-    "bigram_perplexity": ["doc_perplexity"],           # n-gram LM extension
+    "bigram_perplexity": ["dsir_importance"],          # n-gram LM extension
+                                                       # (doc_perplexity
+                                                       # demoted round 9; DSIR
+                                                       # scores under the same
+                                                       # fixed-point LM device)
     "filtered_knn": ["knn_cosine"],                    # metadata-filtered kNN
     "ann_brute_vectorized": ["knn_cosine"],            # same answer set, GEMM
                                                        # physical plan (round 8
@@ -191,6 +195,15 @@ _DEMOTED_VARIANTS = {
     # the J1 enrichment class keeps range_band_join + asof_enrichment.
     "bpe_encode_stored": ["bpe_encode_corpus"],
     "local_supplier_volume": ["range_band_join", "asof_enrichment"],
+    # round 9 cont.: ann_ivf_knn gains a full oracle (the kmeans-free
+    # quantizer is pure sequential folds ≡ list_dot_product, seeds on
+    # the md5 order) and promotes — the inverted-file ANN class lands a
+    # driver row next to the PQ/ADC and brute-force rows. Demoted in
+    # exchange: doc_perplexity — the fixed-point LM-scoring class keeps
+    # dsir_importance (two LMs, strictly the harder device) and
+    # quality_classifier windowed; doc_perplexity stays fully
+    # DuckDB-oracled in pytest and benched.
+    "doc_perplexity": ["dsir_importance", "quality_classifier"],
 }
 
 

@@ -894,10 +894,53 @@ def dedup_clusters(spark, sf_dir):
 
 @_q(
     "ann_ivf_knn",
-    None,  # cell assignment is an argmin over float centroid distances
-    # — engine-sensitive at ties/boundaries like every float argmin, so
-    # rows-only; recall vs the oracled brute-force form is
-    # pytest-asserted.
+    # round-9: fully oracled. The old rows-only note claimed float-argmin
+    # engine sensitivity, but the kmeans-free quantizer path is pure
+    # expression folds: _dot/_norm are SEQUENTIAL folds ≡ DuckDB's
+    # list_dot_product (identical operand order ⇒ bit-identical doubles,
+    # the mmr_diverse_knn argument), the md5 seed order is reproducible
+    # in SQL, assignment/probe ties break on the centroid id in both
+    # engines, and the published cosine rounds to 4dp before the final
+    # rank. Recall vs the brute-force form stays pytest-asserted.
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+               FROM embeddings),
+    vn AS (SELECT vec_id, x, sqrt(list_dot_product(x, x)) AS nrm FROM v),
+    cent AS (
+      SELECT vec_id AS cid, x AS cv, nrm AS cnrm,
+             [xi / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+              FOR xi IN x] AS ucv
+      FROM vn
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= 16),
+    assigned AS (
+      SELECT vec_id, x, nrm, cell FROM (
+        SELECT vn.vec_id, vn.x, vn.nrm, c.cid AS cell,
+               row_number() OVER (PARTITION BY vn.vec_id
+                 ORDER BY list_dot_product(vn.x, c.ucv) / vn.nrm DESC,
+                          c.cid) AS rn
+        FROM vn, cent c) WHERE rn = 1),
+    q AS (SELECT vec_id AS q, x AS qv, nrm AS qnrm FROM vn
+          WHERE vec_id < 10),
+    probes AS (
+      SELECT q, qv, qnrm, cell FROM (
+        SELECT q.q, q.qv, q.qnrm, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q
+                 ORDER BY list_dot_product(q.qv, c.cv)
+                          / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+        FROM q, cent c) WHERE rn <= 6),
+    scored AS (
+      SELECT p.q, a.vec_id AS n,
+             round(list_dot_product(p.qv, a.x) / (p.qnrm * a.nrm), 4) AS cos
+      FROM assigned a JOIN probes p USING (cell)
+      WHERE a.vec_id <> p.q)
+    SELECT q, n, cos, rank FROM (
+      SELECT q, n, cos,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY cos DESC, n) AS rank
+      FROM scored) WHERE rank <= 5
+    ORDER BY q, rank
+    """,
     doc="Approximate NN via IVF inverted lists: hash-sampled centroids "
         "(broadcast), shuffle-free cell assignment, nprobe-cell probe join "
         "with the probe map broadcast — the corpus side never shuffles. "

@@ -97,6 +97,13 @@ def test_registry_window_ordering():
                      # local_supplier_volume demoted — J1 keeps
                      # range_band_join + asof_enrichment)
                      "bpe_encode_corpus",
+                     # round 9 cont.: inverted-file ANN lands a driver
+                     # row — the kmeans-free quantizer is sequential
+                     # folds ≡ list_dot_product with md5-ordered seeds,
+                     # so the whole probe pipeline oracles exactly
+                     # (doc_perplexity demoted — the fixed-point LM
+                     # class keeps dsir_importance + quality_classifier)
+                     "ann_ivf_knn",
                      # round 5 cont.: re-aggregable sketch states
                      # (distinct_users demoted — subsumed by the new
                      # row's n_exact column + stored-state tier)
