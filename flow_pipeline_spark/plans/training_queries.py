@@ -622,10 +622,13 @@ def simhash_near_dup(spark, sf_dir):
 
 @_q(
     "ann_lsh_knn",
-    None,  # bucket membership hangs on the float dot-product SIGN at
-    # each hyperplane — a one-ulp engine difference flips a bucket and
-    # the result set, so no stable cross-engine oracle exists; recall
-    # floors vs the (oracled) brute-force answer are pytest-asserted.
+    None,  # rows-only (round-9 re-audit, after ann_ivf_knn oracled):
+    # the hyperplane VALUES derive from xxhash64(dim, plane), which has
+    # no DuckDB analog — and unlike embedding_near_dup (whose planted
+    # exact-duplicate answer is banding-independent, so its oracle
+    # never needs the hyperplanes), a top-k THROUGH the buckets depends
+    # on the exact bucket contents; recall floors vs the (oracled)
+    # brute-force answer are pytest-asserted instead.
     doc="Approximate NN via random-hyperplane LSH buckets + in-bucket "
         "exact rerank, in multi-probe mode (1-bit-flip buckets probed on "
         "the query side — recall 0.51->0.99 on the same tables, corpus "
