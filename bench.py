@@ -725,21 +725,49 @@ def _write_detail_records(here: str, detail: dict,
               "BENCH_DETAIL_LAST.json; the committed clean "
               "BENCH_DETAIL.json record is preserved", file=sys.stderr)
         return
-    if (not contaminated and committed is not None
-            and not committed.get("host", {}).get("contaminated", True)
-            and committed.get("git_head")
-            and committed.get("git_head") == detail.get("git_head")
-            and set(committed.get("queries", {})) == set(detail["queries"])
-            and sum(committed["queries"].values())
-            <= sum(detail["queries"].values())):
-        print("bench: clean run, but the committed record at this HEAD "
-              f"is faster ({round(sum(committed['queries'].values()), 2)}"
-              f" vs {round(sum(detail['queries'].values()), 2)} s) — "
-              "keeping best-clean-at-HEAD; this run is in "
+    keep_reason = _keep_committed_reason(detail, committed)
+    if not contaminated and keep_reason:
+        print(f"bench: clean run, but {keep_reason} — keeping the "
+              "committed best-clean record; this run is in "
               "BENCH_DETAIL_LAST.json", file=sys.stderr)
         return
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+
+
+def _keep_committed_reason(detail: dict,
+                           committed: "dict | None") -> "str | None":
+    """Should the committed clean record survive this clean run?
+    Same HEAD + same query set: keep iff the committed total is faster
+    (best-clean-at-HEAD, VERDICT r8 #3 verbatim). DIFFERENT head but
+    same query set: keep iff the committed total is still faster after
+    normalizing this run's total by the measured CPU-speed ratio —
+    a slower HOST must not displace better evidence just because a
+    doc/oracle commit moved HEAD, while a run whose normalized total
+    actually improves (real speedups at the new HEAD) refreshes
+    (round 9: a 46.95 s clean run on a 0.76x-speed host tried to
+    displace a 32.64 s clean record this way). The normalizer is only
+    trusted inside [0.5, 2]; outside it the hosts are too different to
+    compare and the new run wins (recency)."""
+    if (committed is None
+            or committed.get("host", {}).get("contaminated", True)
+            or not committed.get("git_head")
+            or set(committed.get("queries", {})) != set(detail["queries"])):
+        return None
+    old_t = sum(committed["queries"].values())
+    new_t = sum(detail["queries"].values())
+    if committed["git_head"] == detail.get("git_head"):
+        if old_t <= new_t:
+            return (f"the committed record at this HEAD is faster "
+                    f"({round(old_t, 2)} vs {round(new_t, 2)} s)")
+        return None
+    ratio = detail.get("host", {}).get("cpu_speed_vs_committed")
+    if ratio and 0.5 < ratio < 2 and old_t <= new_t * ratio:
+        return (f"the committed record ({round(old_t, 2)} s at "
+                f"{committed['git_head'][:8]}) beats this run's "
+                f"CPU-normalized total ({round(new_t, 2)} s x "
+                f"{ratio} = {round(new_t * ratio, 2)} s)")
+    return None
 
 
 def main() -> None:

@@ -248,3 +248,51 @@ def test_detail_record_keeps_best_clean_at_head(tmp_path, capsys):
     dirty = record("h3", 5.0, contaminated=True)
     bench._write_detail_records(here, dirty, committed, contaminated=True)
     assert bench._load_committed_detail(here)["git_head"] == "h2"
+
+
+def test_detail_record_cross_head_cpu_normalized_curation(tmp_path):
+    """Round-9 follow-up: across HEADs with the same query set, a clean
+    run on a measurably slower host must not displace a faster clean
+    record (normalize by the CPU ratio before comparing), while a run
+    whose normalized total actually improves refreshes — and an
+    out-of-range ratio (hosts too different to compare) falls back to
+    recency."""
+    import bench
+
+    def record(head, total, ratio=None):
+        d = {"queries": {"q1": total / 2, "q2": total / 2},
+             "git_head": head, "host": {"contaminated": False}}
+        if ratio is not None:
+            d["host"]["cpu_speed_vs_committed"] = ratio
+        return d
+
+    here = str(tmp_path)
+    bench._write_detail_records(here, record("h1", 32.6), None,
+                                contaminated=False)
+    committed = bench._load_committed_detail(here)
+
+    # slower clean run, new head, 0.76x host: 47 * 0.76 = 35.7 > 32.6
+    # -> committed record kept (the round-9 scenario verbatim)
+    slow = record("h2", 47.0, ratio=0.76)
+    bench._write_detail_records(here, slow, committed, contaminated=False)
+    assert bench._load_committed_detail(here)["git_head"] == "h1"
+
+    # same slow host but genuinely faster code: 40 * 0.76 = 30.4 < 32.6
+    # -> refreshes
+    faster_code = record("h3", 40.0, ratio=0.76)
+    bench._write_detail_records(here, faster_code, committed,
+                                contaminated=False)
+    assert bench._load_committed_detail(here)["git_head"] == "h3"
+
+    # ratio outside [0.5, 2]: not comparable -> recency wins
+    committed = bench._load_committed_detail(here)
+    weird = record("h4", 500.0, ratio=0.1)
+    bench._write_detail_records(here, weird, committed, contaminated=False)
+    assert bench._load_committed_detail(here)["git_head"] == "h4"
+
+    # no ratio recorded (committed predates the CPU witness): recency
+    committed = bench._load_committed_detail(here)
+    legacy = record("h5", 600.0)
+    bench._write_detail_records(here, legacy, committed,
+                                contaminated=False)
+    assert bench._load_committed_detail(here)["git_head"] == "h5"
