@@ -655,9 +655,21 @@ def kmeans_cells(corpus: DataFrame, n_cells: int = 8, n_iter: int = 3, *,
                            vec_col=vec_col)
     v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
                       _norm(vec_col).alias("vn"))
-    # cos-to-assigned-centroid IS the argmax cosine: one struct serves both
-    best = _argmax_struct(F.col("v"), F.col("vn"),
-                          list(enumerate(centroids)))
+    # cos-to-assigned-centroid IS the argmax cosine: one struct serves
+    # both. The cosine is ROUNDED to 4dp BEFORE the argmax (the
+    # assign_nearest_centroid device; round-9 review) — a raw-double
+    # argmax is ulp-sensitive to summation order, which neither engine
+    # pins, so a near-tie could flip the integer count the oracle
+    # hashes; rounded ties resolve identically (lowest cell) on both
+    # sides, and avg_cos then averages the same 4dp values the
+    # assignment ranked on.
+    cvs = F.lit([cv for cv in centroids])
+    negids = F.lit([float(-i) for i in range(len(centroids))])
+    best = F.array_max(F.zip_with(
+        cvs, negids,
+        lambda cv, nc: F.struct(
+            F.round(_dot(F.col("v"), cv) / F.col("vn"), 4).alias("cos"),
+            nc.alias("negid"))))
     assigned = v.withColumn("b", best).select(
         id_col,
         (-F.col("b.negid")).cast("int").alias("cell"),

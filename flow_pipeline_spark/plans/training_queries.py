@@ -1197,11 +1197,16 @@ def _kmeans_unrolled_oracle_sql(k: int = 8, n_iter: int = 3) -> str:
     break to the lowest cell in both engines (np.argmax first-max ≡
     ORDER BY cos DESC, cell); the only float risk is summation ORDER
     (numpy batch partials + Spark shuffle-merge vs DuckDB's sum), a
-    last-ulp effect that could flip an argmax only on a genuine cosine
-    tie — and the published row is (int count, 4dp-rounded avg), the
-    same tolerance class every float oracle in this file already
-    carries. Final-profile cosine mirrors _argmax_struct: raw-vector
-    dot over _norm, ties by (cos desc, cell asc)."""
+    last-ulp effect on the centroid values. The PUBLISHED row is
+    deterministic by construction given those centroids (round-9
+    review): the final-profile cosine is ROUNDED to 4dp before the
+    argmax on both sides (the assign_nearest_centroid device), so a
+    near-tie becomes an exact rounded tie resolved identically (cos
+    desc, cell asc) and avg_cos averages the same 4dp values — a flip
+    now needs the centroid ulp drift to straddle a .00005 boundary,
+    the same tolerance class every float oracle in this file carries.
+    Intra-round assignments stay raw true-Lloyd (the invariants tests
+    pin argmax-cosine assignment and objective monotonicity)."""
     ctes = ["""v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)""",
             """vn AS (
@@ -1246,10 +1251,10 @@ def _kmeans_unrolled_oracle_sql(k: int = 8, n_iter: int = 3) -> str:
     SELECT cell, count(*) AS n, round(avg(cos_c), 4) AS avg_cos FROM (
       SELECT vec_id, cell, cos_c FROM (
         SELECT vh.vec_id, c.cell,
-               list_dot_product(vh.x, c.c) / vh.nrm AS cos_c,
+               round(list_dot_product(vh.x, c.c) / vh.nrm, 4) AS cos_c,
                row_number() OVER (PARTITION BY vh.vec_id
-                 ORDER BY list_dot_product(vh.x, c.c) / vh.nrm DESC,
-                          c.cell) AS rn
+                 ORDER BY round(list_dot_product(vh.x, c.c) / vh.nrm, 4)
+                          DESC, c.cell) AS rn
         FROM vh, c{n_iter} c) WHERE rn = 1)
     GROUP BY cell ORDER BY cell\n""")
 
@@ -2394,7 +2399,12 @@ def _bpe_trainer_ctes(n_merges: int = 8) -> list:
     Pair counts explode via a list comprehension over the parsed
     symbol list; the argmax mirrors the trainer's (count desc, a asc,
     b asc) tie rule exactly (integer counts — no float drift anywhere
-    in BPE training). Ends with m1..m{n} one-row merge CTEs."""
+    in BPE training). Ends with m1..m{n} at-most-one-row merge CTEs.
+    An UNLEARNABLE round (no pair left — every word one symbol) makes
+    m{i} EMPTY; the rewrite CTEs LEFT JOIN it and coalesce back to the
+    unmerged string, mirroring the Spark trainer's early break (round-9
+    review: the plain cross join collapsed the whole chain to zero rows
+    on a degenerate corpus)."""
     O, C = _BPE_O, _BPE_C
     ctes = ["""wf AS (
       SELECT w AS word, count(*) AS freq FROM (
@@ -2420,9 +2430,10 @@ def _bpe_trainer_ctes(n_merges: int = 8) -> list:
                     f"ORDER BY n DESC, a, b LIMIT 1)")
         if i < n_merges:
             ctes.append(f"""v{i} AS (
-      SELECT freq, replace(s, {O} || m.a || {C} || {O} || m.b || {C},
-                              {O} || m.a || m.b || {C}) AS s
-      FROM {prev}, m{i} m)""")
+      SELECT freq,
+             coalesce(replace(s, {O} || m.a || {C} || {O} || m.b || {C},
+                                 {O} || m.a || m.b || {C}), s) AS s
+      FROM {prev} LEFT JOIN m{i} m ON TRUE)""")
     return ctes
 
 
@@ -2465,9 +2476,10 @@ def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
       FROM (SELECT DISTINCT w FROM wds))""")
     for i in range(1, n_merges + 1):
         ctes.append(f"""e{i} AS (
-      SELECT w, replace(s, {O} || m.a || {C} || {O} || m.b || {C},
-                           {O} || m.a || m.b || {C}) AS s
-      FROM e{i - 1}, m{i} m)""")
+      SELECT w,
+             coalesce(replace(s, {O} || m.a || {C} || {O} || m.b || {C},
+                                 {O} || m.a || m.b || {C}), s) AS s
+      FROM e{i - 1} LEFT JOIN m{i} m ON TRUE)""")
     ctes.append(f"""ev AS (
       SELECT w, regexp_extract_all(s, {O} || '([^' || {C} || ']*)' || {C},
                                    1) AS syms

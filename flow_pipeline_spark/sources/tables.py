@@ -11,6 +11,8 @@ partition pruning apply unchanged.
 from __future__ import annotations
 
 import os
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,9 +118,18 @@ def _events_cache_dir(sf_dir: str) -> str:
 # 2x the bench retry budget (RETRY_BUDGET_SEC=900 in bench.py), per
 # round-8 advice — a straddling multi-pass bench re-resolves (and so
 # re-touches the lease) at each pass, so lease age only has to cover
-# one retried pass, but the margin is cheap.
+# one retried pass, but the margin is cheap. A background ticker
+# (round-9 advice) additionally re-touches every lease this process
+# has resolved while the process lives, so lease age bounds time since
+# the reading PROCESS was alive — a single query pass longer than the
+# grace (large SF on a slow host) can no longer have its cache
+# rmtree'd mid-read by a concurrent regeneration.
 _READER_GRACE_SEC = 1800
 _LEASE = "._reader_lease"
+_LEASE_REFRESH_SEC = 60
+_RESOLVED_CACHES: "set[str]" = set()
+_TICKER_LOCK = threading.Lock()
+_TICKER_STARTED = False
 
 
 def _touch_lease(cache_dir: str) -> None:
@@ -130,6 +141,45 @@ def _touch_lease(cache_dir: str) -> None:
             fh.write(str(os.getpid()))
     except OSError:
         pass                # lease is advisory; resolve must not fail
+
+
+def _refresh_leases_once() -> None:
+    """One ticker pass: re-touch the lease of every cache this process
+    has resolved and that still exists (a cache deleted out from under
+    us — only possible after the process was presumed dead — drops out
+    of the registry). Runs in the daemon ticker thread; also called
+    directly by tests."""
+    with _TICKER_LOCK:
+        caches = list(_RESOLVED_CACHES)
+    for c in caches:
+        if os.path.isdir(c):
+            _touch_lease(c)
+        else:
+            with _TICKER_LOCK:
+                _RESOLVED_CACHES.discard(c)
+
+
+def _register_reader(cache_dir: str) -> None:
+    """Keep ``cache_dir``'s lease fresh for this process's lifetime.
+    Spark reads the resolved path LAZILY — possibly much later and for
+    longer than the grace — so resolve-time touching alone bounds only
+    the time since a pass STARTED (round-9 advice). The daemon thread
+    dies with the process; leases then age out normally and cleanup
+    proceeds."""
+    global _TICKER_STARTED
+    with _TICKER_LOCK:
+        _RESOLVED_CACHES.add(cache_dir)
+        if _TICKER_STARTED:
+            return
+        _TICKER_STARTED = True
+
+    def loop() -> None:
+        while True:
+            time.sleep(_LEASE_REFRESH_SEC)
+            _refresh_leases_once()
+
+    threading.Thread(target=loop, name="events-cache-lease-ticker",
+                     daemon=True).start()
 
 
 def _lease_mtime(cache_dir: str) -> float:
@@ -154,11 +204,11 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     import shutil
     import tempfile
-    import time
 
     dest = _events_cache_dir(sf_dir)
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         _touch_lease(dest)
+        _register_reader(dest)
         return dest
 
     parent = os.path.dirname(dest)          # <root>/<tag>
@@ -176,6 +226,7 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
     _touch_lease(dest)
+    _register_reader(dest)
     # content-keyed tags strand the PREVIOUS warehouse's full copy when
     # the data is regenerated in place — clear superseded siblings (same
     # basename+path-digest prefix, older content signature), but only
@@ -184,10 +235,11 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     # file, not dir mtime (round-8 advice: a dir's mtime is set at
     # creation and never advances on reads, so the old 15-min dir-mtime
     # grace still rmtree'd a cache out from under a >15-min reader).
-    # Every resolve touches the lease, so lease age bounds the time
-    # since the last process STARTED a query against that cache; the
-    # grace is sized at 2x the bench retry budget (900 s), far above
-    # any single query pass.
+    # Every resolve touches the lease AND registers the cache with the
+    # process-lifetime refresh ticker (_register_reader), so lease age
+    # bounds the time since a reading process was last ALIVE — not
+    # merely since it started a pass (round-9 advice); the grace is
+    # sized at 2x the bench retry budget (900 s) on top of that.
     root, tag = os.path.split(parent)
     stale_prefix = tag.rsplit("_", 1)[0] + "_"
     cutoff = time.time() - _READER_GRACE_SEC

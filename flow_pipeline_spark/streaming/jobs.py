@@ -353,10 +353,17 @@ def _rescue_copy(src: str, dst: str) -> None:
     and the copy), the GC that deleted it already proved every entry
     merged or salvaged it itself — skipping is correct, and propagating
     the FileNotFoundError would crash a pure READER'S resolve (round-8
-    review; the read contract is 'no recovery, no retry'). Any OSError
-    with the source still present is a real fault and re-raises."""
+    review; the read contract is 'no recovery, no retry'). A missing
+    path mid-copy is ALWAYS that race, even while the entry dir still
+    exists: rmtree deletes bottom-up, so a nested part file vanishes
+    before its parent (round-9 review — gating the skip on
+    ``exists(src)`` reopened exactly the window this fix closes). Any
+    OTHER OSError with the source still present is a real fault and
+    re-raises."""
     try:
         _merge_copy(src, dst)
+    except FileNotFoundError:
+        pass
     except OSError:
         if _IO.exists(src):
             raise

@@ -581,10 +581,52 @@ def test_events_cache_cleanup_honors_reader_lease(spark, tmp_path):
     assert cache_b != cache_a
     assert os.path.isdir(cache_a), "fresh lease did not protect reader"
 
-    # backdate the lease too -> the next regeneration collects A
+    # backdate the lease too -> the next regeneration collects A.
+    # Deregister A from the process-lifetime refresh ticker first: the
+    # backdate simulates the reading PROCESS having exited, and a live
+    # ticker pass re-touching the lease would (correctly!) protect it.
+    with T._TICKER_LOCK:
+        T._RESOLVED_CACHES.discard(cache_a)
     os.utime(os.path.join(cache_a, T._LEASE), (old, old))
     os.utime(tag_a, (old, old))
     os.utime(sf / "events.parquet", ns=(2, 2))
     cache_c = T.partitioned_events_dir(spark, str(sf))
     assert cache_c not in (cache_a, cache_b)
     assert not os.path.exists(tag_a), "stale superseded cache not collected"
+
+
+def test_events_cache_lease_ticker_refreshes_long_pass(spark, tmp_path):
+    """Round-9 advice: the lease was touched only at RESOLVE time, so
+    the grace bounded time since a reader STARTED a pass — a single
+    pass longer than the grace could have its cache rmtree'd mid-read.
+    Every resolve now registers the cache with a process-lifetime
+    ticker; one ticker pass must re-advance an aged lease (so lease
+    age bounds time since the reading process was alive), and must
+    drop caches that no longer exist from the registry."""
+    import os
+    import shutil
+    import time
+
+    from flow_pipeline_spark.sources import tables as T
+
+    sf = tmp_path / "sfticker"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                sf / "events.parquet")
+    cache = T.partitioned_events_dir(spark, str(sf))
+    with T._TICKER_LOCK:
+        assert cache in T._RESOLVED_CACHES
+
+    # age the lease as if the pass had been running past the grace
+    old = time.time() - 2 * T._READER_GRACE_SEC
+    lease = os.path.join(cache, T._LEASE)
+    os.utime(lease, (old, old))
+    T._refresh_leases_once()
+    assert time.time() - os.stat(lease).st_mtime < 60, \
+        "ticker pass did not re-advance the lease"
+
+    # a cache deleted out from under us leaves the registry
+    shutil.rmtree(os.path.dirname(cache))
+    T._refresh_leases_once()
+    with T._TICKER_LOCK:
+        assert cache not in T._RESOLVED_CACHES

@@ -1674,6 +1674,41 @@ def test_rescue_copy_skips_source_gcd_mid_copy(tmp_path):
         jobs._rescue_copy(src, _os.path.join(blocked, "epoch=3"))
 
 
+def test_rescue_copy_skips_nested_file_gcd_mid_copy(tmp_path):
+    """Round-9 review, low: rmtree deletes bottom-up, so a racing GC can
+    remove a nested part file while the entry DIRECTORY still exists —
+    gating the skip on exists(src) (the round-8 form) re-raised exactly
+    there and crashed the pure reader's resolve. A FileNotFoundError
+    from the copy is always the race and must skip, entry dir present
+    or not."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+    from flow_pipeline_spark.streaming.store_io import LOCAL_IO
+
+    src = str(tmp_path / "gone" / "epoch=3")
+    _land_plain_epoch(str(tmp_path / "gone"), "epoch=3", "three")
+    dst = str(tmp_path / "cur" / "epoch=3")
+    _os.makedirs(_os.path.dirname(dst))
+
+    class _BottomUpGC:
+        """Part file vanishes between listdir and copy; dir remains."""
+
+        def __getattr__(self, name):
+            return getattr(LOCAL_IO, name)
+
+        def copy_file_atomic(self, s, d):
+            raise FileNotFoundError(s)
+
+    old = jobs._IO
+    jobs._IO = _BottomUpGC()
+    try:
+        jobs._rescue_copy(src, dst)        # must not raise
+    finally:
+        jobs._IO = old
+    assert _os.path.isdir(src)             # entry dir was still present
+
+
 class _InjectedCrash(Exception):
     """Deliberately NOT an OSError: the protocol swallows OSError only
     where it can re-prove safety (e.g. _rescue_copy when the source is

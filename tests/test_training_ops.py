@@ -815,6 +815,40 @@ def test_bpe_train_matches_reference(spark, docs):
     assert toy_merges[1] == ("es", "t" + TOK.END)
 
 
+def test_bpe_oracles_survive_unlearnable_rounds(spark, tmp_path):
+    """Round-9 review, low: an UNLEARNABLE merge round (every word fully
+    merged before n_merges) makes the oracle's m{i} CTE EMPTY; the old
+    cross join then collapsed the whole word/encode chain to zero rows —
+    the encode oracle reported (0, '') for every doc while Spark encoded
+    with the shorter merge list. The LEFT JOIN + coalesce guard must
+    keep both BPE oracles hash-matching on a degenerate corpus where
+    only ONE of the 8 rounds can learn a merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flow_pipeline_spark.plans import QUERIES
+
+    from .oracle_utils import compare, run_oracle
+
+    sf = tmp_path / "sf_degenerate"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": ["ab ab ab", "ab c", "c c c"]}),
+        str(sf / "documents.parquet"))
+
+    for name in ("bpe_merges", "bpe_encode_corpus"):
+        qd = QUERIES[name]
+        sp = qd.spark(spark, str(sf))
+        od = run_oracle(qd.oracle, str(sf))
+        assert not compare(sp, od), name
+        if name == "bpe_merges":
+            assert sp.count() == 1          # the one learnable merge
+        else:
+            # every doc must encode non-empty under the 1-merge model
+            assert sp.filter(F.col("n_syms") == 0).count() == 0
+
+
 def test_bpe_encode_and_stats_consistent(spark, docs):
     """Encoding under the trained merges reproduces the trainer's fold
     semantics (Arrow encoder == reference per word), and the corpus
