@@ -132,7 +132,9 @@ def minhash_band_table(df: DataFrame, n_hashes: int = 8, bands: int = 4,
 def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
                            k: int = 3, text_col: str = "text",
                            id_col: str = "doc_id", *,
-                           hash_fn: str = "xxhash64") -> DataFrame:
+                           hash_fn: str = "xxhash64",
+                           max_bucket: int | None = 100_000,
+                           observation=None) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band hash become candidate
     pairs. Shuffle is on (band_idx, band_hash) — bounded by band
@@ -151,14 +153,43 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     aggregate (O(bucket) per key — the sort-merge join buffered one
     key's right side identically), a hot bucket's m² pairs STREAM
     through the Generates exactly as they streamed out of the join
-    (never materialized as one array), and the pair count is the same
-    quadratic the LSH parameters bound in either formulation."""
+    (never materialized as one array).
+
+    ``max_bucket`` caps the m² cliff (round-9 review — the one unguarded
+    scale hazard): at crawl scale a DEGENERATE bucket (boilerplate /
+    empty-doc signatures shared by millions of docs) emits m² pairs that
+    no downstream verify can absorb — 10⁷ ids in one bucket is 10¹⁴
+    candidate pairs. Buckets larger than ``max_bucket`` are DROPPED, the
+    standard practice (e.g. spark-ml's MinHashLSH leaves it to callers;
+    text-dedup pipelines cap and log): members of an over-common bucket
+    are near-identical boilerplate that exact dedup and the remaining
+    (non-degenerate) bands still cover. Never silent: pass an
+    ``Observation`` (``pyspark.sql.Observation``) as ``observation`` and
+    read ``dropped_buckets`` / ``dropped_ids`` after the action — zero
+    extra passes, the metrics ride the pair-generation scan. The default
+    (100k — far above any plausible honest bucket at the tested SFs;
+    pair results provably unchanged there) still bounds the worst case
+    at ~5·10⁹ pairs per degenerate bucket instead of unbounded; 100 TB
+    deployments size it to their verify budget. ``None`` disables the
+    cap (oracle parity studies)."""
     buckets = minhash_band_table(df, n_hashes, bands, k, text_col, id_col,
                                  hash_fn=hash_fn)
     grouped = (buckets.groupBy("band", "bh")
                .agg(F.collect_set(F.col(id_col)).alias("ids"))
                .filter(F.size("ids") > 1)
                .select(F.array_sort("ids").alias("ids")))
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket ({max_bucket}) must be >= 2")
+        m = F.size("ids")
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.count(F.when(m > max_bucket, 1))
+                .alias("dropped_buckets"),
+                F.coalesce(F.sum(F.when(m > max_bucket, m)), F.lit(0))
+                .alias("dropped_ids"))
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     n = F.size("ids")
     lead = grouped.select(
         "ids", F.posexplode(F.col("ids")).alias("i", "id_a"))

@@ -68,6 +68,47 @@ def test_simhash_planted_pairs(planted):
     assert hit == 1.0, f"simhash near-dup hit-rate {hit} (banding is exact for hamming<=bands-1)"
 
 
+def test_lsh_degenerate_hot_bucket_capped(planted, spark):
+    """Round-9 verdict item #1: a boilerplate signature shared by ~10⁴
+    docs (empty pages, nav chrome) must not emit that bucket's m² pair
+    stream — max_bucket drops the over-common bucket, loudly (the
+    Observation reports what was dropped), while every pair from the
+    NON-degenerate buckets survives unchanged."""
+    from pyspark.sql import Observation
+
+    n_boiler = 10_000
+    boiler = spark.range(n_boiler).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("copyright nav menu home about contact boilerplate page")
+        .alias("text"))
+    corpus = planted.select("doc_id", "text").unionByName(boiler)
+
+    clean_pairs = {(r["id_a"], r["id_b"]) for r in
+                   D.minhash_lsh_candidates(planted, n_hashes=8,
+                                            bands=4).collect()}
+
+    obs = Observation("lsh_drops")
+    capped = D.minhash_lsh_candidates(corpus, n_hashes=8, bands=4,
+                                      max_bucket=1000, observation=obs)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+
+    # bounded pair growth: no boilerplate pair leaks (the uncapped form
+    # would emit 4 bands x ~5*10^7 pairs from this one signature)
+    assert not any(a >= 500_000 or b >= 500_000 for a, b in got)
+    # unchanged recall on the non-degenerate pairs
+    assert got == clean_pairs
+    # never silent: the drop is observable, one hot bucket per band
+    assert obs.get["dropped_buckets"] == 4
+    assert obs.get["dropped_ids"] == 4 * n_boiler
+
+    # default cap is far above any honest small-SF bucket: results on
+    # the un-planted corpus are identical with and without the cap
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_lsh_candidates(planted, n_hashes=8, bands=4,
+                                         max_bucket=None).collect()}
+    assert uncapped == clean_pairs
+
+
 def test_lsh_knn_recall(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
