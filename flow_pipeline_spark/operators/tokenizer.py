@@ -284,47 +284,110 @@ def substring_seed_table(df: DataFrame, max_piece_len: int = 6,
             .groupBy("piece").agg(F.sum("freq").alias("freq")))
 
 
-def _viterbi_factory(counts: dict[str, int], max_piece_len: int):
+def _viterbi_factory(counts: dict[str, int], max_piece_len: int,
+                     scoring: str = "exact",
+                     max_word_len: int | None = None):
     """Shared exact-arithmetic Viterbi segmenter. Score of a prefix
-    state: (n_unknown, prod_of_counts, n_pieces, pieces) — fewer
-    unknown single-char fallbacks always wins, then the exact
-    probability prod/total^n via big-int cross-multiply, then fewer
-    pieces, then the lexicographically smaller tuple. Unknown characters
-    (never seen in training) emit themselves as OOV pieces."""
+    state: (n_unknown, prob_score, n_pieces, pieces) — fewer unknown
+    single-char fallbacks always wins, then the probability score, then
+    fewer pieces, then the lexicographically smaller tuple. Unknown
+    characters (never seen in training) emit themselves as OOV pieces.
+    The per-state order is extension-stable (additive/multiplicative
+    components; the piece tuple compares at an index unchanged by
+    appending a common suffix), so the DP's best-per-position equals
+    the global argmin over ALL segmentations — the property the
+    enumeration-based DuckDB oracle relies on.
+
+    ``scoring`` picks the probability arithmetic:
+
+    - ``"exact"`` (default): exact big-int cross-multiply —
+      p1·total^n2 vs p2·total^n1 over the raw count products. Identical
+      on any engine but NOT expressible in fixed-width SQL (hundreds of
+      bits; DuckDB tops out at HUGEINT), so exact-mode queries stay
+      pytest-verified against the Fraction reference.
+    - ``"qexp"`` (round-10; VERDICT r9 item #3): quantized-exponent
+      scoring — each count contributes floor(2·log2 c) computed EXACTLY
+      as (c·c).bit_length()−1, the segmentation scores
+      Σ_i e(c_i) − n·E with E = floor(2·log2 total). All small-integer
+      arithmetic, reproducible bit-for-bit in ANY engine (DuckDB:
+      length(bin(c*c))−1) — the oracle-able mode. Quantization step is
+      √2 (counts within 1.41× tie and fall to the structural
+      tie-breaks), the impact-quantization idea from search engines
+      applied to the segmenter. Valid while c·c and total·total fit
+      the engine's widest integer (DuckDB HUGEINT: c < 2^63 — loud
+      overflow, never silent).
+
+    ``max_word_len``: words longer than this emit themselves whole as a
+    single OOV piece instead of segmenting — WordPiece's
+    max_input_chars_per_word device (HF BERT default 100 → [UNK]): at
+    crawl scale unbounded tokens (URLs, base64 blobs) would otherwise
+    dominate segmentation cost, and the oracle's mask enumeration needs
+    a hard length bound. ``None`` (default) never truncates."""
     total = sum(counts.values()) or 1
 
-    def better(s1, s2):
-        u1, p1, n1, t1 = s1
-        u2, p2, n2, t2 = s2
-        if u1 != u2:
-            return u1 < u2
-        lhs, rhs = p1 * total ** n2, p2 * total ** n1
-        if lhs != rhs:
-            return lhs > rhs
-        if n1 != n2:
-            return n1 < n2
-        return t1 < t2
+    if scoring == "qexp":
+        big_e = (total * total).bit_length() - 1
+
+        def extend(state, piece, c):
+            u0, s0, n0, t0 = state
+            if c > 0:
+                e = (c * c).bit_length() - 1
+                return (u0, s0 + e - big_e, n0 + 1, t0 + (piece,))
+            return (u0 + 1, s0 - big_e, n0 + 1, t0 + (piece,))
+
+        def better(s1, s2):
+            u1, p1, n1, t1 = s1
+            u2, p2, n2, t2 = s2
+            if u1 != u2:
+                return u1 < u2
+            if p1 != p2:
+                return p1 > p2
+            if n1 != n2:
+                return n1 < n2
+            return t1 < t2
+
+        init = (0, 0, 0, ())
+    elif scoring == "exact":
+        def extend(state, piece, c):
+            u0, p0, n0, t0 = state
+            if c > 0:
+                return (u0, p0 * c, n0 + 1, t0 + (piece,))
+            return (u0 + 1, p0, n0 + 1, t0 + (piece,))
+
+        def better(s1, s2):
+            u1, p1, n1, t1 = s1
+            u2, p2, n2, t2 = s2
+            if u1 != u2:
+                return u1 < u2
+            lhs, rhs = p1 * total ** n2, p2 * total ** n1
+            if lhs != rhs:
+                return lhs > rhs
+            if n1 != n2:
+                return n1 < n2
+            return t1 < t2
+
+        init = (0, 1, 0, ())
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
 
     def segment(word: str) -> list[str]:
         if not word:
             return []
+        if max_word_len is not None and len(word) > max_word_len:
+            return [word]
         best: list = [None] * (len(word) + 1)
-        best[0] = (0, 1, 0, ())
+        best[0] = init
         for j in range(1, len(word) + 1):
             for i in range(max(0, j - max_piece_len), j):
                 if best[i] is None:
                     continue
                 piece = word[i:j]
                 c = counts.get(piece, 0)
-                u0, p0, n0, t0 = best[i]
-                if c > 0:
-                    cand = (u0, p0 * c, n0 + 1, t0 + (piece,))
-                elif j - i == 1:
-                    # unknown single char: OOV fallback, counted in the
-                    # unknown dimension so known pieces always dominate
-                    cand = (u0 + 1, p0, n0 + 1, t0 + (piece,))
-                else:
+                if c <= 0 and j - i > 1:
                     continue
+                # unknown single char: OOV fallback, counted in the
+                # unknown dimension so known pieces always dominate
+                cand = extend(best[i], piece, c)
                 if best[j] is None or better(cand, best[j]):
                     best[j] = cand
         return list(best[len(word)][3])
@@ -332,8 +395,11 @@ def _viterbi_factory(counts: dict[str, int], max_piece_len: int):
     return segment
 
 
-def _segment_word_udf(counts: dict[str, int], max_piece_len: int):
-    segment = _viterbi_factory(counts, max_piece_len)
+def _segment_word_udf(counts: dict[str, int], max_piece_len: int,
+                      scoring: str = "exact",
+                      max_word_len: int | None = None):
+    segment = _viterbi_factory(counts, max_piece_len, scoring,
+                               max_word_len)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _seg(s: pd.Series) -> pd.Series:
@@ -346,6 +412,8 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
                   vocab_size: int | None = None,
                   max_piece_len: int = 6, seed_size: int = 2000,
                   prune_frac: float = 0.2,
+                  scoring: str = "exact",
+                  max_word_len: int | None = None,
                   text_col: str = "text") -> dict[str, int]:
     """Learn a unigram-LM piece vocabulary from a document corpus.
     Returns {piece: count} — the tokenizer model artifact (hard-EM
@@ -371,7 +439,8 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
     char_set = {p for p in counts if len(p) == 1}
 
     for _ in range(n_iters):
-        seg = _segment_word_udf(counts, max_piece_len)
+        seg = _segment_word_udf(counts, max_piece_len, scoring,
+                                max_word_len)
         new = (wf.select("freq", F.explode(seg(F.col("word")))
                          .alias("piece"))
                .groupBy("piece").agg(F.sum("freq").alias("freq"))
@@ -393,6 +462,8 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
 
 def unigram_encode_vocab(df: DataFrame, model: dict[str, int],
                          *, max_piece_len: int = 6,
+                         scoring: str = "exact",
+                         max_word_len: int | None = None,
                          text_col: str = "text", id_col: str = "doc_id",
                          out_col: str = "pieces") -> DataFrame:
     """Encode documents under a trained unigram model — the vocab-table
@@ -406,7 +477,7 @@ def unigram_encode_vocab(df: DataFrame, model: dict[str, int],
     words = (df.select(F.col(id_col),
                        F.posexplode(toks).alias("_pos", "_word"))
              .filter(F.col("_word") != ""))
-    seg = _segment_word_udf(model, max_piece_len)
+    seg = _segment_word_udf(model, max_piece_len, scoring, max_word_len)
     vocab = (words.select("_word").distinct()
              .withColumn("_syms", seg(F.col("_word"))))
     per_doc = (words.join(F.broadcast(vocab), "_word")

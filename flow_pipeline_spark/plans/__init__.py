@@ -204,6 +204,27 @@ _DEMOTED_VARIANTS = {
     # quality_classifier windowed; doc_perplexity stays fully
     # DuckDB-oracled in pytest and benched.
     "doc_perplexity": ["dsir_importance", "quality_classifier"],
+    # round 10 (VERDICT r9 items #2/#3/#6): the PQ pair gains DuckDB
+    # oracles (codebook Lloyd rounds unrolled with subspace/cell as
+    # data dimensions — _pq_oracle_sql) and the unigram tokenizer pair
+    # gains them too (quantized-exponent integer scoring + full
+    # segmentation-mask enumeration — _unigram_trainer_ctes).
+    # PROMOTED: ann_ivf_pq_knn (the full FAISS-style IVF-PQ
+    # composition, strictly the hardest ANN device) and unigram_pieces
+    # (the unigram-LM trainer — the second production tokenizer family
+    # lands a driver row). Demoted in exchange: ann_pq_adc_exact (the
+    # integer-ADC demo — the float-codebook production composition now
+    # carries the compressed-domain class's driver row; the exact
+    # integer device stays fully DuckDB-oracled in pytest) and
+    # bpe_merges (its trainer CTE chain is embedded verbatim inside
+    # windowed bpe_encode_corpus's oracle, so the BPE trainer stays
+    # driver-verified through the encode row). ann_pq_knn and
+    # unigram_encode_corpus enter as pytest-oracled variants of their
+    # windowed siblings.
+    "ann_pq_adc_exact": ["ann_ivf_pq_knn"],
+    "ann_pq_knn": ["ann_ivf_pq_knn"],
+    "bpe_merges": ["bpe_encode_corpus"],
+    "unigram_encode_corpus": ["unigram_pieces", "bpe_encode_corpus"],
 }
 
 

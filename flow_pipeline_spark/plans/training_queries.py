@@ -2685,12 +2685,177 @@ def exact_substring_scrub(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _pq_trainer_ctes(m: int = 16, ks: int = 64, n_iter: int = 3,
+                     d_sub: int = 4) -> list:
+    """Shared trainer/encode CTEs for the PQ oracles (round-10; VERDICT
+    r9 item #2 — the kmeans_cells/ann_ivf_knn unroll device applied to
+    product quantization). Subspace and cell are DATA dimensions (rows
+    of ``subs``/``b{r}``), so only the Lloyd ROUNDS unroll: each round
+    is one (assign, per-(sub,cell,pos) mean, update) CTE triple over the
+    (vec, sub) table. Exactness story, matching similarity.py:pq_train
+    line for line: seeds are the md5-ordered top-ks vectors, L2-
+    normalized then subvector-sliced; assignment is the L2 argmin via
+    the SAME float expression numpy evaluates (−2·s·c + c·c — never the
+    algebraically-equal (s−c)² form, whose different operand order
+    would drift last ulps), ties to the lowest cell (np.argmin
+    first-min ≡ ORDER BY d2, cell); empty cells keep their previous
+    centroid via the LEFT JOIN + coalesce; the update mean is the same
+    sum/count. The residual float risk is summation ORDER (numpy GEMM
+    partials + Spark shuffle-merge vs DuckDB's sequential folds) — the
+    kmeans_cells tolerance class: a flip needs a near-tie straddling
+    the rounded publish. Ends with ``codes`` (per-(vec, sub) argmin
+    under b{n_iter}) and ``qs`` (normalized query subvectors)."""
+    ctes = [
+        """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                 FROM embeddings)""",
+        """vn AS (SELECT vec_id, x, sqrt(list_dot_product(x, x)) AS nrm
+                  FROM v)""",
+        """vh AS (SELECT vec_id,
+                         [xi / greatest(nrm, 1e-300) FOR xi IN x] AS xh
+                  FROM vn)""",
+        f"""subs AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS j)""",
+        f"""sv AS (SELECT vec_id, j,
+                          xh[j*{d_sub}+1 : j*{d_sub}+{d_sub}] AS s
+                   FROM vh, subs)""",
+        f"""seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cell, xh
+      FROM vh
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {ks})""",
+        f"""b0 AS (SELECT su.j, sd.cell,
+                          sd.xh[su.j*{d_sub}+1 : su.j*{d_sub}+{d_sub}] AS c
+                   FROM seeds sd, subs su)""",
+    ]
+    for r in range(1, n_iter + 1):
+        prev = f"b{r - 1}"
+        ctes.append(f"""pa{r} AS (
+      SELECT vec_id, j, s, cell FROM (
+        SELECT sv.vec_id, sv.j, sv.s, b.cell,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                 ORDER BY -2.0 * list_dot_product(sv.s, b.c)
+                          + list_dot_product(b.c, b.c) ASC, b.cell) AS rn
+        FROM sv JOIN {prev} b USING (j)) WHERE rn = 1)""")
+        ctes.append(f"""ps{r} AS (
+      SELECT j, cell, pos, sum(val) AS sm, count(*) AS cnt
+      FROM (SELECT j, cell, unnest(s) AS val,
+                   generate_subscripts(s, 1) AS pos FROM pa{r})
+      GROUP BY j, cell, pos)""")
+        ctes.append(f"""b{r} AS (
+      SELECT b.j, b.cell, coalesce(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT j, cell, list(sm / cnt ORDER BY pos) AS c
+        FROM ps{r} GROUP BY j, cell) u USING (j, cell))""")
+    ctes.append(f"""codes AS (
+      SELECT vec_id, j, cell FROM (
+        SELECT sv.vec_id, sv.j, b.cell,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                 ORDER BY -2.0 * list_dot_product(sv.s, b.c)
+                          + list_dot_product(b.c, b.c) ASC, b.cell) AS rn
+        FROM sv JOIN b{n_iter} b USING (j)) WHERE rn = 1)""")
+    ctes.append("""qs AS (SELECT vec_id AS q, j, s AS qsub
+                          FROM sv WHERE vec_id < 10)""")
+    return ctes
+
+
+_PQ_RERANK_SQL = """
+    SELECT q, n, cos, rank FROM (
+      SELECT s.q, s.n,
+             round(list_dot_product(a.x, bb.x) / (a.nrm * bb.nrm), 4)
+               AS cos,
+             row_number() OVER (PARTITION BY s.q
+               ORDER BY round(list_dot_product(a.x, bb.x)
+                              / (a.nrm * bb.nrm), 4) DESC, s.n) AS rank
+      FROM short s JOIN vn a ON a.vec_id = s.q
+           JOIN vn bb ON bb.vec_id = s.n)
+    WHERE rank <= 5 ORDER BY q, rank
+"""
+
+
+def _pq_oracle_sql(n_iter: int = 3, shortlist: int = 40) -> str:
+    """DuckDB oracle for :func:`ann_pq_knn`: trainer/encode CTEs
+    (:func:`_pq_trainer_ctes`), ADC scoring (per (q, n): Σ_j
+    <q_sub_j, book[j][code_nj]>, HALF-UP 4dp — the LUT gather as a
+    codes⋈codebook⋈query join), the shortlist cut (row_number ≤ 40 on
+    (score DESC, n ASC) — pq_knn's tie-correct local top-k + global
+    merge is exactly this total order), then the REFINE stage: exact
+    4dp cosine over original vectors, rank ≤ k."""
+    ctes = _pq_trainer_ctes(n_iter=n_iter)
+    ctes.append(f"""parts AS (
+      SELECT q.q, c.vec_id AS n, list_dot_product(q.qsub, b.c) AS p
+      FROM codes c JOIN b{n_iter} b USING (j, cell)
+           JOIN qs q ON q.j = c.j)""")
+    ctes.append("""scored AS (
+      SELECT q, n, round(sum(p), 4) AS score
+      FROM parts WHERE n <> q GROUP BY q, n)""")
+    ctes.append(f"""short AS (
+      SELECT q, n FROM (
+        SELECT q, n, row_number() OVER (PARTITION BY q
+                       ORDER BY score DESC, n) AS rn
+        FROM scored) WHERE rn <= {shortlist})""")
+    return "    WITH " + ",\n    ".join(ctes) + _PQ_RERANK_SQL
+
+
+def _ivf_pq_oracle_sql(n_cells: int = 16, nprobe: int = 8,
+                       n_iter: int = 3, shortlist: int = 40) -> str:
+    """DuckDB oracle for :func:`ann_ivf_pq_knn`: the PQ trainer/encode
+    CTEs composed with ann_ivf_knn's coarse-quantizer CTEs (md5-sampled
+    centroids, cosine-argmax cell assignment, nprobe probe map), ADC
+    restricted to (q, n) pairs whose n sits in a probed cell, then the
+    same shortlist + refine as :func:`_pq_oracle_sql`."""
+    ctes = _pq_trainer_ctes(n_iter=n_iter)
+    ctes.append(f"""cent AS (
+      SELECT vec_id AS cid, x AS cv, nrm AS cnrm,
+             [xi / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+              FOR xi IN x] AS ucv
+      FROM vn
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {n_cells})""")
+    ctes.append("""icell AS (
+      SELECT vec_id, icl FROM (
+        SELECT vn.vec_id, c.cid AS icl,
+               row_number() OVER (PARTITION BY vn.vec_id
+                 ORDER BY list_dot_product(vn.x, c.ucv) / vn.nrm DESC,
+                          c.cid) AS rn
+        FROM vn, cent c) WHERE rn = 1)""")
+    ctes.append(f"""probes AS (
+      SELECT q, cell FROM (
+        SELECT qv.vec_id AS q, c.cid AS cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY list_dot_product(qv.x, c.cv)
+                          / (qv.nrm * c.cnrm) DESC, c.cid) AS rn
+        FROM vn qv, cent c WHERE qv.vec_id < 10) WHERE rn <= {nprobe})""")
+    ctes.append("""pairs AS (
+      SELECT p.q, i.vec_id AS n
+      FROM icell i JOIN probes p ON p.cell = i.icl
+      WHERE i.vec_id <> p.q)""")
+    ctes.append(f"""parts AS (
+      SELECT pr.q, pr.n, list_dot_product(q.qsub, b.c) AS p
+      FROM pairs pr JOIN codes c ON c.vec_id = pr.n
+           JOIN b{n_iter} b ON b.j = c.j AND b.cell = c.cell
+           JOIN qs q ON q.q = pr.q AND q.j = c.j)""")
+    ctes.append("""scored AS (
+      SELECT q, n, round(sum(p), 4) AS score
+      FROM parts GROUP BY q, n)""")
+    ctes.append(f"""short AS (
+      SELECT q, n FROM (
+        SELECT q, n, row_number() OVER (PARTITION BY q
+                       ORDER BY score DESC, n) AS rn
+        FROM scored) WHERE rn <= {shortlist})""")
+    return "    WITH " + ",\n    ".join(ctes) + _PQ_RERANK_SQL
+
+
 @_q(
     "ann_pq_knn",
-    None,  # iterative float k-means codebooks — rows-only; recall floors
-    # (ADC >= 0.4, refined >= 0.9 vs brute force) and codebook
-    # determinism are pytest-asserted
-    # (tests/test_training_ops.py::test_pq_knn_recall_and_determinism).
+    # round-10 (VERDICT r9 item #2): fully oracled via the chained-CTE
+    # unroll — codebook training (3 Lloyd rounds, subspace/cell as data
+    # dimensions), encode, ADC gather, shortlist cut, and refine all
+    # mirrored in SQL (_pq_oracle_sql). The published row is the exact
+    # 4dp rerank cosine, so codebook ulp drift can flip it only through
+    # shortlist-boundary near-ties — the kmeans_cells tolerance class.
+    # Recall floors (ADC >= 0.4, refined >= 0.9 vs brute force) stay
+    # pytest-asserted (test_pq_knn_recall_and_determinism).
+    _pq_oracle_sql(),
     doc="Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ "
         "family; operators/similarity.py pq_train/pq_encode/pq_knn): "
         "vectors compress to m subspace codes (64-dim float32 = 256 "
@@ -2718,9 +2883,13 @@ def ann_pq_knn(spark, sf_dir):
 
 @_q(
     "ann_ivf_pq_knn",
-    None,  # iterative codebooks + float cell assignment — rows-only;
-    # the refined-recall-reaches-probe-ceiling property is
-    # pytest-asserted (test_ivf_pq_recall_reaches_probe_ceiling).
+    # round-10 (VERDICT r9 item #2): fully oracled — the PQ trainer
+    # unroll composed with ann_ivf_knn's coarse-quantizer CTEs
+    # (_ivf_pq_oracle_sql); ADC scores only probed-cell pairs, then
+    # the exact-rerank publish. The refined-recall-reaches-probe-
+    # ceiling property stays pytest-asserted
+    # (test_ivf_pq_recall_reaches_probe_ceiling).
+    _ivf_pq_oracle_sql(),
     doc="The full FAISS-style IVF-PQ pipeline (composition of ivf_assign "
         "+ pq_train/encode + ADC + refine, operators/similarity.py:"
         "ivf_pq_knn): coarse cells prune the scan to nprobe cells per "
@@ -3951,27 +4120,242 @@ def blocklist_pages(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _unigram_trainer_ctes(n_iters: int = 2, seed_size: int = 500,
+                          vocab_size: int = 300, max_piece_len: int = 6,
+                          max_word_len: int = 12) -> list:
+    """Shared trainer CTEs for the unigram-LM oracles (round-10; VERDICT
+    r9 item #3). The round-9 audit was right that the EXACT big-int
+    Viterbi (prod(counts)·total^n — hundreds of bits) cannot be
+    expressed in fixed-width SQL; what unblocked the oracle is the
+    ``scoring="qexp"`` mode (operators/tokenizer.py:_viterbi_factory):
+    quantized-exponent scoring Σ floor(2·log2 c_i) − n·floor(2·log2 T),
+    every term computed EXACTLY as length(bin(c*c))−1 ≡ Python
+    (c*c).bit_length()−1 — all small-integer arithmetic, bit-identical
+    in any engine, no float anywhere. The E-step then needs no DP in
+    SQL: with ``max_word_len`` capping segmentable words (WordPiece's
+    max_input_chars_per_word device), ALL 2^(len−1) segmentations of
+    each DISTINCT word enumerate as bitmask rows (the corpus here tops
+    out at 8-char words — ≤128 masks/word; the cap bounds it at 2^11
+    anywhere) and one window argmin per word under the trainer's exact
+    total order (u ASC, score DESC, n_pieces ASC, pieces lex ASC)
+    replaces the Viterbi — valid because the DP's order is
+    extension-stable, so DP-best == global enumeration best. M-step
+    (recount, char floor via FULL OUTER JOIN, bottom-20%% multi-char
+    prune with the vocab_size floor) is plain integer SQL. Hard-EM
+    rounds unroll as CTE blocks, the bpe_merges device."""
+    ctes = [
+        r"""wf AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE doc_id < 200) WHERE w <> '' GROUP BY w)""",
+        f"""sub0 AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(flatten(
+          [[word[i : i + l - 1]
+            FOR l IN range(1, least({max_piece_len},
+                                    len(word) - i + 1) + 1)]
+           FOR i IN range(1, len(word) + 1)])) AS piece
+        FROM wf) GROUP BY piece)""",
+        """charset AS (SELECT piece FROM sub0 WHERE length(piece) = 1)""",
+        f"""c0 AS (
+      SELECT piece, cnt FROM sub0 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM sub0 WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {seed_size}))""",
+        f"""masks AS (
+      SELECT CAST(unnest(range(0, {1 << (max_word_len - 1)})) AS BIGINT)
+             AS mask)""",
+        f"""wm AS (
+      SELECT word, freq, mask,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               [CAST(i AS BIGINT) FOR i IN range(1, len(word))
+                IF (mask >> CAST(i - 1 AS INT)) & 1 = 1]),
+               [CAST(len(word) AS BIGINT)]) AS cuts
+      FROM wf, masks
+      WHERE len(word) <= {max_word_len}
+        AND mask < (CAST(1 AS BIGINT) << CAST(len(word) - 1 AS INT)))""",
+        """wp AS (
+      SELECT word, freq, mask,
+             [word[CAST(cuts[k] AS INT) + 1 : CAST(cuts[k + 1] AS INT)]
+              FOR k IN range(1, len(cuts))] AS pieces
+      FROM wm)""",
+    ]
+    for r in range(1, n_iters + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""t{r} AS (
+      SELECT CAST(sum(cnt) AS HUGEINT) AS total,
+             length(bin(CAST(sum(cnt) AS HUGEINT)
+                        * CAST(sum(cnt) AS HUGEINT))) - 1 AS bigE
+      FROM {prev})""")
+        ctes.append(f"""ps{r} AS (
+      SELECT word, freq, mask, any_value(pieces) AS pieces,
+             count(CASE WHEN c.piece IS NULL AND length(pu.piece) = 1
+                        THEN 1 END) AS u,
+             count(CASE WHEN c.piece IS NULL AND length(pu.piece) > 1
+                        THEN 1 END) AS bad,
+             CAST(coalesce(sum(CASE WHEN c.piece IS NOT NULL
+                 THEN length(bin(CAST(c.cnt AS HUGEINT) * c.cnt)) - 1
+                 END), 0) AS BIGINT) AS ke,
+             count(*) AS np
+      FROM (SELECT word, freq, mask, pieces, unnest(pieces) AS piece
+            FROM wp) pu
+      LEFT JOIN {prev} c USING (piece)
+      GROUP BY word, freq, mask)""")
+        ctes.append(f"""best{r} AS (
+      SELECT word, freq, pieces FROM (
+        SELECT word, freq, pieces,
+               row_number() OVER (PARTITION BY word
+                 ORDER BY u ASC, ke - np * t.bigE DESC, np ASC,
+                          pieces ASC) AS rn
+        FROM ps{r}, t{r} t WHERE bad = 0) WHERE rn = 1)""")
+        ctes.append(f"""nc{r} AS (
+      SELECT coalesce(n.piece, ch.piece) AS piece,
+             CAST(coalesce(n.cnt, 1) AS BIGINT) AS cnt
+      FROM (SELECT piece, sum(freq) AS cnt
+            FROM (SELECT freq, unnest(pieces) AS piece FROM best{r})
+            GROUP BY piece) n
+      FULL OUTER JOIN charset ch ON n.piece = ch.piece)""")
+        ctes.append(f"""st{r} AS (
+      SELECT least(CAST(floor(count(CASE WHEN length(piece) > 1
+                                         THEN 1 END) * 0.2) AS BIGINT),
+                   greatest(count(*) - {vocab_size}, 0),
+                   count(CASE WHEN length(piece) > 1 THEN 1 END))
+             AS ndrop
+      FROM nc{r})""")
+        ctes.append(f"""c{r} AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               CASE WHEN length(piece) > 1
+                    THEN row_number() OVER (
+                      PARTITION BY (length(piece) > 1)
+                      ORDER BY cnt ASC, piece ASC)
+                    END AS prank
+        FROM nc{r}) p, st{r} s
+      WHERE p.prank IS NULL OR p.prank > s.ndrop)""")
+    return ctes
+
+
+def _unigram_pieces_oracle_sql(n_iters: int = 2) -> str:
+    """DuckDB oracle for :func:`unigram_pieces`: the trainer CTEs with
+    the learned piece table selected out."""
+    ctes = _unigram_trainer_ctes(n_iters=n_iters)
+    return ("    WITH " + ",\n    ".join(ctes)
+            + f'\n    SELECT piece, cnt AS "count" FROM c{n_iters}'
+            + "\n    ORDER BY cnt DESC, piece\n")
+
+
+def _unigram_encode_oracle_sql(n_iters: int = 2,
+                               max_word_len: int = 12) -> str:
+    """DuckDB oracle for :func:`unigram_encode_corpus`: the trainer CTEs
+    learn the model, then ENCODE mirrors unigram_encode_vocab — each
+    DISTINCT corpus word segments once (the same mask enumeration +
+    window argmin under the final counts; words past max_word_len emit
+    themselves whole, the WordPiece [UNK] device), the word→pieces map
+    joins back to the positional corpus tokens, per-doc counts and the
+    space-joined first five pieces reassemble by (word position, piece
+    position). Token-less docs keep (0, '') via the left joins."""
+    n = n_iters
+    ctes = _unigram_trainer_ctes(n_iters=n_iters,
+                                 max_word_len=max_word_len)
+    ctes.append(r"""wds AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(
+                 string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents) WHERE w <> '')""")
+    ctes.append("""ew AS (SELECT DISTINCT w AS word FROM wds)""")
+    ctes.append(f"""ewm AS (
+      SELECT word, mask,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               [CAST(i AS BIGINT) FOR i IN range(1, len(word))
+                IF (mask >> CAST(i - 1 AS INT)) & 1 = 1]),
+               [CAST(len(word) AS BIGINT)]) AS cuts
+      FROM ew, masks
+      WHERE len(word) <= {max_word_len}
+        AND mask < (CAST(1 AS BIGINT) << CAST(len(word) - 1 AS INT)))""")
+    ctes.append("""ewp AS (
+      SELECT word, mask,
+             [word[CAST(cuts[k] AS INT) + 1 : CAST(cuts[k + 1] AS INT)]
+              FOR k IN range(1, len(cuts))] AS pieces
+      FROM ewm)""")
+    ctes.append(f"""te AS (
+      SELECT CAST(sum(cnt) AS HUGEINT) AS total,
+             length(bin(CAST(sum(cnt) AS HUGEINT)
+                        * CAST(sum(cnt) AS HUGEINT))) - 1 AS bigE
+      FROM c{n})""")
+    ctes.append(f"""eps AS (
+      SELECT word, mask, any_value(pieces) AS pieces,
+             count(CASE WHEN c.piece IS NULL AND length(pu.piece) = 1
+                        THEN 1 END) AS u,
+             count(CASE WHEN c.piece IS NULL AND length(pu.piece) > 1
+                        THEN 1 END) AS bad,
+             CAST(coalesce(sum(CASE WHEN c.piece IS NOT NULL
+                 THEN length(bin(CAST(c.cnt AS HUGEINT) * c.cnt)) - 1
+                 END), 0) AS BIGINT) AS ke,
+             count(*) AS np
+      FROM (SELECT word, mask, pieces, unnest(pieces) AS piece
+            FROM ewp) pu
+      LEFT JOIN c{n} c USING (piece)
+      GROUP BY word, mask)""")
+    ctes.append(f"""ebest AS (
+      SELECT word, pieces FROM (
+        SELECT word, pieces,
+               row_number() OVER (PARTITION BY word
+                 ORDER BY u ASC, ke - np * t.bigE DESC, np ASC,
+                          pieces ASC) AS rn
+        FROM eps, te t WHERE bad = 0
+        UNION ALL
+        SELECT word, [word] AS pieces, 1 AS rn FROM ew
+        WHERE len(word) > {max_word_len}) WHERE rn = 1)""")
+    ctes.append("""persym AS (
+      SELECT doc_id, pos, k, eb.pieces[CAST(k AS INT)] AS sym FROM (
+        SELECT wds.doc_id, wds.pos, wds.w,
+               unnest(range(1, len(eb0.pieces) + 1)) AS k
+        FROM wds JOIN ebest eb0 ON eb0.word = wds.w) x
+      JOIN ebest eb ON eb.word = x.w)""")
+    ctes.append("""perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+      FROM persym GROUP BY doc_id)""")
+    ctes.append("""heads AS (
+      SELECT doc_id, string_agg(sym, ' ' ORDER BY pos, k) AS head_pieces
+      FROM (SELECT doc_id, pos, k, sym,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos, k) AS rr
+            FROM persym) WHERE rr <= 5 GROUP BY doc_id)""")
+    return ("    WITH " + ",\n    ".join(ctes) + """
+    SELECT d.doc_id,
+           coalesce(p.n_pieces, 0) AS n_pieces,
+           coalesce(h.head_pieces, '') AS head_pieces
+    FROM documents d
+    LEFT JOIN perdoc p USING (doc_id)
+    LEFT JOIN heads h USING (doc_id)
+    ORDER BY d.doc_id\n""")
+
+
 @_q(
     "unigram_pieces",
-    None,  # rows-only, and deliberately so (round-9 audit, after
-    # bpe_merges/kmeans_cells unrolled): the EM rounds would unroll,
-    # but the Viterbi E-step scores segmentations by EXACT big-integer
-    # cross-multiplication (prod(counts)·total^n — hundreds of bits;
-    # DuckDB's widest integer is HUGEINT/128) and a log-domain float
-    # rewrite can misorder the equal-product ties the trainer breaks
-    # structurally (same count multiset, different piece split — common
-    # in Zipf text). The trainer is pytest-verified model-for-model
-    # against an independent Fraction-arithmetic reference
+    # round-10 (VERDICT r9 item #3): fully oracled. The round-9 audit's
+    # blocker (exact big-int Viterbi beyond HUGEINT) is resolved by the
+    # scoring="qexp" mode — quantized-exponent integer scoring,
+    # bit-identical in any engine (length(bin(c*c))-1 ≡ int.bit_length)
+    # — and the E-step oracles as a full segmentation-mask enumeration
+    # + window argmin per distinct word (see _unigram_trainer_ctes).
+    # The exact-big-int mode remains the operator default and stays
+    # pytest-verified model-for-model against the Fraction reference
     # (tests/test_training_ops.py::test_unigram_train_matches_reference).
+    _unigram_pieces_oracle_sql(),
     doc="Unigram-LM tokenizer induction (Kudo 2018, the SentencePiece "
         "family; operators/tokenizer.py:unigram_train) — the OTHER "
         "production tokenizer: seed with every substring ≤6 chars "
         "(JVM explode over the vocab-bounded word table), then hard-EM "
         "rounds — Viterbi-segment each DISTINCT word under current "
-        "piece counts (EXACT big-integer scoring: segmentations "
-        "compare by count-product cross-multiplication, never floats, "
-        "so the learned model is identical on any engine or "
-        "partitioning), re-count pieces weighted by word freq, prune "
+        "piece counts (this entry runs scoring='qexp': quantized-"
+        "exponent INTEGER scoring, bit-identical on any engine and "
+        "SQL-oracle-able; the exact big-int mode stays the operator "
+        "default, pytest-pinned), re-count pieces weighted by word "
+        "freq, prune "
         "the least-used multi-char pieces (single chars never prune — "
         "the coverage invariant). Per-round cost is vocab-bounded, "
         "corpus-size-independent, the bpe_train shape; the per-round "
@@ -3982,7 +4366,8 @@ def unigram_pieces(spark, sf_dir):
     from ..operators import tokenizer as TOK
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     model = TOK.unigram_train(d, n_iters=2, seed_size=500,
-                              vocab_size=300)
+                              vocab_size=300, scoring="qexp",
+                              max_word_len=12)
     return spark.createDataFrame(
         sorted(model.items(), key=lambda kv: (-kv[1], kv[0])),
         "piece string, count long")
@@ -3990,10 +4375,14 @@ def unigram_pieces(spark, sf_dir):
 
 @_q(
     "unigram_encode_corpus",
-    None,  # encoding under the EM-trained model (not SQL-expressible);
-    # encoder parity with the reference Viterbi is pytest-asserted
-    # piece-for-piece
+    # round-10 (VERDICT r9 item #3): fully oracled — the trainer CTEs
+    # learn the qexp model, the encode enumerates each distinct corpus
+    # word's segmentations under it, and the positional reassembly is
+    # the bpe_encode_corpus device (head pieces space-joined so the
+    # value-hash compares across engines). Encoder parity with the
+    # reference Viterbi stays pytest-asserted piece-for-piece
     # (test_unigram_encode_matches_reference_segmentation).
+    _unigram_encode_oracle_sql(),
     doc="Corpus unigram-LM encoding via the vocab-table path "
         "(operators/tokenizer.py:unigram_encode_vocab): each DISTINCT "
         "word Viterbi-segments once through the Python kernel (|vocab| "
@@ -4008,11 +4397,14 @@ def unigram_encode_corpus(spark, sf_dir):
     from ..operators import tokenizer as TOK
     d = _docs(spark, sf_dir).select("doc_id", "text")
     model = TOK.unigram_train(d.filter(F.col("doc_id") < 200),
-                              n_iters=2, seed_size=500, vocab_size=300)
-    enc = TOK.unigram_encode_vocab(d, model)
+                              n_iters=2, seed_size=500, vocab_size=300,
+                              scoring="qexp", max_word_len=12)
+    enc = TOK.unigram_encode_vocab(d, model, scoring="qexp",
+                                   max_word_len=12)
     return (enc.select("doc_id",
                        F.size("pieces").cast("long").alias("n_pieces"),
-                       F.slice("pieces", 1, 5).alias("head_pieces"))
+                       F.concat_ws(" ", F.slice("pieces", 1, 5))
+                       .alias("head_pieces"))
             .orderBy("doc_id"))
 
 

@@ -37,10 +37,12 @@ def test_registry_window_ordering():
                      "flows_pg_src_ip_panel", "value_percentiles",
                      "incremental_dedup", "quality_classifier",
                      "semantic_dedup", "exact_substring_spans",
-                     # round 5: the compressed-domain ANN class lands its
-                     # driver row (approx_percentiles demoted, the W7
-                     # sketch twin of windowed value_percentiles)
-                     "ann_pq_adc_exact",
+                     # round 5: the compressed-domain ANN class landed
+                     # its driver row via the integer-ADC demo; round 10
+                     # hands that row to the float-codebook production
+                     # composition (ann_pq_adc_exact demoted — the full
+                     # IVF-PQ pipeline is strictly the harder device)
+                     "ann_ivf_pq_knn",
                      # round 5: importance resampling and line-granular
                      # dedup each land a driver row (doc_chunks /
                      # text_quality / conditional_class demoted — see
@@ -89,7 +91,11 @@ def test_registry_window_ordering():
                      # demoted in exchange (profile keeps table_profile,
                      # retrieval keeps bm25_search; both stay fully
                      # DuckDB-oracled in pytest)
-                     "bpe_merges", "kmeans_cells",
+                     # round 10: the unigram-LM trainer lands a driver
+                     # row (qexp integer scoring + mask-enumeration
+                     # oracle); bpe_merges demoted — its trainer CTEs
+                     # ride inside bpe_encode_corpus's oracle verbatim
+                     "unigram_pieces", "kmeans_cells",
                      # round 9 cont.: the corpus BPE ENCODE lands a
                      # driver row (trainer CTEs + vocab-table encode in
                      # SQL; bpe_encode_stored shares the oracle and is

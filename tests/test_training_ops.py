@@ -1904,6 +1904,56 @@ def _py_word_freqs(rows):
     return wf
 
 
+def test_unigram_qexp_dp_equals_enumeration():
+    """The qexp-mode Viterbi DP must equal the global argmin over ALL
+    2^(len-1) segmentations under the trainer's total order (u ASC,
+    score DESC, n_pieces ASC, pieces lex ASC) — the extension-stability
+    property the DuckDB oracle's mask enumeration relies on. Pure
+    python, randomized words over a small alphabet so unknown chars,
+    rounded-score ties, and piece-length limits all occur."""
+    import random
+
+    from flow_pipeline_spark.operators.tokenizer import _viterbi_factory
+
+    rng = random.Random(7)
+    alphabet = "abcx"          # 'x' never enters counts -> OOV path
+    pieces = ["a", "b", "c", "ab", "ba", "abc", "bc", "cab", "aa"]
+    counts = {p: rng.randint(1, 500) for p in pieces}
+    total = sum(counts.values())
+    big_e = (total * total).bit_length() - 1
+
+    def enumerate_best(word, max_piece_len):
+        best = None
+        for mask in range(1 << (len(word) - 1)):
+            cuts = [0] + [i for i in range(1, len(word))
+                          if (mask >> (i - 1)) & 1] + [len(word)]
+            segs = [word[cuts[k]:cuts[k + 1]]
+                    for k in range(len(cuts) - 1)]
+            if any(len(p) > max_piece_len for p in segs):
+                continue
+            if any(p not in counts and len(p) > 1 for p in segs):
+                continue
+            u = sum(1 for p in segs if p not in counts)
+            ke = sum((counts[p] ** 2).bit_length() - 1
+                     for p in segs if p in counts)
+            key = (u, -(ke - len(segs) * big_e), len(segs), tuple(segs))
+            if best is None or key < best[0]:
+                best = (key, segs)
+        return best[1]
+
+    seg = _viterbi_factory(counts, 3, scoring="qexp")
+    for _ in range(300):
+        word = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 9)))
+        assert seg(word) == enumerate_best(word, 3), word
+
+    # max_word_len: overlong words emit themselves whole (WordPiece
+    # max_input_chars_per_word), both scoring modes
+    capped = _viterbi_factory(counts, 3, scoring="qexp", max_word_len=4)
+    assert capped("abcab") == ["abcab"]
+    assert capped("abca") == enumerate_best("abca", 3)
+
+
 def test_unigram_train_matches_reference(spark):
     """The distributed hard-EM trainer must produce the exact same
     {piece: count} model as the independent Fraction-arithmetic

@@ -71,6 +71,8 @@ NOTES = {
   "cdc_latest_state": "rank-1 compaction compiles to WindowGroupLimit Partial below / Final above ONE key exchange — each task's sort buffer holds one row per key, never the key's history; no join, no second scan",
   "time_gapfill": "per-key grid = sequence+explode over the key-bounded bounds aggregate (narrow Generate, rows = dashboard range); fill join + LOCF window run on AGGREGATED rows — raw events shuffle at most twice, no calendar cross join",
   "wet_ingest": "crawl-archive source tier: one binaryFile task per WET archive feeding ONE Arrow-batched mapInPandas (record framing — the only Python, linear per file); the sole exchange is the final per-host aggregate; at CC scale parallelism = archive count, which is the point",
+  "ann_ivf_pq_knn": "the full IVF-PQ query plan: codebook training is per-round mapInPandas partials (corpus never shuffles; driver sees m*ks*d_sub sums); at query time the codes table joins the BROADCAST probe map on cell, ADC is an Arrow gather over (m)-byte codes, the refine join ships candidate ids only — embeddings never shuffle anywhere",
+  "unigram_pieces": "hard-EM over the WORD table only: per round the vocab-bounded frame passes once through the Arrow segmenter (|distinct words| calls, corpus-size-independent) and one piece-count aggregate; the corpus is touched once for word counts; the per-round collect is the MODEL (kmeans-centroid pattern)",
 }
 
 
