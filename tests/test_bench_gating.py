@@ -296,3 +296,27 @@ def test_detail_record_cross_head_cpu_normalized_curation(tmp_path):
     bench._write_detail_records(here, legacy, committed,
                                 contaminated=False)
     assert bench._load_committed_detail(here)["git_head"] == "h5"
+
+
+def test_pick_attempt_rejects_high_dispersion_throughput_section():
+    """Round-10 (VERDICT r9 item #5): the throughput sections carry the
+    dispersion witness too — a fast outlier (page-cache luck) escapes
+    the floor gate (median/min only looks below the median) but a
+    peak/floor spread over 2x means no steady state was measured; the
+    attempt must not publish as clean. A second attempt within spread
+    is clean and wins."""
+    base = 400.0
+    flaky = {"floor_ratio": 1.3, "io_cal_after": base, "witness_ok": True,
+             "dispersion": 2.6, "samples": [100.0, 130.0, 260.0]}
+    steady = {"floor_ratio": 1.1, "io_cal_after": base, "witness_ok": True,
+              "dispersion": 1.2, "samples": [100.0, 110.0, 120.0]}
+    best, contended = bench._pick_attempt([flaky, steady], base)
+    assert best is steady and contended is False
+    # only the flaky attempt: publish it, but the section is contended
+    best, contended = bench._pick_attempt([flaky], base)
+    assert best is flaky and contended is True
+    # attempts predating the witness (no dispersion key) stay clean —
+    # the committed-record comparison machinery tolerates legacy shapes
+    legacy = {"floor_ratio": 1.1, "io_cal_after": base, "witness_ok": True,
+              "samples": [100.0]}
+    assert bench._pick_attempt([legacy], base)[1] is False

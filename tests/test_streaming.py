@@ -1761,7 +1761,15 @@ def _store_total(jobs, store: str) -> int:
     return total
 
 
-def test_pointer_protocol_crash_inject_through_io_seam(tmp_path):
+def _make_store_io(kind: str):
+    """Healthy store-IO instance per backend semantics class."""
+    from flow_pipeline_spark.streaming.store_io import (LOCAL_IO,
+                                                        S3LikeStoreIO)
+    return LOCAL_IO if kind == "posix" else S3LikeStoreIO()
+
+
+@pytest.mark.parametrize("io_kind", ["posix", "s3"])
+def test_pointer_protocol_crash_inject_through_io_seam(tmp_path, io_kind):
     """Generalized crash injection: run the compaction-form publish
     scenario (P1 merges epoch=7, appender lands epoch=8, P2 merges
     {epoch=-1, epoch=8}) and kill the store-IO seam at EVERY k-th call
@@ -1769,10 +1777,11 @@ def test_pointer_protocol_crash_inject_through_io_seam(tmp_path):
     reader resolves one complete snapshot whose merged total is exactly
     7+8=15 — no loss, no double count, whichever side of the flip the
     crash landed on; (b) a clean compaction retry converges to a single
-    merged entry and ≤2 retained versions. This checks the protocol
-    against the seam CONTRACT (atomic publish_text/copy_file_atomic),
-    the argument that carries to HDFS rename / S3 conditional-PUT
-    backends."""
+    merged entry and ≤2 retained versions. Round 10: parametrized over
+    BOTH backend semantics classes — POSIX (atomic rename + fsync) and
+    the S3-like object store (atomic single-object PUT, per-object
+    DELETEs, no directory fsync) — so the seam-contract argument is
+    exercised against object-store behavior, not just asserted."""
     import os as _os
 
     from flow_pipeline_spark.streaming import jobs
@@ -1798,49 +1807,56 @@ def test_pointer_protocol_crash_inject_through_io_seam(tmp_path):
         mini_compact(store)                      # P1: epoch=-1 == 7
         _land_plain_epoch(jobs._resolve_store(store), "epoch=8", "8")
 
-    # probe: count P2's IO calls on a healthy store
-    probe = str(tmp_path / "probe")
-    build(probe)
-    counter = _FaultyIO(LOCAL_IO, fail_at=None)
-    jobs._IO = counter
+    healthy = _make_store_io(io_kind)
     try:
-        mini_compact(probe)
+        jobs._IO = healthy
+        # probe: count P2's IO calls on a healthy store
+        probe = str(tmp_path / "probe")
+        build(probe)
+        counter = _FaultyIO(healthy, fail_at=None)
+        jobs._IO = counter
+        try:
+            mini_compact(probe)
+        finally:
+            jobs._IO = healthy
+        n_calls = counter.calls
+        assert n_calls > 10, n_calls   # sanity: the seam is in use
+        assert _store_total(jobs, probe) == 15
+
+        crashed_at = 0
+        for k in range(n_calls):
+            store = str(tmp_path / f"s{k}")
+            build(store)
+            jobs._IO = _FaultyIO(healthy, fail_at=k)
+            try:
+                mini_compact(store)
+            except _InjectedCrash:
+                crashed_at += 1
+            finally:
+                jobs._IO = healthy
+            # (a) reader sees one complete snapshot; exactly-once total
+            assert _store_total(jobs, store) == 15, f"crash at call {k}"
+            # (b) clean retry converges
+            mini_compact(store)
+            assert _store_total(jobs, store) == 15, f"retry at {k}"
+            cur = jobs._resolve_store(store)
+            entries = {e for e in _os.listdir(cur)
+                       if not e.startswith((".", "_"))}
+            assert entries == {"epoch=-1"}, (k, entries)
+            assert len(jobs._version_names(store)) <= 2, k
+        assert crashed_at == n_calls   # every injection actually fired
     finally:
         jobs._IO = LOCAL_IO
-    n_calls = counter.calls
-    assert n_calls > 10, n_calls    # sanity: the seam is actually in use
-    assert _store_total(jobs, probe) == 15
-
-    crashed_at = 0
-    for k in range(n_calls):
-        store = str(tmp_path / f"s{k}")
-        build(store)
-        jobs._IO = _FaultyIO(LOCAL_IO, fail_at=k)
-        try:
-            mini_compact(store)
-        except _InjectedCrash:
-            crashed_at += 1
-        finally:
-            jobs._IO = LOCAL_IO
-        # (a) reader sees one complete snapshot; exactly-once total
-        assert _store_total(jobs, store) == 15, f"crash at call {k}"
-        # (b) clean retry converges
-        mini_compact(store)
-        assert _store_total(jobs, store) == 15, f"retry after call {k}"
-        cur = jobs._resolve_store(store)
-        entries = {e for e in _os.listdir(cur)
-                   if not e.startswith((".", "_"))}
-        assert entries == {"epoch=-1"}, (k, entries)
-        assert len(jobs._version_names(store)) <= 2, k
-    assert crashed_at == n_calls    # every injection actually fired
 
 
-def test_state_store_crash_inject_through_io_seam(tmp_path):
+@pytest.mark.parametrize("io_kind", ["posix", "s3"])
+def test_state_store_crash_inject_through_io_seam(tmp_path, io_kind):
     """Same seam-level injection for the state-store form
     (salvage_known=None, manifest '*'): after a crash at any IO call of
     a v2 publish, a reader sees EITHER the complete old state or the
     complete new state — never a mix — and a clean retry lands the new
-    state with ≤2 versions retained."""
+    state with ≤2 versions retained. Round 10: runs under BOTH POSIX
+    and S3-like object-store semantics."""
     import os as _os
 
     from flow_pipeline_spark.streaming import jobs
@@ -1854,31 +1870,166 @@ def test_state_store_crash_inject_through_io_seam(tmp_path):
         with open(_os.path.join(cur, "state", "part-0")) as fh:
             return fh.read()
 
-    probe = str(tmp_path / "probe")
-    jobs._swap_in(probe, write_state("old"))
-    counter = _FaultyIO(LOCAL_IO, fail_at=None)
-    jobs._IO = counter
+    healthy = _make_store_io(io_kind)
     try:
-        jobs._swap_in(probe, write_state("new"))
+        jobs._IO = healthy
+        probe = str(tmp_path / "probe")
+        jobs._swap_in(probe, write_state("old"))
+        counter = _FaultyIO(healthy, fail_at=None)
+        jobs._IO = counter
+        try:
+            jobs._swap_in(probe, write_state("new"))
+        finally:
+            jobs._IO = healthy
+        n_calls = counter.calls
+        assert read_state(probe) == "new"
+
+        for k in range(n_calls):
+            store = str(tmp_path / f"st{k}")
+            jobs._swap_in(store, write_state("old"))
+            jobs._IO = _FaultyIO(healthy, fail_at=k)
+            try:
+                jobs._swap_in(store, write_state("new"))
+            except _InjectedCrash:
+                pass
+            finally:
+                jobs._IO = healthy
+            assert read_state(store) in ("old", "new"), k  # never torn
+            jobs._swap_in(store, write_state("new"))
+            assert read_state(store) == "new", k
+            assert len(jobs._version_names(store)) <= 2, k
     finally:
         jobs._IO = LOCAL_IO
-    n_calls = counter.calls
-    assert read_state(probe) == "new"
 
-    for k in range(n_calls):
-        store = str(tmp_path / f"st{k}")
-        jobs._swap_in(store, write_state("old"))
-        jobs._IO = _FaultyIO(LOCAL_IO, fail_at=k)
-        try:
-            jobs._swap_in(store, write_state("new"))
-        except _InjectedCrash:
-            pass
-        finally:
-            jobs._IO = LOCAL_IO
-        assert read_state(store) in ("old", "new"), k   # never torn
-        jobs._swap_in(store, write_state("new"))
-        assert read_state(store) == "new", k
-        assert len(jobs._version_names(store)) <= 2, k
+
+def test_pointer_protocol_survives_mid_rmtree_crash_s3(tmp_path):
+    """Object stores have NO atomic bulk delete — a GC sweep is one
+    DELETE per object and can die between any two. Kill the S3-like
+    backend at EVERY k-th DELETE of the P2 publish's GC in turn: the
+    reader must still resolve one complete snapshot with the exactly-
+    once total (a half-deleted version is garbage the next publish
+    re-GCs, never evidence), and a clean retry converges."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+    from flow_pipeline_spark.streaming.store_io import (LOCAL_IO,
+                                                        S3LikeStoreIO)
+
+    def mini_compact(store):
+        cur = jobs._resolve_store(store)
+        entries = [e for e in _os.listdir(cur)
+                   if not e.startswith((".", "_"))]
+        total = 0
+        for e in entries:
+            with open(_os.path.join(cur, e, "part-0")) as fh:
+                total += int(fh.read())
+        jobs._swap_in(
+            store, lambda d: _land_plain_epoch(d, "epoch=-1", str(total)),
+            salvage_known=set(entries))
+
+    def build(store):
+        v0 = jobs._init_store(store)
+        _land_plain_epoch(v0, "epoch=7", "7")
+        mini_compact(store)
+        _land_plain_epoch(jobs._resolve_store(store), "epoch=8", "8")
+
+    try:
+        # probe: count P2's DELETEs on a healthy S3 backend
+        probe_io = S3LikeStoreIO()
+        jobs._IO = probe_io
+        probe = str(tmp_path / "probe")
+        build(probe)
+        probe_io.delete_calls = 0         # count P2's sweep only
+        mini_compact(probe)
+        n_deletes = probe_io.delete_calls
+        assert n_deletes >= 2, n_deletes  # the GC sweep actually deletes
+        assert _store_total(jobs, probe) == 15
+
+        for k in range(1, n_deletes + 1):
+            def killer(i, k=k):
+                if i == k:
+                    raise _InjectedCrash(f"DELETE {i}")
+
+            store = str(tmp_path / f"d{k}")
+            jobs._IO = S3LikeStoreIO()
+            build(store)
+            jobs._IO = S3LikeStoreIO(delete_hook=killer)
+            try:
+                mini_compact(store)
+            except _InjectedCrash:
+                pass
+            jobs._IO = S3LikeStoreIO()
+            assert _store_total(jobs, store) == 15, f"DELETE crash {k}"
+            mini_compact(store)
+            assert _store_total(jobs, store) == 15, f"retry after {k}"
+            cur = jobs._resolve_store(store)
+            entries = {e for e in _os.listdir(cur)
+                       if not e.startswith((".", "_"))}
+            assert entries == {"epoch=-1"}, (k, entries)
+    finally:
+        jobs._IO = LOCAL_IO
+
+
+def test_pointer_flip_lost_cas_is_safe_s3(tmp_path):
+    """On an object store the pointer flip is a CONDITIONAL PUT — it
+    can LOSE the If-Match race instead of succeeding last-writer-wins.
+    Make every n-th publish_text of the P2 publish lose in turn
+    (StoreConditionFailed): the losing publish must leave the old
+    snapshot fully readable at the exactly-once total, and a retry
+    under a healthy backend converges — a lost CAS is just one more
+    mid-flight death the protocol already survives."""
+    import os as _os
+
+    from flow_pipeline_spark.streaming import jobs
+    from flow_pipeline_spark.streaming.store_io import (
+        LOCAL_IO, S3LikeStoreIO, StoreConditionFailed)
+
+    def mini_compact(store):
+        cur = jobs._resolve_store(store)
+        entries = [e for e in _os.listdir(cur)
+                   if not e.startswith((".", "_"))]
+        total = 0
+        for e in entries:
+            with open(_os.path.join(cur, e, "part-0")) as fh:
+                total += int(fh.read())
+        jobs._swap_in(
+            store, lambda d: _land_plain_epoch(d, "epoch=-1", str(total)),
+            salvage_known=set(entries))
+
+    def build(store):
+        v0 = jobs._init_store(store)
+        _land_plain_epoch(v0, "epoch=7", "7")
+        mini_compact(store)
+        _land_plain_epoch(jobs._resolve_store(store), "epoch=8", "8")
+
+    try:
+        probe_io = S3LikeStoreIO()
+        jobs._IO = probe_io
+        probe = str(tmp_path / "probe")
+        build(probe)
+        before = probe_io.put_calls
+        mini_compact(probe)
+        n_puts = probe_io.put_calls - before
+        assert n_puts >= 2, n_puts      # manifest + pointer at least
+
+        for k in range(1, n_puts + 1):
+            store = str(tmp_path / f"c{k}")
+            jobs._IO = S3LikeStoreIO()
+            build(store)
+            jobs._IO = S3LikeStoreIO(cas_fail_at={k})
+            lost = False
+            try:
+                mini_compact(store)
+            except StoreConditionFailed:
+                lost = True
+            jobs._IO = S3LikeStoreIO()
+            assert lost, k              # the injection actually fired
+            assert _store_total(jobs, store) == 15, f"lost CAS at {k}"
+            mini_compact(store)
+            assert _store_total(jobs, store) == 15, f"retry after {k}"
+            assert len(jobs._version_names(store)) <= 2, k
+    finally:
+        jobs._IO = LOCAL_IO
 
 
 def _drive_ordered_funnel(fn, deliveries, watermarks):
