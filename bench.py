@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     # unigram-LM tokenizer trainer (hard-EM over the word table)
     "ann_ivf_pq_knn",
     "unigram_pieces",
+    # round 10 cont.: the SERVING form of IVF-PQ — stored codebooks +
+    # cell-partitioned codes; timed runs measure the marginal query
+    # cost (probe + ADC + refine), the warm run pays train+publish
+    "ann_ivf_pq_stored",
 ]
 
 

@@ -1339,7 +1339,31 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                                 vec_col=vec_col, centroids=centroids)
     codes_cells = codes.join(
         assigned.select(id_col, "cell"), id_col)
+    return ivf_pq_query(codes_cells, cent, queries, books, k,
+                        nprobe=nprobe,
+                        rerank_with=corpus if rerank else None,
+                        shortlist=shortlist,
+                        id_col=id_col, vec_col=vec_col)
 
+
+def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
+                 queries: DataFrame,
+                 codebooks: list[list[list[float]]], k: int = 5, *,
+                 nprobe: int = 6,
+                 rerank_with: DataFrame | None = None,
+                 shortlist: int | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Query-time half of the IVF-PQ pipeline over its PERSISTED
+    artifacts — what a serving deployment runs per query batch, with
+    training long since paid: probe selection against the tiny centroid
+    table, ADC gather over only the probed cells' codes, exact rerank
+    of the shortlist against ``rerank_with``. ``codes_cells`` is the
+    stored (id, pq_codes, cell) table — persist it PARTITIONED BY cell
+    so the broadcast probe join's dynamic partition pruning does the
+    inverted-list seek on disk; ``cent`` is the (cid, cv, cnrm)
+    centroid table (n_cells rows). :func:`ivf_pq_knn` is the in-plan
+    composition (train + encode + this)."""
     # per-query probe set (ivf_knn's device, minus the vectors — ADC
     # uses the precomputed LUT, so probes carry only (q, cell))
     q = queries.select(F.col(id_col).alias("q"),
@@ -1354,7 +1378,7 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
               .filter(F.col("r") <= nprobe)
               .select("q", F.col("cid").alias("cell")))
 
-    q_ids, lut, m_ = _build_adc_lut(queries, books,
+    q_ids, lut, m_ = _build_adc_lut(queries, codebooks,
                                     id_col=id_col, vec_col=vec_col)
     qidx = {int(qid): i for i, qid in enumerate(q_ids)}
 
@@ -1369,15 +1393,15 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
         # HALF-UP 4dp, matching pq_knn's kernel and every ANN path here
         return pd.Series(_half_up_4dp(s))
 
-    kk = k if not rerank else (shortlist or 4 * k)
+    kk = k if rerank_with is None else (shortlist or 4 * k)
     scored = (codes_cells.join(F.broadcast(probes), "cell")
               .filter(F.col(id_col) != F.col("q"))
               .select("q", F.col(id_col).alias("n"),
                       adc(F.col("q"), F.col("pq_codes")).alias("cos")))
     ranked = _topk_per_query(scored, kk)
-    if not rerank:
+    if rerank_with is None:
         return ranked.withColumnRenamed("cos", "score")
-    return _rerank_shortlist(ranked.select("q", "n"), corpus,
+    return _rerank_shortlist(ranked.select("q", "n"), rerank_with,
                              queries, k, id_col=id_col, vec_col=vec_col)
 
 

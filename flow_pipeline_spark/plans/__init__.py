@@ -223,6 +223,20 @@ _DEMOTED_VARIANTS = {
     # windowed siblings.
     "ann_pq_adc_exact": ["ann_ivf_pq_knn"],
     "ann_pq_knn": ["ann_ivf_pq_knn"],
+    # round 10 cont.: the SERVING form of IVF-PQ (stored codebooks +
+    # cell-partitioned codes parquet; query cost = probe + ADC +
+    # refine only) shares ann_ivf_pq_knn's oracle and results
+    # (pytest-identical — the bm25_search_stored device) and enters
+    # demoted; it is benched as the production query path.
+    "ann_ivf_pq_stored": ["ann_ivf_pq_knn"],
+    # round 10 cont.: the WARC quarantine paths gain a DuckDB oracle
+    # (VERDICT r9 item #6's last named family): four byte-level
+    # corruptions of a valid write_wet archive parse into per-class
+    # counts the oracle derives straight off documents. Enters as a
+    # ledgered variant — the WET family's windowed row stays
+    # wet_ingest (writer∘parser losslessness, the stronger statement);
+    # the error half is now equally hash-verified in pytest.
+    "wet_quarantine": ["wet_ingest"],
     "bpe_merges": ["bpe_encode_corpus"],
     "unigram_encode_corpus": ["unigram_pieces", "bpe_encode_corpus"],
 }

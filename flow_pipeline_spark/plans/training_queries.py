@@ -2911,6 +2911,75 @@ def ann_ivf_pq_knn(spark, sf_dir):
             .orderBy("q", "rank"))
 
 
+def _ivf_pq_stored_artifacts(spark, sf_dir):
+    """Build-once, serve-forever IVF-PQ index artifacts for ``sf_dir``
+    (same cache/publication contract as the bm25 stored index:
+    :func:`_artifact_dir`/:func:`_publish_once`): the trained codebooks
+    and coarse centroids as tiny JSON model files (the
+    codebook/centroid driver-side pattern — json float repr
+    round-trips doubles exactly), and the (id, pq_codes, cell) CODES
+    table as parquet PARTITIONED BY cell — the on-disk inverted lists,
+    so a probe join prunes to nprobe cell directories. Returns
+    ``(codebooks, cent_rows, codes_path)``."""
+    import json as _json
+
+    def build(tmp):
+        e = _emb(spark, sf_dir)
+        books = S.pq_train(e, m=16, ks=64, n_iter=3)
+        codes = S.pq_encode(e, books)
+        cent, assigned = S.ivf_assign(e, 16)
+        cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
+                     for r in cent.select("cid", "cv").collect()]
+        os.makedirs(tmp, exist_ok=True)
+        (codes.join(assigned.select("vec_id", "cell"), "vec_id")
+         .write.partitionBy("cell").parquet(os.path.join(tmp, "codes")))
+        with open(os.path.join(tmp, "model.json"), "w") as f:
+            _json.dump({"books": books, "cent": cent_rows}, f)
+
+    base = _publish_once(
+        _artifact_dir("ivf_pq_index", sf_dir, table="embeddings",
+                      build_fn=build), build)
+    with open(os.path.join(base, "model.json")) as f:
+        model = _json.load(f)
+    return (model["books"],
+            [(int(c), [float(x) for x in v]) for c, v in model["cent"]],
+            os.path.join(base, "codes"))
+
+
+@_q(
+    "ann_ivf_pq_stored",
+    # round-10: shares ann_ivf_pq_knn's oracle — the artifacts derive
+    # deterministically from the same training, so the stored form
+    # returns IDENTICAL rows (pytest-asserted, the
+    # bm25_search_stored/bpe_encode_stored device); ledger-demoted as
+    # its pytest-identical twin.
+    _ivf_pq_oracle_sql(),
+    doc="IVF-PQ ANN under STORED index artifacts — the serving form of "
+        "ann_ivf_pq_knn (whose oracle it shares): a real deployment "
+        "trains codebooks and builds the codes table ONCE, then every "
+        "query batch pays only probe selection (broadcast against the "
+        "16-row centroid table), ADC gathers over the probed cells' "
+        "codes, and the exact rerank of the 40-candidate shortlist. "
+        "The codes parquet is PARTITIONED BY cell — the on-disk "
+        "inverted lists: the broadcast probe join prunes cell "
+        "directories (partition pruning = the inverted-list seek this "
+        "module's 100 TB story is built on). Bench time is the "
+        "marginal query cost alone; the warm run pays the one-time "
+        "train+publish (mirror of bm25_search_stored).",
+)
+def ann_ivf_pq_stored(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    books, cent_rows, codes_path = _ivf_pq_stored_artifacts(spark, sf_dir)
+    codes_cells = spark.read.parquet(codes_path)
+    cent = (spark.createDataFrame(cent_rows,
+                                  "cid long, cv array<double>")
+            .withColumn("cnrm", S._norm("cv")))
+    return (S.ivf_pq_query(codes_cells, cent,
+                           e.filter(F.col("vec_id") < 10), books, k=5,
+                           nprobe=8, shortlist=40, rerank_with=e)
+            .orderBy("q", "rank"))
+
+
 @_q(
     "constraint_checks",
     """
@@ -4003,6 +4072,138 @@ def wet_ingest(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars"))
             .orderBy("host"))
+
+
+def _wet_quarantine_dir(spark, sf_dir) -> str:
+    """Build-once archive set exercising EVERY quarantine class of the
+    WARC parser (sources/warc.py:_parse_warc_bytes / read_warc's gzip
+    guard), derived from real ``write_wet`` output so the corruptions
+    are byte-level edits of a VALID archive, not synthetic frames:
+
+    - ``clean.wet.gz`` — docs 0..9, one conversion record each,
+      ascending order (createDataFrame + coalesce(1) pins record
+      order, so the truncation target below is doc 9 by construction);
+    - ``trunc.wet.gz`` — the decompressed stream minus its last 10
+      bytes, regzipped: the final record loses its trailing CRLFCRLF
+      and 6 payload bytes → records 0..8 (docs 0..8) parse CLEAN, the
+      last quarantines as truncated-payload;
+    - ``badlen.wet.gz`` — the FIRST record's Content-Length digits
+      replaced with 'NA' → non-integer-length quarantine at record 0,
+      nothing downstream trusted;
+    - ``junk.wet.gz`` — 8 junk bytes before the first WARC/ version
+      line → unparseable-header quarantine;
+    - ``chopgz.wet.gz`` — the COMPRESSED file minus its gzip trailer →
+      the decompress guard quarantines the whole archive (EOFError is
+      not an OSError — the round-6 finding this path exists for).
+
+    Same cache/publication contract as every stored artifact
+    (:func:`_artifact_dir`/:func:`_publish_once`)."""
+    import gzip as _gz
+    import io as _io
+    import shutil as _shutil
+
+    def build(tmp):
+        from ..sources.warc import write_wet
+        rows = (_docs(spark, sf_dir).select("doc_id", "text")
+                .filter(F.col("doc_id") < 10).orderBy("doc_id")
+                .collect())
+        df = (spark.createDataFrame(
+            [(int(r["doc_id"]),
+              f"https://example.com/doc{int(r['doc_id'])}",
+              r["text"]) for r in rows],
+            "doc_id long, url string, text string").coalesce(1))
+        arch = os.path.join(tmp, "archives")
+        os.makedirs(arch, exist_ok=True)
+        clean_build = os.path.join(tmp, "clean_build")
+        write_wet(df, clean_build)
+        gz_files = [f for f in os.listdir(clean_build)
+                    if f.endswith(".gz")]
+        if len(gz_files) != 1:
+            raise RuntimeError(f"expected 1 archive, got {gz_files}")
+        with open(os.path.join(clean_build, gz_files[0]), "rb") as f:
+            raw_gz = f.read()
+        plain = _gz.decompress(raw_gz)
+
+        def regz(b: bytes) -> bytes:
+            buf = _io.BytesIO()
+            with _gz.GzipFile(filename="", fileobj=buf, mode="wb",
+                              mtime=0) as g:
+                g.write(b)
+            return buf.getvalue()
+
+        def put(name: str, b: bytes) -> None:
+            with open(os.path.join(arch, name), "wb") as f:
+                f.write(b)
+
+        put("clean.wet.gz", raw_gz)
+        put("trunc.wet.gz", regz(plain[:-10]))
+        i = plain.index(b"Content-Length: ")
+        j = plain.index(b"\r", i)
+        put("badlen.wet.gz",
+            regz(plain[:i] + b"Content-Length: NA" + plain[j:]))
+        put("junk.wet.gz", regz(b"JUNKJUNK" + plain))
+        put("chopgz.wet.gz", raw_gz[:-8])
+        _shutil.rmtree(clean_build, ignore_errors=True)
+
+    base = _publish_once(
+        _artifact_dir("wet_quarantine", sf_dir, build_fn=build), build)
+    return os.path.join(base, "archives")
+
+
+@_q(
+    "wet_quarantine",
+    """
+    WITH d10 AS (
+      SELECT doc_id, length(text) AS L FROM documents WHERE doc_id < 10)
+    SELECT * FROM (
+      SELECT 'clean' AS err_class,
+             CAST(2 * (SELECT count(*) FROM d10) - 1 AS BIGINT)
+               AS n_rows,
+             CAST((SELECT sum(L) FROM d10)
+                  + (SELECT sum(L) FROM d10 WHERE doc_id < 9)
+                  AS BIGINT) AS clean_chars
+      UNION ALL SELECT 'bad_header', 1, 0
+      UNION ALL SELECT 'bad_length', 1, 0
+      UNION ALL SELECT 'gzip', 1, 0
+      UNION ALL SELECT 'truncated', 1, 0)
+    ORDER BY err_class
+    """,
+    doc="Crawl-archive QUARANTINE paths (sources/warc.py) — the error "
+        "half of the source tier wet_ingest's losslessness oracle "
+        "cannot see: five archives (one valid, four corrupted byte-"
+        "level from the same valid bytes — truncated decompressed "
+        "tail, non-integer Content-Length, junk before the version "
+        "line, chopped gzip trailer) parse into per-class counts. The "
+        "oracle derives EVERY expected number straight off the "
+        "documents table: corruption points are structural (record 0 "
+        "or the pinned-order final record), so clean-row counts and "
+        "surviving codepoint totals are exact functions of docs 0..9 "
+        "— a hash match proves the parser quarantines the right "
+        "records with the right classes AND keeps every parseable "
+        "record before the corruption point. Scale: quarantine is "
+        "per-archive-local (no resync guessing), so one bad archive "
+        "costs its own tail, never the job — the property that "
+        "matters at Common-Crawl fan-out.",
+)
+def wet_quarantine(spark, sf_dir):
+    from ..sources.warc import read_warc, utf8_lenient
+    recs = read_warc(spark, _wet_quarantine_dir(spark, sf_dir))
+    cls = (F.when(F.col("error").isNull(), F.lit("clean"))
+           .when(F.col("error").startswith("gzip"), F.lit("gzip"))
+           .when(F.col("error").startswith("truncated"),
+                 F.lit("truncated"))
+           .when(F.col("error").startswith("missing or non-integer"),
+                 F.lit("bad_length"))
+           .otherwise(F.lit("bad_header")))
+    return (recs.select(
+        cls.alias("err_class"),
+        F.when(F.col("error").isNull(),
+               F.length(utf8_lenient(F.col("payload"))))
+        .otherwise(F.lit(0)).alias("n_chars"))
+        .groupBy("err_class")
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.sum("n_chars").cast("long").alias("clean_chars"))
+        .orderBy("err_class"))
 
 
 @_q(

@@ -203,6 +203,21 @@ def test_partitioned_day_scan_prunes_partitions(plans):
     assert "props" not in rs.group(1), rs.group(1)
 
 
+def test_ivf_pq_stored_scan_has_dynamic_cell_pruning(plans):
+    """Round-10: the stored IVF-PQ codes table is parquet PARTITIONED BY
+    cell — the on-disk inverted lists. The broadcast probe join must
+    reach the codes scan as a DYNAMIC PartitionFilter
+    (dynamicpruningexpression on cell), so a query batch physically
+    reads only its nprobe cell directories — the inverted-list seek; a
+    plan that scans all cells and filters post-join would re-read the
+    whole index per query batch at scale."""
+    plan = plans("ann_ivf_pq_stored")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "dynamicpruning" in m.group(1), m.group(1)
+    assert "cell" in m.group(1), m.group(1)
+
+
 def test_doc_perplexity_vocab_broadcasts(plans):
     """The LM scoring join must BROADCAST the trained vocabulary: a
     shuffle join on the token key would re-partition the exploded corpus

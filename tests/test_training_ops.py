@@ -1295,6 +1295,31 @@ def test_bpe_encode_stored_matches_corpus_form(spark):
         d, n_merges=8)
 
 
+def test_ivf_pq_stored_matches_inplan_form(spark):
+    """Round-10: ann_ivf_pq_stored (probe + ADC + refine over the
+    PERSISTED codebooks/centroids/cell-partitioned codes — the serving
+    shape, benched for the marginal query cost) returns results
+    identical to ann_ivf_pq_knn, which trains and encodes in-plan. Also
+    pins the artifact layout: the codes parquet is partitioned by cell
+    (the on-disk inverted lists the probe join prunes)."""
+    import os as _os
+
+    from flow_pipeline_spark.plans import QUERIES
+    from flow_pipeline_spark.plans.training_queries import \
+        _ivf_pq_stored_artifacts
+
+    stored = QUERIES["ann_ivf_pq_stored"].spark(spark, SF_DIR).collect()
+    inplan = QUERIES["ann_ivf_pq_knn"].spark(spark, SF_DIR).collect()
+    assert stored == inplan and len(stored) > 0
+
+    _books, cent_rows, codes_path = _ivf_pq_stored_artifacts(spark,
+                                                             SF_DIR)
+    assert len(cent_rows) == 16
+    cells = [d for d in _os.listdir(codes_path)
+             if d.startswith("cell=")]
+    assert cells, "codes table is not cell-partitioned"
+
+
 def test_artifact_cache_root_and_content_keying(tmp_path, monkeypatch):
     """Round-7 review hardening of the build-once artifact cache:
     (a) the cache root honors SPARK_GRAFT_CACHE_DIR and is created mode

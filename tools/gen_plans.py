@@ -73,6 +73,7 @@ NOTES = {
   "wet_ingest": "crawl-archive source tier: one binaryFile task per WET archive feeding ONE Arrow-batched mapInPandas (record framing — the only Python, linear per file); the sole exchange is the final per-host aggregate; at CC scale parallelism = archive count, which is the point",
   "ann_ivf_pq_knn": "the full IVF-PQ query plan: codebook training is per-round mapInPandas partials (corpus never shuffles; driver sees m*ks*d_sub sums); at query time the codes table joins the BROADCAST probe map on cell, ADC is an Arrow gather over (m)-byte codes, the refine join ships candidate ids only — embeddings never shuffle anywhere",
   "unigram_pieces": "hard-EM over the WORD table only: per round the vocab-bounded frame passes once through the Arrow segmenter (|distinct words| calls, corpus-size-independent) and one piece-count aggregate; the corpus is touched once for word counts; the per-round collect is the MODEL (kmeans-centroid pattern)",
+  "ann_ivf_pq_stored": "the SERVING IVF-PQ plan: NO trainer rounds, NO encode — the scan reads the cell-partitioned stored codes table behind the broadcast probe join (partition pruning = the inverted-list seek), ADC is one Arrow gather, the refine join ships 40 candidate ids per query; query cost independent of index build",
 }
 
 
