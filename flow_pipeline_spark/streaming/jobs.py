@@ -357,9 +357,12 @@ def _rescue_copy(src: str, dst: str) -> None:
     path mid-copy is ALWAYS that race, even while the entry dir still
     exists: rmtree deletes bottom-up, so a nested part file vanishes
     before its parent (round-9 review — gating the skip on
-    ``exists(src)`` reopened exactly the window this fix closes). Any
-    OTHER OSError with the source still present is a real fault and
-    re-raises."""
+    ``exists(src)`` reopened exactly the window this fix closes). The
+    DESTINATION side can only raise FileNotFoundError when the version
+    being assembled was itself superseded and GC'd mid-copy — and that
+    GC proved this content merged forward before deleting, so the skip
+    is equally correct there. Any OTHER OSError with the source still
+    present is a real fault and re-raises."""
     try:
         _merge_copy(src, dst)
     except FileNotFoundError:
