@@ -210,6 +210,33 @@ def _cpu_speed_ratio(now: dict, committed: "dict | None") -> "float | None":
     return round(prod ** (1 / len(ratios)), 3)
 
 
+# max disagreement (max/min spread) tolerated between the per-component
+# CPU-speed ratios before the scalar normalizer is declared meaningless
+# — legit cross-host differences (BLAS width, core count) stay under
+# ~3x spread; the round-10 squeeze that motivated this read 40.9x
+CPU_SKEW_MAX = 6.0
+
+
+def _cpu_skew(now: dict, reference: "dict | None") -> "float | None":
+    """Spread (max/min) of the per-component speed ratios between two
+    calibrations. ~1 = the hosts differ UNIFORMLY, so the geometric
+    mean is a meaningful normalizer; large = non-uniform degradation —
+    round-10 observed a neighbor squeeze that collapsed multi-threaded
+    GEMM 43x while single-thread python bytecode ran at full speed
+    (spread 40.9, load1 flat at 0.02), and the 0.234 geomean it
+    produced would have both mis-normalized the run's own queries and,
+    once committed, poisoned every future cross-round comparison. No
+    scalar can normalize between hosts like that; the run must refuse
+    the clean label instead."""
+    if not reference:
+        return None
+    ratios = [now[k] / reference[k] for k in now
+              if reference.get(k)]
+    if not ratios:
+        return None
+    return round(max(ratios) / max(min(ratios), 1e-12), 3)
+
+
 def _io_calibration(size_mb: int = 512) -> float:
     """Raw page-cache write throughput (MB/s) of the filesystem the
     ingest sections write to — recorded for ATTRIBUTION: the ingest
@@ -894,10 +921,28 @@ def main() -> None:
     # the label no matter what the I/O gates say).
     # (Mid-run load1 reflects this bench's own executors, so per-query
     # loads are recorded for attribution, not gated.)
+    # cross-run normalizer + its validity witness: this host's CPU
+    # speed vs the committed record's host, and the SPREAD of the
+    # per-component ratios. A non-uniformly degraded host (multi-core
+    # neighbor squeeze: GEMM collapsed, python untouched, load1 flat)
+    # passes every I/O gate yet is incomparable to any other host —
+    # and committing its cpu_cal would poison future normalization —
+    # so skew beyond CPU_SKEW_MAX contaminates the run (round-10).
+    here = os.path.dirname(os.path.abspath(__file__))
+    committed = _load_committed_detail(here)
+    committed_cal = (committed or {}).get("host", {}).get("cpu_cal")
+    host["cpu_speed_vs_committed"] = _cpu_speed_ratio(
+        host["cpu_cal"], committed_cal)
+    host["cpu_skew_vs_committed"] = _cpu_skew(
+        host["cpu_cal"], committed_cal)
+    cpu_skewed = bool(host["cpu_skew_vs_committed"]
+                      and host["cpu_skew_vs_committed"] > CPU_SKEW_MAX)
+    host["cpu_skewed_vs_committed"] = cpu_skewed
     contaminated = bool(
         host.get("proceeded_busy")
         or queries_io_contended
         or queries_dispersion_dirty
+        or cpu_skewed
         or ingest.get("ingest_io_contended")
         or ingest.get("decode_io_contended"))
     host["contaminated"] = contaminated
@@ -926,7 +971,6 @@ def main() -> None:
     # stdout line is now COMPACT (scalars + the per-query dict, ~2 KB);
     # every attempt trace, warm-sample array and per-pass calibration
     # moves to the BENCH_DETAIL.json sidecar next to this script.
-    here = os.path.dirname(os.path.abspath(__file__))
     detail = {
         "queries": timings,
         "query_dispersion": query_disp,
@@ -938,14 +982,6 @@ def main() -> None:
         "git_head": _git_head(here),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # cross-run normalizer: this host's CPU speed vs the host that
-    # produced the committed record — the judge divides cross-round
-    # deltas by this instead of trusting two 'clean' labels to mean
-    # comparable hosts (round-8: a uniform 1.35-3.5x factor did exactly
-    # that damage)
-    committed = _load_committed_detail(here)
-    host["cpu_speed_vs_committed"] = _cpu_speed_ratio(
-        host["cpu_cal"], (committed or {}).get("host", {}).get("cpu_cal"))
     _write_detail_records(here, detail, committed, contaminated)
 
     compact_ingest = {
@@ -962,8 +998,9 @@ def main() -> None:
             "load1_at_start", "busy_waits", "proceeded_busy",
             "io_calibration_mb_per_sec", "load1_at_end_incl_self",
             "queries_io_contended", "queries_dispersion_dirty",
-            "cpu_cal", "cpu_speed_vs_committed", "contaminated",
-            "retries_exhausted") if k in host}
+            "cpu_cal", "cpu_speed_vs_committed",
+            "cpu_skew_vs_committed", "cpu_skewed_vs_committed",
+            "contaminated", "retries_exhausted") if k in host}
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),

@@ -1405,6 +1405,57 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
                              queries, k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_pq_upsert(codes_cells: DataFrame, cent: DataFrame,
+                  new_vectors: DataFrame,
+                  codebooks: list[list[list[float]]], *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Incremental IVF-PQ index maintenance: encode ONLY the new-vector
+    delta with the STORED codebooks, assign its cells with the STORED
+    centroids, and append to the cell-partitioned codes table — the
+    FAISS ``add()`` contract, and how a serving index tracks a growing
+    corpus without retraining. Cost is linear in the DELTA (two
+    map-side passes over it: one argmin GEMM per subspace for codes,
+    one broadcast-literal argmax for cells); the existing codes never
+    rewrite, so against a Date/cell-partitioned store this is a
+    partition append, the same shape as the rollup tier's incremental
+    epochs.
+
+    Lossless vs rebuild BY CONSTRUCTION (pytest-pinned): with the model
+    (codebooks + centroids) fixed, encode and assignment are pure
+    per-row functions, so upserted-index query results are IDENTICAL to
+    a from-scratch re-encode of base ∪ delta under the same model. What
+    incremental maintenance trades instead is model STALENESS —
+    codebooks trained before the delta existed quantize drifted data
+    with more error (the documented recall decay that schedules
+    periodic retrains; Jégou et al. 2011 §V) — which is a property of
+    the model, not of this append.
+
+    ``cent`` is the stored (cid, cv[, cnrm]) centroid table; cell ids
+    follow its ``cid`` values, matching :func:`ivf_assign`'s unit-
+    centroid argmax exactly (same tie rule: smallest cid)."""
+    import math
+
+    pairs = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                   for r in cent.select("cid", "cv").collect())
+
+    def _unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    unit_cells = [(cid, _unit(cv)) for cid, cv in pairs]
+    assigned = (new_vectors
+                .select(F.col(id_col), F.col(vec_col),
+                        _norm(vec_col).alias("_vnrm"))
+                .withColumn("cell", _argmax_cell(F.col(vec_col),
+                                                 F.col("_vnrm"),
+                                                 unit_cells)))
+    codes = pq_encode(new_vectors, codebooks,
+                      id_col=id_col, vec_col=vec_col)
+    delta = codes.join(assigned.select(id_col, "cell"), id_col)
+    return codes_cells.unionByName(delta.select(*codes_cells.columns))
+
+
 def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
                lam: float = 0.5, *, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

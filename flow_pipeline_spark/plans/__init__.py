@@ -239,6 +239,14 @@ _DEMOTED_VARIANTS = {
     "wet_quarantine": ["wet_ingest"],
     "bpe_merges": ["bpe_encode_corpus"],
     "unigram_encode_corpus": ["unigram_pieces", "bpe_encode_corpus"],
+    # round 10 cont.: incremental index maintenance — the delta is
+    # encoded/cell-assigned under the STORED model and appended
+    # (similarity.py:ivf_pq_upsert, the FAISS add() contract); oracled
+    # by the ivf_pq oracle with its training population restricted to
+    # the base split (train_where). Enters as a ledgered variant of the
+    # windowed composition; upsert ≡ rebuild under a fixed model is
+    # pytest-pinned (test_ivf_pq_upsert_matches_rebuild).
+    "ann_ivf_pq_upsert": ["ann_ivf_pq_knn"],
 }
 
 

@@ -320,3 +320,32 @@ def test_pick_attempt_rejects_high_dispersion_throughput_section():
     legacy = {"floor_ratio": 1.1, "io_cal_after": base, "witness_ok": True,
               "samples": [100.0]}
     assert bench._pick_attempt([legacy], base)[1] is False
+
+
+def test_cpu_skew_flags_non_uniform_host_degradation():
+    """Round-10 incident, reproduced verbatim: a neighbor squeeze
+    collapsed the multi-threaded GEMM probe 43x while single-thread
+    python bytecode ran at full speed and load1 sat at 0.02 — every
+    I/O gate passed, the geomean normalizer read 0.234, and the run
+    displaced the committed record (poisoning cpu_cal for every later
+    comparison). The skew witness (max/min spread of the per-component
+    ratios) must refuse the clean label for such a host while leaving
+    uniformly slower hosts (the normalizer's actual use case) clean."""
+    committed = {"python_kops": 9574.9, "gemm_gflops": 130.0,
+                 "pandas_groupby_mrows": 52.7}
+    squeezed = {"python_kops": 9007.7, "gemm_gflops": 3.0,
+                "pandas_groupby_mrows": 31.2}
+    skew = bench._cpu_skew(squeezed, committed)
+    assert skew > bench.CPU_SKEW_MAX          # 40.9 on the real numbers
+    # a uniformly ~0.8x host: geomean is meaningful, skew stays low
+    uniform = {"python_kops": 7660.0, "gemm_gflops": 104.0,
+               "pandas_groupby_mrows": 42.2}
+    assert bench._cpu_skew(uniform, committed) < 1.1
+    assert 0.75 < bench._cpu_speed_ratio(uniform, committed) < 0.85
+    # legit cross-hardware variation (wider BLAS, slower python) stays
+    # under the gate: the witness only fires on pathological spreads
+    other_hw = {"python_kops": 6000.0, "gemm_gflops": 260.0,
+                "pandas_groupby_mrows": 45.0}
+    assert bench._cpu_skew(other_hw, committed) < bench.CPU_SKEW_MAX
+    # no committed record yet -> no witness, no false contamination
+    assert bench._cpu_skew(squeezed, None) is None

@@ -1320,6 +1320,60 @@ def test_ivf_pq_stored_matches_inplan_form(spark):
     assert cells, "codes table is not cell-partitioned"
 
 
+def test_ivf_pq_upsert_matches_rebuild(spark):
+    """Round-10: incremental index maintenance is LOSSLESS under a
+    fixed model — appending the delta (encoded with the stored
+    codebooks, cell-assigned with the stored centroids,
+    similarity.py:ivf_pq_upsert) yields an index whose query results
+    are IDENTICAL to re-encoding base ∪ delta from scratch with the
+    SAME codebooks/centroids: encode and assignment are pure per-row
+    functions of the model, so the append can never diverge from the
+    rebuild. (What incremental maintenance actually trades — model
+    staleness on drifted data — is a retrain-schedule property the
+    ann_ivf_pq_upsert oracle captures by training only on the base
+    split.) Also pins the append contract: upsert adds exactly the
+    delta rows and leaves existing code rows byte-identical."""
+    from flow_pipeline_spark.operators import similarity as S
+    from flow_pipeline_spark.sources.tables import load_table
+
+    e = (load_table(spark, SF_DIR, "embeddings")
+         .select("vec_id", "embedding"))
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    delta = e.filter(F.col("vec_id") % 10 == 7)
+    books = S.pq_train(base, m=16, ks=64, n_iter=2)
+    cent, assigned = S.ivf_assign(base, 8)
+    codes_base = (S.pq_encode(base, books)
+                  .join(assigned.select("vec_id", "cell"), "vec_id"))
+    upserted = S.ivf_pq_upsert(codes_base, cent, delta, books)
+
+    # rebuild: same model, every vector encoded/assigned from scratch
+    cents = [(int(r["cid"]), [float(x) for x in r["cv"]])
+             for r in cent.select("cid", "cv").collect()]
+    rebuilt = S.ivf_pq_upsert(
+        S.pq_encode(base, books).join(
+            assigned.select("vec_id", "cell"), "vec_id").limit(0),
+        cent, e, books)
+
+    up = {r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+          for r in upserted.collect()}
+    rb = {r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+          for r in rebuilt.collect()}
+    assert up == rb and len(up) == e.count()
+    # the append added exactly the delta rows
+    n_delta = delta.count()
+    assert n_delta > 0
+    assert len(up) == codes_base.count() + n_delta
+    assert len(cents) == 8
+
+    # and the queries over both indexes agree row-for-row
+    qs = e.filter(F.col("vec_id") < 6)
+    r_up = S.ivf_pq_query(upserted, cent, qs, books, k=3, nprobe=4,
+                          shortlist=12, rerank_with=e).collect()
+    r_rb = S.ivf_pq_query(rebuilt, cent, qs, books, k=3, nprobe=4,
+                          shortlist=12, rerank_with=e).collect()
+    assert r_up == r_rb and len(r_up) > 0
+
+
 def test_artifact_cache_root_and_content_keying(tmp_path, monkeypatch):
     """Round-7 review hardening of the build-once artifact cache:
     (a) the cache root honors SPARK_GRAFT_CACHE_DIR and is created mode
