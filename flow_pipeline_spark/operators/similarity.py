@@ -1434,16 +1434,35 @@ def ivf_pq_upsert(codes_cells: DataFrame, cent: DataFrame,
     ``cent`` is the stored (cid, cv[, cnrm]) centroid table; cell ids
     follow its ``cid`` values, matching :func:`ivf_assign`'s unit-
     centroid argmax exactly (same tie rule: smallest cid)."""
-    import math
-
     pairs = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
                    for r in cent.select("cid", "cv").collect())
+    delta = pq_index_delta(new_vectors, pairs, codebooks,
+                           id_col=id_col, vec_col=vec_col)
+    return codes_cells.unionByName(delta.select(*codes_cells.columns))
+
+
+def pq_index_delta(new_vectors: DataFrame,
+                   centroid_rows: list[tuple[int, list[float]]],
+                   codebooks: list[list[list[float]]], *,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The (id, pq_codes, cell) rows a delta contributes under a FIXED
+    stored model — the per-row-pure core of :func:`ivf_pq_upsert`,
+    shared with the streaming maintenance loop
+    (streaming/jobs.py:start_index_upsert_stream), which calls it once
+    per micro-batch. Two map-side passes over the delta, no shuffle:
+    one argmin GEMM per subspace (codes) and one broadcast-literal
+    argmax (cells). ``centroid_rows`` is the collected stored centroid
+    table — (cid, cv) pairs, cell ids = cids, ties to smallest cid,
+    identical to :func:`ivf_assign`."""
+    import math
 
     def _unit(v):
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         return [x / n for x in v]
 
-    unit_cells = [(cid, _unit(cv)) for cid, cv in pairs]
+    unit_cells = [(int(cid), _unit([float(x) for x in cv]))
+                  for cid, cv in sorted(centroid_rows)]
     assigned = (new_vectors
                 .select(F.col(id_col), F.col(vec_col),
                         _norm(vec_col).alias("_vnrm"))
@@ -1452,8 +1471,7 @@ def ivf_pq_upsert(codes_cells: DataFrame, cent: DataFrame,
                                                  unit_cells)))
     codes = pq_encode(new_vectors, codebooks,
                       id_col=id_col, vec_col=vec_col)
-    delta = codes.join(assigned.select(id_col, "cell"), id_col)
-    return codes_cells.unionByName(delta.select(*codes_cells.columns))
+    return codes.join(assigned.select(id_col, "cell"), id_col)
 
 
 def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,

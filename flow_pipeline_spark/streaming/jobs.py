@@ -179,6 +179,50 @@ def start_rollup_stream(flows_raw_stream: DataFrame, rollup_dir: str,
                                 trigger=trigger)
 
 
+def start_index_upsert_stream(emb_stream: DataFrame, index_dir: str,
+                              checkpoint_dir: str,
+                              centroid_rows: "list[tuple[int, list]]",
+                              codebooks: "list[list[list[float]]]", *,
+                              trigger: dict | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding"
+                              ) -> StreamingQuery:
+    """Streaming IVF-PQ index maintenance — the ingestion loop of a
+    serving ANN deployment (the FAISS add() contract, made continuous):
+    each micro-batch of newly embedded vectors is encoded with the
+    STORED codebooks and cell-assigned with the STORED centroids
+    (operators/similarity.py:pq_index_delta — two map-side passes, no
+    shuffle, cost linear in the batch), then appended to the
+    cell-partitioned codes table.
+
+    Exactly-once by the rollup tier's epoch device
+    (:func:`_write_rollup_epoch`'s rationale): each epoch owns its
+    ``epoch=N`` subdirectory and a replayed at-least-once foreachBatch
+    epoch OVERWRITES exactly that directory instead of duplicating
+    rows — duplicated code rows would not inflate sums here, but they
+    would double ADC candidates and break the upsert ≡ rebuild
+    contract. Layout: ``index_dir/epoch=N/cell=K/`` — ``cell`` stays a
+    partition level, so the probe join's dynamic partition pruning
+    still performs the inverted-list seek on the read path; seed the
+    base build as the reserved ``epoch=-1`` (stream epochs are >= 0,
+    the rollup migration convention). Readers
+    ``spark.read.parquet(index_dir)`` and drop ``epoch``; queries run
+    :func:`~..operators.similarity.ivf_pq_query` unchanged. Model
+    staleness (codebooks never retrain in this loop) is the documented
+    trade — the retrain schedule republishes a new index generation,
+    which is the pointer-store protocol's job, not this appender's."""
+    from ..operators.similarity import pq_index_delta
+
+    def write_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = pq_index_delta(batch_df, centroid_rows, codebooks,
+                               id_col=id_col, vec_col=vec_col)
+        (delta.write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+
+    return _start_foreach_batch(emb_stream, write_epoch, checkpoint_dir,
+                                output_mode="append", trigger=trigger)
+
+
 # ---------------------------------------------------------------------------
 # Versioned store layout (the swap-managed state-store protocol)
 #

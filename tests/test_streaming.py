@@ -3160,3 +3160,82 @@ def test_streaming_funnel_rejects_empty_steps(spark):
         [(1, None, "view")], "user_id long, ts timestamp, event_type string")
     with pytest.raises(ValueError, match="at least one step"):
         streaming_funnel(df, [])
+
+
+def test_streaming_index_upsert_matches_batch_rebuild(spark, tmpdir):
+    """Round-10: the streaming half of incremental IVF-PQ maintenance
+    (jobs.py:start_index_upsert_stream) — new embeddings arrive as a
+    file stream, each micro-batch is encoded under the STORED model
+    (pq_index_delta) and appended as its own epoch=N/cell=K partition.
+    Pins: (a) after the stream drains, the on-disk index holds
+    base ∪ delta codes IDENTICAL to a batch re-encode under the same
+    model; (b) querying the streamed index equals querying the batch
+    index row-for-row; (c) a full checkpoint-wipe replay (foreachBatch
+    at-least-once, every epoch redelivered) leaves the index unchanged
+    — the epoch-overwrite device, without which replayed code rows
+    would double ADC candidates."""
+    from flow_pipeline_spark.operators import similarity as S
+    from flow_pipeline_spark.sources.tables import load_table
+    from flow_pipeline_spark.streaming.jobs import start_index_upsert_stream
+
+    SF = "/root/testdata/sf0.001"
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    delta = e.filter(F.col("vec_id") % 10 == 7)
+    books = S.pq_train(base, m=8, ks=16, n_iter=2)
+    cent, assigned = S.ivf_assign(base, 8)
+    cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
+                 for r in cent.select("cid", "cv").collect()]
+
+    index_dir = f"{tmpdir}/pq_index"
+    ckpt = f"{tmpdir}/ckpt_index"
+    src = f"{tmpdir}/emb_delta_src"
+    # base build seeds the reserved epoch=-1 (the rollup convention)
+    (S.pq_encode(base, books)
+     .join(assigned.select("vec_id", "cell"), "vec_id")
+     .write.partitionBy("cell").parquet(f"{index_dir}/epoch=-1"))
+    # the delta arrives as two files -> two stream epochs
+    d1 = delta.filter(F.col("vec_id") % 20 == 7)
+    d2 = delta.filter(F.col("vec_id") % 20 == 17)
+    assert d1.count() > 0 and d2.count() > 0
+    d1.coalesce(1).write.parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_index_upsert_stream(stream, index_dir, ckpt, cent_rows,
+                                  books, trigger={"availableNow": True})
+    _await_done(q)
+
+    idx = spark.read.parquet(index_dir)
+    assert "epoch" in idx.columns and "cell" in idx.columns
+    codes_cols = ["vec_id", "pq_codes", "cell"]
+    got = {r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+           for r in idx.select(*codes_cols).collect()}
+    rebuilt = S.pq_index_delta(e, cent_rows, books)
+    want = {r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+            for r in rebuilt.collect()}
+    assert got == want and len(got) == e.count()
+
+    qs = e.filter(F.col("vec_id") < 5)
+    r_stream = S.ivf_pq_query(idx.select(*codes_cols), cent, qs, books,
+                              k=3, nprobe=4, shortlist=12,
+                              rerank_with=e).collect()
+    r_batch = S.ivf_pq_query(rebuilt, cent, qs, books,
+                             k=3, nprobe=4, shortlist=12,
+                             rerank_with=e).collect()
+    assert r_stream == r_batch and len(r_stream) > 0
+
+    # checkpoint-wipe replay: every epoch redelivers; overwrite, not
+    # duplicate (whatever file->epoch mapping the rerun picks, the
+    # union of overwritten epochs is the same delta)
+    shutil.rmtree(ckpt)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = start_index_upsert_stream(stream2, index_dir, ckpt, cent_rows,
+                                   books, trigger={"availableNow": True})
+    _await_done(q2)
+    again = {r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+             for r in spark.read.parquet(index_dir)
+             .select(*codes_cols).collect()}
+    assert again == want
