@@ -88,7 +88,8 @@ def _contribution_e6(tf: Column, dl: Column, df_t: Column, n_docs: Column,
 def bm25_score(postings: DataFrame, query_terms: list[str], *,
                id_col: str = "doc_id", k1: float = 1.2,
                b: float = 0.75,
-               corpus_stats: tuple[int, int] | None = None) -> DataFrame:
+               corpus_stats: tuple[int, int] | None = None,
+               stats_df: DataFrame | None = None) -> DataFrame:
     """Score every document matching ≥1 query term against the query.
 
     Returns ``(<id_col>, score_e6, score)`` — ``score_e6`` is the exact
@@ -97,12 +98,18 @@ def bm25_score(postings: DataFrame, query_terms: list[str], *,
 
     Scale: postings filter to the query's terms first (literal ``isin``
     — a pushed parquet filter on a stored index); N and total-length
-    ride 1-row broadcasts; per-term df is a |query terms|-row broadcast
-    join. Nothing corpus-wide shuffles at query time — EXCEPT the
-    corpus-stats aggregate when ``corpus_stats`` is None: a production
-    deployment stores (n_docs, total_token_len) next to the index at
-    build time and passes it here, making query cost independent of
-    index size; the in-plan aggregate is the self-contained fallback."""
+    ride 1-row broadcasts; per-term df is a count window over the
+    already-filtered hits — NOT a second derivation of the postings
+    pipeline: Spark plans each DataFrame branch independently (no CTE
+    materialization, and exchange reuse does not survive AQE
+    replanning), so the former ``hits.groupBy(term)`` broadcast join
+    re-tokenized the whole corpus for the in-plan form (round-10
+    measurement: 3 full scans in bm25_search's plan, this was one of
+    them). The window's shuffle is |hits| rows — query-term postings
+    only. Corpus-wide work at query time: NONE when stats are supplied
+    (``corpus_stats`` — the stored pair — or ``stats_df``, a 1-row
+    aggregate the caller derives more cheaply than from postings);
+    the self-contained fallback aggregates the full postings table."""
     q = sorted(set(query_terms))
     hits = postings.filter(F.col("term").isin(q))
     if corpus_stats is not None:
@@ -111,18 +118,24 @@ def bm25_score(postings: DataFrame, query_terms: list[str], *,
             postings.sparkSession.createDataFrame(
                 [(int(n_docs), int(total_len))],
                 "_n_docs long, _total_len long"))
+    elif stats_df is not None:
+        # caller-supplied 1-row (_n_docs, _total_len) frame — e.g.
+        # bm25_search derives it from one narrow doc scan (no explode,
+        # no shuffle) instead of aggregating the whole postings build
+        stats = F.broadcast(stats_df)
     else:
         # corpus stats from the FULL postings table (1-row broadcast);
         # stats stay in the plan — no driver-side count at build time
         stats = F.broadcast(postings.agg(
             F.countDistinct(id_col).cast("long").alias("_n_docs"),
             F.sum("tf").cast("long").alias("_total_len")))
-    dfreq = F.broadcast(hits.groupBy("term")
-                        .agg(F.count("*").cast("long").alias("_df")))
+    wdf = W.partitionBy("term")
     contrib = _contribution_e6(
         F.col("tf"), F.col("dl"), F.col("_df"),
         F.col("_n_docs"), F.col("_total_len"), k1, b)
-    return (hits.join(dfreq, "term").crossJoin(stats)
+    return (hits
+            .withColumn("_df", F.count("*").over(wdf).cast("long"))
+            .crossJoin(stats)
             .withColumn("_c_e6", contrib)
             .groupBy(id_col)
             .agg(F.sum("_c_e6").alias("score_e6"))
@@ -140,9 +153,23 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 10, *,
     ascending id on the EXACT integer score so the cut is deterministic
     on any partitioning. The ranking compiles to TakeOrderedAndProject
     (per-partition top-k, driver merges k·P rows) — no global sort."""
+    # corpus stats (N docs with >=1 token, total token count) from ONE
+    # narrow pass over the docs — numerically identical to aggregating
+    # the postings table (count distinct id == count of docs with a
+    # non-empty token; sum(tf) == total non-empty tokens) but with no
+    # explode and no (term, doc) shuffle; round-10 cut bm25_search's
+    # plan from 3 full tokenize pipelines to 1 (+ this narrow scan)
+    ntok = F.size(F.filter(tokens(F.lower(F.col(text_col))),
+                           lambda t: t != F.lit("")))
+    stats_df = (docs.select(ntok.alias("_nt"))
+                .agg(F.count(F.when(F.col("_nt") > 0, True))
+                     .cast("long").alias("_n_docs"),
+                     F.coalesce(F.sum("_nt"), F.lit(0))
+                     .cast("long").alias("_total_len")))
     scored = bm25_score(bm25_postings(docs, text_col=text_col,
                                       id_col=id_col),
-                        query_terms, id_col=id_col, k1=k1, b=b)
+                        query_terms, id_col=id_col, k1=k1, b=b,
+                        stats_df=stats_df)
     return (scored
             .orderBy(F.desc("score_e6"), F.asc(id_col))
             .limit(k)
