@@ -107,9 +107,14 @@ def retention(events: DataFrame, *, user_col: str = "user_id",
     anything."""
     b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs) \
         .cast("long")
+    # lazy checkpoints (round-10): `active` feeds the cohort aggregate
+    # AND the join, `counts` feeds the k=0 sizes AND the ratio join —
+    # without the cuts each reference re-planned the chain from the raw
+    # scan (4 scans in the plan for one logical pass)
     active = (events.select(F.col(user_col).alias("u"),
                             b.alias("bucket"))
-              .distinct())
+              .distinct()
+              .localCheckpoint(eager=False))
     cohorts = active.groupBy("u").agg(F.min("bucket").alias("cohort"))
     ret = (active.join(cohorts, "u")
            .select("cohort", (F.col("bucket") - F.col("cohort"))
@@ -121,7 +126,8 @@ def retention(events: DataFrame, *, user_col: str = "user_id",
     # are unique per (cohort, k, u) — the distinct form planned an
     # extra keyed re-aggregate for identical output (round-7 review)
     counts = (ret.groupBy("cohort", "k")
-              .agg(F.count("*").cast("long").alias("n_users")))
+              .agg(F.count("*").cast("long").alias("n_users"))
+              .localCheckpoint(eager=False))
     size = (counts.filter(F.col("k") == 0)
             .select(F.col("cohort").alias("_c"),
                     F.col("n_users").alias("_n0")))

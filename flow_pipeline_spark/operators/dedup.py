@@ -249,6 +249,15 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4)
 
     if candidates is not None:
+        # lazy checkpoint (round-10): this frame is referenced three
+        # times below (the semi-join's id set + the two pair joins) and
+        # Spark replans each branch independently, so the ENTIRE
+        # upstream candidate pipeline — LSH banding over the corpus —
+        # planned and executed three times (measured: minhash_lsh_dedup
+        # carried 14 scans / 28 exchanges, three signature-pipeline
+        # clones). The checkpoint materializes only the bounded pair
+        # list; every branch reads the persisted RDD.
+        candidates = candidates.localCheckpoint(eager=False)
         # semi-join FIRST: only docs that actually appear in a candidate
         # pair get shingled/aggregated — without it the whole corpus's
         # shingle sets build and shuffle just to be discarded by the
@@ -261,13 +270,17 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         df = df.join(cand_ids, id_col, "left_semi")
         # collect_set dedups in-aggregate (partially map-side), so no
         # pre-distinct shuffle; sz comes free from the set
+        # lazy checkpoint: doc_sets joins below on BOTH pair sides —
+        # without the cut the semi-joined shingle aggregation (a corpus
+        # tokenize pass) plans and runs twice (round-10)
         doc_sets = (
             df.select(F.col(id_col),
                       F.explode(shingles(F.col(text_col), k))
                       .alias("shingle"))
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("shs"))
-            .withColumn("sz", F.size("shs")))
+            .withColumn("sz", F.size("shs"))
+            .localCheckpoint(eager=False))
         return (
             candidates
             .join(doc_sets.select(F.col(id_col).alias("id_a"),
@@ -444,8 +457,9 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     # materialize the edge set once: it is re-read twice per round (the
     # neighbor join + the convergence count), and without a lineage cut the
     # whole upstream candidate pipeline (LSH banding over the corpus) would
-    # be re-executed every iteration
-    edges = edges.localCheckpoint(eager=True)
+    # be re-executed every iteration. Lazy: round 1's convergence count is
+    # the first action and persists it — no standalone job (round-10)
+    edges = edges.localCheckpoint(eager=False)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster_id", F.col("id")))
     for _ in range(max_iter):
@@ -459,7 +473,8 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             .select("id", F.least("cluster_id",
                                   F.coalesce("nbr_min", "cluster_id"))
                     .alias("cluster_id")))
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        # lazy lineage cut: the changed-count below is the round's action
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
@@ -503,11 +518,11 @@ def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         F.least(F.col(id_a), F.col(id_b)).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     nodes = (edges.select(F.col("u").alias("id"))
              .unionByName(edges.select(F.col("v").alias("id")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
 
     def _sig(e: DataFrame) -> tuple:
         # order-independent set checksum: count + xor of row hashes (xor,
@@ -538,8 +553,11 @@ def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
 
     sig = _sig(edges)
     for _ in range(max_rounds):
-        edges = _large_star(edges).localCheckpoint(eager=True)
-        edges = _small_star(edges).localCheckpoint(eager=True)
+        # lazy: the round's _sig action materializes both star passes in
+        # one job (each checkpoint RDD persists when first computed), so
+        # a round costs one job instead of three (round-10)
+        edges = _large_star(edges).localCheckpoint(eager=False)
+        edges = _small_star(edges).localCheckpoint(eager=False)
         new_sig = _sig(edges)
         if new_sig == sig:
             break

@@ -60,17 +60,24 @@ def pagerank(edges: DataFrame, *, n_iters: int = 3,
     (integer recurrence; pytest asserts equality across both forms),
     one extra exchange per round that AQE can reuse across the two
     joins since both key on ``u``."""
+    # lazy checkpoints throughout (round-10): the lineage cuts are kept
+    # (each checkpoint RDD persists the first time a job computes it)
+    # but no standalone materialization jobs run — nodes.count() is the
+    # only driver-side action before the caller's own, so the whole
+    # edge build + 3 rounds execute as TWO jobs instead of ~8 (the
+    # count, then the final action materializing outw and each round's
+    # rank vector in one go)
     w = (F.col(weight) if weight is not None else F.lit(1)) \
         .cast("long").alias("w")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     n = nodes.count()
     base = E9 // max(n, 1)
     outw = (e.groupBy("u").agg(F.sum("w").alias("s"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
 
     small = n <= broadcast_max_nodes
 
@@ -88,7 +95,7 @@ def pagerank(edges: DataFrame, *, n_iters: int = 3,
              .select("node",
                      F.expr(f"(15L * {base}L + 85L * coalesce(inc, 0L)) "
                             "div 100L").cast("long").alias("r"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     return r.select(F.col("node"), F.col("r").alias("rank_e9"))
 
 

@@ -148,7 +148,11 @@ def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame,
          .join(cur_counts, "bin", "left")
          .select("bin",
                  F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
-                 F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur")))
+                 F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"))
+         # n_bins rows, referenced by the totals aggregate AND the final
+         # select — without the cut both snapshot histograms (full scans
+         # upstream) planned and ran twice (round-10)
+         .localCheckpoint(eager=False))
     # totals ride one tiny broadcast aggregate (n_bins rows in, 1 out)
     tot = F.broadcast(j.agg(F.sum("c_ref").alias("_nr"),
                             F.sum("c_cur").alias("_nc")))
@@ -196,29 +200,48 @@ def ewma_spikes(df: DataFrame, *, ts_col: str = "ts",
         .cast("long")
     agg = (df.groupBy(F.col(key_col).alias("k"), bucket.alias("bucket"))
            .agg(F.count("*").alias("cnt")))
-    offs = F.array(*[
-        F.struct(F.lit(d).alias("d"),
-                 F.lit(1 << (lookback - d)).cast("long").alias("w"))
-        for d in range(1, lookback + 1)])
+    # ONE pipeline, no self-join (round-10): the former agg LEFT JOIN
+    # baseline referenced agg twice, so the raw-table scan + count
+    # aggregate planned and ran twice — the one corpus-wide pass this
+    # operator promises to pay once. Folding the bucket's own row into
+    # the explode as a d=0 member (weightless, carrying cnt and a
+    # presence flag) lets the SAME re-group produce cnt, num and den:
+    # groups whose d=0 member is absent are exactly the left join's
+    # non-preserved rows and drop; a present d=0 member with den=0 is
+    # exactly the join's null baseline. Identical rows, one scan, two
+    # exchanges instead of four.
+    offs = F.array(
+        F.struct(F.lit(0).alias("d"), F.lit(0).cast("long").alias("w")),
+        *[F.struct(F.lit(d).alias("d"),
+                   F.lit(1 << (lookback - d)).cast("long").alias("w"))
+          for d in range(1, lookback + 1)])
     contrib = (agg.select("k", "bucket", "cnt",
                           F.explode(offs).alias("o"))
                .select("k",
                        (F.col("bucket") + F.col("o.d")).alias("tb"),
-                       (F.col("cnt") * F.col("o.w")).alias("wx"),
+                       F.when(F.col("o.d") == 0, F.col("cnt"))
+                       .otherwise(F.lit(0)).alias("self_cnt"),
+                       (F.col("o.d") == 0).alias("is_self"),
+                       F.when(F.col("o.d") == 0, F.lit(0))
+                       .otherwise(F.col("cnt") * F.col("o.w")).alias("wx"),
                        F.col("o.w").alias("w")))
-    base = (contrib.groupBy(F.col("k").alias("bk"), "tb")
-            .agg(F.sum("wx").alias("num"), F.sum("w").alias("den")))
-    j = agg.join(base, (F.col("k") == F.col("bk")) &
-                 (F.col("bucket") == F.col("tb")), "left")
-    return (j.select(F.col("k").alias(key_col),
-                     F.col("bucket"),
-                     F.col("cnt"),
-                     F.expr("(num * 10000) div den").cast("long")
-                     .alias("baseline_e4"),
-                     F.coalesce(
-                         F.col("cnt") * F.col("den")
-                         > F.lit(int(ratio)) * F.col("num"),
-                         F.lit(False)).alias("is_spike"))
+    base = (contrib.groupBy("k", "tb")
+            .agg(F.sum("self_cnt").alias("cnt"),
+                 F.max("is_self").alias("has_self"),
+                 F.sum("wx").alias("num"), F.sum("w").alias("den")))
+    return (base.filter(F.col("has_self"))
+            .select(F.col("k").alias(key_col),
+                    F.col("tb").alias("bucket"),
+                    F.col("cnt"),
+                    # den = 0 ⇔ the old join found no baseline row →
+                    # null (guarded: ANSI div would reject den = 0)
+                    F.when(F.col("den") > 0,
+                           F.expr("(num * 10000) div den")).cast("long")
+                    .alias("baseline_e4"),
+                    F.coalesce(
+                        F.col("cnt") * F.col("den")
+                        > F.lit(int(ratio)) * F.col("num"),
+                        F.lit(False)).alias("is_spike"))
             .orderBy(key_col, "bucket"))
 
 

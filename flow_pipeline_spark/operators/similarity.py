@@ -417,21 +417,38 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
     the (id_a, id_b, cos) output collapses multi-table hits — true dups
     verify L times (rare rows), but candidates never re-shuffle
     vectors."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  _norm(vec_col).alias("na"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  _norm(vec_col).alias("nb"))
-    if bucketed and n_tables > 1:
-        a = a.withColumn(
-            "ts", F.explode(_multi_table_sig("va", n_planes, dim, n_tables)))
-        b = b.withColumn(
-            "ts", F.explode(_multi_table_sig("vb", n_planes, dim, n_tables)))
-        joined = a.join(b, ["ts"]).filter(F.col("id_a") < F.col("id_b"))
+    # ONE signed base, lazily checkpointed, aliased into both join
+    # sides (round-10): the former independent a/b derivations planned
+    # the scan + norm + SRP signature pipeline twice — the signature is
+    # the expensive part (L·r·dim HOF folds per row), so recompute
+    # costs far more than persisting (id, vec, norm, sig) once
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v"),
+                     _norm(vec_col).alias("_n"))
+    explode_ts = bucketed and n_tables > 1
+    if explode_ts:
+        # persist the per-row signature ARRAY (L structs), explode per
+        # side from the checkpoint — L× less persisted data, and the
+        # L·r·dim signature folds still run once
+        base = base.withColumn(
+            "_tsa", _multi_table_sig("_v", n_planes, dim, n_tables))
+        keys = ["ts"]
     elif bucketed:
         # plane-literal signatures via the one-parse expr path
-        a = a.withColumn("sig", hyperplane_signature("va", n_planes, dim))
-        b = b.withColumn("sig", hyperplane_signature("vb", n_planes, dim))
-        joined = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
+        base = base.withColumn(
+            "sig", hyperplane_signature("_v", n_planes, dim))
+        keys = ["sig"]
+    else:
+        keys = None
+    base = base.localCheckpoint(eager=False)
+    if explode_ts:
+        base = base.withColumn("ts", F.explode("_tsa"))
+    a = base.select(*(keys or []), F.col("_id").alias("id_a"),
+                    F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = base.select(*(keys or []), F.col("_id").alias("id_b"),
+                    F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    if keys:
+        joined = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     out = (
@@ -837,19 +854,28 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
         # small-side by design: n_cells rows, like kmeans_fit's centroids
         centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
     if vectorized:
-        # scale path, both stages numpy: GEMM assignment (ids-only Arrow
-        # output, cells re-attached by an id join) + per-cell GEMM verify
-        # — the form for cell counts past ~a hundred, where the
-        # interpreted HOF argmax and the per-pair HOF cosine dominate
-        cells = assign_nearest_centroid_vectorized(
-            corpus, centroids, id_col=id_col, vec_col=vec_col)
-        assigned = corpus.join(cells, id_col)
+        # scale path, both stages numpy: GEMM assignment + per-cell GEMM
+        # verify — the form for cell counts past ~a hundred, where the
+        # interpreted HOF argmax and the per-pair HOF cosine dominate.
+        # The embedding CARRIES through the assignment's Arrow hop
+        # (round-10): the former ids-only output re-attached cells via
+        # corpus.join(cells, id) — a second corpus derivation plus an
+        # id-keyed shuffle of every vector, just to hand the verify a
+        # column the kernel already had
+        assigned = assign_nearest_centroid_vectorized(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            carry=[vec_col])
         return _cell_pairs_vectorized(assigned, threshold,
                                       id_col=id_col, vec_col=vec_col)
     assigned = assign_nearest_centroid(corpus, centroids, vec_col=vec_col)
-    base = assigned.select("cell", F.col(id_col),
-                           F.col(vec_col).alias("v"),
-                           _norm(vec_col).alias("vn"))
+    # lazy checkpoint (round-10): base feeds BOTH self-join sides; for a
+    # derived-embedding corpus (text_semantic_dedup: explode + two
+    # shuffles per reference) the re-plan doubled the whole embed
+    # pipeline — persist (cell, id, v, norm) once instead
+    base = (assigned.select("cell", F.col(id_col),
+                            F.col(vec_col).alias("v"),
+                            _norm(vec_col).alias("vn"))
+            .localCheckpoint(eager=False))
     a = base.select("cell", F.col(id_col).alias("id_a"),
                     F.col("v").alias("va"), F.col("vn").alias("na"))
     b = base.select("cell", F.col(id_col).alias("id_b"),
@@ -907,7 +933,9 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
                                        centroids: list[tuple[int, list[float]]],
                                        *, id_col: str = "vec_id",
                                        vec_col: str = "embedding",
-                                       out_col: str = "cell") -> DataFrame:
+                                       out_col: str = "cell",
+                                       carry: "list[str] | None" = None
+                                       ) -> DataFrame:
     """GEMM form of :func:`assign_nearest_centroid` — the scale path when
     the cell count grows past what an interpreted HOF argmax over a
     centroid literal should carry (the HOF form does n·cells·dim folds
@@ -920,21 +948,29 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
     decide ties), ties to the smallest centroid id (columns ordered by
     ascending cid, argmax takes the first maximum).
 
-    Returns (id_col, out_col) — join back on id to attach cells to a
-    wider frame; the ids-only output keeps the Arrow boundary narrow.
+    Returns (id_col, out_col[, carry...]). By default ids-only — join
+    back on id to attach cells to a wider frame when the downstream
+    keeps the corpus in the JVM. ``carry`` copies input columns through
+    the Arrow pass unchanged (the pq_encode device, round-10): when the
+    next stage needs the vectors ANYWAY (the within-cell GEMM verify),
+    carrying them through this hop replaces a second corpus scan plus
+    an id-keyed shuffle join with zero extra passes — the join
+    re-shuffled every vector by id just to re-attach a cell the Arrow
+    kernel already had in hand.
     """
     import numpy as np
     import pandas as pd
 
+    carry = list(carry or [])
     order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
     cids = np.array([centroids[i][0] for i in order], dtype="int64")
     cm = np.array([centroids[i][1] for i in order], dtype="float64")
     cn = np.maximum(np.linalg.norm(cm, axis=1), 1e-300)
 
-    out_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
-        T.StructField(out_col, T.LongType()),
-    ])
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()),
+         T.StructField(out_col, T.LongType())]
+        + [T.StructField(c, df.schema[c].dataType) for c in carry])
 
     # bound the per-chunk scores matrix at ~4M doubles (32 MB): a full
     # 10k-row Arrow batch against 8k cells would otherwise materialize a
@@ -952,10 +988,13 @@ def assign_nearest_centroid_vectorized(df: DataFrame,
                 cos = (m @ cm.T) / (vn * cn[None, :])
                 # HALF-UP at 4dp (cosines can be negative: away from 0)
                 cos = _half_up_4dp(cos)
-                yield pd.DataFrame({id_col: ids,
-                                    out_col: cids[cos.argmax(1)]})
+                out = {id_col: ids, out_col: cids[cos.argmax(1)]}
+                for c in carry:
+                    out[c] = sub[c].reset_index(drop=True)
+                yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    cols = [id_col, vec_col] + [c for c in carry if c != vec_col]
+    return df.select(*cols).mapInPandas(assign, out_schema)
 
 
 # --- incremental semantic dedup (cross-snapshot) ------------------------------
@@ -974,9 +1013,11 @@ def semantic_store(corpus: DataFrame,
     assignments against the store — history documents are never re-read,
     re-embedded, or re-assigned."""
     if vectorized:
-        cells = assign_nearest_centroid_vectorized(
-            corpus, centroids, id_col=id_col, vec_col=vec_col)
-        return (corpus.join(cells, id_col)
+        # embedding carried through the Arrow hop — no re-scan, no
+        # id-keyed re-attach join (round-10; see semantic_dedup_pairs)
+        return (assign_nearest_centroid_vectorized(
+                    corpus, centroids, id_col=id_col, vec_col=vec_col,
+                    carry=[vec_col])
                 .select(id_col, "cell", vec_col))
     assigned = assign_nearest_centroid(corpus, centroids, vec_col=vec_col)
     return assigned.select(id_col, "cell", vec_col)
@@ -1067,7 +1108,8 @@ def incremental_semantic_dedup(new_batch: DataFrame, store: DataFrame,
 
 def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16,
              n_iter: int = 5, *, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> list[list[list[float]]]:
+             id_col: str = "vec_id",
+             seed_rows: list | None = None) -> list[list[list[float]]]:
     """Train PQ codebooks: per-subspace L2 Lloyd k-means, ALL subspaces
     in one distributed pass per iteration. Returns codebooks[m][ks][D/m]
     (vectors are L2-normalized first, so ADC inner products approximate
@@ -1077,13 +1119,21 @@ def pq_train(corpus: DataFrame, m: int = 8, ks: int = 16,
     dim) partial sums (~|batches|·m·ks·D/m tiny rows); the corpus never
     shuffles; the driver rebuilds the centroid tensor — the kmeans_fit
     contract, m codebooks at once. Seeds are the deterministic
-    hash-strided sample (reproducible on any cluster)."""
+    hash-strided sample (reproducible on any cluster); pass
+    ``seed_rows`` (>= ks rows already collected in seed order, each with
+    ``cv``) to skip the collect — ivf_pq_knn shares ONE seed TakeOrdered
+    between codebook seeding and the coarse-quantizer sample (round-10:
+    the two separate collects were two full corpus passes; the orderings
+    are identical, so the first n rows of either serve both)."""
     import numpy as np
 
-    seed_rows = (corpus.select(F.col(id_col).alias("cid"),
-                               F.col(vec_col).alias("cv"))
-                 .orderBy(_seed_order(F.col("cid")), F.col("cid"))
-                 .limit(ks).collect())
+    if seed_rows is None:
+        seed_rows = (corpus.select(F.col(id_col).alias("cid"),
+                                   F.col(vec_col).alias("cv"))
+                     .orderBy(_seed_order(F.col("cid")), F.col("cid"))
+                     .limit(ks).collect())
+    else:
+        seed_rows = seed_rows[:ks]
     seeds = np.array([[float(x) for x in r["cv"]] for r in seed_rows],
                      dtype="float64")
     seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True),
@@ -1341,16 +1391,38 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     brute force is bounded by cell-probe recall (an unprobed true
     neighbor is unrecoverable — the nprobe knob), then restored within
     probed cells by the refine stage; floors asserted in tests."""
+    # ONE seed TakeOrdered serves both the PQ codebook seeds (first ks
+    # rows) and the coarse-quantizer sample (first n_cells rows) — the
+    # two orderings are identical (_seed_order, cid), so the prefixes
+    # agree with what separate collects returned (round-10: this plus
+    # the fused encode below cut two full corpus passes and a shuffle
+    # join from the in-plan composition; results are per-row identical
+    # and oracle-verified)
+    if centroids is None:
+        seed_rows = (corpus
+                     .select(F.col(id_col).alias("cid"),
+                             F.col(vec_col).alias("cv"))
+                     .orderBy(_seed_order(F.col("cid")), F.col("cid"))
+                     .limit(max(ks, n_cells)).collect())
+        py_cents = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                          for r in seed_rows[:n_cells])
+    else:
+        # trained coarse quantizer: cells are the list indices (the
+        # ivf_assign contract); PQ seeds still need their own collect
+        seed_rows = None
+        py_cents = [(i, [float(x) for x in c])
+                    for i, c in enumerate(centroids)]
     books = pq_train(corpus, m=m, ks=ks, n_iter=n_iter,
-                     vec_col=vec_col, id_col=id_col)
-    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
-    # centroids=None -> ivf_assign's hash-strided sampled quantizer;
-    # pass kmeans_fit output for the trained coarse quantizer (same
-    # contract as ivf_knn — plan shape unchanged, recall knob only)
-    cent, assigned = ivf_assign(corpus, n_cells, id_col=id_col,
-                                vec_col=vec_col, centroids=centroids)
-    codes_cells = codes.join(
-        assigned.select(id_col, "cell"), id_col)
+                     vec_col=vec_col, id_col=id_col, seed_rows=seed_rows)
+    cent = corpus.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in py_cents], "cid long, cv array<double>",
+    ).withColumn("cnrm", _norm("cv"))
+    # encode + cell-assign in ONE map-side pass (the pq_index_delta
+    # device: JVM broadcast-literal argmax carried through pq_encode's
+    # Arrow hop) — the former pq_encode(corpus) ⋈ ivf_assign(corpus)
+    # equi-join planned the corpus scan twice and paid a shuffle
+    codes_cells = pq_index_delta(corpus, py_cents, books,
+                                 id_col=id_col, vec_col=vec_col)
     return ivf_pq_query(codes_cells, cent, queries, books, k,
                         nprobe=nprobe,
                         rerank_with=corpus if rerank else None,
@@ -1377,7 +1449,15 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
     centroid table (n_cells rows). :func:`ivf_pq_knn` is the in-plan
     composition (train + encode + this)."""
     # per-query probe set (ivf_knn's device, minus the vectors — ADC
-    # uses the precomputed LUT, so probes carry only (q, cell))
+    # uses the precomputed LUT, so probes carry only (q, cell)). The
+    # probe map is COLLECTED (|queries|·nprobe tiny rows — round-10):
+    # the heavy fold stays a distributed window, but with the map in
+    # hand the ADC stage fuses into ONE mapInPandas over the codes scan
+    # (local tie-correct top-k per batch, the pq_knn/brute_vectorized
+    # shape) instead of broadcast-join → per-row pandas UDF → two-phase
+    # window — and the probed-cell filter becomes a STATIC isin
+    # predicate, so a cell-partitioned stored index prunes directories
+    # at plan time, no runtime DPP needed.
     q = queries.select(F.col(id_col).alias("q"),
                        F.col(vec_col).alias("qv"),
                        _norm(vec_col).alias("qnrm"))
@@ -1386,31 +1466,64 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
                   _cos_pre("qv", "cv",
                            F.col("qnrm"), F.col("cnrm")).alias("c_cos")))
     wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
-    probes = (qc.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe)
-              .select("q", F.col("cid").alias("cell")))
+    probe_rows = (qc.withColumn("r", F.row_number().over(wq))
+                  .filter(F.col("r") <= nprobe)
+                  .select("q", F.col("cid").alias("cell")).collect())
 
     q_ids, lut, m_ = _build_adc_lut(queries, codebooks,
                                     id_col=id_col, vec_col=vec_col)
     qidx = {int(qid): i for i, qid in enumerate(q_ids)}
-
-    @pandas_udf(T.DoubleType())
-    def adc(qs: pd.Series, cs: pd.Series) -> pd.Series:
-        import numpy as _np
-        if not len(qs):
-            return pd.Series([], dtype="float64")
-        qi = _np.array([qidx[int(x)] for x in qs])
-        C = _np.array(list(cs), dtype="int64")
-        s = lut[qi[:, None], _np.arange(m_)[None, :], C].sum(axis=1)
-        # HALF-UP 4dp, matching pq_knn's kernel and every ANN path here
-        return pd.Series(_half_up_4dp(s))
+    cell_qis: dict[int, list[int]] = {}
+    for r in probe_rows:
+        cell_qis.setdefault(int(r["cell"]), []).append(qidx[int(r["q"])])
 
     kk = k if rerank_with is None else (shortlist or 4 * k)
-    scored = (codes_cells.join(F.broadcast(probes), "cell")
-              .filter(F.col(id_col) != F.col("q"))
-              .select("q", F.col(id_col).alias("n"),
-                      adc(F.col("q"), F.col("pq_codes")).alias("cos")))
-    ranked = _topk_per_query(scored, kk)
+
+    out_schema = T.StructType([
+        T.StructField("q", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cell, sub in pdf.groupby("cell", sort=False):
+                qis = cell_qis.get(int(cell))
+                if not qis:
+                    continue
+                ids = sub[id_col].to_numpy(dtype="int64")
+                C = np.array(list(sub["pq_codes"]), dtype="int64")
+                take = min(kk + 1, len(ids))    # +1 absorbs self-match
+                for qi in qis:
+                    s = lut[qi, np.arange(m_)[None, :], C].sum(axis=1)
+                    # HALF-UP 4dp + tie-correct local cut — the exact
+                    # device of pq_knn; the global merge below uses the
+                    # same (cos DESC, n ASC) order, so the result set
+                    # equals the former full two-phase window rank
+                    s = _half_up_4dp(s)
+                    top = _local_topk_tied(s, ids, take)
+                    mask = ids[top] != q_ids[qi]
+                    sel = top[mask][:kk]
+                    yield pd.DataFrame({"q": q_ids[qi], "n": ids[sel],
+                                        "cos": s[sel]})
+
+    probed = sorted(cell_qis)
+    if not probed:
+        # no queries → empty result with the contract schema (isin([])
+        # is not a well-defined predicate; round-7's empty-query rule)
+        local = codes_cells.sparkSession.createDataFrame([], out_schema)
+    else:
+        local = (codes_cells
+                 .filter(F.col("cell").isin(probed))
+                 .select(id_col, "pq_codes", "cell")
+                 .mapInPandas(score, out_schema))
+    w2 = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    ranked = (local.withColumn("rank", F.row_number().over(w2))
+              .filter(F.col("rank") <= kk)
+              .select("q", "n", "cos", "rank"))
     if rerank_with is None:
         return ranked.withColumnRenamed("cos", "score")
     return _rerank_shortlist(ranked.select("q", "n"), rerank_with,

@@ -582,7 +582,13 @@ def train_unigram_lm(docs: DataFrame, text_col: str = "text",
     the tiny vocab aggregate."""
     toks = docs.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    total = F.broadcast(toks.agg(F.count("*").alias("n_total")))
+    # total = sum of token-array sizes over a NARROW doc scan — the same
+    # count the exploded aggregate produced (explode emits one row per
+    # element), without planning a second tokenize+explode pipeline
+    # (round-10; the doc_perplexity device)
+    total = F.broadcast(docs.agg(
+        F.coalesce(F.sum(F.size(tokens(F.lower(F.col(text_col))))),
+                   F.lit(0)).alias("n_total")))
     vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
              .orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size))
     return vocab.crossJoin(total)

@@ -116,11 +116,18 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
     pair counts the argmax reads — singletons contribute ≤ min_freq-1
     to any pair.
     """
+    # lazy checkpoints (round-10): each round's ONLY action is the
+    # argmax collect — an eager checkpoint added a second full job per
+    # round just to materialize the merged vocab that the next round's
+    # collect would have materialized anyway. eager=False keeps the
+    # lineage cut (the checkpoint RDD persists when the next round's
+    # pair-count computes it) at half the jobs, and the LAST round's
+    # vocab — which nothing reads — never materializes at all.
     vocab = (word_freq_table(df, text_col)
              .filter(F.col("freq") >= min_freq)
              .select("word", "freq",
                      _initial_symbols(F.col("word")).alias("symbols"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (vocab.select("freq",
@@ -135,7 +142,7 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
         merges.append((a, b))
         vocab = (vocab.withColumn(
             "symbols", _apply_merge(F.col("symbols"), a, b))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     return merges
 
 
@@ -427,8 +434,10 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
     multi-char pieces, then prune the bottom ``prune_frac`` of
     multi-char pieces by (count asc, piece asc), not below
     ``vocab_size``."""
+    # lazy: the seed-table collect below is the first action and
+    # materializes the checkpoint; the EM rounds then reuse it
     wf = (word_freq_table(df, text_col)
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     seed = substring_seed_table(df, max_piece_len, text_col,
                                 word_table=wf)
     chars = seed.filter(F.length("piece") == 1)

@@ -998,9 +998,17 @@ def corpus_curation(spark, sf_dir):
     hashed = gated.select(
         "doc_id", "n_tokens",
         F.md5(normalize_text(F.col("text"))).alias("h"))
-    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    kept = survivors.select("doc_id").join(
-        hashed.select("doc_id", "n_tokens"), "doc_id")
+    from pyspark.sql import Window as W
+    # keep-min exact dedup as ONE window over the hash instead of a
+    # groupBy + join-back (round-10): the join's two branches each
+    # re-derived the whole corpus-union + gate + normalize pipeline
+    # (4 scans in the plan); the window shuffles the narrow hashed
+    # frame once and keeps the same min-id survivor per hash
+    kept = (hashed
+            .withColumn("_mn", F.min("doc_id").over(
+                W.partitionBy("h")))
+            .filter(F.col("doc_id") == F.col("_mn"))
+            .select("doc_id", "n_tokens"))
     split = _split_col()
     return (kept
             .select("doc_id", "n_tokens", split.alias("split"))
@@ -1146,7 +1154,11 @@ def curation_full_pipeline(spark, sf_dir):
     gated = (corpus
              .filter(token_count(F.col("text")) >= 10)
              .filter(dup_ratio <= 0.3)
-             .select("doc_id", "text"))
+             .select("doc_id", "text")
+             # referenced by BOTH the span table and the scrub join —
+             # without the cut the union+gate pipeline planned and ran
+             # twice (round-10; part of this query's former 17 scans)
+             .localCheckpoint(eager=False))
 
     # ExactSubstr stage: span-level dedup before document-level dedup
     spans = D.repeated_span_table(gated, k=8)
@@ -1160,9 +1172,16 @@ def curation_full_pipeline(spark, sf_dir):
     hashed = scrub.select(
         "doc_id", "text", "n_tokens",
         F.md5(normalize_text(F.col("text"))).alias("h"))
-    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    kept = survivors.select("doc_id").join(
-        hashed.select("doc_id", "text", "n_tokens"), "doc_id")
+    # keep-min dedup via ONE window (the corpus_curation round-10
+    # device — no groupBy + join-back re-derivation), and the survivor
+    # set checkpointed: it feeds both the contamination probe and the
+    # final anti-join
+    from pyspark.sql import Window as W
+    kept = (hashed
+            .withColumn("_mn", F.min("doc_id").over(W.partitionBy("h")))
+            .filter(F.col("doc_id") == F.col("_mn"))
+            .select("doc_id", "text", "n_tokens")
+            .localCheckpoint(eager=False))
 
     bench = (d.filter(F.col("doc_id") < 5)
              .select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
@@ -1789,8 +1808,13 @@ def doc_perplexity(spark, sf_dir):
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
     # the corpus token total stays IN the plan (1-row broadcast), like the
     # oracle's scalar subquery — a driver-side .count() here would run an
-    # eager full scan at every plan build
-    total = F.broadcast(toks.agg(F.count("*").alias("_n")))
+    # eager full scan at every plan build. Round-10: the total is
+    # sum(size(token array)) over a NARROW doc scan — identical count
+    # (explode emits one row per element), but no third tokenize+explode
+    # pipeline in the plan (Spark replans each branch independently)
+    total = F.broadcast(docs.agg(
+        F.coalesce(F.sum(F.size(TX.tokens(F.lower(F.col("text"))))),
+                   F.lit(0)).alias("_n")))
     vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
              .orderBy(F.desc("c"), F.asc("tok")).limit(2000))
     nll = -F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("_n")) \
@@ -2942,13 +2966,18 @@ def _ivf_pq_stored_artifacts(spark, sf_dir):
 
     def build(tmp):
         e = _emb(spark, sf_dir)
-        books = S.pq_train(e, m=16, ks=64, n_iter=3)
-        codes = S.pq_encode(e, books)
-        cent, assigned = S.ivf_assign(e, 16)
-        cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
-                     for r in cent.select("cid", "cv").collect()]
+        # one seed TakeOrdered for codebook seeds + coarse centroids;
+        # codes+cells in one fused pass (the pq_index_delta device —
+        # round-10, same as ivf_pq_knn; identical artifacts, one scan)
+        seed_rows = (e.select(F.col("vec_id").alias("cid"),
+                              F.col("embedding").alias("cv"))
+                     .orderBy(S._seed_order(F.col("cid")), F.col("cid"))
+                     .limit(64).collect())
+        cent_rows = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                           for r in seed_rows[:16])
+        books = S.pq_train(e, m=16, ks=64, n_iter=3, seed_rows=seed_rows)
         os.makedirs(tmp, exist_ok=True)
-        (codes.join(assigned.select("vec_id", "cell"), "vec_id")
+        (S.pq_index_delta(e, cent_rows, books)
          .write.partitionBy("cell").parquet(os.path.join(tmp, "codes")))
         with open(os.path.join(tmp, "model.json"), "w") as f:
             _json.dump({"books": books, "cent": cent_rows}, f)
@@ -3027,10 +3056,21 @@ def ann_ivf_pq_upsert(spark, sf_dir):
     e = _emb(spark, sf_dir)
     base = e.filter(F.expr(_UPSERT_BASE))
     delta = e.filter(~F.expr(_UPSERT_BASE))
-    books = S.pq_train(base, m=16, ks=64, n_iter=3)
-    cent, assigned = S.ivf_assign(base, 16)
-    codes_cells = (S.pq_encode(base, books)
-                   .join(assigned.select("vec_id", "cell"), "vec_id"))
+    # one seed TakeOrdered over base serves codebook seeds + coarse
+    # centroids; base codes come out of the fused one-pass
+    # pq_index_delta (round-10 — same device ivf_pq_knn uses; the
+    # former pq_encode ⋈ ivf_assign scanned base twice and shuffled)
+    seed_rows = (base.select(F.col("vec_id").alias("cid"),
+                             F.col("embedding").alias("cv"))
+                 .orderBy(S._seed_order(F.col("cid")), F.col("cid"))
+                 .limit(64).collect())
+    py_cents = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                      for r in seed_rows[:16])
+    books = S.pq_train(base, m=16, ks=64, n_iter=3, seed_rows=seed_rows)
+    cent = spark.createDataFrame(
+        py_cents, "cid long, cv array<double>"
+    ).withColumn("cnrm", S._norm("cv"))
+    codes_cells = S.pq_index_delta(base, py_cents, books)
     upserted = S.ivf_pq_upsert(codes_cells, cent, delta, books)
     return (S.ivf_pq_query(upserted, cent,
                            e.filter(F.col("vec_id") < 10), books, k=5,

@@ -205,17 +205,21 @@ def test_partitioned_day_scan_prunes_partitions(plans):
 
 def test_ivf_pq_stored_scan_has_dynamic_cell_pruning(plans):
     """Round-10: the stored IVF-PQ codes table is parquet PARTITIONED BY
-    cell — the on-disk inverted lists. The broadcast probe join must
-    reach the codes scan as a DYNAMIC PartitionFilter
-    (dynamicpruningexpression on cell), so a query batch physically
-    reads only its nprobe cell directories — the inverted-list seek; a
-    plan that scans all cells and filters post-join would re-read the
-    whole index per query batch at scale."""
+    cell — the on-disk inverted lists. The probed-cell restriction must
+    reach the codes scan as a PartitionFilter so a query batch
+    physically reads only its probed cell directories — the
+    inverted-list seek; a plan that scans all cells and filters
+    post-join would re-read the whole index per query batch at scale.
+    Since the fused-ADC rewrite the filter is a STATIC `cell INSET ...`
+    (the collected probe map closes over the kernel), which prunes at
+    PLAN time — stronger than the former runtime
+    dynamicpruningexpression through the broadcast probe join."""
     plan = plans("ann_ivf_pq_stored")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, f"no PartitionFilters in plan:\n{plan}"
-    assert "dynamicpruning" in m.group(1), m.group(1)
     assert "cell" in m.group(1), m.group(1)
+    assert ("INSET" in m.group(1) or "dynamicpruning" in m.group(1)), \
+        m.group(1)
 
 
 def test_doc_perplexity_vocab_broadcasts(plans):
@@ -295,15 +299,20 @@ def test_routed_query_scans_stored_rollup_not_raw(spark, tmp_path):
 
 
 def test_bm25_broadcasts_stats_and_df_takeordered_topk(plans):
-    """BM25: the per-term df table and the 1-row corpus stats must ride
-    broadcasts (a SortMergeJoin here shuffles the postings once per
-    lookup side at scale) and the final ranking must be
-    TakeOrderedAndProject, not a global sort."""
+    """BM25: the 1-row corpus stats must ride a broadcast (never a
+    SortMergeJoin that shuffles postings per lookup side), per-term df
+    must be a count WINDOW over the term-filtered hits — not a
+    broadcast join against a second derivation of the postings
+    pipeline (round-10: the join form re-tokenized the whole corpus;
+    the plan must hold exactly ONE Generate, i.e. one tokenize
+    pipeline) — and the final ranking must be TakeOrderedAndProject,
+    not a global sort."""
     p = plans("bm25_search")
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 1  # df(term) lookup
+    assert p.count("Generate") == 1   # one tokenize+explode pipeline
+    assert "Window" in p              # df(term) via count window
 
 
 def test_cdc_compaction_pushes_top1_into_sort(plans):

@@ -513,6 +513,25 @@ def test_assign_vectorized_matches_hof(spark):
     assert a == b and len(a) == 10
 
 
+def test_assign_vectorized_carry_passes_columns_through(spark):
+    """carry=[...] (round-10, the pq_encode device): identical cells to
+    the ids-only form, and the carried embedding column comes through
+    the Arrow hop bit-unchanged — semantic_dedup_pairs(vectorized=True)
+    relies on this instead of the former re-scan + id-join re-attach."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    plain = {(r["vec_id"], r["cell"]) for r in
+             S.assign_nearest_centroid_vectorized(emb, cents).collect()}
+    carried = S.assign_nearest_centroid_vectorized(
+        emb, cents, carry=["embedding"]).collect()
+    assert {(r["vec_id"], r["cell"]) for r in carried} == plain
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    for r in carried:
+        assert [float(x) for x in r["embedding"]] == orig[r["vec_id"]]
+
+
 def test_semantic_dedup_with_kmeans_centroids(spark):
     """Production path: trained kmeans_fit centroids instead of the
     lowest-id oracle rule — planted identical pairs are still recovered
