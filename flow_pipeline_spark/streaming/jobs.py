@@ -981,10 +981,16 @@ def exactly_once_staged_writer(con_factory, table: str, stage_dir: str, *,
         # review): counting only the VISIBLE staged parts would pass a
         # PARTIALLY visible stage (driver-local parts present, remote
         # executors' parts not) — committing a subset the ledger then
-        # pins forever. The count is one extra job over the micro-batch,
-        # the price of an authoritative yardstick.
-        expected = batch_df.count()
-        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        # pins forever. The count rides the staging write itself via an
+        # Observation (CollectMetrics over the rows the write job
+        # actually processed) — the same authoritative yardstick the
+        # old separate batch_df.count() job gave, without re-running
+        # the micro-batch pipeline a second time per epoch.
+        from pyspark.sql import Observation
+        obs = Observation()
+        (batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(epoch_dir))
+        expected = obs.get["n"]
         parts = glob.glob(os.path.join(epoch_dir, "*.parquet"))
         if expected and not parts:
             raise RuntimeError(
@@ -1652,17 +1658,29 @@ def start_document_qc_stream(docs_stream: DataFrame, out_dir: str,
         k = span_scrub_k
 
         def write_scrubbed(batch_df: DataFrame, batch_id: int) -> None:
-            docs = batch_df.select("doc_id", "text")
-            spans = repeated_span_table(docs, k=k)
-            scrub = remove_repeated_spans(docs, spans)
-            out = (batch_df.drop("text", "n_tokens")
-                   .join(scrub, "doc_id")
-                   .withColumn("n_tokens",
-                               F.when(F.length("text") == 0, F.lit(0))
-                               .otherwise(token_count(F.col("text"))))
-                   .filter(F.col("n_tokens") >= min_tokens))
-            (out.write.mode("overwrite").partitionBy("source")
-             .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+            # The micro-batch feeds THREE branches (span fingerprints,
+            # the scrub join's doc side, and the metadata join-back) —
+            # foreachBatch hands over a plan, not materialized rows, so
+            # without a persist the whole gate pipeline (PII scrub,
+            # classifier, history/semantic gates, watermark dedup state
+            # read) re-executes once per branch per epoch. persist +
+            # unpersist-in-finally is the bounded per-epoch form of the
+            # lazy-localCheckpoint device used in the batch operators.
+            batch_df = batch_df.persist()
+            try:
+                docs = batch_df.select("doc_id", "text")
+                spans = repeated_span_table(docs, k=k)
+                scrub = remove_repeated_spans(docs, spans)
+                out = (batch_df.drop("text", "n_tokens")
+                       .join(scrub, "doc_id")
+                       .withColumn("n_tokens",
+                                   F.when(F.length("text") == 0, F.lit(0))
+                                   .otherwise(token_count(F.col("text"))))
+                       .filter(F.col("n_tokens") >= min_tokens))
+                (out.write.mode("overwrite").partitionBy("source")
+                 .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+            finally:
+                batch_df.unpersist()
 
         return _start_foreach_batch(sink_df, write_scrubbed,
                                     checkpoint_dir, output_mode="append",

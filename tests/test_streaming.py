@@ -911,6 +911,52 @@ def test_staged_writer_raises_on_invisible_stage(spark, tmpdir, monkeypatch):
     con.close()
 
 
+def test_staged_writer_one_pass_per_epoch(spark, tmpdir):
+    """r10 optimization: the authoritative expected-count rides the
+    staging write via an Observation, so a fresh epoch runs NO Spark
+    job beyond the staging write itself (previously a separate
+    batch_df.count() re-ran the whole micro-batch pipeline), and a
+    replayed committed epoch runs zero jobs."""
+    import duckdb
+    from flow_pipeline_spark.streaming.jobs import (
+        exactly_once_staged_writer, inserter_projection)
+
+    db = f"{tmpdir}/onepass.duckdb"
+    con = duckdb.connect(db)
+    _duckdb_inserter_ddl(con)
+    con.close()
+
+    batch = inserter_projection(
+        synthetic_flows(spark, 200, seed=43)).repartition(2)
+    write_batch = exactly_once_staged_writer(
+        lambda: duckdb.connect(db), "flows_pg", f"{tmpdir}/stage_one")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    # yardstick: how many Spark jobs does a bare staging-shaped write
+    # of this exact batch cost (AQE may split one query into several)?
+    sc.setJobGroup("onepass-plain", "plain write")
+    batch.write.mode("overwrite").parquet(f"{tmpdir}/plain_write")
+    sc.setJobGroup("onepass-fresh", "staged writer, fresh epoch")
+    write_batch(batch, 3)
+    sc.setJobGroup("onepass-replay", "staged writer, replayed epoch")
+    write_batch(batch, 3)
+    sc.setJobGroup(None, None)
+
+    n_plain = len(tracker.getJobIdsForGroup("onepass-plain"))
+    n_fresh = len(tracker.getJobIdsForGroup("onepass-fresh"))
+    n_replay = len(tracker.getJobIdsForGroup("onepass-replay"))
+    assert n_fresh == n_plain, (
+        f"fresh epoch ran {n_fresh} jobs vs {n_plain} for the bare "
+        f"write — an extra pass over the micro-batch came back")
+    assert n_replay == 0, "replayed committed epoch ran Spark jobs"
+
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM flows_pg").fetchone()[0] == 200
+    con.close()
+
+
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 # Derby's dialect maps StringType to CLOB — pin the two string columns
 # so stage types match the VARCHAR target
