@@ -397,7 +397,12 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     if not (1 <= bands <= 16 and 16 % bands == 0):
         raise ValueError(
             f"bands ({bands}) must divide the 16-bit simhash width")
-    s = simhash_table(df, text_col, id_col)
+    # the banded self-join below aliases the table into BOTH sides —
+    # without a lineage cut the tokenize+bit-aggregate pipeline plans
+    # and executes twice (round-10; the cosine_near_dup_pairs "sign
+    # once" device). Checkpoint the PRE-explode per-doc row (×1, not
+    # ×bands) so each side re-derives only the cheap band explode.
+    s = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
     width = 16 // bands
     mask = (1 << width) - 1
     band_structs = [

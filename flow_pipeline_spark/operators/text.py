@@ -591,7 +591,13 @@ def train_unigram_lm(docs: DataFrame, text_col: str = "text",
                    F.lit(0)).alias("n_total")))
     vocab = (toks.groupBy("tok").agg(F.count("*").alias("c"))
              .orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size))
-    return vocab.crossJoin(total)
+    # the model table is referenced several times by every consumer
+    # (scoring join + n_total reduce; DSIR trains TWO of these) — each
+    # reference re-planned the tokenize+vocab pipeline. Lazy
+    # localCheckpoint pins the ≤vocab_size-row artifact after its first
+    # materialization (round-10; the duplicate_clusters device) — the
+    # corpus is tokenized once per trained model, not once per use.
+    return vocab.crossJoin(total).localCheckpoint(eager=False)
 
 
 def score_with_lm(docs: DataFrame, lm: DataFrame,
@@ -660,7 +666,10 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
                               F.col("c").alias("c1")), "a")
           .orderBy(F.desc("c2"), F.asc("a"), F.asc("b"))
           .limit(bigram_size))
-    return uni, bi
+    # same device as train_unigram_lm's return: the ≤bigram_size-row
+    # model table otherwise re-plans the pair explode+aggregate into
+    # every scoring reference
+    return uni, bi.localCheckpoint(eager=False)
 
 
 def score_with_bigram_lm(docs: DataFrame, uni: DataFrame, bi: DataFrame,

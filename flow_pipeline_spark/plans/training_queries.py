@@ -2684,7 +2684,14 @@ def bpe_encode_stored(spark, sf_dir):
 )
 def exact_substring_scrub(spark, sf_dir):
     corpus = _span_planted_corpus(spark, sf_dir)
-    spans = D.repeated_span_table(corpus, k=8)
+    # the span table feeds BOTH the per-doc count aggregate and the
+    # scrub join — lazy checkpoint so the stride-1 fingerprint pipeline
+    # executes once (round-10; spans are the bounded flagged-island
+    # rows, not documents). The corpus's three references stay
+    # re-derived on purpose: each is a cheap narrow union re-scan, the
+    # right side of the cache rule at 100 TB.
+    spans = (D.repeated_span_table(corpus, k=8)
+             .localCheckpoint(eager=False))
     per_doc = (spans.groupBy("doc_id")
                .agg(F.count("*").alias("n_spans"),
                     F.sum("span_len").alias("n_removed")))
