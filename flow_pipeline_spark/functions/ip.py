@@ -284,10 +284,20 @@ def flow_addr_to_string(addr: Column, etype: Column) -> Column:
     batch round-trip measured faster (1.41 s vs 1.85 s at sf0.1's 100k
     distinct addrs). ``ipv6_num_to_string`` stays the zero-Python form
     for SQL registration and UDF-free pipelines; both are hypothesis-
-    tested equal to Python ``ipaddress``."""
+    tested equal to Python ``ipaddress``.
+
+    The UDF input is NULL-masked for the v4 arm (round-10): Spark
+    extracts a Python UDF out of a CASE into an ArrowEvalPython node
+    that evaluates it for EVERY input row, so without the mask the v4
+    rows — whose render the outer CASE discards — still shipped their
+    16 address bytes through Arrow and paid the v6 kernel. Masked rows
+    ship as Arrow nulls (no payload) and short-circuit in the kernel;
+    on an even v4/v6 split the Python boundary cost halves."""
+    v6_in = F.when(etype == 0x800, F.lit(None).cast("binary")) \
+        .otherwise(addr)
     return F.when(
         etype == 0x800, ipv4_num_to_string(ipv4_from_flow_addr(addr))
-    ).otherwise(_ipv6_render(addr))
+    ).otherwise(_ipv6_render(v6_in))
 
 
 @pandas_udf(StringType())
