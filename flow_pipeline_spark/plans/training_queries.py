@@ -60,8 +60,43 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_fanned(spark, sf_dir):
+    """Documents with the small-scan fan-out (guide §2.5 input skew) —
+    used ONLY by the builders where the interleaved A/B measured a win:
+    pipelines whose dominant cost is narrow per-row work in a single
+    documents pass (bm25's tokenize pipeline, the quality gates). The
+    multi-re-scan pipelines measured SLOWER fanned (every deliberate
+    re-scan re-pays the repartition shuffle of the text payload, while
+    their heavy kernels already run post-shuffle on word/fingerprint
+    tables), so ``_docs`` stays the bare scan. No-op on any input whose
+    scan already yields >= parallelism splits, i.e. at production scale."""
+    from ..sources.tables import fan_out_small_scan
+    path = os.path.join(sf_dir, "documents.parquet")
+    return fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"), spark, path)
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _emb_fanned(spark, sf_dir):
+    """Embeddings with the small-scan fan-out — used ONLY by knn_cosine,
+    the one embeddings query where the interleaved A/B measured a win
+    (JVM higher-order-function cosine folds per row: pure codegen work
+    that parallelizes for free). The Arrow/GEMM kernels measured SLOWER
+    fanned — 32 tiny record batches cost more in per-task Python-worker
+    round-trips than one big per-batch GEMM saves (guide §4.2's
+    batch-size caveat) — and the iterative trainers (kmeans_fit,
+    pq_train) must keep the bare scan regardless: their centroid
+    partial-sum merge order is the one place partitioning can move a
+    float last-ulp (the kmeans_cells ADVICE fragility). Per-row results
+    are partition-independent (dot products computed in full wherever a
+    row lands; top-k via the tie-correct devices)."""
+    from ..sources.tables import fan_out_small_scan
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings"), spark, path)
 
 
 def _with_exact_copies(df, n: int = 50):
@@ -380,7 +415,7 @@ _EMB_EXPLODED = """
         "id). LSH variant = ann_lsh_knn (operators/similarity.py).",
 )
 def knn_cosine(spark, sf_dir):
-    e = _emb(spark, sf_dir)
+    e = _emb_fanned(spark, sf_dir)
     return (
         S.brute_knn(e, e.filter(F.col("vec_id") < 10), k=5)
         .orderBy("q", "rank")
@@ -1696,7 +1731,7 @@ _CLF_INTS_SQL = f"""
 def quality_classifier(spark, sf_dir):
     # stage z once; score and keep both derive from it (keep gates on the
     # SIGN of the margin — `score >= 0.5` flips at the 4dp boundary)
-    return (_docs(spark, sf_dir)
+    return (_docs_fanned(spark, sf_dir)
             .select("doc_id", TX.classifier_z(F.col("text")).alias("z"))
             .select("doc_id",
                     TX.classifier_score(F.col("z")).alias("score"),
@@ -3911,7 +3946,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 )
 def bm25_search(spark, sf_dir):
     from ..operators.retrieval import bm25_search as _bm25
-    return _bm25(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+    return _bm25(_docs_fanned(spark, sf_dir), _BM25_TERMS, k=10)
 
 
 def _cache_root() -> str:

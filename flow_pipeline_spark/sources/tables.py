@@ -46,6 +46,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Scale-adaptive input fan-out (optimization guide §2.5 "input skew"):
+# a parquet file with ONE row group is an unsplittable input — Spark
+# assigns each row group to a single scan task, so every narrow stage
+# over such a table (tokenize/shingle explodes, MinHash signature
+# folds, stride-1 fingerprint generators, Arrow GEMM kernels) runs on
+# ONE core no matter how many the session has. When the scan yields
+# fewer partitions than the session's parallelism, a round-robin
+# repartition up to parallelism spreads that narrow work across the
+# cores for the price of one small local shuffle (the whole table is
+# test-scale by construction when this fires). On a production-scale
+# table the scan already yields >= parallelism splits and this is a
+# NO-OP — the decision derives from the actual input layout at build
+# time, not from a tuned constant, so the 100 TB plan never shuffles
+# documents (pinned by the plan tests, which disable the device via
+# this conf to capture the production shape).
+FAN_OUT_CONF = "spark.flowPipeline.fanOutSmallScans"
+_SCAN_PARTS_CACHE: "dict[tuple[str, str, int], int]" = {}
+
+
+def fan_out_small_scan(df: DataFrame, spark: SparkSession,
+                       path: str) -> DataFrame:
+    """Repartition ``df`` (a fresh parquet scan of ``path``) up to the
+    session's default parallelism iff the scan yields fewer partitions.
+    The partition count is memoized per (app, path, parallelism) — it is
+    a pure function of file layout and session conf, and computing it
+    plans the scan's RDD, which is not free to repeat per query build."""
+    if str(spark.conf.get(FAN_OUT_CONF, "true")).lower() != "true":
+        return df
+    want = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), want)
+    parts = _SCAN_PARTS_CACHE.get(key)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = parts
+    if parts >= want:
+        return df
+    return df.repartition(want)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries match the

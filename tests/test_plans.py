@@ -31,9 +31,24 @@ def _optimized_plan(df) -> str:
 def plans(spark):
     cache: dict[str, str] = {}
 
+    # These tests pin the PRODUCTION plan shape. The scale-adaptive
+    # small-scan fan-out (sources/tables.py:fan_out_small_scan) fires on
+    # the one-row-group test files but is a no-op on any production-scale
+    # scan, so it is disabled here — otherwise its local round-robin
+    # Exchange (which deliberately carries whole documents at test scale)
+    # would mask the at-scale invariants ("text never crosses an
+    # Exchange"). The device itself is pinned by test_fan_out_small_scan*.
+    from flow_pipeline_spark.sources.tables import FAN_OUT_CONF
+
     def get(name: str) -> str:
         if name not in cache:
-            cache[name] = _executed_plan(QUERIES[name].spark(spark, SF_DIR))
+            old = spark.conf.get(FAN_OUT_CONF, "true")
+            spark.conf.set(FAN_OUT_CONF, "false")
+            try:
+                cache[name] = _executed_plan(
+                    QUERIES[name].spark(spark, SF_DIR))
+            finally:
+                spark.conf.set(FAN_OUT_CONF, old)
         return cache[name]
 
     return get
@@ -364,3 +379,63 @@ def test_kmv_state_build_keeps_k_rows_per_key_map_side(spark):
     # exchange line it feeds
     ex = p.index("Exchange hashpartitioning(k")
     assert ", Partial" in p[ex:]
+
+
+def test_fan_out_small_scan_spreads_one_row_group_input(spark, tmp_path):
+    """Scale-adaptive input fan-out (guide §2.5 'input skew'): a parquet
+    file whose scan yields fewer partitions than the session's
+    parallelism — the unsplittable one-row-group test-file layout — is
+    round-robin repartitioned up to parallelism, so narrow heavy stages
+    (signature folds, tokenize explodes, Arrow kernels) use every core.
+    The conf kill-switch restores the bare scan (how the production plan
+    tests above pin the at-scale no-shuffle shapes)."""
+    from pyspark.sql import functions as F
+
+    from flow_pipeline_spark.sources.tables import (FAN_OUT_CONF,
+                                                    fan_out_small_scan)
+
+    path = str(tmp_path / "one_group.parquet")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() == 1
+    want = spark.sparkContext.defaultParallelism
+
+    fanned = fan_out_small_scan(spark.read.parquet(path), spark, path)
+    assert fanned.rdd.getNumPartitions() == want
+    # results are the fan-out-invariant frame, just spread out
+    assert fanned.agg(F.sum("id")).first()[0] == 1000 * 999 // 2
+
+    old = spark.conf.get(FAN_OUT_CONF, "true")
+    spark.conf.set(FAN_OUT_CONF, "false")
+    try:
+        bare = fan_out_small_scan(spark.read.parquet(path), spark, path)
+        assert bare.rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.set(FAN_OUT_CONF, old)
+
+
+def test_fan_out_small_scan_noops_on_well_split_input(spark, tmp_path):
+    """The fan-out decision derives from the actual scan layout: an
+    input that already yields >= parallelism splits (any production-scale
+    table) is returned UNTOUCHED — no repartition Exchange appears, so
+    at scale documents never shuffle (the invariant the plan tests pin
+    with the device disabled)."""
+    from flow_pipeline_spark.sources.tables import fan_out_small_scan
+
+    want = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "many_files.parquet")
+    spark.range(10_000).repartition(want * 2).write.parquet(path)
+    # one file per split: charge each tiny file a full split's cost
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+    try:
+        df = spark.read.parquet(path)
+        parts = df.rdd.getNumPartitions()
+        assert parts >= want, parts
+        fanned = fan_out_small_scan(df, spark, path)
+        assert fanned is df          # identical object: no plan change
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
