@@ -237,6 +237,24 @@ def _cpu_skew(now: dict, reference: "dict | None") -> "float | None":
     return round(max(ratios) / max(min(ratios), 1e-12), 3)
 
 
+def _cpu_skew_verdict(now: dict, committed_cal: "dict | None",
+                      best_cal: "dict | None"
+                      ) -> "tuple[float | None, float | None, bool]":
+    """(skew_vs_committed, skew_vs_best, skewed?) — the run is skewed
+    only when it is non-uniform vs EVERY available reference. The
+    witness's job is to catch non-uniform degradation of THIS host; a
+    run that reads uniform against the best-known clean host is
+    comparable to something and keeps the clean label even when the
+    committed record was taken on a squeezed host (round-10 session 3:
+    a clean slow-host record with GEMM 27.6 GFLOPS flipped the very
+    next run — hardware recovered to 196.8 — to contaminated at skew
+    7.5 vs the record, while its skew vs the best-known host was 2.0)."""
+    s_committed = _cpu_skew(now, committed_cal)
+    s_best = _cpu_skew(now, best_cal)
+    skews = [s for s in (s_committed, s_best) if s]
+    return s_committed, s_best, bool(skews and min(skews) > CPU_SKEW_MAX)
+
+
 def _io_calibration(size_mb: int = 512) -> float:
     """Raw page-cache write throughput (MB/s) of the filesystem the
     ingest sections write to — recorded for ATTRIBUTION: the ingest
@@ -255,6 +273,21 @@ def _io_calibration(size_mb: int = 512) -> float:
         os.fsync(f.fileno())
         dt = time.perf_counter() - t0
     return round(size_mb / dt, 1)
+
+
+def _raise_baseline(baseline: float, observed: float) -> float:
+    """Let the I/O baseline RISE when a later calibration proves the
+    run-start reading was itself taken into a contended disk (round-10
+    session 3: the opening calibration read 17.7 MB/s while every later
+    probe read 170-460 — with the depressed baseline, the `>= baseline/2`
+    witness gates passed trivially all run and certified nothing). Only a
+    >2x exceedance raises it: ordinary fsync/page-cache variance stays
+    within 2x, so a single lucky probe cannot ratchet the baseline past
+    what the disk steadily delivers and flip later sections to false
+    contamination."""
+    if observed > 2 * baseline:
+        return observed
+    return baseline
 
 
 def _await_write_headroom(baseline_mbps: float, retries: int = 10,
@@ -545,6 +578,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # neighbor I/O burst starting mid-section with load1 flat
             # and floor_ratio clean because every sample was slow)
             cal_before, _ = _await_write_headroom(io_baseline)
+            io_baseline = _raise_baseline(io_baseline, cal_before)
             # round 7: per-sample gating (see _gated_warm_samples) —
             # the section pauses at sample boundaries while a neighbor
             # burst drains, and publishes the witness-clean subset
@@ -553,6 +587,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             warm, s_opens, s_closes, warm_load = _gated_warm_samples(
                 run_ingest, io_baseline, 5, opening_cal=cal_before)
             cal_after, cal_trace = _settled_calibration(io_baseline)
+            io_baseline = _raise_baseline(io_baseline, cal_after)
             pub, n_excl, wit_ok = _witness_clean_subset(
                 warm, s_opens, s_closes, io_baseline, min_clean=3)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
@@ -645,6 +680,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # decode writes its output partitioned to disk — same
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
+            io_baseline = _raise_baseline(io_baseline, cal_before)
             dec_warm, d_opens, d_closes, _dl = _gated_warm_samples(
                 run_decode, io_baseline, 3, opening_cal=cal_before)
             # longer settle horizon than ingest (8 probes / 2 min): this
@@ -653,6 +689,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # give it the minute rather than publish "contaminated"
             cal_after, cal_trace = _settled_calibration(
                 io_baseline, probes=8, sleep_s=15)
+            io_baseline = _raise_baseline(io_baseline, cal_after)
             pub, n_excl, wit_ok = _witness_clean_subset(
                 dec_warm, d_opens, d_closes, io_baseline, min_clean=2)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
@@ -695,6 +732,10 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         out["decode_dispersion"] = best.get("dispersion")
         out["load1_after_decode_incl_self"] = round(os.getloadavg()[0], 1)
         wire.unpersist()
+        # the baseline the section's gates ENDED with (differs from the
+        # run-start value only when _raise_baseline caught a depressed
+        # opening calibration)
+        out["io_baseline_effective"] = io_baseline
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -850,6 +891,7 @@ def main() -> None:
         if qpass:
             _await_idle_host(retries=6)
         cal_before, _ = _await_write_headroom(io_baseline)
+        io_baseline = _raise_baseline(io_baseline, cal_before)
         pass_t: dict[str, float] = {}
         pass_load: dict[str, float] = {}
         pass_disp: dict[str, float] = {}
@@ -863,6 +905,7 @@ def main() -> None:
             pass_disp[name] = round(max(samples) / max(min(samples), 1e-9),
                                     3)
         cal_after, cal_trace = _settled_calibration(io_baseline)
+        io_baseline = _raise_baseline(io_baseline, cal_after)
         for name, dt in pass_t.items():
             # attribution follows the PUBLISHED timing: the load reading
             # must describe the pass whose min actually publishes, not
@@ -896,6 +939,7 @@ def main() -> None:
             break
     queries_io_contended = (
         query_passes[-1]["io_cal_after"] < io_baseline / 2)
+    host["io_baseline_effective_queries"] = io_baseline
     # recorded: dispersion of the pass each query actually published
     # from; gated (like queries_io_contended): the LAST pass's verdict —
     # the loop only stops early when it is ok, so a not-ok here means
@@ -931,12 +975,23 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     committed = _load_committed_detail(here)
     committed_cal = (committed or {}).get("host", {}).get("cpu_cal")
+    # best-known clean host calibration, carried forward across record
+    # refreshes (round-10 session 3): the recency rule can commit a
+    # record from a SLOW-BUT-STABLE host (clean by every witness), and
+    # its cpu_cal — e.g. a GEMM squeezed 5x — then becomes the skew
+    # reference, so the next run on a HEALTHY host reads as "skewed"
+    # purely because the hardware recovered (observed: a clean 27.6
+    # GFLOPS record flipped the very next run, GEMM back at 196.8, to
+    # contaminated at skew 7.5). The witness's job is to catch
+    # non-uniform DEGRADATION, so a run uniform vs EITHER reference —
+    # the committed record's host or the best host ever recorded — is
+    # comparable to something and may keep the clean label.
+    best_cal = (committed or {}).get("cpu_cal_best") or committed_cal
     host["cpu_speed_vs_committed"] = _cpu_speed_ratio(
         host["cpu_cal"], committed_cal)
-    host["cpu_skew_vs_committed"] = _cpu_skew(
-        host["cpu_cal"], committed_cal)
-    cpu_skewed = bool(host["cpu_skew_vs_committed"]
-                      and host["cpu_skew_vs_committed"] > CPU_SKEW_MAX)
+    (host["cpu_skew_vs_committed"], host["cpu_skew_vs_best"],
+     cpu_skewed) = _cpu_skew_verdict(host["cpu_cal"], committed_cal,
+                                     best_cal)
     host["cpu_skewed_vs_committed"] = cpu_skewed
     contaminated = bool(
         host.get("proceeded_busy")
@@ -971,7 +1026,19 @@ def main() -> None:
     # stdout line is now COMPACT (scalars + the per-query dict, ~2 KB);
     # every attempt trace, warm-sample array and per-pass calibration
     # moves to the BENCH_DETAIL.json sidecar next to this script.
+    # carry the best-known clean host calibration forward: a clean run
+    # on a faster host (geomean ratio > 1 vs the current best) promotes
+    # its own calibration; contaminated runs never do
+    if best_cal is None:
+        cal_best = host["cpu_cal"] if not contaminated else None
+    else:
+        cal_best = best_cal
+        if not contaminated:
+            r = _cpu_speed_ratio(host["cpu_cal"], best_cal)
+            if r and r > 1:
+                cal_best = host["cpu_cal"]
     detail = {
+        "cpu_cal_best": cal_best,
         "queries": timings,
         "query_dispersion": query_disp,
         "query_load1_at_start": query_load,
@@ -999,7 +1066,8 @@ def main() -> None:
             "io_calibration_mb_per_sec", "load1_at_end_incl_self",
             "queries_io_contended", "queries_dispersion_dirty",
             "cpu_cal", "cpu_speed_vs_committed",
-            "cpu_skew_vs_committed", "cpu_skewed_vs_committed",
+            "cpu_skew_vs_committed", "cpu_skew_vs_best",
+            "cpu_skewed_vs_committed",
             "contaminated", "retries_exhausted") if k in host}
     line = json.dumps({
         "metric": "headline_queries_total",

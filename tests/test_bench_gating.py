@@ -349,3 +349,48 @@ def test_cpu_skew_flags_non_uniform_host_degradation():
     assert bench._cpu_skew(other_hw, committed) < bench.CPU_SKEW_MAX
     # no committed record yet -> no witness, no false contamination
     assert bench._cpu_skew(squeezed, None) is None
+
+
+def test_raise_baseline_recovers_from_depressed_opening_calibration():
+    """Round-10 session 3: the run-start fsync calibration read 17.7 MB/s
+    (a neighbor burst) while every later probe read 170-460 — with the
+    depressed baseline, every `>= baseline/2` witness gate passed
+    trivially and certified nothing. The baseline must RISE when a later
+    calibration exceeds it >2x (the opening reading was itself
+    contaminated), and must NOT ratchet on ordinary <=2x fsync/page-cache
+    variance, which would flip later sections to false contamination."""
+    assert bench._raise_baseline(17.7, 451.3) == 451.3   # the real case
+    assert bench._raise_baseline(300.0, 450.0) == 300.0  # normal variance
+    assert bench._raise_baseline(300.0, 150.0) == 300.0  # never lowers
+    # ratchet is monotone: once raised, a weaker later probe keeps it
+    b = bench._raise_baseline(17.7, 451.3)
+    assert bench._raise_baseline(b, 320.0) == b
+
+
+def test_cpu_skew_verdict_accepts_recovery_from_a_slow_committed_record():
+    """Round-10 session 3: the recency rule committed a CLEAN record from
+    a slow-but-stable host (GEMM squeezed ~5x), and the very next run —
+    hardware recovered — read skew 7.5 vs that record and was falsely
+    contamination-labeled. The verdict now also compares against the
+    best-known clean host calibration (carried in the record's
+    cpu_cal_best): uniform vs EITHER reference keeps the clean label; a
+    genuinely squeezed host is non-uniform vs both and still refuses."""
+    best = {"python_kops": 9574.9, "gemm_gflops": 130.0,
+            "pandas_groupby_mrows": 52.7}          # r9 driver host
+    slow_committed = {"python_kops": 8370.5, "gemm_gflops": 27.6,
+                      "pandas_groupby_mrows": 36.7}  # session-3 record
+    recovered = {"python_kops": 7906.9, "gemm_gflops": 196.8,
+                 "pandas_groupby_mrows": 39.8}       # the very next run
+    s_c, s_b, skewed = bench._cpu_skew_verdict(
+        recovered, slow_committed, best)
+    assert s_c > bench.CPU_SKEW_MAX                  # 7.5 on real numbers
+    assert s_b < bench.CPU_SKEW_MAX                  # ~2.0: uniform-ish
+    assert not skewed                                # clean label kept
+    # a genuinely squeezed host fails against BOTH references
+    squeezed = {"python_kops": 9007.7, "gemm_gflops": 3.0,
+                "pandas_groupby_mrows": 31.2}
+    _, _, bad = bench._cpu_skew_verdict(squeezed, slow_committed, best)
+    assert bad
+    # no references at all -> no witness, no false contamination
+    assert bench._cpu_skew_verdict(recovered, None, None) == (
+        None, None, False)
