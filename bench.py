@@ -275,19 +275,38 @@ def _io_calibration(size_mb: int = 512) -> float:
     return round(size_mb / dt, 1)
 
 
-def _raise_baseline(baseline: float, observed: float) -> float:
-    """Let the I/O baseline RISE when a later calibration proves the
+class _BaselineRatchet:
+    """Let the I/O baseline RISE when later calibrations prove the
     run-start reading was itself taken into a contended disk (round-10
     session 3: the opening calibration read 17.7 MB/s while every later
     probe read 170-460 — with the depressed baseline, the `>= baseline/2`
-    witness gates passed trivially all run and certified nothing). Only a
-    >2x exceedance raises it: ordinary fsync/page-cache variance stays
-    within 2x, so a single lucky probe cannot ratchet the baseline past
-    what the disk steadily delivers and flip later sections to false
-    contamination."""
-    if observed > 2 * baseline:
-        return observed
-    return baseline
+    witness gates passed trivially all run and certified nothing).
+
+    Round-11 (ADVICE r10): raising now needs TWO consecutive >2x
+    exceedances, and the raised value is the MIN of the two exceeding
+    probes. A single probe can read high transiently (a 128 MB probe
+    landing entirely in page cache while the 512 MB run-start
+    calibration hit writeback); latching the baseline on that one lucky
+    reading could flip later honest sections to false contamination and
+    burn the bounded retry budget. Two consecutive exceedances mirror
+    how _settled_calibration already demands multi-probe evidence;
+    ordinary <=2x fsync/page-cache variance clears the pending evidence
+    and never ratchets. One ratchet per gated section (the exceedances
+    must be consecutive readings of the SAME section's disk)."""
+
+    def __init__(self) -> None:
+        self._pending: "float | None" = None
+
+    def observe(self, baseline: float, observed: float) -> float:
+        if observed > 2 * baseline:
+            if self._pending is not None:
+                raised = min(self._pending, observed)
+                self._pending = None
+                return raised
+            self._pending = observed
+            return baseline
+        self._pending = None
+        return baseline
 
 
 def _await_write_headroom(baseline_mbps: float, retries: int = 10,
@@ -567,6 +586,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         # idleness re-check between attempts) instead of publishing it.
         import statistics
         attempts = []
+        ratchet = _BaselineRatchet()
         t_section = time.monotonic()
         attempt = 0
         while True:
@@ -578,7 +598,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # neighbor I/O burst starting mid-section with load1 flat
             # and floor_ratio clean because every sample was slow)
             cal_before, _ = _await_write_headroom(io_baseline)
-            io_baseline = _raise_baseline(io_baseline, cal_before)
+            io_baseline = ratchet.observe(io_baseline, cal_before)
             # round 7: per-sample gating (see _gated_warm_samples) —
             # the section pauses at sample boundaries while a neighbor
             # burst drains, and publishes the witness-clean subset
@@ -587,7 +607,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             warm, s_opens, s_closes, warm_load = _gated_warm_samples(
                 run_ingest, io_baseline, 5, opening_cal=cal_before)
             cal_after, cal_trace = _settled_calibration(io_baseline)
-            io_baseline = _raise_baseline(io_baseline, cal_after)
+            io_baseline = ratchet.observe(io_baseline, cal_after)
             pub, n_excl, wit_ok = _witness_clean_subset(
                 warm, s_opens, s_closes, io_baseline, min_clean=3)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
@@ -672,6 +692,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         dec_warmup = [run_decode() for _ in range(2)]
         out["protobuf_decode_rows_per_sec_cold"] = round(dec_warmup[0])
         dec_attempts = []
+        ratchet = _BaselineRatchet()
         t_section = time.monotonic()
         attempt = 0
         while True:
@@ -680,7 +701,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # decode writes its output partitioned to disk — same
             # write-bound contamination surface as ingest, same gate
             cal_before, _ = _await_write_headroom(io_baseline)
-            io_baseline = _raise_baseline(io_baseline, cal_before)
+            io_baseline = ratchet.observe(io_baseline, cal_before)
             dec_warm, d_opens, d_closes, _dl = _gated_warm_samples(
                 run_decode, io_baseline, 3, opening_cal=cal_before)
             # longer settle horizon than ingest (8 probes / 2 min): this
@@ -689,7 +710,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
             # give it the minute rather than publish "contaminated"
             cal_after, cal_trace = _settled_calibration(
                 io_baseline, probes=8, sleep_s=15)
-            io_baseline = _raise_baseline(io_baseline, cal_after)
+            io_baseline = ratchet.observe(io_baseline, cal_after)
             pub, n_excl, wit_ok = _witness_clean_subset(
                 dec_warm, d_opens, d_closes, io_baseline, min_clean=2)
             lo, med, peak = (min(pub), statistics.median(pub), max(pub))
@@ -733,7 +754,7 @@ def _ingest_throughput(spark, io_baseline: float) -> dict[str, float]:
         out["load1_after_decode_incl_self"] = round(os.getloadavg()[0], 1)
         wire.unpersist()
         # the baseline the section's gates ENDED with (differs from the
-        # run-start value only when _raise_baseline caught a depressed
+        # run-start value only when the baseline ratchet caught a depressed
         # opening calibration)
         out["io_baseline_effective"] = io_baseline
     finally:
@@ -823,6 +844,21 @@ def _write_detail_records(here: str, detail: dict,
         print(f"bench: clean run, but {keep_reason} — keeping the "
               "committed best-clean record; this run is in "
               "BENCH_DETAIL_LAST.json", file=sys.stderr)
+        # the best-known host calibration must still ADVANCE (round-11,
+        # ADVICE r10): a clean run on the fastest-ever host that loses
+        # the total-time curation otherwise parks its promoted cal_best
+        # in the gitignored sidecar and the reference silently never
+        # moves. Metadata-only update — timings/host of the committed
+        # record are untouched.
+        if (committed is not None
+                and detail.get("cpu_cal_best")
+                and detail["cpu_cal_best"] != committed.get("cpu_cal_best")):
+            committed = dict(committed)
+            committed["cpu_cal_best"] = detail["cpu_cal_best"]
+            with open(detail_path, "w") as f:
+                json.dump(committed, f, indent=1)
+            print("bench: advanced the committed record's cpu_cal_best "
+                  "(metadata-only)", file=sys.stderr)
         return
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -863,12 +899,64 @@ def _keep_committed_reason(detail: dict,
     return None
 
 
+def _promote_cal_best(host_cal: dict, best_cal: "dict | None",
+                      contaminated: bool) -> "dict | None":
+    """Advance the best-known clean host calibration. A clean run whose
+    geomean CPU ratio beats the current best promotes its own cal —
+    but only when it is also UNIFORM vs the current best (round-11,
+    ADVICE r10): a host non-uniformly fast on one component (e.g. a
+    GEMM-537 / slow-python outlier) must not become the skew reference,
+    or future ordinary uniform hosts read as skewed against it.
+    Contaminated runs never promote."""
+    if best_cal is None:
+        return host_cal if not contaminated else None
+    if not contaminated:
+        r = _cpu_speed_ratio(host_cal, best_cal)
+        skew = _cpu_skew(host_cal, best_cal)
+        if r and r > 1 and (skew is None or skew <= CPU_SKEW_MAX):
+            return host_cal
+    return best_cal
+
+
+def _scaling_contract(spark) -> dict:
+    """Driver-visible proof that the CPU/scaling contract is honored
+    (round-11, VERDICT r10 item #1): PERF_r10 flagged
+    ``suspect_cpus_ignored`` on flat 8-vs-32-core ratios even though the
+    session provably applies $SPARK_GRAFT_CPUS — the printed one-line
+    JSON carried no evidence to attribute ≈1 ratios to the INPUT (every
+    sf0.1 table is one parquet file with one row group, an unsplittable
+    scan that caps narrow-stage parallelism at 1 task) rather than to a
+    broken env contract. Emits (a) the env value and the parallelism the
+    running context actually applied, and (b) the scan split count of
+    each input table — a reader can now tell 'env ignored' from 'input
+    unsplittable' without rerunning anything."""
+    sc = spark.sparkContext
+    splits = {}
+    for t in ("events", "documents", "embeddings", "lineitem", "orders"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            try:
+                splits[t] = spark.read.parquet(p).rdd.getNumPartitions()
+            except Exception:           # unreadable table: not a contract
+                splits[t] = None        # failure, record the gap
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    return {
+        "cpus_env": int(env) if env and env.isdigit() else env,
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")),
+        "scan_splits": splits,
+    }
+
+
 def main() -> None:
     host = _await_idle_host()
     host["io_calibration_mb_per_sec"] = _io_calibration()
     host["cpu_cal"] = _cpu_calibration()
     spark = get_spark("flow-pipeline-bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    scaling = _scaling_contract(spark)
 
     # warm the JVM + parquet footers once with the cheapest query
     _force(QUERIES["top_event_types"].spark(spark, SF_DIR))
@@ -885,13 +973,14 @@ def main() -> None:
     query_load: dict[str, float] = {}
     query_disp: dict[str, float] = {}
     query_passes: list[dict] = []
+    ratchet = _BaselineRatchet()
     t_qsection = time.monotonic()
     qpass = 0
     while True:
         if qpass:
             _await_idle_host(retries=6)
         cal_before, _ = _await_write_headroom(io_baseline)
-        io_baseline = _raise_baseline(io_baseline, cal_before)
+        io_baseline = ratchet.observe(io_baseline, cal_before)
         pass_t: dict[str, float] = {}
         pass_load: dict[str, float] = {}
         pass_disp: dict[str, float] = {}
@@ -905,7 +994,7 @@ def main() -> None:
             pass_disp[name] = round(max(samples) / max(min(samples), 1e-9),
                                     3)
         cal_after, cal_trace = _settled_calibration(io_baseline)
-        io_baseline = _raise_baseline(io_baseline, cal_after)
+        io_baseline = ratchet.observe(io_baseline, cal_after)
         for name, dt in pass_t.items():
             # attribution follows the PUBLISHED timing: the load reading
             # must describe the pass whose min actually publishes, not
@@ -1029,16 +1118,10 @@ def main() -> None:
     # carry the best-known clean host calibration forward: a clean run
     # on a faster host (geomean ratio > 1 vs the current best) promotes
     # its own calibration; contaminated runs never do
-    if best_cal is None:
-        cal_best = host["cpu_cal"] if not contaminated else None
-    else:
-        cal_best = best_cal
-        if not contaminated:
-            r = _cpu_speed_ratio(host["cpu_cal"], best_cal)
-            if r and r > 1:
-                cal_best = host["cpu_cal"]
+    cal_best = _promote_cal_best(host["cpu_cal"], best_cal, contaminated)
     detail = {
         "cpu_cal_best": cal_best,
+        "scaling": scaling,
         "queries": timings,
         "query_dispersion": query_disp,
         "query_load1_at_start": query_load,
@@ -1075,6 +1158,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scaling": scaling,
         "ingest": compact_ingest,
         "rollup_routing": routing,
         "host": compact_host,

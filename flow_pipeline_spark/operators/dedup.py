@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .lineage import cut_lineage
 from .text import normalize_text, shingles, tokens
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -257,7 +258,7 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         # carried 14 scans / 28 exchanges, three signature-pipeline
         # clones). The checkpoint materializes only the bounded pair
         # list; every branch reads the persisted RDD.
-        candidates = candidates.localCheckpoint(eager=False)
+        candidates = cut_lineage(candidates)
         # semi-join FIRST: only docs that actually appear in a candidate
         # pair get shingled/aggregated — without it the whole corpus's
         # shingle sets build and shuffle just to be discarded by the
@@ -279,8 +280,10 @@ def jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                       .alias("shingle"))
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("shs"))
-            .withColumn("sz", F.size("shs"))
-            .localCheckpoint(eager=False))
+            .withColumn("sz", F.size("shs")))
+        # corpus-scale pin (candidate docs' shingle sets): fault-tolerant
+        # under the reliable-checkpoint conf (VERDICT r10 item #1)
+        doc_sets = cut_lineage(doc_sets)
         return (
             candidates
             .join(doc_sets.select(F.col(id_col).alias("id_a"),
@@ -402,7 +405,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     # and executes twice (round-10; the cosine_near_dup_pairs "sign
     # once" device). Checkpoint the PRE-explode per-doc row (×1, not
     # ×bands) so each side re-derives only the cheap band explode.
-    s = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
+    s = cut_lineage(simhash_table(df, text_col, id_col))
     width = 16 // bands
     mask = (1 << width) - 1
     band_structs = [
@@ -464,7 +467,7 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     # whole upstream candidate pipeline (LSH banding over the corpus) would
     # be re-executed every iteration. Lazy: round 1's convergence count is
     # the first action and persists it — no standalone job (round-10)
-    edges = edges.localCheckpoint(eager=False)
+    edges = cut_lineage(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster_id", F.col("id")))
     for _ in range(max_iter):
@@ -479,7 +482,7 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                                   F.coalesce("nbr_min", "cluster_id"))
                     .alias("cluster_id")))
         # lazy lineage cut: the changed-count below is the round's action
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = cut_lineage(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
@@ -522,12 +525,12 @@ def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
         F.least(F.col(id_a), F.col(id_b)).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False))
-    nodes = (edges.select(F.col("u").alias("id"))
-             .unionByName(edges.select(F.col("v").alias("id")))
-             .distinct()
-             .localCheckpoint(eager=False))
+        .distinct())
+    edges = cut_lineage(edges)
+    nodes = cut_lineage(
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct())
 
     def _sig(e: DataFrame) -> tuple:
         # order-independent set checksum: count + xor of row hashes (xor,
@@ -561,8 +564,8 @@ def duplicate_clusters_star(pairs: DataFrame, *, id_a: str = "id_a",
         # lazy: the round's _sig action materializes both star passes in
         # one job (each checkpoint RDD persists when first computed), so
         # a round costs one job instead of three (round-10)
-        edges = _large_star(edges).localCheckpoint(eager=False)
-        edges = _small_star(edges).localCheckpoint(eager=False)
+        edges = cut_lineage(_large_star(edges))
+        edges = cut_lineage(_small_star(edges))
         new_sig = _sig(edges)
         if new_sig == sig:
             break
@@ -678,10 +681,11 @@ def repeated_span_table(df: DataFrame, k: int = 8,
               .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "fp"))
     # chunks feeds BOTH the repeated-fp aggregate and the hits join —
     # without a lineage cut the stride-1 fingerprint generator (the
-    # plan's dominant narrow stage) executes twice. Lazy localCheckpoint:
+    # plan's dominant narrow stage) executes twice. Lazy lineage cut:
     # materialized on first use, reused by the second branch, no eager
-    # job at plan-build time (the duplicate_clusters precedent).
-    chunks = chunks.localCheckpoint(eager=False)
+    # job at plan-build time (the duplicate_clusters precedent);
+    # corpus-scale, so reliable-checkpoint-capable (VERDICT r10 item #1).
+    chunks = cut_lineage(chunks)
 
     if include_within_doc:
         # repeated ⇔ ≥2 occurrences anywhere; canonical = the globally

@@ -23,6 +23,8 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 from pyspark.sql.functions import pandas_udf
 
+from .lineage import cut_lineage
+
 
 def _dot(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
@@ -440,7 +442,9 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999, *,
         keys = ["sig"]
     else:
         keys = None
-    base = base.localCheckpoint(eager=False)
+    # corpus-scale pin: fault-tolerant when the reliable-checkpoint conf
+    # is set (VERDICT r10 item #1) — localCheckpoint otherwise
+    base = cut_lineage(base)
     if explode_ts:
         base = base.withColumn("ts", F.explode("_tsa"))
     a = base.select(*(keys or []), F.col("_id").alias("id_a"),
@@ -872,10 +876,10 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.999,
     # derived-embedding corpus (text_semantic_dedup: explode + two
     # shuffles per reference) the re-plan doubled the whole embed
     # pipeline — persist (cell, id, v, norm) once instead
-    base = (assigned.select("cell", F.col(id_col),
-                            F.col(vec_col).alias("v"),
-                            _norm(vec_col).alias("vn"))
-            .localCheckpoint(eager=False))
+    base = cut_lineage(
+        assigned.select("cell", F.col(id_col),
+                        F.col(vec_col).alias("v"),
+                        _norm(vec_col).alias("vn")))
     a = base.select("cell", F.col(id_col).alias("id_a"),
                     F.col("v").alias("va"), F.col("vn").alias("na"))
     b = base.select("cell", F.col(id_col).alias("id_b"),
@@ -1253,19 +1257,23 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]], *,
 
 
 def _build_adc_lut(queries: DataFrame, codebooks, *,
-                   id_col: str, vec_col: str):
+                   id_col: str, vec_col: str, q_rows: list | None = None):
     """Shared ADC query-side prep for :func:`pq_knn` and
     :func:`ivf_pq_knn` (one definition so the two paths' pinned
     semantics can't drift — round-6 review): collect the small query
     set, L2-normalize, and build ``LUT[qi, j, c] = <q_sub_j,
     centroid_c_j>`` so an ADC score is m lookups. Returns
-    ``(q_ids int64 array, lut (Q, m, ks), m_)``."""
+    ``(q_ids int64 array, lut (Q, m, ks), m_)``. Pass ``q_rows``
+    (already-collected (q, qv) rows) to skip the collect — ivf_pq_query
+    collects once behind its documented batch cap and shares the rows
+    between the LUT and probe selection (round-11)."""
     import numpy as np
 
     B = np.array(codebooks, dtype="float64")     # (m, ks, d_sub)
     m_, ks_, d_sub = B.shape
-    q_rows = queries.select(F.col(id_col).alias("q"),
-                            F.col(vec_col).alias("qv")).collect()
+    if q_rows is None:
+        q_rows = queries.select(F.col(id_col).alias("q"),
+                                F.col(vec_col).alias("qv")).collect()
     q_ids = np.array([r["q"] for r in q_rows], dtype="int64")
     if not q_rows:
         # shape-(0,) qm would AxisError at the norm below (round-7) —
@@ -1430,12 +1438,84 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                         id_col=id_col, vec_col=vec_col)
 
 
+# ivf_pq_query collects the query batch (ADC LUT + probe map are
+# driver-resident by the serving contract). The cap makes the contract
+# LOUD (VERDICT r10 item #2): a caller passing an unbounded batch gets a
+# sizing error instead of a silent driver-memory cliff. 65536 queries x
+# 64 dims is ~32 MB of vectors plus a (Q, m, ks) LUT — comfortable; a
+# genuinely larger batch should shard (each shard's results are
+# independent) or go through brute/LSH paths.
+IVF_PQ_MAX_QUERY_ROWS = 65536
+
+# Probe selection (nearest-nprobe-centroids per query) runs DRIVER-SIDE
+# when the exact-fold cost |q|*n_cells*dim stays under this op budget
+# (~20 ms of pure-Python arithmetic), replacing a whole Spark job (the
+# crossJoin+window over tiny frames) per query batch; above it, the
+# distributed window path runs unchanged. Both paths produce identical
+# probes: the driver fold replicates the JVM expression fold
+# operation-for-operation (sequential IEEE-double left fold), pinned by
+# test_ivf_pq_driver_probe_matches_window.
+_MAX_DRIVER_PROBE_OPS = 2_000_000
+
+
+def _fold_dot(xs, ys) -> float:
+    """Driver replica of :func:`_dot`'s fold: products left-to-right,
+    summed sequentially from 0.0 — Python floats are IEEE doubles, so
+    this is bit-identical to the JVM aggregate."""
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_norm(xs) -> float:
+    """Driver replica of :func:`_norm`'s fold (same contract as
+    :func:`_fold_dot`)."""
+    import math
+
+    acc = 0.0
+    for x in xs:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _driver_probe_map(q_rows, cent_rows, nprobe: int
+                      ) -> "dict[int, list[int]] | None":
+    """(cell -> [query index]) computed driver-side with the exact JVM
+    fold arithmetic, or None when any cosine is non-finite (zero-norm
+    vectors — let the distributed window path apply Spark's own
+    NaN-ordering semantics rather than replicate them)."""
+    import math
+
+    cents = [(int(r["cid"]), r["cv"], _fold_norm(r["cv"]))
+             for r in cent_rows]
+    out: dict[int, list[int]] = {}
+    for qi, r in enumerate(q_rows):
+        qv = r["qv"]
+        qnrm = _fold_norm(qv)
+        scored = []
+        for cid, cv, cnrm in cents:
+            denom = qnrm * cnrm
+            if denom == 0.0:
+                # Python raises on 0/0 where the JVM yields NaN — refuse
+                return None
+            c_cos = _fold_dot(qv, cv) / denom
+            if not math.isfinite(c_cos):
+                return None
+            scored.append((-c_cos, cid))
+        scored.sort()
+        for _negcos, cid in scored[:nprobe]:
+            out.setdefault(cid, []).append(qi)
+    return out
+
+
 def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
                  queries: DataFrame,
                  codebooks: list[list[list[float]]], k: int = 5, *,
                  nprobe: int = 6,
                  rerank_with: DataFrame | None = None,
                  shortlist: int | None = None,
+                 max_query_rows: int = IVF_PQ_MAX_QUERY_ROWS,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Query-time half of the IVF-PQ pipeline over its PERSISTED
@@ -1451,31 +1531,58 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
     # per-query probe set (ivf_knn's device, minus the vectors — ADC
     # uses the precomputed LUT, so probes carry only (q, cell)). The
     # probe map is COLLECTED (|queries|·nprobe tiny rows — round-10):
-    # the heavy fold stays a distributed window, but with the map in
-    # hand the ADC stage fuses into ONE mapInPandas over the codes scan
-    # (local tie-correct top-k per batch, the pq_knn/brute_vectorized
-    # shape) instead of broadcast-join → per-row pandas UDF → two-phase
-    # window — and the probed-cell filter becomes a STATIC isin
-    # predicate, so a cell-partitioned stored index prunes directories
-    # at plan time, no runtime DPP needed.
-    q = queries.select(F.col(id_col).alias("q"),
-                       F.col(vec_col).alias("qv"),
-                       _norm(vec_col).alias("qnrm"))
-    qc = (q.crossJoin(F.broadcast(cent))
-          .select("q", "cid",
-                  _cos_pre("qv", "cv",
-                           F.col("qnrm"), F.col("cnrm")).alias("c_cos")))
-    wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
-    probe_rows = (qc.withColumn("r", F.row_number().over(wq))
-                  .filter(F.col("r") <= nprobe)
-                  .select("q", F.col("cid").alias("cell")).collect())
-
-    q_ids, lut, m_ = _build_adc_lut(queries, codebooks,
-                                    id_col=id_col, vec_col=vec_col)
-    qidx = {int(qid): i for i, qid in enumerate(q_ids)}
-    cell_qis: dict[int, list[int]] = {}
-    for r in probe_rows:
-        cell_qis.setdefault(int(r["cell"]), []).append(qidx[int(r["q"])])
+    # the heavy fold stays bounded, and with the map in hand the ADC
+    # stage fuses into ONE mapInPandas over the codes scan (local
+    # tie-correct top-k per batch, the pq_knn/brute_vectorized shape)
+    # instead of broadcast-join → per-row pandas UDF → two-phase window
+    # — and the probed-cell filter becomes a STATIC isin predicate, so
+    # a cell-partitioned stored index prunes directories at plan time,
+    # no runtime DPP needed.
+    #
+    # Round-11: the query batch is collected ONCE behind the documented
+    # cap (shared by the LUT and probe selection), and for bounded
+    # |q|·n_cells·dim the probe argmax itself runs driver-side with the
+    # exact JVM fold arithmetic — the crossJoin+window job over two
+    # tiny frames disappears from the serving path. Larger batches keep
+    # the distributed window (identical probes, pinned by test).
+    q_rows = (queries.select(F.col(id_col).alias("q"),
+                             F.col(vec_col).alias("qv"))
+              .limit(max_query_rows + 1).collect())
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivf_pq_query: query batch exceeds max_query_rows="
+            f"{max_query_rows}. The ADC LUT and probe map are "
+            f"driver-resident by the serving contract — shard the "
+            f"batch (results are per-query independent) or raise the "
+            f"cap explicitly if the driver is sized for it.")
+    dim = len(q_rows[0]["qv"]) if q_rows else 0
+    cent_rows = cent.select("cid", "cv").collect()   # n_cells tiny rows
+    cell_qis = None
+    if len(q_rows) * len(cent_rows) * dim <= _MAX_DRIVER_PROBE_OPS:
+        cell_qis = _driver_probe_map(q_rows, cent_rows, nprobe)
+    q_ids, lut, m_ = _build_adc_lut(queries, codebooks, id_col=id_col,
+                                    vec_col=vec_col, q_rows=q_rows)
+    if cell_qis is None:
+        # distributed probe selection: big batches, or non-finite
+        # cosines (zero-norm vectors) where Spark's own NaN ordering
+        # must decide
+        q = queries.select(F.col(id_col).alias("q"),
+                           F.col(vec_col).alias("qv"),
+                           _norm(vec_col).alias("qnrm"))
+        qc = (q.crossJoin(F.broadcast(cent))
+              .select("q", "cid",
+                      _cos_pre("qv", "cv",
+                               F.col("qnrm"), F.col("cnrm"))
+                      .alias("c_cos")))
+        wq = W.partitionBy("q").orderBy(F.desc("c_cos"), F.asc("cid"))
+        probe_rows = (qc.withColumn("r", F.row_number().over(wq))
+                      .filter(F.col("r") <= nprobe)
+                      .select("q", F.col("cid").alias("cell")).collect())
+        qidx = {int(qid): i for i, qid in enumerate(q_ids)}
+        cell_qis = {}
+        for r in probe_rows:
+            cell_qis.setdefault(int(r["cell"]),
+                                []).append(qidx[int(r["q"])])
 
     kk = k if rerank_with is None else (shortlist or 4 * k)
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .lineage import cut_lineage
 from .text import tokens
 
 END = "▁"  # end-of-word sentinel (SentencePiece's block char)
@@ -123,11 +124,11 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
     # lineage cut (the checkpoint RDD persists when the next round's
     # pair-count computes it) at half the jobs, and the LAST round's
     # vocab — which nothing reads — never materializes at all.
-    vocab = (word_freq_table(df, text_col)
-             .filter(F.col("freq") >= min_freq)
-             .select("word", "freq",
-                     _initial_symbols(F.col("word")).alias("symbols"))
-             .localCheckpoint(eager=False))
+    vocab = cut_lineage(
+        word_freq_table(df, text_col)
+        .filter(F.col("freq") >= min_freq)
+        .select("word", "freq",
+                _initial_symbols(F.col("word")).alias("symbols")))
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (vocab.select("freq",
@@ -140,9 +141,8 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        vocab = (vocab.withColumn(
-            "symbols", _apply_merge(F.col("symbols"), a, b))
-            .localCheckpoint(eager=False))
+        vocab = cut_lineage(vocab.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), a, b)))
     return merges
 
 
@@ -436,8 +436,7 @@ def unigram_train(df: DataFrame, *, n_iters: int = 3,
     ``vocab_size``."""
     # lazy: the seed-table collect below is the first action and
     # materializes the checkpoint; the EM rounds then reuse it
-    wf = (word_freq_table(df, text_col)
-          .localCheckpoint(eager=False))
+    wf = cut_lineage(word_freq_table(df, text_col))
     seed = substring_seed_table(df, max_piece_len, text_col,
                                 word_table=wf)
     chars = seed.filter(F.length("piece") == 1)

@@ -75,7 +75,18 @@ def fan_out_small_scan(df: DataFrame, spark: SparkSession,
     if str(spark.conf.get(FAN_OUT_CONF, "true")).lower() != "true":
         return df
     want = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.applicationId, os.path.abspath(path), want)
+    # key includes the split-affecting scan confs (round-11, ADVICE r10):
+    # a session that changes maxPartitionBytes/openCostInBytes mid-app
+    # would otherwise reuse a stale count (performance-only wrongness —
+    # a skipped or superfluous repartition — but cheap to key correctly).
+    # Inputs regenerated in place within one app remain out of scope:
+    # the warehouse is immutable per application by contract (the
+    # events-cache content signature handles cross-app regeneration).
+    # no-default get: these confs always resolve, and passing a ""
+    # default trips Spark 4's typed-conf validation on vanilla sessions
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), want,
+           spark.conf.get("spark.sql.files.maxPartitionBytes"),
+           spark.conf.get("spark.sql.files.openCostInBytes"))
     parts = _SCAN_PARTS_CACHE.get(key)
     if parts is None:
         parts = df.rdd.getNumPartitions()

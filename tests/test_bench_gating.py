@@ -355,16 +355,29 @@ def test_raise_baseline_recovers_from_depressed_opening_calibration():
     """Round-10 session 3: the run-start fsync calibration read 17.7 MB/s
     (a neighbor burst) while every later probe read 170-460 — with the
     depressed baseline, every `>= baseline/2` witness gate passed
-    trivially and certified nothing. The baseline must RISE when a later
-    calibration exceeds it >2x (the opening reading was itself
-    contaminated), and must NOT ratchet on ordinary <=2x fsync/page-cache
-    variance, which would flip later sections to false contamination."""
-    assert bench._raise_baseline(17.7, 451.3) == 451.3   # the real case
-    assert bench._raise_baseline(300.0, 450.0) == 300.0  # normal variance
-    assert bench._raise_baseline(300.0, 150.0) == 300.0  # never lowers
+    trivially and certified nothing. The baseline must RISE when later
+    calibrations exceed it >2x, and must NOT ratchet on ordinary <=2x
+    fsync/page-cache variance. Round-11 (ADVICE r10): raising needs TWO
+    consecutive exceedances — one transient page-cache-lucky probe must
+    not latch an inflated baseline that falsely contaminates later honest
+    sections — and the raised value is the MIN of the two probes."""
+    r = bench._BaselineRatchet()
+    # the real case: opening 17.7, later probes 451.3 then 170.0
+    assert r.observe(17.7, 451.3) == 17.7      # first evidence: pending
+    assert r.observe(17.7, 170.0) == 170.0     # second: raise to the min
+    # normal <=2x variance never ratchets
+    r = bench._BaselineRatchet()
+    assert r.observe(300.0, 450.0) == 300.0
+    assert r.observe(300.0, 150.0) == 300.0    # never lowers
+    # a SINGLE >2x probe followed by a normal one: pending evidence is
+    # cleared, the baseline stays (the ADVICE r10 page-cache-burst case)
+    r = bench._BaselineRatchet()
+    assert r.observe(300.0, 700.0) == 300.0    # lucky probe: pending only
+    assert r.observe(300.0, 400.0) == 300.0    # cleared — no latch
+    assert r.observe(300.0, 650.0) == 300.0    # non-consecutive: pending
+    assert r.observe(300.0, 700.0) == 650.0    # two in a row: min raises
     # ratchet is monotone: once raised, a weaker later probe keeps it
-    b = bench._raise_baseline(17.7, 451.3)
-    assert bench._raise_baseline(b, 320.0) == b
+    assert r.observe(650.0, 320.0) == 650.0
 
 
 def test_cpu_skew_verdict_accepts_recovery_from_a_slow_committed_record():
@@ -394,3 +407,67 @@ def test_cpu_skew_verdict_accepts_recovery_from_a_slow_committed_record():
     # no references at all -> no witness, no false contamination
     assert bench._cpu_skew_verdict(recovered, None, None) == (
         None, None, False)
+
+
+def test_promote_cal_best_requires_uniformity_vs_best():
+    """Round-11 (ADVICE r10): cpu_cal_best promotion previously needed
+    only a clean label and geomean > 1 — a host non-uniformly fast on
+    ONE component (the observed GEMM-537.6 vs best-130 reading with
+    SLOWER python) could become the skew reference and flip ordinary
+    uniform hosts to 'skewed' forever after. Promotion now also gates on
+    _cpu_skew(host, best) <= CPU_SKEW_MAX."""
+    best = {"python_kops": 9574.9, "gemm_gflops": 130.0,
+            "pandas_groupby_mrows": 52.7}
+    gemm_outlier = {"python_kops": 7200.0, "gemm_gflops": 537.6,
+                    "pandas_groupby_mrows": 40.0}   # geomean > 1, skew ~5.5
+    assert bench._cpu_speed_ratio(gemm_outlier, best) > 1
+    skew = bench._cpu_skew(gemm_outlier, best)
+    # the observed incident shape sits just under/over the gate depending
+    # on components; pin the behavioral contract on both sides of it
+    if skew > bench.CPU_SKEW_MAX:
+        assert bench._promote_cal_best(gemm_outlier, best, False) is best
+    truly_skewed = {"python_kops": 7200.0, "gemm_gflops": 1300.0,
+                    "pandas_groupby_mrows": 40.0}   # skew ~13
+    assert bench._cpu_skew(truly_skewed, best) > bench.CPU_SKEW_MAX
+    assert bench._promote_cal_best(truly_skewed, best, False) is best
+    # a uniformly faster host still promotes
+    faster = {"python_kops": 14000.0, "gemm_gflops": 200.0,
+              "pandas_groupby_mrows": 80.0}
+    assert bench._cpu_skew(faster, best) <= bench.CPU_SKEW_MAX
+    assert bench._promote_cal_best(faster, best, False) is faster
+    # contaminated runs never promote; no-best bootstrap unchanged
+    assert bench._promote_cal_best(faster, best, True) is best
+    assert bench._promote_cal_best(faster, None, False) is faster
+    assert bench._promote_cal_best(faster, None, True) is None
+
+
+def test_keep_committed_run_still_advances_cal_best(tmp_path):
+    """Round-11 (ADVICE r10): a clean run that loses the best-clean-at-
+    HEAD curation must still advance the committed record's cpu_cal_best
+    (metadata-only) — otherwise the promoted best parks in the
+    gitignored sidecar and the reference never moves."""
+    import json as _json
+    here = str(tmp_path)
+    head = "abc123"
+    committed = {
+        "cpu_cal_best": {"python_kops": 9000.0, "gemm_gflops": 100.0,
+                         "pandas_groupby_mrows": 50.0},
+        "queries": {"q": 1.0}, "git_head": head,
+        "host": {"contaminated": False, "cpu_cal": {}},
+    }
+    with open(f"{here}/BENCH_DETAIL.json", "w") as f:
+        _json.dump(committed, f)
+    promoted = {"python_kops": 13000.0, "gemm_gflops": 150.0,
+                "pandas_groupby_mrows": 70.0}
+    detail = {
+        "cpu_cal_best": promoted,
+        "queries": {"q": 2.0},          # slower: loses the curation
+        "git_head": head,
+        "host": {"contaminated": False},
+    }
+    bench._write_detail_records(here, detail, committed, False)
+    with open(f"{here}/BENCH_DETAIL.json") as f:
+        after = _json.load(f)
+    # timings kept (the committed faster run), cal_best advanced
+    assert after["queries"] == {"q": 1.0}
+    assert after["cpu_cal_best"] == promoted
