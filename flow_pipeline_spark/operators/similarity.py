@@ -1434,7 +1434,7 @@ def ivf_pq_knn(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
     return ivf_pq_query(codes_cells, cent, queries, books, k,
                         nprobe=nprobe,
                         rerank_with=corpus if rerank else None,
-                        shortlist=shortlist,
+                        shortlist=shortlist, cent_rows=py_cents,
                         id_col=id_col, vec_col=vec_col)
 
 
@@ -1516,6 +1516,7 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
                  rerank_with: DataFrame | None = None,
                  shortlist: int | None = None,
                  max_query_rows: int = IVF_PQ_MAX_QUERY_ROWS,
+                 cent_rows: "list | None" = None,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Query-time half of the IVF-PQ pipeline over its PERSISTED
@@ -1556,7 +1557,12 @@ def ivf_pq_query(codes_cells: DataFrame, cent: DataFrame,
             f"batch (results are per-query independent) or raise the "
             f"cap explicitly if the driver is sized for it.")
     dim = len(q_rows[0]["qv"]) if q_rows else 0
-    cent_rows = cent.select("cid", "cv").collect()   # n_cells tiny rows
+    if cent_rows is None:
+        # n_cells tiny rows; call sites that built ``cent`` from a
+        # driver list pass cent_rows to skip this round-trip job
+        cent_rows = cent.select("cid", "cv").collect()
+    else:
+        cent_rows = [{"cid": int(c), "cv": v} for c, v in cent_rows]
     cell_qis = None
     if len(q_rows) * len(cent_rows) * dim <= _MAX_DRIVER_PROBE_OPS:
         cell_qis = _driver_probe_map(q_rows, cent_rows, nprobe)

@@ -3064,7 +3064,8 @@ def ann_ivf_pq_stored(spark, sf_dir):
             .withColumn("cnrm", S._norm("cv")))
     return (S.ivf_pq_query(codes_cells, cent,
                            e.filter(F.col("vec_id") < 10), books, k=5,
-                           nprobe=8, shortlist=40, rerank_with=e)
+                           nprobe=8, shortlist=40, rerank_with=e,
+                           cent_rows=cent_rows)
             .orderBy("q", "rank"))
 
 

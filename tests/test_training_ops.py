@@ -3192,3 +3192,66 @@ def test_hdr_safe_properties():
 
     check()
     assert _hdr_safe("a\r\nb") != _hdr_safe("a\nb")   # distinctness kept
+
+
+def test_bpe_merge_batch_acceptance_is_sequential_exact():
+    """Round-11 fuzz: _accept_merge_batch must accept ONLY merges that
+    the one-at-a-time argmax-recount loop would have produced, under
+    any truncation. Tiny alphabets force constant count ties, symbol
+    collisions (a+b == an existing symbol), and overlapping runs — the
+    adversarial regime for the batching proof."""
+    import random
+
+    from flow_pipeline_spark.operators.tokenizer import (
+        END, _accept_merge_batch, _py_apply_merge, py_bpe_reference)
+
+    def batched_train(word_freqs, n_merges, k_limit):
+        vocab = {w: list(w[:-1]) + [w[-1] + END] for w in word_freqs if w}
+        merges = []
+        while len(merges) < n_merges:
+            counts = {}
+            for w, syms in vocab.items():
+                f = word_freqs[w]
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = \
+                        counts.get((syms[i], syms[i + 1]), 0) + f
+            rows = sorted(((a, b, n) for (a, b), n in counts.items()),
+                          key=lambda t: (-t[2], t[0], t[1]))[:k_limit]
+            if not rows or rows[0][2] <= 0:
+                break
+            batch = _accept_merge_batch(rows, k_limit,
+                                        n_merges - len(merges))
+            for a, b in batch:
+                merges.append((a, b))
+                vocab = {w: _py_apply_merge(s, a, b)
+                         for w, s in vocab.items()}
+        return merges
+
+    rng = random.Random(20260818)
+    multi_accept = 0
+    for trial in range(300):
+        alpha = "ab" if trial % 3 == 0 else "abc" if trial % 3 == 1 \
+            else "abcd"
+        words = {"".join(rng.choice(alpha)
+                         for _ in range(rng.randint(1, 6))):
+                 rng.randint(1, 9)
+                 for _ in range(rng.randint(2, 12))}
+        n_merges = rng.randint(1, 10)
+        want = py_bpe_reference(words, n_merges)
+        for k_limit in (4, 64, 4096):
+            got = batched_train(words, n_merges, k_limit)
+            assert got == want, (words, n_merges, k_limit, got, want)
+        # count how often batching actually fires (sanity: the rule is
+        # not vacuous)
+        vocab = {w: list(w[:-1]) + [w[-1] + END] for w in words if w}
+        counts = {}
+        for w, syms in vocab.items():
+            f = words[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+        rows = sorted(((a, b, n) for (a, b), n in counts.items()),
+                      key=lambda t: (-t[2], t[0], t[1]))[:4096]
+        if rows and len(_accept_merge_batch(rows, 4096, 10)) > 1:
+            multi_accept += 1
+    assert multi_accept > 0   # the batch rule fires on real inputs
