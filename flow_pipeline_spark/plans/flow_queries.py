@@ -69,16 +69,67 @@ def _top_by_addr_traffic(flows_raw: DataFrame, addr_col: str, key_name: str,
                           F.col("Etype").alias("_etype"))
         .agg(F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("_sb"))
     )
-    out = (
-        pre.groupBy(flow_addr_to_string(F.col("_addr"), F.col("_etype"))
-                    .alias(key_name))
-        .agg(F.sum("_sb").alias("sumbytes"))
-        .orderBy(F.desc("sumbytes"), F.asc(key_name))
-    )
+    if k is None:
+        # unlimited panel: every group publishes, so every group renders
+        out = (
+            pre.groupBy(flow_addr_to_string(F.col("_addr"),
+                                            F.col("_etype"))
+                        .alias(key_name))
+            .agg(F.sum("_sb").alias("sumbytes"))
+            .orderBy(F.desc("sumbytes"), F.asc(key_name))
+        )
+        return out
+    # Top-k panel (round-11, guide §4): the render's fibers are exactly
+    # computable as a cheap JVM canonical key, so the re-aggregate and
+    # the top-k cut run NATIVELY and only the k publishing rows (+
+    # sumbytes ties at the boundary) cross the Python boundary — the
+    # ArrowEvalPython input drops from |distinct addrs| to ~k. The
+    # canonical key is render-exact because (a) the v4 arm is a pure
+    # function of the first-4-bytes u32, (b) the v6 arm (RFC-5952
+    # compressed hex — no dotted v4-mapped form) is injective in the
+    # kernel's NORMALIZED 16 bytes (pad/truncate; None/empty -> NULL),
+    # and (c) the arms can never collide (a v6 render always contains
+    # ':', a dotted quad never does). NULL renders from either arm fold
+    # into one arm-0 fiber, matching the old string group-by. Pinned by
+    # the flows_top_src_ips oracle and
+    # test_top_addr_render_after_topk_matches_render_all.
+    from ..functions.ip import _ipv6_render, ipv4_from_flow_addr, \
+        ipv4_num_to_string
+
+    is_v4 = F.col("_etype").eqNullSafe(F.lit(0x800))
+    v4num = ipv4_from_flow_addr(F.col("_addr"))
+    norm16 = F.when(
+        F.length("_addr") != 0,
+        F.substring(F.concat(F.col("_addr"), F.lit(b"\x00" * 16)), 1, 16))
+    arm = (F.when(is_v4 & v4num.isNotNull(), F.lit(1))
+           .when(~is_v4 & norm16.isNotNull(), F.lit(2))
+           .otherwise(F.lit(0)))
+    canon = (pre.select(
+        arm.alias("_arm"),
+        F.when(arm == 1, v4num).alias("_v4num"),
+        F.when(arm == 2, norm16).alias("_v6b"),
+        F.col("_sb"))
+        .groupBy("_arm", "_v4num", "_v6b")
+        .agg(F.sum("_sb").alias("sumbytes")))
+    from pyspark.sql import Window as W
+
+    # rank (not row_number): ties at the k-th sum must survive to the
+    # render, because the final tie-break is on the RENDERED string.
+    # WindowGroupLimit prefilters per partition, so the empty
+    # partitionBy is not a full-table single-reducer sort.
+    cand = (canon.withColumn(
+        "_rk", F.rank().over(W.orderBy(F.desc("sumbytes"))))
+        .filter(F.col("_rk") <= k))
+    rendered = (F.when(F.col("_arm") == 1,
+                       ipv4_num_to_string(F.col("_v4num")))
+                .when(F.col("_arm") == 2, _ipv6_render(F.col("_v6b")))
+                .otherwise(F.lit(None).cast("string")))
     # k=0 must mean an EMPTY top-0, not 'no limit' (round-7 review:
     # the falsy check turned a zero-sized panel into a full-table
     # ordered materialization); None alone means unlimited
-    return out.limit(k) if k is not None else out
+    return (cand.select(rendered.alias(key_name), F.col("sumbytes"))
+            .orderBy(F.desc("sumbytes"), F.asc(key_name))
+            .limit(k))
 
 
 def top_src_ips(flows_raw: DataFrame, k: int | None = 10) -> DataFrame:

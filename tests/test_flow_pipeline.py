@@ -173,3 +173,56 @@ def test_batch_demo_end_to_end(spark, tmp_path):
                  .agg(F.sum("Bytes")).collect()[0][0])
     rollup_bytes = panels["rollup"].agg(F.sum("Bytes")).collect()[0][0]
     assert raw_bytes == rollup_bytes
+
+
+def test_top_addr_render_after_topk_matches_render_all(spark):
+    """Round-11: the top-k IP panels re-aggregate and cut NATIVELY on a
+    canonical key and render only the publishing rows — results must be
+    row-identical to the render-everything form (k=None prefix), on an
+    adversarial corpus: v4 rows colliding on the first-4-bytes render,
+    v4-mapped v6, NULL etype (v6 arm by the CASE), empty/NULL addrs, and
+    exact sumbytes ties at the k boundary."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    def r(addr, etype, b):
+        return Row(SrcAddr=addr, Etype=etype, Bytes=b, SamplingRate=1)
+
+    v4 = 0x800
+    v6 = 0x86DD
+    rows = [
+        # two DIFFERENT 16-byte addrs, same first 4 bytes, etype v4:
+        # renders collide ("1.2.3.4") and must merge
+        r(bytes([1, 2, 3, 4]) + b"\x00" * 11 + b"\x01", v4, 100),
+        r(bytes([1, 2, 3, 4]) + b"\x00" * 11 + b"\x02", v4, 50),
+        # v4-mapped v6: renders via the v6 arm (no dotted special form)
+        r(b"\x00" * 10 + b"\xff\xff" + bytes([1, 2, 3, 4]), v6, 120),
+        # plain v6
+        r(b"\x20\x01\x0d\xb8" + b"\x00" * 12, v6, 90),
+        # NULL etype -> the CASE's otherwise arm (v6 render)
+        r(b"\x20\x01\x0d\xb8" + b"\x00" * 12, None, 5),
+        # exact tie group at the boundary (distinct v4 renders, equal sums)
+        r(bytes([9, 9, 9, 1]) + b"\x00" * 12, v4, 60),
+        r(bytes([9, 9, 9, 2]) + b"\x00" * 12, v4, 60),
+        r(bytes([9, 9, 9, 3]) + b"\x00" * 12, v4, 60),
+        # NULL / empty addrs in both arms -> one NULL-render group
+        r(None, v4, 7),
+        r(b"", v6, 7),
+        # short and long addrs (the kernel pads/truncates to 16)
+        r(b"\x20\x01", v6, 40),
+        r(b"\x20\x01" + b"\x00" * 14, v6, 3),   # == padded short one
+        r(b"\x20\x01\x0d\xb8" + b"\x00" * 12 + b"\xaa", v6, 2),
+    ]
+    flows = spark.createDataFrame(
+        rows, "SrcAddr binary, Etype int, Bytes long, SamplingRate long")
+    full = FQ.top_src_ips(flows, k=None).toPandas()
+    for k in (1, 2, 3, 4, 5, 8, 20):
+        got = FQ.top_src_ips(flows, k=k).toPandas()
+        exp = full.head(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # k=0 stays an empty top-0
+    assert FQ.top_src_ips(flows, k=0).count() == 0
+    # and the short-vs-padded v6 pair really did merge in BOTH forms
+    key = full["srcip"].tolist()
+    assert len(key) == len(set(k for k in key if k is not None)) + \
+        (1 if key.count(None) else 0)
