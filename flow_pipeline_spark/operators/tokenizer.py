@@ -271,9 +271,49 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
 
+def _assemble_per_doc(df: DataFrame, words: DataFrame, vocab: DataFrame,
+                      toks, *, id_col: str, out_col: str,
+                      keep_input_cols: bool) -> DataFrame:
+    """Shared reassembly for the vocab-table encoders: broadcast the
+    word→pieces map onto the exploded corpus tokens, regroup per doc.
+
+    ``keep_input_cols=True`` (the general contract) re-attaches every
+    input column via a left join back to ``df`` — a corpus×corpus
+    id-keyed join (one extra exchange + two sorts at scale) that exists
+    ONLY to carry input columns and give wordless docs an empty array.
+    ``keep_input_cols=False`` (round-11) returns just (id, out_col)
+    WITHOUT the join: the per-doc groupBy already yields one row per
+    word-bearing doc, and wordless docs (empty/whitespace/NULL text —
+    plus NULL ids, which the join form's null-never-matches semantics
+    sent to the empty side too) come from a narrow no-shuffle scan
+    unioned in. Row-set identical to the join form projected to
+    (id, out_col); pinned by tests. Every production caller selects
+    exactly those columns — guide §2.4 (remove shuffles outright) /
+    §8 (don't re-attach via a join what a union can carry)."""
+    per_doc_src = words if keep_input_cols \
+        else words.filter(F.col(id_col).isNotNull())
+    per_doc = (per_doc_src.join(F.broadcast(vocab), "_word")
+               .groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("_pos"), F.col("_syms")))),
+                   lambda x: x["_syms"])).alias(out_col)))
+    empty = F.array().cast("array<string>")
+    if keep_input_cols:
+        return (df.join(per_doc, id_col, "left")
+                .withColumn(out_col,
+                            F.coalesce(F.col(out_col), empty)))
+    has_word = F.coalesce(F.exists(toks, lambda w: w != F.lit("")),
+                          F.lit(False))
+    empties = (df.filter(F.col(id_col).isNull() | ~has_word)
+               .select(F.col(id_col), empty.alias(out_col)))
+    return per_doc.unionByName(empties)
+
+
 def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
                      text_col: str = "text", id_col: str = "doc_id",
-                     out_col: str = "bpe_tokens") -> DataFrame:
+                     out_col: str = "bpe_tokens", *,
+                     keep_input_cols: bool = True) -> DataFrame:
     """Vocab-table encoder — the SCALE form of :func:`bpe_encode`
     (pytest-asserted equal): every production tokenizer encodes each
     DISTINCT word once, not each occurrence. Corpus tokens never touch
@@ -291,7 +331,10 @@ def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
     hash join + one per-doc groupBy (the only shuffle, keyed on
     ``id_col`` — which must be unique per row); Python work is
     O(|vocab|·|merges|), corpus-size-independent. Empty/whitespace-only
-    documents get an empty array."""
+    documents get an empty array. ``keep_input_cols=False`` returns
+    only (id, out_col) and skips the input-column join-back entirely
+    (:func:`_assemble_per_doc`) — the form every production caller
+    wants."""
     toks = tokens(F.lower(F.col(text_col)))
     words = (df.select(F.col(id_col),
                        F.posexplode(toks).alias("_pos", "_word"))
@@ -310,16 +353,9 @@ def bpe_encode_vocab(df: DataFrame, merges: list[tuple[str, str]],
 
     vocab = (words.select(F.col("_word")).distinct()
              .withColumn("_syms", _enc_word(F.col("_word"))))
-    per_doc = (words.join(F.broadcast(vocab), "_word")
-               .groupBy(id_col)
-               .agg(F.flatten(F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct(F.col("_pos"), F.col("_syms")))),
-                   lambda x: x["_syms"])).alias(out_col)))
-    return (df.join(per_doc, id_col, "left")
-            .withColumn(out_col,
-                        F.coalesce(F.col(out_col),
-                                   F.array().cast("array<string>"))))
+    return _assemble_per_doc(df, words, vocab, toks, id_col=id_col,
+                             out_col=out_col,
+                             keep_input_cols=keep_input_cols)
 
 
 # --- Unigram LM tokenizer (SentencePiece, Kudo 2018) -----------------------
@@ -552,7 +588,8 @@ def unigram_encode_vocab(df: DataFrame, model: dict[str, int],
                          scoring: str = "exact",
                          max_word_len: int | None = None,
                          text_col: str = "text", id_col: str = "doc_id",
-                         out_col: str = "pieces") -> DataFrame:
+                         out_col: str = "pieces",
+                         keep_input_cols: bool = True) -> DataFrame:
     """Encode documents under a trained unigram model — the vocab-table
     scale form (the :func:`bpe_encode_vocab` shape): each DISTINCT word
     Viterbi-segments once through the Python kernel (|vocab| calls,
@@ -567,16 +604,9 @@ def unigram_encode_vocab(df: DataFrame, model: dict[str, int],
     seg = _segment_word_udf(model, max_piece_len, scoring, max_word_len)
     vocab = (words.select("_word").distinct()
              .withColumn("_syms", seg(F.col("_word"))))
-    per_doc = (words.join(F.broadcast(vocab), "_word")
-               .groupBy(id_col)
-               .agg(F.flatten(F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct(F.col("_pos"), F.col("_syms")))),
-                   lambda x: x["_syms"])).alias(out_col)))
-    return (df.join(per_doc, id_col, "left")
-            .withColumn(out_col,
-                        F.coalesce(F.col(out_col),
-                                   F.array().cast("array<string>"))))
+    return _assemble_per_doc(df, words, vocab, toks, id_col=id_col,
+                             out_col=out_col,
+                             keep_input_cols=keep_input_cols)
 
 
 def py_unigram_reference(word_freqs: dict[str, int], *, n_iters: int = 3,

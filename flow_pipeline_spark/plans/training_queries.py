@@ -2624,7 +2624,7 @@ def bpe_encode_corpus(spark, sf_dir):
     from ..operators import tokenizer as TOK
     d = _docs(spark, sf_dir).select("doc_id", "text")
     merges = TOK.bpe_train(d.filter(F.col("doc_id") < 200), n_merges=8)
-    enc = TOK.bpe_encode_vocab(d, merges)
+    enc = TOK.bpe_encode_vocab(d, merges, keep_input_cols=False)
     return (enc.select("doc_id",
                        F.size("bpe_tokens").cast("long").alias("n_syms"),
                        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5))
@@ -2679,7 +2679,8 @@ def _bpe_stored_merges(spark, sf_dir) -> list:
 def bpe_encode_stored(spark, sf_dir):
     from ..operators import tokenizer as TOK
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    enc = TOK.bpe_encode_vocab(d, _bpe_stored_merges(spark, sf_dir))
+    enc = TOK.bpe_encode_vocab(d, _bpe_stored_merges(spark, sf_dir),
+                               keep_input_cols=False)
     return (enc.select("doc_id",
                        F.size("bpe_tokens").cast("long").alias("n_syms"),
                        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5))
@@ -4742,7 +4743,8 @@ def unigram_encode_corpus(spark, sf_dir):
                               n_iters=2, seed_size=500, vocab_size=300,
                               scoring="qexp", max_word_len=12)
     enc = TOK.unigram_encode_vocab(d, model, scoring="qexp",
-                                   max_word_len=12)
+                                   max_word_len=12,
+                                   keep_input_cols=False)
     return (enc.select("doc_id",
                        F.size("pieces").cast("long").alias("n_pieces"),
                        F.concat_ws(" ", F.slice("pieces", 1, 5))

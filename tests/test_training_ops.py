@@ -3255,3 +3255,72 @@ def test_bpe_merge_batch_acceptance_is_sequential_exact():
         if rows and len(_accept_merge_batch(rows, 4096, 10)) > 1:
             multi_accept += 1
     assert multi_accept > 0   # the batch rule fires on real inputs
+
+
+def test_bpe_train_batched_collects_fewer_jobs(spark, monkeypatch):
+    """VERDICT r10 item #3's 'fewer jobs at identical merge list': the
+    batched pair-table collect must run strictly fewer Spark jobs than
+    the one-merge-per-collect loop (_PAIR_COLLECT_LIMIT=1 degrades to
+    exactly the classic loop), with a bit-identical merge list."""
+    import flow_pipeline_spark.operators.tokenizer as tok
+
+    # a corpus whose top pairs are count-separated enough to batch
+    docs = [(i, " ".join(["banana"] * 6 + ["bandana"] * 3 + ["cab"] * 2))
+            for i in range(4)] + [(9, "abracadabra banana band")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sc = spark.sparkContext
+
+    def run(group):
+        sc.setJobGroup(group, group)
+        try:
+            merges = tok.bpe_train(df, n_merges=8)
+        finally:
+            sc.setJobGroup(None, None)
+        return merges, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    batched, n_batched = run("bpe-batched")
+    monkeypatch.setattr(tok, "_PAIR_COLLECT_LIMIT", 1)
+    classic, n_classic = run("bpe-classic")
+    assert batched == classic
+    assert len(batched) == 8
+    assert n_batched < n_classic
+
+
+def test_encode_vocab_slim_form_matches_join_form(spark):
+    """round-11: keep_input_cols=False must return exactly the join
+    form's (id, out_col) row set — including wordless docs (empty /
+    whitespace-only / NULL text), NULL ids (with and without words),
+    and unicode — while eliding the corpus×corpus join-back."""
+    import flow_pipeline_spark.operators.tokenizer as TOK
+
+    docs = [(1, "banana band banana"), (2, ""), (3, "   "),
+            (4, None), (5, "ab"), (None, "banana ab"), (7, "\t\n"),
+            (8, "café banana"), (9, "banana")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [("a", "n"), ("b", "an")]
+
+    full = {(r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in TOK.bpe_encode_vocab(df, merges)
+            .select("doc_id", "bpe_tokens").collect()}
+    slim_df = TOK.bpe_encode_vocab(df, merges, keep_input_cols=False)
+    slim = {(r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in slim_df.collect()}
+    assert slim == full
+    assert slim_df.columns == ["doc_id", "bpe_tokens"]
+    # the slim plan must not pay the id-keyed join-back
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        slim_df.explain("formatted")
+    assert "SortMergeJoin" not in buf.getvalue()
+
+    model = {"b": 3, "an": 2, "a": 2, "n": 1, "c": 1, "d": 1,
+             "f": 1, "é": 1}
+    fullu = {(r["doc_id"], tuple(r["pieces"]))
+             for r in TOK.unigram_encode_vocab(df, model)
+             .select("doc_id", "pieces").collect()}
+    slimu = {(r["doc_id"], tuple(r["pieces"]))
+             for r in TOK.unigram_encode_vocab(
+                 df, model, keep_input_cols=False).collect()}
+    assert slimu == fullu
