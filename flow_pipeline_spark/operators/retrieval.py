@@ -188,21 +188,32 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, *,
     integer (ties → lexicographic term). Returns
     ``(<id_col>, rank, term, tfidf)``.
 
-    Scale: reuses the postings build (one groupBy); df(term) is a
-    vocab-bounded aggregate that BROADCASTS back onto postings, so the
-    only corpus-wide shuffles are the two bounded aggregates; the
-    per-doc top-k window partitions by document."""
+    Scale (round-11, the bm25_search device): the plan previously held
+    THREE tokenize pipelines — ``postings`` was referenced by the
+    n_docs aggregate, the df(term) aggregate, and the scoring join, and
+    Spark re-plans each DataFrame branch independently. Now n_docs
+    comes from one NARROW doc scan (count of docs with ≥1 non-empty
+    token — integer-identical to countDistinct(id) over postings, no
+    explode) and df(term) is a count window over postings partitioned
+    by term (integer-identical to the groupBy + self-join). ONE
+    tokenize pipeline; the corpus-wide shuffles carry postings rows,
+    never text; the per-doc top-k window partitions by document."""
     postings = bm25_postings(docs, text_col=text_col, id_col=id_col)
-    stats = F.broadcast(postings.agg(
-        F.countDistinct(id_col).cast("long").alias("_n_docs")))
-    dfreq = F.broadcast(postings.groupBy("term")
-                        .agg(F.count("*").cast("long").alias("_df")))
+    ntok = F.size(F.filter(tokens(F.lower(F.col(text_col))),
+                           lambda t: t != F.lit("")))
+    stats = F.broadcast(
+        docs.select(ntok.alias("_nt"))
+        .agg(F.count(F.when(F.col("_nt") > 0, True))
+             .cast("long").alias("_n_docs")))
     idf = F.log(F.lit(1.0) + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
                 / (F.col("_df") + F.lit(0.5)))
     w_e6 = F.floor(F.col("tf") * idf * F.lit(1e6) + F.lit(0.5)) \
         .cast("long")
+    wdf = W.partitionBy("term")
     wr = W.partitionBy(id_col).orderBy(F.desc("_w_e6"), F.asc("term"))
-    return (postings.join(dfreq, "term").crossJoin(stats)
+    return (postings
+            .withColumn("_df", F.count("*").over(wdf).cast("long"))
+            .crossJoin(stats)
             .withColumn("_w_e6", w_e6)
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
