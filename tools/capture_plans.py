@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") output for named queries into
-plans/r10/<query>_<tag>.txt (the optimization round's evidence files).
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r11 — the
+optimization round's evidence files).
 
 Usage: python tools/capture_plans.py before q1 q2 ...
        python tools/capture_plans.py after q1 q2 ...
@@ -16,8 +17,9 @@ from flow_pipeline_spark.plans import QUERIES  # noqa: E402
 from flow_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r10")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
 
 
 def main():
